@@ -1,0 +1,81 @@
+"""Line parse/normalize — the reference's ParseBolt semantics, declaratively.
+
+Reference behavior (storm .../ParseBolt.java:49-93):
+- trim; drop null/empty lines
+- truncate messages over 4096 chars, appending ``..`` (ParseBolt.java:29,62-66)
+- sniff log type and extract an ISO-8601 event timestamp
+  (LogTypeSniffer.java:20-51); fall back to processing time
+  (ParseBolt.java:81-84)
+
+All of it compiles to built-in column expressions — no UDF, stays inside
+whole-stage codegen, filters push down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: reference: ParseBolt.java:29
+MAX_MSG_LENGTH = 4096
+
+#: ISO-8601 with optional fractional seconds and offset
+#: (reference regex: LogTypeSniffer.java:20)
+ISO8601_RE = (
+    r"[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
+    r"(\.[0-9]+)?(Z|[+-][0-9]{2}:?[0-9]{2})?"
+)
+
+#: heuristic "likely error" keyword list, verbatim from
+#: reference: storm .../ErrorClassifierBolt.java:44
+ERROR_WORDS = (
+    "err;error;fail;failed;failure;timed out;exception;unexpected;"
+    "not found;unauthorized;not authorized;missing;reject;rejected;"
+    "drop;dropped;warn;warning;crit;critical;fatal;emerg;emergency;"
+    "alert;404"
+).split(";")
+
+
+def normalize_lines(df: DataFrame, raw: str = "_raw") -> DataFrame:
+    """trim → drop empty → truncate-with-`..` (ParseBolt.java:49-66)."""
+    c = F.trim(F.col(raw))
+    truncated = F.when(
+        F.length(c) > MAX_MSG_LENGTH,
+        F.concat(F.substring(c, 1, MAX_MSG_LENGTH), F.lit("..")),
+    ).otherwise(c)
+    return (
+        df.withColumn(raw, truncated)
+        .where(F.col(raw).isNotNull() & (F.length(F.col(raw)) > 0))
+    )
+
+
+def extract_event_time(raw: Column) -> Column:
+    """ISO-8601 timestamp substring → TIMESTAMP_NTZ; NULL when absent.
+
+    Callers add the processing-time fallback with
+    ``coalesce(extract_event_time(c), current_timestamp())``
+    (ParseBolt.java:81-84).
+    """
+    s = F.regexp_extract(raw, ISO8601_RE, 0)
+    # normalize: strip offset/Z for NTZ parse; seconds-precision tolerant
+    s = F.when(s == "", None).otherwise(s)
+    return F.to_timestamp_ntz(
+        F.regexp_replace(s, r"(Z|[+-][0-9]{2}:?[0-9]{2})$", ""),
+        F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]"),
+    )
+
+
+def is_likely_error(raw: Column) -> Column:
+    """Any of the 25 error keywords present (case-insensitive substring),
+    reference: ErrorClassifierBolt.java:71-89."""
+    lowered = F.lower(raw)
+    cond = None
+    for w in ERROR_WORDS:
+        c = lowered.contains(w)
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def is_likely_error_sql(col: str = "_raw") -> str:
+    """DuckDB-equivalent predicate for the oracle side."""
+    return "(" + " OR ".join(f"lower({col}) LIKE '%{w}%'" for w in ERROR_WORDS) + ")"

@@ -1,0 +1,93 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB against the same sf dir, then compares
+row count, sorted column names, and an order-insensitive value multiset.
+
+Usage:  python tools/parity.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from cloudpelican_lsd_spark.session import get_spark  # noqa: E402
+from cloudpelican_lsd_spark.sources.tables import TABLES  # noqa: E402
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr of the exact double — engines must agree bit-for-bit
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name:32s} ROWS-ONLY rows={len(srows)}")
+            continue
+        drel = con.sql(oracles[name])
+        drows = drel.fetchall()
+        dcols = [d[0] for d in drel.description]
+        ok_cnt = len(srows) == len(drows)
+        ok_cols = sorted(scols) == sorted(dcols)
+        s_ms = multiset(srows, scols)
+        d_ms = multiset(drows, dcols)
+        ok_vals = s_ms == d_ms
+        status = "OK" if (ok_cnt and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(
+            f"{name:32s} {status} rows={len(srows)}/{len(drows)}"
+            f" cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'}"
+            f" vals={'ok' if ok_vals else 'MISMATCH'}"
+        )
+        if not ok_vals and ok_cols:
+            extra_s = list((s_ms - d_ms).items())[:3]
+            extra_d = list((d_ms - s_ms).items())[:3]
+            for r in extra_s:
+                print(f"    spark-only : {r}")
+            for r in extra_d:
+                print(f"    duck-only  : {r}")
+    spark.stop()
+    print("PARITY:", "PASS" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
