@@ -1,0 +1,134 @@
+"""Time-series stats: bucketing, rollup, windowing, gap-fill, pivot.
+
+Reproduces the reference's stats pipeline semantics with deterministic
+integer bucket math (``ts - ts % N``):
+
+- partial secondly buckets → minutely buckets (storm RollupStatsBolt.java:86,
+  SupervisorStatsWriterBolt.java:132).  NOTE: the reference has an agg-key
+  bug (RollupStatsBolt.java:87 keys by increment, not bucket); we implement
+  the intended semantics — key by bucket.
+- client-side re-rollup + window + zero gap-fill
+  (cli/supervisorcon.go:43-119: window filter :81-83, re-bucket :86-89,
+  sum :100, gap-fill :108-114); defaults window=86400s rollup=60s
+  (cli/cloudpelican-lsd.go:795-798).
+- dual-metric chart series: MATCH=1 / ERROR=2 (storm MetricsEnum.java:6-9)
+  rendered together (cli/stats.go:59-201) → a bucket×metric pivot.
+
+Scale notes: bucket math is pure integer column arithmetic inside codegen;
+the groupBy is a single hash aggregate with map-side partial aggregation;
+gap-fill joins against an exploded `sequence()` whose size is
+(window/rollup) rows — tiny — and is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.functions.parse import is_likely_error
+
+#: reference metric ids (MetricsEnum.java:6-9)
+METRIC_MATCH = 1
+METRIC_ERROR = 2
+
+
+def bucket_col(epoch_col: str, rollup_sec: int) -> F.Column:
+    """``ts - (ts % rollup)`` — the reference's bucket arithmetic
+    (supervisorcon.go:86-89), deterministic for oracle hash-equality."""
+    c = F.col(epoch_col)
+    return (c - (c % F.lit(rollup_sec))).cast("long")
+
+
+def metric_counts(
+    logs: DataFrame,
+    rollup_sec: int = 60,
+    epoch_col: str = "ts_epoch",
+    raw_col: str = "_raw",
+) -> DataFrame:
+    """`(metric, bucket, cnt)` — MATCH counts every line, ERROR counts
+    heuristic-error lines (ErrorClassifierBolt.java:71-89 feed)."""
+    b = logs.select(
+        bucket_col(epoch_col, rollup_sec).alias("bucket"),
+        is_likely_error(F.col(raw_col)).alias("is_err"),
+    )
+    # one pass, two conditional sums, then unpivot → no second scan
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("match_cnt"),
+        F.sum(F.when(F.col("is_err"), 1).otherwise(0)).cast("long").alias("err_cnt"),
+    )
+    return (
+        agg.select(
+            "bucket",
+            F.expr(
+                f"stack(2, {METRIC_MATCH}, match_cnt, {METRIC_ERROR}, err_cnt)"
+            ).alias("metric", "cnt"),
+        )
+        .where(F.col("cnt") > 0)
+        .select("metric", "bucket", "cnt")
+    )
+
+
+def rollup_window(
+    stats: DataFrame,
+    rollup_sec: int,
+    window_sec: int | None = None,
+    now_epoch: int | None = None,
+) -> DataFrame:
+    """Re-bucket minutely stats to an arbitrary rollup, dropping buckets
+    outside the lookback window (supervisorcon.go:81-100)."""
+    df = stats.withColumn("bucket", bucket_col("bucket", rollup_sec))
+    if window_sec is not None and now_epoch is not None:
+        df = df.where(F.col("bucket") >= F.lit(now_epoch - window_sec))
+    return df.groupBy("metric", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def gap_fill(stats: DataFrame, rollup_sec: int) -> DataFrame:
+    """Zero-fill missing buckets between the series min and max
+    (supervisorcon.go:108-114) per metric.
+
+    Implemented as `sequence(min,max,step)` + explode, cross-joined with the
+    metric list, left-joined back — all broadcastable scalars; no driver
+    collect, so the plan is identical at any scale.
+    """
+    bounds = stats.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(rollup_sec))
+            ).alias("bucket")
+        )
+        .crossJoin(stats.select("metric").distinct())
+    )
+    return (
+        grid.join(stats, ["metric", "bucket"], "left")
+        .select(
+            "metric",
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+
+
+def pivot_dual_series(stats: DataFrame) -> DataFrame:
+    """bucket × {regular_cnt, error_cnt} — the dual-series chart feed
+    (cli/stats.go:59-201 overlays metric 1 as 'o', metric 2 as '*')."""
+    return stats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("metric") == METRIC_MATCH, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("regular_cnt"),
+        F.sum(F.when(F.col("metric") == METRIC_ERROR, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("error_cnt"),
+    )
+
+
+def minmax_scale(stats: DataFrame) -> DataFrame:
+    """Chart-scaling min/max pass (cli/stats.go:127-137)."""
+    return stats.agg(
+        F.min("cnt").cast("long").alias("min_cnt"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )

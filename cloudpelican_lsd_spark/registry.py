@@ -1,0 +1,379 @@
+"""Named query registry: every implemented operator as a (spark, sf_dir) →
+DataFrame callable plus its DuckDB oracle SQL.
+
+This is the single source of truth consumed by ``__spark_entry__`` (driver
+contract), ``bench.py``, and the test suite.  Each entry exercises one
+operator family from SURVEY.md §2 with column names aligned between the
+Spark plan and the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloudpelican_lsd_spark.catalog import demo_catalog
+from cloudpelican_lsd_spark.functions.parse import (
+    ISO8601_RE,
+    is_likely_error,
+    is_likely_error_sql,
+)
+from cloudpelican_lsd_spark.operators import stats as stats_ops
+from cloudpelican_lsd_spark.operators.fanout import (
+    MATCH_COND_DUCKDB,
+    match_counts,
+)
+from cloudpelican_lsd_spark.operators.grep_pipeline import GrepPipeline
+from cloudpelican_lsd_spark.operators.tail import cursor_read, tail_last_n
+from cloudpelican_lsd_spark.sources.tables import (
+    LOGS_ORACLE_CTE,
+    load_table,
+    logs_view,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# grep pipelines (P2-P5, O1, O2; flagship = reference e2e grep_sql.sh)
+# ===========================================================================
+
+PIPELINES = {
+    "grep_pipeline": "cat all | grep -v click | grep -i ERROR | grep -e 'value=[0-9]+' | sort | limit 50",
+    "grep_word": "cat all | grep purchase | sort",
+    "grep_invert_icase": "cat all | grep -v -i SIGNUP | grep -i Error | sort | limit 100",
+    "grep_regex": "cat all | grep -e 'host[0-9] ' | sort | head",
+    "grep_icase_regex": "cat all | grep -i -e 'ERROR|PURCHASE' | sort - r | limit 25",
+}
+
+for _name, _pipe in PIPELINES.items():
+
+    def _mk(pipe: str) -> QueryFn:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return GrepPipeline.parse(pipe).apply(logs_view(spark, sf_dir))
+
+        return run
+
+    register(
+        _name,
+        f"WITH {LOGS_ORACLE_CTE}\n" + GrepPipeline.parse(_pipe).to_duckdb_sql("logs"),
+    )(_mk(_pipe))
+
+
+# ===========================================================================
+# filter catalog + standing-filter fan-out (S9, P2/P3; MatchBolt semantics)
+# ===========================================================================
+
+_CAT = demo_catalog()
+_FILTERS_CTE = f"filters AS {_CAT.to_values_sql(include_temp=True)}"
+
+
+@register(
+    "filter_fanout_counts",
+    f"""WITH {LOGS_ORACLE_CTE}, {_FILTERS_CTE}
+SELECT f.id AS filter_id, f.name AS filter_name,
+       COUNT(*)::BIGINT AS match_cnt
+FROM logs l JOIN filters f ON {MATCH_COND_DUCKDB}
+GROUP BY 1, 2""",
+)
+def q_filter_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_counts(logs_view(spark, sf_dir), _CAT.to_df(spark))
+
+
+@register(
+    "show_filters",
+    f"""WITH {_FILTERS_CTE}
+SELECT id, name, regex FROM filters WHERE name NOT LIKE '\\_\\_tmp\\_\\_%' ESCAPE '\\'""",
+)
+def q_show_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `show filters` hides temp filters (cli/cloudpelican-lsd.go:448-450)
+    return (
+        _CAT.to_df(spark, include_temp=False).select("id", "name", "regex")
+    )
+
+
+@register(
+    "select_where_limit",
+    f"""WITH {LOGS_ORACLE_CTE}
+SELECT _raw FROM logs
+WHERE contains(_raw, 'error') AND regexp_matches(_raw, 'value=[0-9]{{3}} ')
+ORDER BY _raw LIMIT 20""",
+)
+def q_select_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`select * from errors where 'value=[0-9]{3} ' limit 20` — the
+    where-clause-as-temp-filter path (cli/cloudpelican-lsd.go:455-523)."""
+    logs = logs_view(spark, sf_dir)
+    return (
+        logs.where(F.col("_raw").contains("error"))
+        .where(F.col("_raw").rlike("value=[0-9]{3} "))
+        .select("_raw")
+        .orderBy("_raw")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# stats pipeline (A1-A6): bucketing, rollup+window, gap-fill, pivot, minmax
+# ===========================================================================
+
+_STATS_CTE = f"""{LOGS_ORACLE_CTE},
+b AS (
+  SELECT ts_epoch - ts_epoch % {{rollup}} AS bucket,
+         {is_likely_error_sql('_raw')} AS is_err
+  FROM logs
+),
+s AS (
+  SELECT 1 AS metric, bucket, COUNT(*)::BIGINT AS cnt FROM b GROUP BY bucket
+  UNION ALL
+  SELECT 2 AS metric, bucket, COUNT(*)::BIGINT AS cnt FROM b WHERE is_err GROUP BY bucket
+)"""
+
+
+@register(
+    "stats_rollup_minutely",
+    f"WITH {_STATS_CTE.format(rollup=60)}\nSELECT metric, bucket, cnt FROM s",
+)
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=60)
+
+
+@register(
+    "stats_gapfill",
+    f"""WITH {_STATS_CTE.format(rollup=300)},
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM s),
+grid AS (
+  SELECT m.metric, g.bucket
+  FROM (SELECT unnest(generate_series(lo, hi, 300)) AS bucket FROM bounds) AS g,
+       (SELECT DISTINCT metric FROM s) AS m
+)
+SELECT grid.metric, grid.bucket, COALESCE(s.cnt, 0)::BIGINT AS cnt
+FROM grid LEFT JOIN s ON s.metric = grid.metric AND s.bucket = grid.bucket""",
+)
+def q_stats_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mc = stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=300)
+    return stats_ops.gap_fill(mc, rollup_sec=300)
+
+
+@register(
+    "stats_window_rollup",
+    f"""WITH {_STATS_CTE.format(rollup=60)},
+now_e AS (SELECT max(ts_epoch) AS now_epoch FROM logs)
+SELECT metric, bucket - bucket % 3600 AS bucket, SUM(cnt)::BIGINT AS cnt
+FROM s, now_e
+WHERE bucket - bucket % 3600 >= now_epoch - {7 * 86400}
+GROUP BY 1, 2""",
+)
+def q_stats_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side re-rollup: minutely series → 1h buckets, 7d lookback
+    (supervisorcon.go:43-119 with window/rollup args)."""
+    logs = logs_view(spark, sf_dir)
+    mc = stats_ops.metric_counts(logs, rollup_sec=60)
+    now_df = logs.agg(F.max("ts_epoch").alias("now_epoch"))
+    rolled = (
+        mc.withColumn("bucket", stats_ops.bucket_col("bucket", 3600))
+        .crossJoin(F.broadcast(now_df))
+        .where(F.col("bucket") >= F.col("now_epoch") - F.lit(7 * 86400))
+        .groupBy("metric", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return rolled
+
+
+@register(
+    "stats_pivot_dual",
+    f"""WITH {_STATS_CTE.format(rollup=300)}
+SELECT bucket,
+       SUM(CASE WHEN metric = 1 THEN cnt ELSE 0 END)::BIGINT AS regular_cnt,
+       SUM(CASE WHEN metric = 2 THEN cnt ELSE 0 END)::BIGINT AS error_cnt
+FROM s GROUP BY bucket""",
+)
+def q_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mc = stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=300)
+    return stats_ops.pivot_dual_series(mc)
+
+
+@register(
+    "stats_minmax",
+    f"""WITH {_STATS_CTE.format(rollup=60)}
+SELECT min(cnt)::BIGINT AS min_cnt, max(cnt)::BIGINT AS max_cnt FROM s""",
+)
+def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mc = stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=60)
+    return stats_ops.minmax_scale(mc)
+
+
+# ===========================================================================
+# tail / cursor / parse (O3, O4, P1, F1)
+# ===========================================================================
+
+
+@register(
+    "tail_last_n",
+    f"""WITH {LOGS_ORACLE_CTE}
+SELECT _raw, ts_epoch, event_id FROM logs
+WHERE contains(_raw, 'error')
+ORDER BY ts_epoch DESC, event_id DESC LIMIT 100""",
+)
+def q_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = logs_view(spark, sf_dir).where(F.col("_raw").contains("error"))
+    return tail_last_n(logs.select("_raw", "ts_epoch", "event_id"), 100)
+
+
+@register(
+    "cursor_read",
+    f"""WITH {LOGS_ORACLE_CTE}
+SELECT _raw, event_id FROM logs
+WHERE event_id > (SELECT max(event_id) - 500 FROM logs)
+ORDER BY event_id ASC LIMIT 200""",
+)
+def q_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-cursor page: id > offset, oldest-first, capped
+    (supervisor.go:473-512).  The offset is computed as a broadcast scalar
+    (max-500) so the plan needs no driver round-trip."""
+    logs = logs_view(spark, sf_dir)
+    threshold = logs.agg((F.max("event_id") - 500).alias("_off"))
+    return (
+        logs.select("_raw", "event_id")
+        .crossJoin(F.broadcast(threshold))
+        .where(F.col("event_id") > F.col("_off"))
+        .orderBy(F.col("event_id").asc())
+        .limit(200)
+        .drop("_off")
+    )
+
+
+@register(
+    "parse_extract_ts",
+    f"""WITH {LOGS_ORACLE_CTE}
+SELECT event_id, regexp_extract(_raw, '{ISO8601_RE}', 0) AS event_ts_str
+FROM logs""",
+)
+def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = logs_view(spark, sf_dir)
+    return logs.select(
+        "event_id",
+        F.regexp_extract(F.col("_raw"), ISO8601_RE, 0).alias("event_ts_str"),
+    )
+
+
+@register(
+    "classifier_heuristic",
+    f"""WITH {LOGS_ORACLE_CTE}
+SELECT event_type, {is_likely_error_sql('_raw')} AS is_err,
+       COUNT(*)::BIGINT AS cnt
+FROM logs GROUP BY 1, 2""",
+)
+def q_classifier_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs = logs_view(spark, sf_dir)
+    return (
+        logs.select(
+            "event_type", is_likely_error(F.col("_raw")).alias("is_err")
+        )
+        .groupBy("event_type", "is_err")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ===========================================================================
+# the `search <sql>` path (S10): full relational SQL the reference delegates
+# to BigQuery — here it's native.  Decimal-exact aggregation keeps the
+# DuckDB hash comparison deterministic (float sums are order-dependent).
+# ===========================================================================
+
+
+@register(
+    "search_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_search_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    dec = "decimal(25,6)"
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "search_region_revenue",
+    """SELECT r.r_name AS region_name,
+       COUNT(*)::BIGINT AS order_cnt,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY r.r_name""",
+)
+def q_search_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        o.where(F.col("o_orderstatus") != "F")
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "topk_per_group",
+    """SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value")
+    )

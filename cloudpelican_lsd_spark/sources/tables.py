@@ -46,17 +46,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _nanos_to_ntz(df: DataFrame, col: str) -> DataFrame:
-    """LONG nanos → (TIMESTAMP_NTZ UTC wall, BIGINT epoch-seconds).
+    """Normalize a timestamp column to (TIMESTAMP_NTZ, BIGINT epoch-seconds).
 
+    Generator quirk: `events.ts` is INT64 TIMESTAMP(NANOS) → read as LONG
+    nanos (``nanosAsLong``) and converted with integer ``div`` arithmetic;
+    `orders`/`lineitem` dates are TIMESTAMP(MICROS) → already NTZ on read.
     ``timestamp_micros`` yields an instant (LTZ); ``convert_timezone('UTC')``
     pins it to UTC wall time as NTZ so formatting/date functions never
     depend on ``spark.sql.session.timeZone`` (the driver owns the session).
     """
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":  # nanos-as-long
+        return df.withColumn(
+            f"{col}_epoch", F.expr(f"`{col}` div 1000000000").cast("long")
+        ).withColumn(
+            col,
+            F.expr(f"convert_timezone('UTC', timestamp_micros(`{col}` div 1000))"),
+        )
+    if dtype == "timestamp":  # LTZ instant → pin to UTC wall
+        df = df.withColumn(col, F.expr(f"convert_timezone('UTC', `{col}`)"))
+    # NTZ epoch: pure wall-time arithmetic (timestampdiff on NTZ never
+    # consults the session timezone, unlike unix_timestamp)
     return df.withColumn(
-        f"{col}_epoch", F.expr(f"`{col}` div 1000000000").cast("long")
-    ).withColumn(
-        col,
-        F.expr(f"convert_timezone('UTC', timestamp_micros(`{col}` div 1000))"),
+        f"{col}_epoch",
+        F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        ).cast("long"),
     )
 
 
