@@ -1,0 +1,78 @@
+"""Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (full pipeline execution, no
+driver-side result transfer) except for small-result queries, which are
+collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cloudpelican_lsd_spark import registry  # noqa: E402
+from cloudpelican_lsd_spark.session import get_spark  # noqa: E402
+
+#: headline queries — one per operator family
+HEADLINE = [
+    "grep_pipeline",
+    "filter_fanout_counts",
+    "stats_rollup_minutely",
+    "stats_gapfill",
+    "stats_pivot_dual",
+    "tail_last_n",
+    "parse_extract_ts",
+    "classifier_heuristic",
+    "search_pricing_summary",
+    "search_region_revenue",
+    "topk_per_group",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    fn = registry.QUERIES[name]
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # noop sink: executes the whole plan on the cluster, discards rows
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    # warm-up: JVM + parquet footer caches, one light pass
+    registry.QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_one(spark, name, sf_dir), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

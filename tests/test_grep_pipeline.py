@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import pytest
+
+from cloudpelican_lsd_spark.functions.predicates import GrepPredicate, is_plain_word
+from cloudpelican_lsd_spark.operators.grep_pipeline import GrepPipeline
+from cloudpelican_lsd_spark.sources.tables import logs_view
+
+
+def test_parse_flagship():
+    p = GrepPipeline.parse(
+        "cat errors | grep -v 404 | grep -i checkout | grep -e '(100|200)' | grep -v -i -e '404'"
+    )
+    assert p.source == "errors"
+    assert len(p.greps) == 4
+    assert p.greps[0] == GrepPredicate("404", invert=True)
+    assert p.greps[1] == GrepPredicate("checkout", case_insensitive=True)
+    assert p.greps[2] == GrepPredicate("(100|200)", regex=True)
+    assert p.greps[3] == GrepPredicate("404", invert=True, case_insensitive=True, regex=True)
+
+
+def test_parse_sort_head_limit():
+    p = GrepPipeline.parse("cat f | sort | head")
+    assert p.sort and not p.sort_desc and p.limit == 10
+    p = GrepPipeline.parse("cat f | sort - r | limit 7")
+    assert p.sort_desc and p.limit == 7
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["", "cat", "cat f | grp x", "cat f | grep", "cat f | limit x", "cat f | grep a b"],
+)
+def test_parse_errors(bad):
+    with pytest.raises(ValueError):
+        GrepPipeline.parse(bad)
+
+
+def test_plain_word_detection():
+    assert is_plain_word("error")
+    assert is_plain_word("abc_DEF-9")
+    assert not is_plain_word("(100|200)")
+    assert not is_plain_word("a b")
+
+
+def test_fast_path_plan_uses_contains(spark, sf_dir):
+    """Plain-word grep must compile to Contains, not RLike (Filter.java:96)."""
+    logs = logs_view(spark, sf_dir)
+    plan = GrepPipeline.parse("cat f | grep error").apply(logs)._jdf.queryExecution().executedPlan().toString()
+    assert "Contains" in plan or "contains" in plan
+    assert "RLIKE" not in plan and "rlike" not in plan
+
+
+def test_grep_matches_python_semantics(spark, sf_dir):
+    """Cross-check grep output against a pure-Python reimplementation."""
+    import re
+
+    logs = logs_view(spark, sf_dir)
+    raw = [r[0] for r in logs.select("_raw").collect()]
+    got = {
+        r[0]
+        for r in GrepPipeline.parse("cat f | grep -v click | grep -i ERROR")
+        .apply(logs)
+        .collect()
+    }
+    want = {s for s in raw if "click" not in s and "error" in s.lower()}
+    assert got == want
+
+    got_rx = {
+        r[0]
+        for r in GrepPipeline.parse("cat f | grep -e 'value=1[0-9]{2} '")
+        .apply(logs)
+        .collect()
+    }
+    want_rx = {s for s in raw if re.search(r"value=1[0-9]{2} ", s)}
+    assert got_rx == want_rx

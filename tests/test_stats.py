@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.operators import stats as stats_ops
+from cloudpelican_lsd_spark.sources.tables import logs_view
+
+
+def test_bucket_math(spark):
+    df = spark.range(1).select(
+        F.lit(1704067798).alias("e1"), F.lit(1704067800).alias("e2")
+    )
+    row = df.select(
+        stats_ops.bucket_col("e1", 60).alias("b1"),
+        stats_ops.bucket_col("e2", 60).alias("b2"),
+    ).collect()[0]
+    assert row.b1 == 1704067798 - (1704067798 % 60) == 1704067740
+    assert row.b2 == 1704067800
+
+
+def test_metric_counts_sum_to_total(spark, sf_dir):
+    logs = logs_view(spark, sf_dir)
+    total = logs.count()
+    mc = stats_ops.metric_counts(logs, rollup_sec=3600)
+    match_total = (
+        mc.where(F.col("metric") == stats_ops.METRIC_MATCH)
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    assert match_total == total
+
+
+def test_gap_fill_dense_and_zeroed(spark, sf_dir):
+    logs = logs_view(spark, sf_dir)
+    mc = stats_ops.metric_counts(logs, rollup_sec=300)
+    filled = stats_ops.gap_fill(mc, rollup_sec=300)
+    rows = filled.collect()
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r.metric, []).append(r.bucket)
+    for metric, buckets in by_metric.items():
+        buckets.sort()
+        # dense grid: every consecutive bucket differs by exactly the rollup
+        assert all(b2 - b1 == 300 for b1, b2 in zip(buckets, buckets[1:]))
+    # gap-fill must add zero rows (sparse minutes exist at sf0.001)
+    assert filled.where(F.col("cnt") == 0).count() > 0
+    # and must not change any nonzero count
+    orig = {(r.metric, r.bucket): r.cnt for r in mc.collect()}
+    for r in rows:
+        if r.cnt != 0:
+            assert orig[(r.metric, r.bucket)] == r.cnt
+
+
+def test_pivot_dual_series(spark, sf_dir):
+    logs = logs_view(spark, sf_dir)
+    mc = stats_ops.metric_counts(logs, rollup_sec=3600)
+    piv = stats_ops.pivot_dual_series(mc).collect()
+    assert all(r.error_cnt <= r.regular_cnt for r in piv)
+    assert sum(r.regular_cnt for r in piv) == logs.count()
