@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its only dedup-adjacent construct is the
+high-water-mark recompute skip, OutlierDetectionBolt.java:164-170); these
+are the north-star extensions (BASELINE.json: dedup / near-dup for LLM
+data pipelines), built Spark-first:
+
+- **exact**: hash-groupBy on content — one shuffle keyed by the text hash;
+  at 100 TB group on ``md5(text)`` (fixed 32-byte key) rather than the raw
+  text to keep shuffle rows small.
+- **MinHash + LSH**: shingle → k minhashes → band signatures → bucket join.
+  The band join is the classic trick that replaces the O(n²) self-join with
+  an equi-join on (band, signature): Spark executes it as a shuffled hash
+  join keyed by tiny fixed-width strings.  Candidate verification (exact
+  Jaccard) runs only on bucket collisions.
+- **SimHash**: per-row fingerprint via higher-order functions — zero
+  shuffle for the fingerprint itself; near-dup candidates bucket on the
+  fingerprint prefix (hamming-distance neighbors must share the prefix
+  block under the pigeonhole split).
+- **n-gram Jaccard**: exact set-similarity via shingle self-join with
+  integer-only (cross-multiplied) threshold math so results are
+  deterministic across engines.
+
+Portability note: every hash is ``md5`` over an explicit string so the
+DuckDB oracles can reproduce the exact same values; lexicographic MIN over
+md5 hex strings is the "random permutation" of classic MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: `(keeper_id, n_copies)` per distinct
+    text, keeper = lowest doc_id.  `(n_copies > 1)` rows are the dup sets."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("text_hash", "keeper_id", "n_copies")
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Keep one row per distinct text (the lowest doc_id)."""
+    keep = exact_duplicates(docs).select(F.col("keeper_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """`(doc_id, shingle)` — distinct word n-grams of lower(text).
+
+    Built with higher-order functions (split → transform over sequence →
+    array_distinct) entirely per-row, then one explode; no UDF.
+    """
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""array_distinct(transform(
+                       sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 0)),
+                       i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n}))
+                   ))"""
+            )
+        ).alias("shingle"),
+    )
+
+
+SHINGLES_ORACLE_CTE = """\
+tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {nm1}, 0))) AS i
+  FROM tok
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i : i + {nm2}], ' ') AS shingle
+  FROM pos
+)"""
+
+
+def shingles_oracle_cte(n: int = 3) -> str:
+    return SHINGLES_ORACLE_CTE.format(nm1=n - 1, nm2=n - 1)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_band_signatures(
+    docs: DataFrame, num_hashes: int = 12, rows_per_band: int = 3, n: int = 3
+) -> DataFrame:
+    """`(doc_id, band, sig)` — LSH band signatures.
+
+    minhash_s(doc) = MIN over shingles of md5('<s>:'||shingle); a band
+    signature joins `rows_per_band` consecutive minhashes.  The seeds
+    dimension is a tiny exploded sequence (broadcast-free: it explodes
+    per-row, keeping the shuffle keyed by (doc_id, seed)).
+    """
+    sh = shingles(docs, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    mh = (
+        sh.select("doc_id", "shingle", seeds)
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    return (
+        mh.withColumn("band", F.expr("seed div " + str(rows_per_band)))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), '|')"
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = 12, rows_per_band: int = 3, n: int = 3
+) -> DataFrame:
+    """Distinct `(doc_a, doc_b)` sharing at least one LSH band — the
+    near-dup candidate set, via equi-join on (band, sig)."""
+    bands = minhash_band_signatures(docs, num_hashes, rows_per_band, n)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.sig") == F.col("b.sig"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_oracle_cte(num_hashes: int = 12, rows_per_band: int = 3, n: int = 3) -> str:
+    return f"""{shingles_oracle_cte(n)},
+seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+  FROM sh, seeds GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {rows_per_band} AS band,
+         string_agg(mh, '|' ORDER BY seed) AS sig
+  FROM mh GROUP BY doc_id, seed // {rows_per_band}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact set similarity, integer-deterministic)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold_num: int = 1, threshold_den: int = 5
+) -> DataFrame:
+    """Pairs with Jaccard(shingles_a, shingles_b) >= num/den.
+
+    Threshold compares ``inter * den >= union * num`` in exact integer
+    arithmetic — no float rounding, hash-stable across engines.  The
+    shingle self-join only touches docs sharing a shingle (inverted-index
+    join), not the full cross product.
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_cnt",
+            (F.col("sa.sz") + F.col("sb.sz") - F.col("inter_cnt")).alias(
+                "union_cnt"
+            ),
+        )
+        .where(
+            F.col("inter_cnt") * threshold_den
+            >= F.col("union_cnt") * threshold_num
+        )
+    )
+
+
+def ngram_jaccard_oracle(n: int = 3, threshold_num: int = 1, threshold_den: int = 5) -> str:
+    return f"""WITH {shingles_oracle_cte(n)},
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_cnt,
+       (sa.sz + sb.sz - inter_cnt)::BIGINT AS union_cnt
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_cnt * {threshold_den} >= (sa.sz + sb.sz - inter_cnt) * {threshold_num}"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-nibble projection — portable across engines)
+# ---------------------------------------------------------------------------
+
+_HI_NIBBLES = "('8','9','a','b','c','d','e','f')"
+
+# (oracle CTEs defined after simhash_near_pairs below)
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """`(doc_id, simhash BIGINT)` — 32-bit SimHash over distinct tokens.
+
+    Bit p is the sign of Σ_token ±1 where +1 iff the p-th hex nibble of
+    md5(token) has its high bit set.  Computed entirely per-row with nested
+    higher-order functions: **zero shuffle** — the scan parallelism is the
+    only thing that matters at 100 TB.
+    """
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"""aggregate(
+                  sequence(1, 32), 0L,
+                  (acc, p) -> acc + IF(
+                    aggregate(
+                      array_distinct(split(lower(text), ' ')), 0,
+                      (s, t) -> s + IF(substr(md5(t), p, 1) IN {_HI_NIBBLES}, 1, -1)
+                    ) > 0,
+                    shiftleft(1L, p - 1), 0L)
+                )"""
+        ).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Candidate near-dup pairs: same high-16-bit prefix block AND
+    hamming(simhash) <= max_hamming.  Prefix bucketing keeps the join an
+    equi-join (no cross product); at scale use 4 rotated prefix blocks to
+    guarantee recall for hamming <= 3 per the pigeonhole principle."""
+    sh = simhash(docs).withColumn("prefix", F.expr("simhash >> 16"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.prefix") == F.col("b.prefix"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+_SIMHASH_CTE = """\
+tokd AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, p.p,
+         CASE WHEN SUM(CASE WHEN substr(md5(tok), p.p, 1) IN
+                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM tokd, (SELECT unnest(generate_series(1, 32)) AS p) p
+  GROUP BY doc_id, p.p
+),
+sh32 AS (
+  SELECT doc_id, SUM(bit * (1::BIGINT << (p - 1)))::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+SIMHASH_ORACLE = f"WITH {_SIMHASH_CTE}\nSELECT doc_id, simhash FROM sh32"
+
+
+def simhash_pairs_oracle(max_hamming: int = 6) -> str:
+    return f"""WITH {_SIMHASH_CTE}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh32 a JOIN sh32 b
+  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""

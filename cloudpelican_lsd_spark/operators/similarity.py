@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+North-star extension (not in the reference): approximate-nearest-neighbor
+for LLM-data pipelines.
+
+- **Brute-force cosine top-k** is the correctness baseline: queries ×
+  candidates with per-row vector math in higher-order functions (zip_with
+  product fold — JVM codegen, no Python).  The queries side is tiny →
+  ``broadcast`` → no shuffle of the candidate corpus, and TopK per query is
+  a window row_number (TakeOrdered per partition under AQE).
+- **Sign-LSH bucketed variant** is the scale path: an 8-bit random-
+  hyperplane sketch (here: sign of the first 8 dims — deterministic and
+  oracle-reproducible) buckets vectors so the self-join only meets within
+  buckets.  At 100 TB swap the sign bits for seeded random hyperplanes and
+  multiple tables; the plan shape (equi-join on bucket) is unchanged.
+
+All math is promoted to DOUBLE before any fold so Spark and DuckDB produce
+bit-identical sums (float32 accumulation would diverge); cosine is rounded
+to 6 decimals only to absorb reassociation ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+)
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    """(vec_id, emb DOUBLE[], nrm) — norms precomputed once."""
+    return emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.expr(
+            "sqrt(" + _DOT.format(a="cast(embedding as array<double>)",
+                                  b="cast(embedding as array<double>)") + ")"
+        ).alias("nrm"),
+        *([c for c in emb.columns if c not in ("vec_id", "embedding")]),
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, num_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (vec_id < num_queries),
+    self excluded.  `(qid, cid, cos)` with deterministic tie-break."""
+    base = _with_norm(emb)
+    q = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="qemb", b="cemb"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ),
+        )
+        .select("qid", "cid", "cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "cos")
+    )
+
+
+def cosine_topk_oracle(num_queries: int = 10, k: int = 10) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb,
+         sqrt({dot.format(a='emb', b='emb')}) AS nrm
+  FROM e
+),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         ROUND({dot.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 6) AS cos
+  FROM n q JOIN n c ON q.vec_id < {num_queries} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM pairs
+)
+SELECT qid, cid, cos FROM ranked WHERE rn <= {k}"""
+
+
+def sign_lsh_bucket(emb_col: str = "emb", bits: int = 8) -> F.Column:
+    """Deterministic sign-bit sketch over the first `bits` dims.
+
+    (Production variant: seeded random hyperplanes — same plan shape.)
+    """
+    terms = " + ".join(
+        f"IF(element_at({emb_col}, {j + 1}) > 0D, {1 << j}, 0)"
+        for j in range(bits)
+    )
+    return F.expr(f"({terms})").alias("bucket")
+
+
+def lsh_near_pairs(
+    emb: DataFrame, bits: int = 8, min_cos_num: int = 4, min_cos_den: int = 10
+) -> DataFrame:
+    """Near-duplicate vector pairs: same sign-LSH bucket AND cosine >=
+    num/den.  `(vec_a, vec_b, cos)` — the bucket equi-join avoids the
+    O(n²) cross product; recall is tunable via multiple hash tables."""
+    base = _with_norm(emb).select(
+        "vec_id", "emb", "nrm", sign_lsh_bucket("emb", bits)
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="a.emb", b="b.emb"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ),
+        )
+        .where(F.col("cos") * min_cos_den >= min_cos_num)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cos",
+        )
+    )
+
+
+def lsh_near_pairs_oracle(
+    bits: int = 8, min_cos_num: int = 4, min_cos_den: int = 10
+) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN emb[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb,
+         sqrt({dot.format(a='emb', b='emb')}) AS nrm,
+         ({bucket}) AS bucket
+  FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({dot.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm), 6) AS cos
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM pairs
+WHERE cos * {min_cos_den} >= {min_cos_num}"""

@@ -1,0 +1,138 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+North-star extensions for training-data pipelines.  Every operator is
+per-row column math (split / filter / aggregate higher-order functions) —
+zero shuffle, full scan parallelism, and exactly reproducible in the
+DuckDB oracles.  Ratios are engineered to avoid float round-boundary
+ambiguity: integer counts are exposed alongside, and divisions use doubles
+whose 6-decimal rounding can't straddle engine rounding modes for the
+token-count ranges in play.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny deterministic English stopword list for the n-gram/stopword
+#: language heuristic
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+_PUNCT_RE = "[^.,!?;:]"
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_tokens, n_chars_obs)` — whitespace tokenization."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+    )
+
+
+TOKEN_COUNT_ORACLE = """\
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_obs
+FROM documents"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_tokens, stop_cnt, punct_cnt, avg_token_len, stop_ratio)`
+    — length/punctuation/stopword quality signals."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            f"cast(size(filter(split(lower(text), ' '), t -> array_contains({stop_arr}, t))) as bigint)"
+        ).alias("stop_cnt"),
+        F.length(F.regexp_replace(F.col("text"), _PUNCT_RE, ""))
+        .cast("long")
+        .alias("punct_cnt"),
+        F.round(
+            (F.length("text") - F.size(toks) + 1) / F.size(toks), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.expr(
+                f"size(filter(split(lower(text), ' '), t -> array_contains({stop_arr}, t)))"
+            )
+            / F.size(toks),
+            6,
+        ).alias("stop_ratio"),
+    )
+
+
+def quality_score_oracle() -> str:
+    stop_list = "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(list_filter(string_split(lower(text), ' '),
+           t -> list_contains({stop_list}, t)))::BIGINT AS stop_cnt,
+       length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::BIGINT AS punct_cnt,
+       ROUND((length(text) - len(string_split(text, ' ')) + 1)
+             / len(string_split(text, ' ')), 6) AS avg_token_len,
+       ROUND(len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains({stop_list}, t)))
+             / len(string_split(text, ' ')), 6) AS stop_ratio
+FROM documents"""
+
+
+def lang_id(docs: DataFrame, threshold_num: int = 1, threshold_den: int = 20) -> DataFrame:
+    """`(doc_id, pred_lang)` — stopword-density language heuristic:
+    'en' when stopword_count/token_count >= num/den (integer-exact)."""
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    stop_cnt = F.expr(
+        f"size(filter(split(lower(text), ' '), t -> array_contains({stop_arr}, t)))"
+    )
+    n = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        F.when(
+            stop_cnt * threshold_den >= n * threshold_num, F.lit("en")
+        )
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+
+
+def lang_id_oracle(threshold_num: int = 1, threshold_den: int = 20) -> str:
+    stop_list = "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return f"""SELECT doc_id,
+       CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                 t -> list_contains({stop_list}, t))) * {threshold_den}
+                 >= len(string_split(text, ' ')) * {threshold_num}
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents"""
+
+
+def fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
+    """`(doc_id, exact_fp, min_shingle_fp)` — md5 exact fingerprint plus a
+    rolling min-hash over word n-grams (content-defined fingerprint that
+    survives small edits).  Pure per-row HOF math — zero shuffle."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("exact_fp"),
+        F.expr(
+            f"""array_min(transform(
+                   sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 0)),
+                   i -> md5(concat_ws(' ', slice(split(lower(text), ' '), i, {n})))
+               ))"""
+        ).alias("min_shingle_fp"),
+    )
+
+
+def fingerprint_oracle(n: int = 3) -> str:
+    return f"""WITH pos AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         unnest(generate_series(1, greatest(len(string_split(lower(text), ' ')) - {n - 1}, 0))) AS i
+  FROM documents
+),
+fps AS (
+  SELECT doc_id, min(md5(array_to_string(toks[i : i + {n - 1}], ' '))) AS min_shingle_fp
+  FROM pos GROUP BY doc_id
+)
+SELECT d.doc_id, md5(d.text) AS exact_fp, fps.min_shingle_fp
+FROM documents d JOIN fps ON fps.doc_id = d.doc_id"""

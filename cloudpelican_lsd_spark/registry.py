@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloudpelican_lsd_spark.catalog import demo_catalog
+from cloudpelican_lsd_spark.operators import dedup as dedup_ops
+from cloudpelican_lsd_spark.operators import similarity as sim_ops
+from cloudpelican_lsd_spark.operators import textstats as text_ops
 from cloudpelican_lsd_spark.functions.parse import (
     ISO8601_RE,
     is_likely_error,
@@ -355,6 +358,139 @@ def q_search_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+# ===========================================================================
+# north-star: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
+# ===========================================================================
+
+#: documents ∪ re-keyed copies of the first 50 — plants real duplicate
+#: texts so dedup operators have non-trivial output (testdata is unique)
+_PLANTED_CTE = """\
+documents0 AS (SELECT * FROM documents),
+docs_planted AS (
+  SELECT * FROM documents0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents0 WHERE doc_id < 50
+)"""
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    dup = d.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(dup)
+
+
+@register(
+    "dedup_exact_groups",
+    f"""WITH {_PLANTED_CTE}
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keeper_id,
+       COUNT(*)::BIGINT AS n_copies
+FROM docs_planted GROUP BY md5(text)""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.exact_duplicates(_docs_with_dupes(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"""WITH {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.lsh_candidate_pairs(
+        _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""WITH {_PLANTED_CTE},
+{dedup_ops.shingles_oracle_cte(3).replace('FROM documents', 'FROM docs_planted')},
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_cnt,
+       (sa.sz + sb.sz - inter_cnt)::BIGINT AS union_cnt
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_cnt * 5 >= (sa.sz + sb.sz - inter_cnt) * 1""",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.ngram_jaccard_pairs(
+        _docs_with_dupes(spark, sf_dir), n=3, threshold_num=1, threshold_den=5
+    )
+
+
+@register("simhash_fingerprints", dedup_ops.SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.simhash(load_table(spark, "documents", sf_dir))
+
+
+@register("simhash_near_pairs", dedup_ops.simhash_pairs_oracle(6))
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.simhash_near_pairs(
+        load_table(spark, "documents", sf_dir), max_hamming=6
+    )
+
+
+# ===========================================================================
+# north-star: similarity search over embeddings
+# ===========================================================================
+
+
+@register("emb_cosine_topk", sim_ops.cosine_topk_oracle(10, 10))
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.cosine_topk(
+        load_table(spark, "embeddings", sf_dir), num_queries=10, k=10
+    )
+
+
+@register("emb_lsh_near_pairs", sim_ops.lsh_near_pairs_oracle(8, 4, 10))
+def q_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.lsh_near_pairs(
+        load_table(spark, "embeddings", sf_dir),
+        bits=8,
+        min_cos_num=4,
+        min_cos_den=10,
+    )
+
+
+# ===========================================================================
+# north-star: text analysis
+# ===========================================================================
+
+
+@register("text_token_count", text_ops.TOKEN_COUNT_ORACLE)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_count(load_table(spark, "documents", sf_dir))
+
+
+@register("text_quality_score", text_ops.quality_score_oracle())
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.quality_score(load_table(spark, "documents", sf_dir))
+
+
+@register("text_lang_id", text_ops.lang_id_oracle(1, 20))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.lang_id(
+        load_table(spark, "documents", sf_dir), threshold_num=1, threshold_den=20
+    )
+
+
+@register("text_fingerprint", text_ops.fingerprint_oracle(3))
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint(load_table(spark, "documents", sf_dir), n=3)
 
 
 @register(
