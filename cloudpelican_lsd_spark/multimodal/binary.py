@@ -1,0 +1,163 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+North-star extension.  The Spark-side machinery is real and tested —
+typed schema, Arrow-batched `mapInPandas` transforms, partition-size
+guidance — while the actual media decoding is STUBBED (the image/audio
+libraries are not available in this container): `decode_stub=True` swaps
+in a deterministic fake decoder; `decode_stub=False` raises
+NotImplementedError at the exact point a real `PIL.Image.open` /
+`soundfile.read` call would go.
+
+Scale notes:
+- binary payloads dominate row size → keep
+  ``spark.sql.files.maxPartitionBytes`` small enough that a partition of
+  rows fits in executor memory, and never collect() media rows;
+- metadata-only operations (filtering by width/duration/mime) must touch
+  only the typed metadata columns so parquet column pruning skips the
+  binary blob entirely — the schema below keeps metadata top-level for
+  exactly that reason;
+- `mapInPandas` streams Arrow record batches: peak memory is one batch,
+  not one partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: typed multimodal record: metadata top-level (prunable), payload opaque
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media table from `documents` (test fixture):
+    content = UTF-8 bytes of text, modality round-robins by doc_id."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        (F.length("text") * 10).cast("long").alias("duration_ms"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real encoder: sha256 → dim floats."""
+    h = hashlib.sha256(payload).digest()
+    return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode + featurize each media row via Arrow-batched mapInPandas.
+
+    With ``decode_stub`` the "decoder" is a deterministic hash-projection;
+    without it this raises NotImplementedError where the real media
+    library call belongs.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/soundfile/av; "
+                    "install and replace _fake_feature with the decoder"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content_sha256": [
+                        hashlib.sha256(bytes(b)).hexdigest() for b in pdf["content"]
+                    ],
+                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "feature": [_fake_feature(bytes(b)) for b in pdf["content"]],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one output row per sampled frame offset.
+
+    The offsets come from pure column math (`sequence`), so the expensive
+    per-frame decode (stubbed) only sees rows it will actually decode.
+    """
+    frames = media.where(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+            )
+        ).alias("frame_ms"),
+        "content",
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ms": pdf["frame_ms"],
+                    # stub: real impl seeks to frame_ms and decodes
+                    "frame_sha256": [
+                        hashlib.sha256(
+                            bytes(b) + int(m).to_bytes(8, "big")
+                        ).hexdigest()
+                        for b, m in zip(pdf["content"], pdf["frame_ms"])
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_ms", T.LongType(), False),
+            T.StructField("frame_sha256", T.StringType(), False),
+        ]
+    )
+    return frames.mapInPandas(decode, schema)
+
+
+def metadata_only_scan(media: DataFrame) -> DataFrame:
+    """Filter/inspect by typed metadata without touching the binary column
+    (parquet column pruning skips `content` entirely — check ReadSchema)."""
+    return (
+        media.where((F.col("modality") == "image") & (F.col("width") >= 32))
+        .groupBy("modality", "mime")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("width").cast("double")).alias("avg_width"),
+        )
+    )

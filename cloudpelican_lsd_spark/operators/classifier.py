@@ -1,0 +1,208 @@
+"""Naive-Bayes error classifier — the reference's online classifier as
+batch-relational algebra.
+
+Reference semantics (observed, not copied):
+- training labels come from the 25-keyword heuristic
+  (storm .../ErrorClassifierBolt.java:44,71-89): any keyword → "error",
+  else "regular";
+- tokens are whitespace splits (ErrorClassifierBolt.java:66), counted per
+  occurrence;
+- P(f|cat) = featureCount(f,cat) / categoryCount(cat)
+  (de.daslaboratorium .../Classifier.java:268-273);
+- smoothing is a weighted average with weight 1.0 and assumed
+  probability 0.5: wavg = (0.5 + totalFeatureCount(f)·P(f|cat)) /
+  (1 + totalFeatureCount(f)) (Classifier.java:342-361);
+- score(cat) = (categoryCount/total) · ∏ wavg, classify = argmax
+  (BayesClassifier.java:29-50,98-106).
+
+Divergence (documented): the reference trains online with a 1000-sample
+forget queue (Classifier.java:32, memoryCapacity) and a decaying sample
+rate (ErrorClassifierBolt.java:68).  The batch operator trains on the full
+input — the exact-state streaming variant belongs to the streaming layer.
+
+Determinism: scores are compared in log space, rounded to 6 decimals
+before the argmax, with ties → "error".  All ratio math is IEEE-exact
+(+,*,/ are correctly rounded, identical across engines); only ln() can
+differ by 1 ulp per token, absorbed by the rounding.  This keeps the whole
+operator DuckDB-oracle-checkable — rare for an ML op.
+
+Scale: three hash aggregations (category counts, feature counts, feature
+totals) + one token-level join keyed by token — all map-side-combinable;
+the model tables are tiny and broadcast back onto the token stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.functions.parse import is_likely_error, is_likely_error_sql
+
+CAT_ERROR = "error"
+CAT_REGULAR = "regular"
+
+
+@dataclass
+class NaiveBayesModel:
+    cat_counts: DataFrame  # (label, cat_cnt, total_cnt)
+    token_probs: DataFrame  # (tok, wavg_error, wavg_regular)
+
+
+def heuristic_label(raw: F.Column) -> F.Column:
+    """Keyword labeler used for training (ErrorClassifierBolt.java:71-89)."""
+    return F.when(is_likely_error(raw), F.lit(CAT_ERROR)).otherwise(
+        F.lit(CAT_REGULAR)
+    )
+
+
+def _tokens(msgs: DataFrame, id_col: str, raw_col: str) -> DataFrame:
+    return msgs.select(
+        id_col,
+        "label",
+        F.explode(F.split(F.col(raw_col), r"\s+")).alias("tok"),
+    )
+
+
+def train(msgs: DataFrame, id_col: str = "event_id", raw_col: str = "_raw") -> NaiveBayesModel:
+    """Fit the frequency tables.  `msgs` must carry a `label` column."""
+    toks = _tokens(msgs, id_col, raw_col)
+    cat = msgs.groupBy("label").agg(F.count(F.lit(1)).alias("cat_cnt"))
+    total = msgs.count()  # scalar; alternatively windowed sum
+    cat = cat.withColumn("total_cnt", F.lit(total))
+
+    fcnt = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("label") == CAT_ERROR, 1).otherwise(0)).alias("fc_err"),
+            F.sum(F.when(F.col("label") == CAT_REGULAR, 1).otherwise(0)).alias("fc_reg"),
+            F.count(F.lit(1)).alias("ftot"),
+        )
+    )
+    cats = {r["label"]: r["cat_cnt"] for r in cat.collect()}
+    n_err = cats.get(CAT_ERROR, 0)
+    n_reg = cats.get(CAT_REGULAR, 0)
+
+    def wavg(fc: str, cat_n: int) -> F.Column:
+        basic = (
+            (F.col(fc) / F.lit(float(cat_n))) if cat_n > 0 else F.lit(0.0)
+        )
+        return (F.lit(0.5) + F.col("ftot") * basic) / (1 + F.col("ftot"))
+
+    probs = fcnt.select(
+        "tok",
+        wavg("fc_err", n_err).alias("wavg_error"),
+        wavg("fc_reg", n_reg).alias("wavg_regular"),
+    )
+    return NaiveBayesModel(cat_counts=cat, token_probs=probs)
+
+
+def classify(
+    msgs: DataFrame,
+    model: NaiveBayesModel,
+    id_col: str = "event_id",
+    raw_col: str = "_raw",
+) -> DataFrame:
+    """`(id, pred_label)` — argmax of rounded log scores, ties → error."""
+    toks = msgs.select(
+        id_col, F.explode(F.split(F.col(raw_col), r"\s+")).alias("tok")
+    )
+    sums = (
+        toks.join(F.broadcast(model.token_probs), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.log(F.coalesce(F.col("wavg_error"), F.lit(0.5)))).alias("s_err"),
+            F.sum(F.log(F.coalesce(F.col("wavg_regular"), F.lit(0.5)))).alias("s_reg"),
+        )
+    )
+    cats = {
+        r["label"]: (r["cat_cnt"], r["total_cnt"])
+        for r in model.cat_counts.collect()
+    }
+    ln_prior_err = (
+        F.log(F.lit(cats[CAT_ERROR][0] / cats[CAT_ERROR][1]))
+        if CAT_ERROR in cats
+        else F.lit(float("-inf"))
+    )
+    ln_prior_reg = (
+        F.log(F.lit(cats[CAT_REGULAR][0] / cats[CAT_REGULAR][1]))
+        if CAT_REGULAR in cats
+        else F.lit(float("-inf"))
+    )
+    return sums.select(
+        id_col,
+        F.when(
+            F.round(ln_prior_err + F.col("s_err"), 6)
+            >= F.round(ln_prior_reg + F.col("s_reg"), 6),
+            F.lit(CAT_ERROR),
+        )
+        .otherwise(F.lit(CAT_REGULAR))
+        .alias("pred_label"),
+    )
+
+
+def train_and_classify(
+    logs: DataFrame, id_col: str = "event_id", raw_col: str = "_raw"
+) -> DataFrame:
+    """Self-train on heuristic labels, classify the same stream, and report
+    the confusion summary `(pred_label, heur_label, cnt)`."""
+    labeled = logs.withColumn("label", heuristic_label(F.col(raw_col)))
+    model = train(labeled, id_col, raw_col)
+    pred = classify(labeled, model, id_col, raw_col)
+    return (
+        pred.join(labeled.select(id_col, F.col("label").alias("heur_label")), id_col)
+        .groupBy("pred_label", "heur_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def nb_confusion_oracle(logs_cte: str) -> str:
+    """DuckDB twin of train_and_classify over the `logs` CTE."""
+    err_sql = is_likely_error_sql("_raw")
+    return f"""WITH {logs_cte},
+labeled AS (
+  SELECT event_id, _raw,
+         CASE WHEN {err_sql} THEN 'error' ELSE 'regular' END AS label
+  FROM logs
+),
+toks AS (
+  SELECT event_id, label, unnest(regexp_split_to_array(_raw, '\\s+')) AS tok
+  FROM labeled
+),
+cat AS (
+  SELECT
+    SUM(CASE WHEN label = 'error' THEN 1 ELSE 0 END) AS n_err,
+    SUM(CASE WHEN label = 'regular' THEN 1 ELSE 0 END) AS n_reg,
+    COUNT(*) AS total FROM labeled
+),
+fcnt AS (
+  SELECT tok,
+         SUM(CASE WHEN label = 'error' THEN 1 ELSE 0 END) AS fc_err,
+         SUM(CASE WHEN label = 'regular' THEN 1 ELSE 0 END) AS fc_reg,
+         COUNT(*) AS ftot
+  FROM toks GROUP BY tok
+),
+probs AS (
+  SELECT tok,
+         (0.5 + ftot * (fc_err / (SELECT n_err FROM cat))) / (1 + ftot) AS wavg_error,
+         (0.5 + ftot * (fc_reg / (SELECT n_reg FROM cat))) / (1 + ftot) AS wavg_regular
+  FROM fcnt
+),
+sums AS (
+  SELECT t.event_id,
+         SUM(ln(p.wavg_error)) AS s_err,
+         SUM(ln(p.wavg_regular)) AS s_reg
+  FROM toks t JOIN probs p ON p.tok = t.tok
+  GROUP BY t.event_id
+),
+pred AS (
+  SELECT s.event_id,
+         CASE WHEN ROUND(ln((SELECT n_err * 1.0 / total FROM cat)) + s_err, 6)
+                   >= ROUND(ln((SELECT n_reg * 1.0 / total FROM cat)) + s_reg, 6)
+              THEN 'error' ELSE 'regular' END AS pred_label
+  FROM sums s
+)
+SELECT p.pred_label, l.label AS heur_label, COUNT(*)::BIGINT AS cnt
+FROM pred p JOIN labeled l ON l.event_id = p.event_id
+GROUP BY 1, 2"""

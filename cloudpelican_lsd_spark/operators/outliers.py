@@ -1,0 +1,222 @@
+"""Time-series outlier detection — consensus of analyzers per series.
+
+Rebuilds the reference's outlier stage (storm .../OutlierDetectionBolt.java):
+per-filter count series at 5-minute buckets over a 24h lookback with the
+newest bucket excluded (:137-141), at least 10 points required (:159-161),
+one forecast period (:174), and a consensus score across the analyzer
+list (:61-74, from the external `nl.us2.timeseriesoutlierdetection` lib —
+Noop, NormalDistribution, LogNormalDistribution, SimpleRegression,
+MovingAverage, PolynomialRegression, IntervalInterceptor,
+RandomWalkRegression, OneClassSVM, TimeBucketSimpleRegression,
+MultipleLinearRegression, SimpleExponentialSmoothing).
+
+Spark shape: the bucket aggregation is a plain groupBy; the per-series
+model fitting runs in ``applyInPandas`` keyed by series — Arrow-batched,
+one pandas frame per series, embarrassingly parallel across series.  Each
+analyzer is a deterministic numpy port (no RNG, no SVM — OneClassSVM is
+replaced by an IQR envelope, documented divergence) producing an
+(expected, tolerance) forecast for the target bucket; the score is the
+fraction of analyzers whose tolerance band the actual value escapes.
+
+At 100 TB the input to applyInPandas is already reduced to
+(series × buckets) — 288 points per series-day — so state per group is
+tiny regardless of raw data volume; skew across series is handled by AQE.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_SEC = 300  # OutlierDetectionBolt.java:137
+LOOKBACK_SEC = 86400  # :139
+MIN_POINTS = 10  # :159-161
+
+OUTLIER_SCHEMA = T.StructType(
+    [
+        T.StructField("series_key", T.StringType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("actual", T.DoubleType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("details", T.StringType(), False),
+    ]
+)
+
+
+# --- analyzers: fit on history, forecast (expected, tolerance) for target --
+
+
+def _normal_dist(hist: np.ndarray) -> tuple[float, float]:
+    mu = float(hist.mean())
+    sd = float(hist.std(ddof=0))
+    return mu, 3.0 * sd
+
+
+def _log_normal_dist(hist: np.ndarray) -> tuple[float, float]:
+    lh = np.log1p(np.clip(hist, 0, None))
+    mu, sd = float(lh.mean()), float(lh.std(ddof=0))
+    return float(np.expm1(mu)), float(np.expm1(mu + 3.0 * sd) - np.expm1(mu))
+
+
+def _moving_average(hist: np.ndarray) -> tuple[float, float]:
+    w = hist[-12:]  # last hour of 5-min buckets
+    resid = float(np.abs(np.diff(w)).mean()) if len(w) > 1 else 0.0
+    return float(w.mean()), 3.0 * resid
+
+
+def _simple_regression(hist: np.ndarray) -> tuple[float, float]:
+    x = np.arange(len(hist), dtype=float)
+    coef = np.polyfit(x, hist, 1)
+    fit = np.polyval(coef, x)
+    resid = float(np.abs(hist - fit).std(ddof=0))
+    return float(np.polyval(coef, len(hist))), 3.0 * resid
+
+
+def _poly_regression(hist: np.ndarray) -> tuple[float, float]:
+    x = np.arange(len(hist), dtype=float)
+    coef = np.polyfit(x, hist, 2)
+    fit = np.polyval(coef, x)
+    resid = float(np.abs(hist - fit).std(ddof=0))
+    return float(np.polyval(coef, len(hist))), 3.0 * resid
+
+
+def _exp_smoothing(hist: np.ndarray, alpha: float = 0.3) -> tuple[float, float]:
+    s = hist[0]
+    errs = []
+    for v in hist[1:]:
+        errs.append(abs(v - s))
+        s = alpha * v + (1 - alpha) * s
+    resid = float(np.mean(errs)) if errs else 0.0
+    return float(s), 3.0 * resid
+
+
+def _interval_interceptor(hist: np.ndarray) -> tuple[float, float]:
+    lo, hi = float(hist.min()), float(hist.max())
+    mid = (lo + hi) / 2.0
+    return mid, (hi - lo) / 2.0 + 0.5 * max(hi - lo, 1.0)
+
+
+def _random_walk(hist: np.ndarray) -> tuple[float, float]:
+    diffs = np.diff(hist)
+    sd = float(diffs.std(ddof=0)) if len(diffs) else 0.0
+    return float(hist[-1]), 3.0 * sd
+
+
+def _time_bucket_regression(
+    hist: np.ndarray, buckets: np.ndarray, target_bucket: int
+) -> tuple[float, float]:
+    """Hour-of-day seasonal mean (TimeBucketSimpleRegression analog)."""
+    hours = (buckets // 3600) % 24
+    th = (target_bucket // 3600) % 24
+    mask = hours == th
+    sel = hist[mask] if mask.any() else hist
+    return float(sel.mean()), 3.0 * float(sel.std(ddof=0))
+
+
+def _iqr_envelope(hist: np.ndarray) -> tuple[float, float]:
+    """Deterministic stand-in for the OneClassSVM analyzer (divergence:
+    no SVM dependency; an IQR fence is the standard robust envelope)."""
+    q1, q3 = np.percentile(hist, [25, 75])
+    med = float(np.median(hist))
+    return med, float(q3 - q1) * 1.5 + (q3 - med)
+
+
+ANALYZERS = (
+    "normal_dist",
+    "log_normal_dist",
+    "moving_average",
+    "simple_regression",
+    "poly_regression",
+    "exp_smoothing",
+    "interval_interceptor",
+    "random_walk",
+    "time_bucket_regression",
+    "iqr_envelope",
+)
+
+
+def score_last_bucket(
+    buckets: np.ndarray, counts: np.ndarray
+) -> tuple[float, dict] | None:
+    """Consensus-score the newest *complete* bucket against its history."""
+    if len(buckets) < MIN_POINTS + 1:
+        return None
+    hist, target = counts[:-1].astype(float), float(counts[-1])
+    flags = {}
+    for name in ANALYZERS:
+        if name == "time_bucket_regression":
+            expected, tol = _time_bucket_regression(
+                hist, buckets[:-1], int(buckets[-1])
+            )
+        else:
+            expected, tol = globals()[f"_{name}"](hist)
+        tol = max(tol, 1e-9)
+        flags[name] = bool(abs(target - expected) > tol)
+    score = sum(flags.values()) / len(flags)
+    return score, flags
+
+
+def detect_outliers(
+    stats: DataFrame,
+    series_col: str = "series_key",
+    bucket_col: str = "bucket",
+    cnt_col: str = "cnt",
+    min_score: float = 0.5,
+) -> DataFrame:
+    """`(series_key, bucket, actual, score, details)` for the newest
+    complete bucket of each series whose consensus score >= min_score.
+
+    Input: a bucketed count series, e.g. from stats.metric_counts keyed by
+    (filter, metric).  The 24h lookback / newest-bucket-exclusion of the
+    reference is applied inside the group function.
+    """
+
+    def analyze(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col)
+        buckets = pdf[bucket_col].to_numpy()
+        counts = pdf[cnt_col].to_numpy()
+        # 24h lookback ending at the newest bucket, which itself is still
+        # filling and therefore excluded as the reference does (:140-141):
+        # the *target* is the newest complete bucket (index -2 overall).
+        if len(buckets) < 2:
+            return pd.DataFrame(columns=[f.name for f in OUTLIER_SCHEMA])
+        buckets, counts = buckets[:-1], counts[:-1]
+        lo = buckets[-1] - LOOKBACK_SEC
+        mask = buckets >= lo
+        buckets, counts = buckets[mask], counts[mask]
+        res = score_last_bucket(buckets, counts)
+        if res is None:
+            return pd.DataFrame(columns=[f.name for f in OUTLIER_SCHEMA])
+        score, flags = res
+        if score < min_score:
+            return pd.DataFrame(columns=[f.name for f in OUTLIER_SCHEMA])
+        return pd.DataFrame(
+            [
+                {
+                    "series_key": str(pdf[series_col].iloc[0]),
+                    "bucket": int(buckets[-1]),
+                    "actual": float(counts[-1]),
+                    "score": float(score),
+                    "details": json.dumps(flags, sort_keys=True),
+                }
+            ]
+        )
+
+    return stats.groupBy(series_col).applyInPandas(analyze, OUTLIER_SCHEMA)
+
+
+def event_series(logs: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
+    """Per-event-type 5-min count series (the per-filter series analog)."""
+    c = F.col("ts_epoch")
+    return (
+        logs.groupBy(
+            F.col("event_type").alias("series_key"),
+            (c - (c % F.lit(bucket_sec))).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -360,6 +360,29 @@ def q_search_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from cloudpelican_lsd_spark.operators import classifier as nb_ops  # noqa: E402
+
+
+@register("naive_bayes_confusion", nb_ops.nb_confusion_oracle(LOGS_ORACLE_CTE))
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained naive Bayes vs the heuristic labeler — confusion counts.
+    The only ML operator with a full SQL oracle (see classifier.py notes)."""
+    return nb_ops.train_and_classify(logs_view(spark, sf_dir))
+
+
+from cloudpelican_lsd_spark.operators import outliers as outlier_ops  # noqa: E402
+
+
+@register("outlier_consensus")  # rows-only: stateful numpy analyzers, no SQL twin
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consensus outlier scores for the newest complete 5-min bucket of each
+    event-type series (OutlierDetectionBolt semantics; min_score=0 so the
+    driver's rows-only check always sees one row per series)."""
+    logs = logs_view(spark, sf_dir)
+    series = outlier_ops.event_series(logs)
+    return outlier_ops.detect_outliers(series, min_score=0.0)
+
+
 # ===========================================================================
 # north-star: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
 # ===========================================================================
@@ -491,6 +514,42 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_fingerprint", text_ops.fingerprint_oracle(3))
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(load_table(spark, "documents", sf_dir), n=3)
+
+
+# ===========================================================================
+# north-star: multimodal binary columns (decode stubbed; plumbing real)
+# ===========================================================================
+
+from cloudpelican_lsd_spark.multimodal import binary as mm_ops  # noqa: E402
+
+
+@register(
+    "multimodal_content_hash",
+    """SELECT doc_id AS media_id,
+       (['image','audio','video'])[(doc_id % 3) + 1] AS modality,
+       sha256(text) AS content_sha256,
+       octet_length(encode(text)) AS n_bytes
+FROM documents""",
+)
+def q_mm_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path, oracle-checked on its deterministic
+    hash/metadata columns (the float feature column is rows-only below)."""
+    media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
+    return mm_ops.extract_features(media).select(
+        "media_id", "modality", "content_sha256", "n_bytes"
+    )
+
+
+@register("multimodal_features")  # rows-only: float feature vectors
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
+    return mm_ops.extract_features(media)
+
+
+@register("multimodal_frame_sample")  # rows-only: per-frame decode plan
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
+    return mm_ops.frame_sample(media, every_ms=500)
 
 
 @register(

@@ -1,0 +1,224 @@
+"""Structured Streaming ingest: the reference's Storm topology as ONE
+streaming query.
+
+Reference topology (storm .../Main.java:97-151):
+    kafka spout → ParseBolt → MatchBolt → {SupervisorResultWriter,
+    RollupStats → SupervisorStatsWriter, ErrorClassifier, BigQuerySink,
+    OutlierDetection}
+
+Spark shape: a single `readStream → parse → foreachBatch` query.  Inside
+each micro-batch (trigger = 1s, matching the reference's result tick,
+SupervisorResultWriterBolt.java:90):
+
+- **results sink**: matched rows appended to a parquet table partitioned
+  by `(filter_id, date)` — the date-partitioned single table that replaces
+  BigQuery's table-per-filter-per-day (BigQueryInsertRunnable.java:32-37);
+  partition pruning then serves both the live tail and historical search.
+- **stats sink**: per-batch minutely partial counts appended to a stats
+  table; readers sum partials (merge-on-read).  This keeps the write path
+  append-only and idempotent-friendly at any scale; the reference instead
+  merges on the supervisor (filter_manager.go:106-142) — same semantics,
+  different merge point.
+
+Checkpointing gives at-least-once delivery into append-only sinks (the
+reference's Storm acking ≈ Main.java:159-164).  Kafka is the production
+source; file/rate sources serve tests (no Kafka in the test container).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.catalog import FilterCatalog
+from cloudpelican_lsd_spark.functions.parse import (
+    extract_event_time,
+    normalize_lines,
+)
+from cloudpelican_lsd_spark.operators.fanout import match_filters
+from cloudpelican_lsd_spark.operators.stats import bucket_col, METRIC_MATCH, METRIC_ERROR
+from cloudpelican_lsd_spark.functions.parse import is_likely_error
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Production source — consume raw lines from Kafka starting at the
+    earliest offset like the reference spout (Main.java:97-103)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS _raw")
+    )
+
+
+def file_source(spark: SparkSession, path: str) -> DataFrame:
+    """Test source — stream text files of raw syslog lines."""
+    return spark.readStream.format("text").load(path).withColumnRenamed(
+        "value", "_raw"
+    )
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Synthetic source reproducing the fake-data generator's `test <ts>`
+    lines (tools/testing/fake-data-generator/main.go:36-42)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .selectExpr(
+            "concat('test ', date_format(timestamp, \"yyyy-MM-dd'T'HH:mm:ss.SSSXXX\")) AS _raw"
+        )
+    )
+
+
+def parse_stream(raw: DataFrame) -> DataFrame:
+    """ParseBolt semantics: normalize + event-time extract with
+    processing-time fallback (ParseBolt.java:49-93)."""
+    df = normalize_lines(raw)
+    ts = F.coalesce(
+        extract_event_time(F.col("_raw")),
+        F.expr("convert_timezone('UTC', current_timestamp())"),
+    )
+    return df.withColumn("ts", ts).withColumn(
+        "ts_epoch",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").cast(
+            "long"
+        ),
+    )
+
+
+class StreamingEngine:
+    """One streaming query maintaining results + stats tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: FilterCatalog,
+        base_dir: str,
+        max_msgs_per_filter: int = 10000,
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.base_dir = base_dir
+        self.results_path = os.path.join(base_dir, "results")
+        self.stats_path = os.path.join(base_dir, "stats")
+        self.checkpoint = os.path.join(base_dir, "checkpoint")
+        #: reference caps the tail buffer at 10k msgs/filter (supervisor.go:52)
+        self.max_msgs_per_filter = max_msgs_per_filter
+
+    # -- batch hook ---------------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        filters = self.catalog.to_df(batch_df.sparkSession)
+        matched = match_filters(batch_df, filters).withColumn(
+            "date", F.date_format(F.col("ts"), "yyyy-MM-dd")
+        )
+        matched.persist()
+        try:
+            # results: date+filter partitioned append (S4/S5 analog)
+            (
+                matched.select(
+                    "filter_id", "filter_name", "_raw", "ts", "ts_epoch", "date"
+                )
+                .withColumn("row_id", F.monotonically_increasing_id())
+                .write.partitionBy("filter_id", "date")
+                .mode("append")
+                .parquet(self.results_path)
+            )
+            # stats: minutely partial counts, merge-on-read (A2/A3 analog)
+            stats = (
+                matched.select(
+                    "filter_id",
+                    bucket_col("ts_epoch", 60).alias("bucket"),
+                    is_likely_error(F.col("_raw")).alias("is_err"),
+                )
+                .groupBy("filter_id", "bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("match_cnt"),
+                    F.sum(F.when(F.col("is_err"), 1).otherwise(0)).alias("err_cnt"),
+                )
+                .select(
+                    "filter_id",
+                    "bucket",
+                    F.expr(
+                        f"stack(2, {METRIC_MATCH}, match_cnt, {METRIC_ERROR}, err_cnt)"
+                    ).alias("metric", "cnt"),
+                )
+                .where(F.col("cnt") > 0)
+            )
+            stats.write.mode("append").parquet(self.stats_path)
+        finally:
+            matched.unpersist()
+
+    # -- query lifecycle ----------------------------------------------------
+
+    def start(self, source: DataFrame, trigger: dict | None = None):
+        """Start the streaming query.  ``trigger`` defaults to the
+        reference's 1s result tick; pass {"availableNow": True} in tests."""
+        writer = (
+            parse_stream(source)
+            .writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint)
+        )
+        writer = writer.trigger(**(trigger or {"processingTime": "1 second"}))
+        return writer.start()
+
+    # -- read side ----------------------------------------------------------
+
+    #: results-table schema (for empty reads after retention wipes)
+    RESULTS_SCHEMA = (
+        "filter_name STRING, _raw STRING, ts TIMESTAMP_NTZ, ts_epoch BIGINT,"
+        " row_id BIGINT, filter_id STRING, date DATE"
+    )
+
+    def results(self, filter_id: str | None = None) -> DataFrame:
+        try:
+            df = self.spark.read.parquet(self.results_path)
+        except Exception:
+            # empty/absent table (e.g. everything expired) → typed empty DF
+            df = self.spark.createDataFrame([], self.RESULTS_SCHEMA)
+        if filter_id is not None:
+            df = df.where(F.col("filter_id") == filter_id)  # partition-pruned
+        return df
+
+    def tail(self, filter_id: str, n: int = 100) -> DataFrame:
+        """Live tail: last n rows for a filter (cloudpelican-lsd.go:630-636)."""
+        res = self.results(filter_id)
+        last = res.orderBy(F.col("ts_epoch").desc(), F.col("row_id").desc()).limit(n)
+        return last.orderBy(F.col("ts_epoch").asc(), F.col("row_id").asc())
+
+    def stats(self, filter_id: str | None = None) -> DataFrame:
+        """Merged stats view: sum the appended partials (merge-on-read)."""
+        df = self.spark.read.parquet(self.stats_path)
+        if filter_id is not None:
+            df = df.where(F.col("filter_id") == filter_id)
+        return df.groupBy("filter_id", "metric", "bucket").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+
+    # -- maintenance (TTL semantics) -----------------------------------------
+
+    def expire_results(self, before_date: str) -> None:
+        """Retention: drop date partitions older than `before_date` — the
+        168h table TTL analog (BigQuerySinkBolt.java:147-152)."""
+        import shutil
+
+        if not os.path.isdir(self.results_path):
+            return
+        for fdir in os.listdir(self.results_path):
+            fpath = os.path.join(self.results_path, fdir)
+            if not os.path.isdir(fpath) or not fdir.startswith("filter_id="):
+                continue
+            for ddir in os.listdir(fpath):
+                if ddir.startswith("date=") and ddir[5:] < before_date:
+                    shutil.rmtree(os.path.join(fpath, ddir))

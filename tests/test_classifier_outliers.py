@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.operators import classifier as nb
+from cloudpelican_lsd_spark.operators import outliers as out
+from cloudpelican_lsd_spark.sources.tables import logs_view
+
+
+def test_heuristic_label(spark):
+    df = spark.createDataFrame(
+        [("all good here",), ("connection TIMED OUT again",), ("HTTP 404 served",)],
+        ["_raw"],
+    )
+    labels = [r.l for r in df.select(nb.heuristic_label(F.col("_raw")).alias("l")).collect()]
+    assert labels == ["regular", "error", "error"]
+
+
+def test_naive_bayes_separates_obvious_classes(spark, sf_dir):
+    logs = logs_view(spark, sf_dir)
+    confusion = {
+        (r.pred_label, r.heur_label): r.cnt
+        for r in nb.train_and_classify(logs).collect()
+    }
+    agree = sum(v for (p, h), v in confusion.items() if p == h)
+    total = sum(confusion.values())
+    # self-trained NB must mostly agree with its own training labels
+    assert agree / total > 0.9
+
+
+def test_outlier_consensus_flags_spike():
+    # 48 flat buckets then a 10x spike in the newest complete bucket
+    buckets = np.arange(48, dtype=np.int64) * 300
+    counts = np.full(48, 10.0)
+    counts[-1] = 100.0
+    score, flags = out.score_last_bucket(buckets, counts)
+    assert score >= 0.5
+    assert flags["normal_dist"] and flags["moving_average"]
+
+
+def test_outlier_consensus_quiet_on_flat():
+    buckets = np.arange(48, dtype=np.int64) * 300
+    counts = np.full(48, 10.0)
+    score, _ = out.score_last_bucket(buckets, counts)
+    assert score == 0.0
+
+
+def test_outlier_needs_min_points():
+    buckets = np.arange(5, dtype=np.int64) * 300
+    assert out.score_last_bucket(buckets, np.full(5, 1.0)) is None
+
+
+def test_detect_outliers_end_to_end(spark, sf_dir):
+    logs = logs_view(spark, sf_dir)
+    series = out.event_series(logs)
+    res = out.detect_outliers(series, min_score=0.0).collect()
+    assert len(res) > 0
+    for r in res:
+        details = json.loads(r.details)
+        assert set(details) == set(out.ANALYZERS)
+        assert 0.0 <= r.score <= 1.0

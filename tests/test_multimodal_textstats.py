@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.multimodal import binary as mm
+from cloudpelican_lsd_spark.operators import textstats as ts
+from cloudpelican_lsd_spark.sources.tables import load_table
+
+
+def test_media_synthesis_and_features(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    media = mm.synthesize_media(docs)
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == docs.count()
+    one = next(f for f in feats if f.media_id == 0)
+    text = docs.where(F.col("doc_id") == 0).collect()[0].text
+    assert one.content_sha256 == hashlib.sha256(text.encode()).hexdigest()
+    assert one.n_bytes == len(text.encode())
+    assert len(one.feature) == 8
+    assert all(0.0 <= v < 1.0 for v in one.feature)
+
+
+def test_real_decode_is_explicitly_stubbed(spark, sf_dir):
+    media = mm.synthesize_media(load_table(spark, "documents", sf_dir))
+    with pytest.raises(Exception) as exc_info:
+        mm.extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 30)
+    media = mm.synthesize_media(docs)
+    frames = mm.frame_sample(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    durations = {r.media_id: r.duration_ms for r in media.collect()}
+    for r in got:
+        d = durations[r.media_id]
+        expected = len(range(0, max(d - 1, 0) + 1, 1000))
+        assert r["count"] == expected
+
+
+def test_metadata_scan_prunes_binary_column(spark, sf_dir):
+    media = mm.synthesize_media(load_table(spark, "documents", sf_dir))
+    path = "/tmp/mm_media_prune_test"
+    media.write.mode("overwrite").parquet(path)
+    scan = mm.metadata_only_scan(spark.read.parquet(path))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan  # binary column pruned from the scan
+
+
+def test_token_count_matches_python(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    got = {r.doc_id: r.n_tokens for r in ts.token_count(docs).collect()}
+    for row in docs.collect():
+        assert got[row.doc_id] == len(row.text.split(" "))
+
+
+def test_lang_id_all_en_like(spark, sf_dir):
+    # synthetic corpus is English-vocab regardless of lang label; the
+    # stopword heuristic should call nearly everything 'en'
+    docs = load_table(spark, "documents", sf_dir)
+    preds = ts.lang_id(docs).groupBy("pred_lang").count().collect()
+    by = {r.pred_lang: r["count"] for r in preds}
+    assert by.get("en", 0) > 0.5 * docs.count()
+
+
+def test_fingerprint_exact_is_md5(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 5)
+    rows = ts.fingerprint(docs).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for r in rows:
+        assert r.exact_fp == hashlib.md5(texts[r.doc_id].encode()).hexdigest()
+        assert len(r.min_shingle_fp) == 32

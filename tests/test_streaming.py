@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.catalog import FilterCatalog
+from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+
+def _write_lines(path: str, lines: list[str]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-000.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "in")
+    base = str(tmp_path / "engine")
+    lines = []
+    # parseable ISO lines across 3 minutes + some error lines + noise
+    for m in range(3):
+        for i in range(20):
+            kind = "error failed" if i % 4 == 0 else "ok served"
+            lines.append(f"2024-02-01T10:0{m}:{i:02d}.000+00:00 web1 app: {kind} req={m}{i}")
+    lines.append("   ")  # dropped: empty after trim
+    lines.append("no timestamp here error")  # fallback-to-now path
+    _write_lines(src, lines)
+
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    cat.create("all_req", "req=")
+
+    eng = sp.StreamingEngine(spark, cat, base)
+    q = eng.start(sp.file_source(spark, src), trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    errors_id = cat.get("errors").id
+    all_id = cat.get("all_req").id
+
+    res = eng.results()
+    assert res.where(F.col("filter_id") == errors_id).count() == 15 + 1  # 3x5 + fallback line
+    assert res.where(F.col("filter_id") == all_id).count() == 60
+
+    # stats: minutely MATCH counts for all_req = 20 per minute
+    st = eng.stats(all_id)
+    match = {r.bucket: r.cnt for r in st.where(F.col("metric") == 1).collect()}
+    assert sorted(match.values()) == [20, 20, 20]
+
+    # tail returns the last n in ascending order
+    t = eng.tail(all_id, n=5).collect()
+    assert len(t) == 5
+    assert [r.ts_epoch for r in t] == sorted(r.ts_epoch for r in t)
+
+    # parse: the unparseable line fell back to now() (ts >> event times)
+    fb = res.where(F.col("_raw").contains("no timestamp")).collect()
+    # fallback ts must be ~now, far above the 2024 event timestamps
+    assert len(fb) == 1 and fb[0].ts_epoch > 1750000000
+
+
+def test_streaming_incremental_batches(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    base = str(tmp_path / "engine2")
+    _write_lines(src, ["2024-02-01T10:00:00.000+00:00 h app: error one"])
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, base)
+    q = eng.start(sp.file_source(spark, src), trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert eng.results().count() == 1
+
+    # second file → second run picks up only the new file (checkpoint)
+    with open(os.path.join(src, "part-001.txt"), "w") as f:
+        f.write("2024-02-01T10:05:00.000+00:00 h app: error two\n")
+    q = eng.start(sp.file_source(spark, src), trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert eng.results().count() == 2
+
+    # retention: expire everything before a future date
+    eng.expire_results("2099-01-01")
+    assert eng.results().rdd.isEmpty() if os.path.isdir(eng.results_path) else True
