@@ -34,6 +34,17 @@ HEADLINE = [
     "search_pricing_summary",
     "search_region_revenue",
     "topk_per_group",
+    "naive_bayes_confusion",
+    "outlier_consensus",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "emb_cosine_topk",
+    "emb_lsh_near_pairs",
+    "text_quality_score",
+    "text_fingerprint",
+    "multimodal_features",
 ]
 
 

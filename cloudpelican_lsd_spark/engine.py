@@ -1,0 +1,208 @@
+"""CloudPelicanEngine — the user-facing command surface.
+
+Re-creates the reference CLI's grammar (dispatcher
+cli/cloudpelican-lsd.go:200-303, help :860-882) over the batch engine, so
+a user of the reference can run the commands they run today:
+
+    create filter <name> as '<regex>'
+    drop filter <name>
+    show filters
+    describe filter <name>
+    cat <name> | grep [-v|-i|-e] <p> | sort [- r] | head | limit N
+    select * from <name> [where '<regex>'] [limit N]
+    tail <name> [limit N]
+    stats <name> [window W] [rollup R] [-regular|-error]
+    search <sql>
+
+Every command returns a DataFrame (or filter metadata), never prints —
+presentation (the reference's ASCII charts, cli/stats.go) is a client
+concern.  The `search` path is plain Spark SQL over registered tables:
+what the reference ships to BigQuery through two process hops
+(supervisor.go:276-351) is one Catalyst call here.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.catalog import FilterCatalog
+from cloudpelican_lsd_spark.functions.durations import parse_duration
+from cloudpelican_lsd_spark.operators import stats as stats_ops
+from cloudpelican_lsd_spark.operators.fanout import match_filters_compiled
+from cloudpelican_lsd_spark.operators.grep_pipeline import GrepPipeline
+from cloudpelican_lsd_spark.operators.tail import tail_last_n
+from cloudpelican_lsd_spark.sources.tables import TABLES, load_tables
+
+_CREATE_RE = re.compile(r"^create filter ([a-z0-9_]+) as '(.+)'$")
+_SELECT_RE = re.compile(
+    r"^select \* from ([a-z0-9_:]+)(?: where '(.+?)')?(?: limit (\d+))?$"
+)
+
+
+class CloudPelicanEngine:
+    """Batch command engine over a log DataFrame + filter catalog."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        logs: DataFrame,
+        catalog: FilterCatalog | None = None,
+        sf_dir: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.logs = logs
+        self.catalog = catalog or FilterCatalog()
+        self.sf_dir = sf_dir
+        self._tables_registered = False
+
+    # -- command dispatcher (cloudpelican-lsd.go:200-303) --------------------
+
+    def execute(self, command: str):
+        cmd = command.strip()
+        low = cmd.lower()
+        if low == "show filters":
+            return self.show_filters()
+        if low.startswith("describe filter "):
+            return self.describe_filter(cmd.split()[-1])
+        if m := _CREATE_RE.match(cmd):
+            return self.create_filter(m.group(1), m.group(2))
+        if low.startswith("drop filter "):
+            return self.drop_filter(cmd.split()[-1])
+        if m := _SELECT_RE.match(cmd):
+            return self.select(m.group(1), m.group(2), m.group(3))
+        if low.startswith("tail "):
+            parts = cmd.split()
+            n = int(parts[parts.index("limit") + 1]) if "limit" in parts else 100
+            return self.tail(parts[1], n)
+        if low.startswith("stats "):
+            return self._stats_command(cmd)
+        if low.startswith("search "):
+            return self.search(cmd[len("search "):])
+        if low.startswith("cat ") or "|" in cmd:
+            return self.cat(cmd)
+        raise ValueError(f"unknown command: {command!r}")
+
+    # -- filter CRUD ----------------------------------------------------------
+
+    def create_filter(self, name: str, regex: str):
+        return self.catalog.create(name, regex)
+
+    def drop_filter(self, name: str) -> None:
+        self.catalog.drop(name)
+
+    def show_filters(self) -> DataFrame:
+        return self.catalog.to_df(self.spark, include_temp=False).select(
+            "id", "name", "regex"
+        )
+
+    def describe_filter(self, name: str) -> dict:
+        f = self.catalog.get(name)
+        return {"id": f.id, "name": f.name, "regex": f.regex}
+
+    # -- matched stream for one filter ---------------------------------------
+
+    def _matched(self, name: str) -> DataFrame:
+        f = self.catalog.get(name)
+        return match_filters_compiled(self.logs, [f])
+
+    # -- cat pipeline ---------------------------------------------------------
+
+    def cat(self, pipeline: str) -> DataFrame:
+        p = GrepPipeline.parse(pipeline)
+        base = (
+            self._matched(p.source)
+            if p.source in {f.name for f in self.catalog.list(include_temp=True)}
+            else self.logs
+        )
+        return p.apply(base)
+
+    # -- select / tail ---------------------------------------------------------
+
+    def select(
+        self, name: str, where_regex: str | None, limit: str | int | None
+    ) -> DataFrame:
+        """`select * from f [where '<re>'] [limit N]` — unknown names of the
+        form `stream:default` create a 1h temp filter from the where-regex
+        (cloudpelican-lsd.go:500-523); `select *` is rewritten to `_raw`
+        (:339)."""
+        known = {f.name for f in self.catalog.list(include_temp=True)}
+        if name in known:
+            df = self._matched(name)
+        elif where_regex:
+            tmp = self.catalog.create_temp(where_regex, int(time.time()))
+            df = match_filters_compiled(self.logs, [tmp])
+            where_regex = None  # already applied as the temp filter
+        else:
+            df = self.logs
+        if where_regex:
+            df = df.where(F.col("_raw").rlike(where_regex))
+        out = df.select("_raw")
+        if limit is not None:
+            out = out.limit(int(limit))
+        return out
+
+    def tail(self, name: str, n: int = 100) -> DataFrame:
+        return tail_last_n(self._matched(name), n)
+
+    # -- stats ------------------------------------------------------------------
+
+    def _stats_command(self, cmd: str) -> DataFrame:
+        """`stats f [window W] [rollup R] [-regular|-error]`
+        (cloudpelican-lsd.go:761-833; defaults window=86400 rollup=60 :795-798)."""
+        parts = cmd.split()
+        name = parts[1]
+        window, rollup, metric = 86400, 60, None
+        i = 2
+        while i < len(parts):
+            if parts[i] == "window":
+                window = parse_duration(parts[i + 1]); i += 2
+            elif parts[i] == "rollup":
+                rollup = parse_duration(parts[i + 1]); i += 2
+            elif parts[i] == "-regular":
+                metric = stats_ops.METRIC_MATCH; i += 1
+            elif parts[i] == "-error":
+                metric = stats_ops.METRIC_ERROR; i += 1
+            else:
+                raise ValueError(f"stats: unexpected token {parts[i]!r}")
+        return self.stats(name, window, rollup, metric)
+
+    def stats(
+        self,
+        name: str,
+        window_sec: int = 86400,
+        rollup_sec: int = 60,
+        metric: int | None = None,
+    ) -> DataFrame:
+        """Windowed, re-bucketed, zero-gap-filled series for one filter
+        (supervisorcon.go:43-119 semantics, window anchored at the newest
+        event rather than wall-clock for determinism)."""
+        matched = self._matched(name)
+        mc = stats_ops.metric_counts(matched, rollup_sec=rollup_sec)
+        now_df = matched.agg(F.max("ts_epoch").alias("_now"))
+        windowed = (
+            mc.crossJoin(F.broadcast(now_df))
+            .where(F.col("bucket") >= F.col("_now") - F.lit(window_sec))
+            .drop("_now")
+        )
+        filled = stats_ops.gap_fill(windowed, rollup_sec=rollup_sec)
+        if metric is not None:
+            filled = filled.where(F.col("metric") == metric)
+        return filled
+
+    # -- search (historical SQL) -------------------------------------------------
+
+    def search(self, sql: str) -> DataFrame:
+        """Arbitrary SQL over the engine tables — the reference delegates
+        this to BigQuery via subprocess+HTTP (supervisor.go:276-351,
+        bigquery-client Main.java:98-148); here it's one spark.sql call."""
+        if not self._tables_registered:
+            if self.sf_dir:
+                for name, df in load_tables(self.spark, self.sf_dir).items():
+                    df.createOrReplaceTempView(name)
+            self.logs.createOrReplaceTempView("logs")
+            self._tables_registered = True
+        return self.spark.sql(sql)

@@ -31,6 +31,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ahead of heavy per-row compute.
+
+    Small inputs (one parquet file) give Spark one partition, serializing
+    CPU-bound per-row hashing onto one core; at 100 TB the scan has
+    thousands of splits and this is a (cheap) no-op-in-spirit.  The data
+    shuffled is the raw rows — tiny relative to the hash work saved.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -107,26 +119,34 @@ def minhash_band_signatures(
     """`(doc_id, band, sig)` — LSH band signatures.
 
     minhash_s(doc) = MIN over shingles of md5('<s>:'||shingle); a band
-    signature joins `rows_per_band` consecutive minhashes.  The seeds
-    dimension is a tiny exploded sequence (broadcast-free: it explodes
-    per-row, keeping the shuffle keyed by (doc_id, seed)).
+    signature joins `rows_per_band` consecutive minhashes.
+
+    Physical shape: explode shingles × seeds, md5 inside whole-stage
+    codegen, then a hash aggregate whose map-side partial MIN collapses the
+    shuffle to ≤ num_hashes rows per (doc, mapper) — the network never sees
+    the shingles.  (A per-row higher-order-function formulation avoids the
+    explode entirely but evaluates md5 in the interpreted lambda path —
+    measured ~2x slower despite zero shuffle; codegen wins.)
     """
-    sh = shingles(docs, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    sh = shingles(_spread(docs), n)
     mh = (
-        sh.select("doc_id", "shingle", seeds)
+        sh.select(
+            "doc_id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        )
         .select(
             "doc_id",
             "seed",
             F.md5(
-                F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
             ).alias("h"),
         )
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("mh"))
     )
     return (
-        mh.withColumn("band", F.expr("seed div " + str(rows_per_band)))
+        mh.withColumn("band", F.expr(f"seed div {rows_per_band}"))
         .groupBy("doc_id", "band")
         .agg(
             F.expr(
@@ -259,17 +279,23 @@ def simhash(docs: DataFrame) -> DataFrame:
     higher-order functions: **zero shuffle** — the scan parallelism is the
     only thing that matters at 100 TB.
     """
-    return docs.select(
+    # fold over tokens ONCE (the token-hash array is the aggregate input,
+    # evaluated a single time per row), accumulating a 32-wide ±1 bit-sum
+    # array; the finish lambda folds the signs into the 32-bit fingerprint.
+    # A positions-outer formulation re-evaluates md5 per (token, position)
+    # — 32x the hash work.
+    return _spread(docs).select(
         "doc_id",
         F.expr(
             f"""aggregate(
-                  sequence(1, 32), 0L,
-                  (acc, p) -> acc + IF(
-                    aggregate(
-                      array_distinct(split(lower(text), ' ')), 0,
-                      (s, t) -> s + IF(substr(md5(t), p, 1) IN {_HI_NIBBLES}, 1, -1)
-                    ) > 0,
-                    shiftleft(1L, p - 1), 0L)
+                  transform(array_distinct(split(lower(text), ' ')), t -> md5(t)),
+                  array_repeat(0, 32),
+                  (acc, h) -> zip_with(acc, sequence(1, 32),
+                      (a, p) -> a + IF(substr(h, p, 1) IN {_HI_NIBBLES}, 1, -1)),
+                  acc -> aggregate(
+                      zip_with(acc, sequence(1, 32),
+                          (s, p) -> IF(s > 0, shiftleft(1L, p - 1), 0L)),
+                      0L, (x, y) -> x + y)
                 )"""
         ).alias("simhash"),
     )

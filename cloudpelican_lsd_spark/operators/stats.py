@@ -92,6 +92,10 @@ def gap_fill(stats: DataFrame, rollup_sec: int) -> DataFrame:
     metric list, left-joined back — all broadcastable scalars; no driver
     collect, so the plan is identical at any scale.
     """
+    # the aggregated series is tiny (buckets × metrics) but feeds three
+    # consumers (bounds, metric list, the left join) — cache it so the
+    # upstream scan+aggregation runs once, not three times
+    stats = stats.cache()
     bounds = stats.agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )

@@ -27,7 +27,7 @@ from cloudpelican_lsd_spark.functions.parse import (
 from cloudpelican_lsd_spark.operators import stats as stats_ops
 from cloudpelican_lsd_spark.operators.fanout import (
     MATCH_COND_DUCKDB,
-    match_counts,
+    match_counts_compiled,
 )
 from cloudpelican_lsd_spark.operators.grep_pipeline import GrepPipeline
 from cloudpelican_lsd_spark.operators.tail import cursor_read, tail_last_n
@@ -96,7 +96,9 @@ FROM logs l JOIN filters f ON {MATCH_COND_DUCKDB}
 GROUP BY 1, 2""",
 )
 def q_filter_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return match_counts(logs_view(spark, sf_dir), _CAT.to_df(spark))
+    return match_counts_compiled(
+        logs_view(spark, sf_dir), _CAT.list(include_temp=True)
+    )
 
 
 @register(

@@ -38,7 +38,7 @@ from cloudpelican_lsd_spark.functions.parse import (
     extract_event_time,
     normalize_lines,
 )
-from cloudpelican_lsd_spark.operators.fanout import match_filters
+from cloudpelican_lsd_spark.operators.fanout import match_filters_compiled
 from cloudpelican_lsd_spark.operators.stats import bucket_col, METRIC_MATCH, METRIC_ERROR
 from cloudpelican_lsd_spark.functions.parse import is_likely_error
 
@@ -119,10 +119,11 @@ class StreamingEngine:
     # -- batch hook ---------------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        filters = self.catalog.to_df(batch_df.sparkSession)
-        matched = match_filters(batch_df, filters).withColumn(
-            "date", F.date_format(F.col("ts"), "yyyy-MM-dd")
-        )
+        # filter set re-read per batch = the reference's 1s hot-swap poll
+        # (MatchBolt.java:89-97); compiled into literal predicates per batch
+        matched = match_filters_compiled(
+            batch_df, self.catalog.list(include_temp=True)
+        ).withColumn("date", F.date_format(F.col("ts"), "yyyy-MM-dd"))
         matched.persist()
         try:
             # results: date+filter partitioned append (S4/S5 analog)

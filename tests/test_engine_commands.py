@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.engine import CloudPelicanEngine
+from cloudpelican_lsd_spark.functions.durations import parse_duration
+from cloudpelican_lsd_spark.sources.tables import logs_view
+
+
+@pytest.fixture()
+def engine(spark, sf_dir):
+    return CloudPelicanEngine(spark, logs_view(spark, sf_dir), sf_dir=sf_dir)
+
+
+def test_parse_duration():
+    assert parse_duration("10m") == 600
+    assert parse_duration("2h") == 7200
+    assert parse_duration("1d") == 86400
+    assert parse_duration("45") == 45
+    assert parse_duration("45s") == 45
+    for bad in ["", "x", "10x", "m"]:
+        with pytest.raises(ValueError):
+            parse_duration(bad)
+
+
+def test_filter_crud_commands(engine):
+    engine.execute("create filter errs as 'error'")
+    assert engine.describe_filter("errs")["regex"] == "error"
+    names = [r.name for r in engine.execute("show filters").collect()]
+    assert "errs" in names
+    engine.execute("drop filter errs")
+    names = [r.name for r in engine.execute("show filters").collect()]
+    assert "errs" not in names
+
+
+def test_cat_pipeline_on_filter(engine):
+    engine.execute("create filter errs as 'error'")
+    out = engine.execute("cat errs | grep -v click | limit 5").collect()
+    assert 0 < len(out) <= 5
+    assert all("error" in r._raw for r in out)
+
+
+def test_select_with_where_and_limit(engine):
+    engine.execute("create filter errs as 'error'")
+    rows = engine.execute("select * from errs where 'value=[0-9]{3} ' limit 7").collect()
+    assert 0 < len(rows) <= 7
+    import re
+
+    assert all(re.search(r"value=[0-9]{3} ", r._raw) for r in rows)
+
+
+def test_select_unknown_name_creates_temp_filter(engine):
+    rows = engine.execute("select * from stream:default where 'purchase' limit 3").collect()
+    assert 0 < len(rows) <= 3
+    temps = [f for f in engine.catalog.list(include_temp=True) if f.name.startswith("__tmp__")]
+    assert temps and temps[0].regex == "purchase"
+
+
+def test_tail_command(engine):
+    engine.execute("create filter errs as 'error'")
+    rows = engine.execute("tail errs limit 10").collect()
+    assert len(rows) == 10
+    epochs = [r.ts_epoch for r in rows]
+    assert epochs == sorted(epochs)
+    # last-N means the newest matching event is included
+    newest = engine._matched("errs").agg(F.max("ts_epoch")).collect()[0][0]
+    assert epochs[-1] == newest
+
+
+def test_stats_command_gapfilled(engine):
+    engine.execute("create filter errs as 'error'")
+    rows = engine.execute("stats errs window 1d rollup 1h").collect()
+    buckets = sorted({r.bucket for r in rows})
+    assert all(b2 - b1 == 3600 for b1, b2 in zip(buckets, buckets[1:]))
+    # window: span <= 1d + one bucket
+    assert buckets[-1] - buckets[0] <= 86400 + 3600
+
+
+def test_stats_metric_flag(engine):
+    engine.execute("create filter errs as 'error'")
+    rows = engine.execute("stats errs window 1d rollup 1h -error").collect()
+    assert all(r.metric == 2 for r in rows)
+
+
+def test_search_sql(engine):
+    df = engine.execute(
+        "search SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    assert df.count() > 0
+    df2 = engine.execute("search SELECT count(*) AS n FROM logs")
+    assert df2.collect()[0].n > 0
+
+
+def test_unknown_command(engine):
+    with pytest.raises(ValueError):
+        engine.execute("frobnicate the logs")
