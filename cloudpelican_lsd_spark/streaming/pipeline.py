@@ -158,6 +158,9 @@ class StreamingEngine:
                 .where(F.col("cnt") > 0)
             )
             stats.write.mode("append").parquet(self.stats_path)
+            # classifier training feed (ErrorClassifierBolt trains on
+            # matched tuples)
+            self.update_classifier_state(matched)
         finally:
             matched.unpersist()
 
@@ -205,6 +208,53 @@ class StreamingEngine:
             df = df.where(F.col("filter_id") == filter_id)
         return df.groupBy("filter_id", "metric", "bucket").agg(
             F.sum("cnt").cast("long").alias("cnt")
+        )
+
+    # -- analytics reads ------------------------------------------------------
+
+    def outliers(self, min_score: float = 0.5):
+        """Consensus outlier pass over the maintained stats series —
+        OutlierDetectionBolt's 60s-tick job as an on-demand batch over the
+        streaming stats table (same applyInPandas analyzers)."""
+        from cloudpelican_lsd_spark.operators.outliers import detect_outliers
+
+        series = (
+            self.stats()
+            .withColumn(
+                "series_key",
+                F.concat_ws(":", F.col("filter_id"), F.col("metric").cast("string")),
+            )
+            .select("series_key", "bucket", "cnt")
+        )
+        return detect_outliers(series, min_score=min_score)
+
+    # -- classifier state (batch-incremental, SURVEY §7 risk-register path) ----
+
+    def update_classifier_state(self, batch_df: DataFrame) -> None:
+        """Append per-batch (token, label) counts to the model state table.
+
+        The reference trains online per filter with a 1000-sample forget
+        queue (ErrorClassifierBolt.java:57-63); the Spark-shaped equivalent
+        is an append-only count table merged on read — at-least-once
+        friendly (counts are additive) and shuffle-light (map-side combine
+        per batch).
+        """
+        from cloudpelican_lsd_spark.operators.classifier import heuristic_label
+
+        toks = (
+            batch_df.withColumn("label", heuristic_label(F.col("_raw")))
+            .select("label", F.explode(F.split(F.col("_raw"), r"\s+")).alias("tok"))
+            .groupBy("tok", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        toks.write.mode("append").parquet(os.path.join(self.base_dir, "nb_state"))
+
+    def classifier_model(self) -> DataFrame:
+        """Merged (tok, label, cnt) frequency table."""
+        return (
+            self.spark.read.parquet(os.path.join(self.base_dir, "nb_state"))
+            .groupBy("tok", "label")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
 
     # -- maintenance (TTL semantics) -----------------------------------------

@@ -57,6 +57,15 @@ def test_streaming_end_to_end(spark, tmp_path):
     # fallback ts must be ~now, far above the 2024 event timestamps
     assert len(fb) == 1 and fb[0].ts_epoch > 1750000000
 
+    # classifier state accumulated per-batch token counts
+    model = eng.classifier_model()
+    by_label = {r.label: r.cnt for r in model.groupBy("label").sum("cnt")
+                .withColumnRenamed("sum(cnt)", "cnt").collect()}
+    assert by_label.get("error", 0) > 0 and by_label.get("regular", 0) > 0
+
+    # outlier pass over the maintained stats runs (too few buckets to flag)
+    assert eng.outliers(min_score=0.0).count() == 0
+
 
 def test_streaming_incremental_batches(spark, tmp_path):
     src = str(tmp_path / "in2")
