@@ -105,6 +105,119 @@ ranked AS (
 SELECT qid, cid, cos FROM ranked WHERE rn <= {k}"""
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    num_queries: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to their
+    nearest centroid; a query probes only the `nprobe` nearest centroid
+    lists.  `(qid, cid, cos)`.
+
+    Centroids are the first `n_centroids` vectors — deterministic, so the
+    oracle can replay the exact same index (production would k-means and
+    broadcast the trained centroids; the plan shape is identical: one
+    broadcast join for assignment, one shuffle keyed by centroid).
+    At 100 TB the win is the candidate reduction: each query scans
+    ~nprobe/n_centroids of the corpus instead of all of it.
+    """
+    base = _with_norm(emb)
+    cents = base.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = base.select("vec_id", "emb", "nrm").join(F.broadcast(cents)).withColumn(
+        "ccos",
+        F.round(
+            F.expr(_DOT.format(a="emb", b="cemb")) / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "emb", "nrm")
+    )
+    probes = (
+        scored.where(F.col("vec_id") < num_queries)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), "cent_id",
+                F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm"))
+    )
+    cands = probes.join(assign, "cent_id").where(
+        F.col("qid") != F.col("vec_id")
+    )
+    pairs = cands.withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="qemb", b="emb")) / (F.col("qnrm") * F.col("nrm")),
+            6,
+        ),
+    ).select("qid", F.col("vec_id").alias("cid"), "cos")
+    w_top = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "cos")
+    )
+
+
+def ivf_topk_oracle(
+    n_centroids: int = 8, nprobe: int = 2, num_queries: int = 10, k: int = 10
+) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb, sqrt({dot.format(a='emb', b='emb')}) AS nrm FROM e
+),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM n
+  WHERE vec_id < {n_centroids}
+),
+scored AS (
+  SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+         ROUND({dot.format(a='n.emb', b='c.cemb')} / (n.nrm * c.cnrm), 6) AS ccos
+  FROM n, cents c
+),
+assign AS (
+  SELECT vec_id, cent_id, emb, nrm FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cent_id, emb AS qemb, nrm AS qnrm FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id ASC) AS rn
+    FROM scored WHERE vec_id < {num_queries}
+  ) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT p.qid, a.vec_id AS cid,
+         ROUND({dot.format(a='p.qemb', b='a.emb')} / (p.qnrm * a.nrm), 6) AS cos
+  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+  WHERE p.qid <> a.vec_id
+)
+SELECT qid, cid, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, cid ASC) AS rn
+  FROM pairs
+) WHERE rn <= {k}"""
+
+
 def sign_lsh_bucket(emb_col: str = "emb", bits: int = 8) -> F.Column:
     """Deterministic sign-bit sketch over the first `bits` dims.
 

@@ -491,6 +491,17 @@ def q_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_ivf_topk", sim_ops.ivf_topk_oracle(8, 2, 10, 10))
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.ivf_topk(
+        load_table(spark, "embeddings", sf_dir),
+        n_centroids=8,
+        nprobe=2,
+        num_queries=10,
+        k=10,
+    )
+
+
 # ===========================================================================
 # north-star: text analysis
 # ===========================================================================
