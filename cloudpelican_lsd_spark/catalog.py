@@ -84,6 +84,21 @@ class FilterCatalog:
     def drop(self, name: str) -> None:
         self._filters.pop(name, None)
 
+    def expire_temp(self, now_unix: int, ttl_sec: int = 3600) -> list[str]:
+        """Drop ``__tmp__<unix>`` filters older than `ttl_sec` (1h,
+        Filter.java:64-75; purge tick filter_manager.go:519-576).  Returns
+        the dropped names."""
+        dropped = [
+            name
+            for name in self._filters
+            if name.startswith("__tmp__")
+            and name[len("__tmp__"):].isdigit()
+            and int(name[len("__tmp__"):]) < now_unix - ttl_sec
+        ]
+        for name in dropped:
+            del self._filters[name]
+        return dropped
+
     def get(self, name: str) -> Filter:
         return self._filters[name]
 

@@ -354,3 +354,78 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh32 a JOIN sh32 b
   ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (completes the dedup family: exact, MinHash+LSH,
+# SimHash, n-gram Jaccard, embedding-cosine)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    bits: int = 4,
+    min_cos_num: int = 3,
+    min_cos_den: int = 10,
+) -> DataFrame:
+    """Semantic near-duplicates over an embedding column: a document is a
+    duplicate if a lower-id document in the same sign-LSH bucket has
+    cosine >= num/den; the lowest such id is its canonical.
+
+    `(doc_id, canonical_id, cos)` — cos is the similarity to the chosen
+    canonical.  Single-hop assignment (not transitive closure): chains
+    a<-b<-c keep b and c pointing at their own lowest neighbor; full
+    connected components would need an iterative join (documented scale
+    path, same candidate-generation plan).
+
+    Plan shape at 100 TB: the sign-LSH bucket equi-join (see
+    similarity.lsh_near_pairs) replaces the O(n^2) cross product with a
+    shuffle on a small integer key; the canonical pick is one more
+    hash-aggregate keyed by doc_id.
+    """
+    from cloudpelican_lsd_spark.operators.similarity import lsh_near_pairs
+
+    pairs = lsh_near_pairs(
+        emb, bits=bits, min_cos_num=min_cos_num, min_cos_den=min_cos_den
+    )
+    return (
+        pairs.groupBy(F.col("vec_b").alias("doc_id"))
+        .agg(
+            F.min("vec_a").alias("canonical_id"),
+            F.min_by("cos", "vec_a").alias("cos"),
+        )
+        .select("doc_id", "canonical_id", "cos")
+    )
+
+
+def embedding_near_dups_oracle(
+    bits: int = 4, min_cos_num: int = 3, min_cos_den: int = 10
+) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN emb[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb,
+         sqrt({dot.format(a='emb', b='emb')}) AS nrm,
+         ({bucket}) AS bucket
+  FROM e
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({dot.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm), 6) AS cos
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_b AS doc_id,
+       MIN(vec_a) AS canonical_id,
+       arg_min(cos, vec_a) AS cos
+FROM pairs
+WHERE cos * {min_cos_den} >= {min_cos_num}
+GROUP BY vec_b"""

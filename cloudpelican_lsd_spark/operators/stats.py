@@ -136,3 +136,21 @@ def minmax_scale(stats: DataFrame) -> DataFrame:
         F.min("cnt").cast("long").alias("min_cnt"),
         F.max("cnt").cast("long").alias("max_cnt"),
     )
+
+
+def chart_series(stats: DataFrame, width: int) -> DataFrame:
+    """Chart data prep: keep only the newest `width` buckets per metric,
+    ascending (the CLI truncates to terminal_width-1 points and renders
+    buckets in ascending ts order — cli/stats.go:116-123, 97-101).
+
+    One window ranking per metric; at scale this is a TakeOrdered per
+    metric key, no full sort of the series history.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("metric").orderBy(F.col("bucket").desc())
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= width)
+        .select("metric", "bucket", "cnt")
+    )

@@ -214,6 +214,21 @@ def q_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_chart_series",
+    f"""WITH {_STATS_CTE.format(rollup=300)}
+SELECT metric, bucket, cnt FROM (
+  SELECT metric, bucket, cnt,
+         row_number() OVER (PARTITION BY metric ORDER BY bucket DESC) AS rn
+  FROM s
+) WHERE rn <= 79""",
+)
+def q_stats_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/O6: last terminal_width-1 points per metric (cli/stats.go:116-123)."""
+    mc = stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=300)
+    return stats_ops.chart_series(mc, width=79)
+
+
+@register(
     "stats_minmax",
     f"""WITH {_STATS_CTE.format(rollup=60)}
 SELECT min(cnt)::BIGINT AS min_cnt, max(cnt)::BIGINT AS max_cnt FROM s""",
@@ -466,6 +481,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_near_pairs(
         load_table(spark, "documents", sf_dir), max_hamming=6
+    )
+
+
+@register("dedup_embedding_cosine", dedup_ops.embedding_near_dups_oracle(4, 3, 10))
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.embedding_near_dups(
+        load_table(spark, "embeddings", sf_dir),
+        bits=4,
+        min_cos_num=3,
+        min_cos_den=10,
     )
 
 

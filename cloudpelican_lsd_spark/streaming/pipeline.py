@@ -273,3 +273,38 @@ class StreamingEngine:
             for ddir in os.listdir(fpath):
                 if ddir.startswith("date=") and ddir[5:] < before_date:
                     shutil.rmtree(os.path.join(fpath, ddir))
+
+    def expire_stats(self, before_bucket: int) -> None:
+        """7-day stats purge (filter_manager.go:519-576, age check
+        :541-542): compact the stats table to buckets >= `before_bucket`.
+        At scale the stats table is date-partitioned like results and this
+        is a partition drop; here it's a rewrite of a small table."""
+        if not os.path.isdir(self.stats_path):
+            return
+        kept = self.spark.read.parquet(self.stats_path).where(
+            F.col("bucket") >= before_bucket
+        )
+        tmp = self.stats_path + ".compact"
+        kept.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.stats_path)
+        os.rename(tmp, self.stats_path)
+
+    def maintenance(self, now_unix: int) -> dict:
+        """One maintenance tick = the reference's three TTL sweeps: temp
+        filters >1h (Filter.java:64-75), result partitions >168h
+        (BigQuerySinkBolt.java:147-152), stats buckets >7d
+        (filter_manager.go:541-542)."""
+        import datetime
+
+        cutoff_results = datetime.datetime.fromtimestamp(
+            now_unix - 168 * 3600, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%d")
+        self.expire_results(cutoff_results)
+        self.expire_stats(now_unix - 7 * 86400)
+        return {
+            "dropped_temp_filters": self.catalog.expire_temp(now_unix),
+            "results_before": cutoff_results,
+            "stats_before": now_unix - 7 * 86400,
+        }

@@ -54,3 +54,16 @@ def test_fanout_plan_is_broadcast(spark, sf_dir):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_temp_filter_ttl_expiry():
+    from cloudpelican_lsd_spark.catalog import FilterCatalog
+
+    cat = FilterCatalog()
+    cat.create("keep", "x")
+    cat.create_temp("a", 1000)
+    cat.create_temp("b", 9000)
+    dropped = cat.expire_temp(now_unix=10000, ttl_sec=3600)
+    assert dropped == ["__tmp__1000"]
+    names = {f.name for f in cat.list(include_temp=True)}
+    assert names == {"keep", "__tmp__9000"}

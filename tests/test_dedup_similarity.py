@@ -75,3 +75,24 @@ def test_lsh_bucket_pairs_subset_of_bruteforce(spark, sf_dir):
     pairs = sim_ops.lsh_near_pairs(emb, min_cos_num=3, min_cos_den=10).collect()
     # every reported pair really has cos >= 0.3 (verified value included)
     assert all(r.cos >= 0.3 for r in pairs)
+
+
+def test_embedding_near_dups_canonical_is_lowest(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    dups = dedup_ops.embedding_near_dups(
+        emb, bits=4, min_cos_num=3, min_cos_den=10
+    ).collect()
+    assert dups  # threshold chosen to produce matches at this sf
+    for r in dups:
+        assert r.canonical_id < r.doc_id  # canonical = lower id
+        assert r.cos >= 0.3 - 1e-6
+
+
+def test_ivf_candidates_subset_and_ranked(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = sim_ops.ivf_topk(emb, n_centroids=8, nprobe=2, num_queries=3, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r.cos)
+    for q, cs in by_q.items():
+        assert len(cs) <= 5

@@ -57,3 +57,19 @@ def test_pivot_dual_series(spark, sf_dir):
     piv = stats_ops.pivot_dual_series(mc).collect()
     assert all(r.error_cnt <= r.regular_cnt for r in piv)
     assert sum(r.regular_cnt for r in piv) == logs.count()
+
+
+def test_chart_series_truncates_to_newest(spark, sf_dir):
+    from cloudpelican_lsd_spark.operators import stats as stats_ops
+    from cloudpelican_lsd_spark.sources.tables import logs_view
+
+    mc = stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=300)
+    out = stats_ops.chart_series(mc, width=10)
+    per_metric = {}
+    for r in out.collect():
+        per_metric.setdefault(r.metric, []).append(r.bucket)
+    full_max = {r.metric: r.mx for r in
+                mc.groupBy("metric").agg(F.max("bucket").alias("mx")).collect()}
+    for m, buckets in per_metric.items():
+        assert len(buckets) == 10
+        assert max(buckets) == full_max[m]  # newest bucket retained

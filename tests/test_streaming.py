@@ -88,3 +88,34 @@ def test_streaming_incremental_batches(spark, tmp_path):
     # retention: expire everything before a future date
     eng.expire_results("2099-01-01")
     assert eng.results().rdd.isEmpty() if os.path.isdir(eng.results_path) else True
+
+
+def test_maintenance_ttl_sweeps(spark, tmp_path):
+    src = str(tmp_path / "in3")
+    base = str(tmp_path / "engine3")
+    _write_lines(
+        src,
+        [
+            "2024-02-01T10:00:00.000+00:00 h app: error old",
+            "2024-02-08T10:00:00.000+00:00 h app: error new",
+        ],
+    )
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    cat.create_temp("stale", 1706000000)          # far in the past
+    fresh = cat.create_temp("fresh", 1707400000)  # within 1h of "now"
+    eng = sp.StreamingEngine(spark, cat, base)
+    q = eng.start(sp.file_source(spark, src), trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert eng.results().count() >= 2
+
+    # now = 2024-02-08T12:00Z -> 168h cutoff = 2024-02-01, 7d stats cutoff
+    now = 1707393600
+    report = eng.maintenance(now)
+    assert report["dropped_temp_filters"] == ["__tmp__1706000000"]
+    assert fresh.name in {f.name for f in cat.list(include_temp=True)}
+    # the 2024-02-01 date partition (== cutoff) survives; nothing older exists
+    assert eng.results().count() >= 1
+    # stats buckets older than 7d are gone, newer survive
+    buckets = [r.bucket for r in eng.stats().select("bucket").collect()]
+    assert buckets and all(b >= now - 7 * 86400 for b in buckets)
