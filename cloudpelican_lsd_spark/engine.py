@@ -52,18 +52,54 @@ class CloudPelicanEngine:
         logs: DataFrame,
         catalog: FilterCatalog | None = None,
         sf_dir: str | None = None,
+        session_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.logs = logs
         self.catalog = catalog or FilterCatalog()
         self.sf_dir = sf_dir
         self._tables_registered = False
+        #: session state (cli session.go analog): auth/uri are recorded but
+        #: carry no behavior — there is no supervisor process to dial.
+        self.session: dict = {"history": [], "config": {}}
+        self.session_path = session_path
 
     # -- command dispatcher (cloudpelican-lsd.go:200-303) --------------------
 
     def execute(self, command: str):
         cmd = command.strip()
         low = cmd.lower()
+        if not low.startswith(("history", "clearhistory")):
+            self.session["history"].append(cmd)
+        if low == "ping":
+            # reference pings the supervisor; here: one trivial Catalyst
+            # round-trip proves the session is live
+            self.spark.sql("SELECT 1").collect()
+            return "pong"
+        if low.startswith("auth "):
+            _, user, _pw = cmd.split(maxsplit=2)
+            self.session["user"] = user
+            return f"authenticated as {user}"
+        if low.startswith("connect "):
+            self.session["uri"] = cmd.split(maxsplit=1)[1]
+            return f"connected to {self.session['uri']}"
+        if low == "history":
+            return list(self.session["history"])
+        if low.startswith("history "):
+            idx = int(cmd.split()[1])
+            return self.execute(self.session["history"][idx])
+        if low == "clearhistory":
+            self.session["history"].clear()
+            return "history cleared"
+        if low == "save":
+            return self.save_session()
+        if low == "clearsession":
+            self.session = {"history": [], "config": {}}
+            return "session cleared"
+        if low.startswith("configure supervisor "):
+            k, v = cmd[len("configure supervisor "):].split("=", 1)
+            self.session["config"][k.strip()] = v.strip()
+            return dict(self.session["config"])
         if low == "show filters":
             return self.show_filters()
         if low.startswith("describe filter "):
@@ -85,6 +121,43 @@ class CloudPelicanEngine:
         if low.startswith("cat ") or "|" in cmd:
             return self.cat(cmd)
         raise ValueError(f"unknown command: {command!r}")
+
+    # -- session persistence (cli `save`, session file analog) ----------------
+
+    def save_session(self) -> str:
+        """Persist session state + filter definitions as JSON (the CLI's
+        `save` writes ~/.cloudpelican; filters live in BoltDB server-side —
+        here both land in one file)."""
+        import json
+
+        if not self.session_path:
+            return "no session path configured"
+        payload = {
+            "session": {k: v for k, v in self.session.items()},
+            "filters": [
+                {"id": f.id, "name": f.name, "regex": f.regex}
+                for f in self.catalog.list(include_temp=True)
+            ],
+        }
+        with open(self.session_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        return f"saved to {self.session_path}"
+
+    def load_session(self) -> None:
+        import json
+        import os
+
+        if not self.session_path or not os.path.exists(self.session_path):
+            return
+        with open(self.session_path) as fh:
+            payload = json.load(fh)
+        self.session = payload.get("session", {"history": [], "config": {}})
+        from cloudpelican_lsd_spark.catalog import Filter
+
+        for f in payload.get("filters", []):
+            self.catalog._filters[f["name"]] = Filter(
+                name=f["name"], regex=f["regex"], id=f["id"]
+            )
 
     # -- filter CRUD ----------------------------------------------------------
 

@@ -46,7 +46,9 @@ CAT_REGULAR = "regular"
 
 @dataclass
 class NaiveBayesModel:
-    cat_counts: DataFrame  # (label, cat_cnt, total_cnt)
+    n_error: int
+    n_regular: int
+    total: int
     token_probs: DataFrame  # (tok, wavg_error, wavg_regular)
 
 
@@ -65,13 +67,26 @@ def _tokens(msgs: DataFrame, id_col: str, raw_col: str) -> DataFrame:
     )
 
 
-def train(msgs: DataFrame, id_col: str = "event_id", raw_col: str = "_raw") -> NaiveBayesModel:
-    """Fit the frequency tables.  `msgs` must carry a `label` column."""
-    toks = _tokens(msgs, id_col, raw_col)
-    cat = msgs.groupBy("label").agg(F.count(F.lit(1)).alias("cat_cnt"))
-    total = msgs.count()  # scalar; alternatively windowed sum
-    cat = cat.withColumn("total_cnt", F.lit(total))
+def _cat_counts(msgs: DataFrame) -> tuple[int, int]:
+    cats = {
+        r["label"]: r["cnt"]
+        for r in msgs.groupBy("label").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    return cats.get(CAT_ERROR, 0), cats.get(CAT_REGULAR, 0)
 
+
+def train(
+    msgs: DataFrame,
+    id_col: str = "event_id",
+    raw_col: str = "_raw",
+    cat_counts: tuple[int, int] | None = None,
+) -> NaiveBayesModel:
+    """Fit the frequency tables.  `msgs` must carry a `label` column.
+
+    One driver-side job (the per-category row counts — two scalars), or
+    zero if `cat_counts` is supplied; the token frequency table stays lazy
+    and is broadcast at classify time."""
+    toks = _tokens(msgs, id_col, raw_col)
     fcnt = (
         toks.groupBy("tok")
         .agg(
@@ -80,9 +95,7 @@ def train(msgs: DataFrame, id_col: str = "event_id", raw_col: str = "_raw") -> N
             F.count(F.lit(1)).alias("ftot"),
         )
     )
-    cats = {r["label"]: r["cat_cnt"] for r in cat.collect()}
-    n_err = cats.get(CAT_ERROR, 0)
-    n_reg = cats.get(CAT_REGULAR, 0)
+    n_err, n_reg = cat_counts if cat_counts is not None else _cat_counts(msgs)
 
     def wavg(fc: str, cat_n: int) -> F.Column:
         basic = (
@@ -95,7 +108,9 @@ def train(msgs: DataFrame, id_col: str = "event_id", raw_col: str = "_raw") -> N
         wavg("fc_err", n_err).alias("wavg_error"),
         wavg("fc_reg", n_reg).alias("wavg_regular"),
     )
-    return NaiveBayesModel(cat_counts=cat, token_probs=probs)
+    return NaiveBayesModel(
+        n_error=n_err, n_regular=n_reg, total=n_err + n_reg, token_probs=probs
+    )
 
 
 def classify(
@@ -116,18 +131,14 @@ def classify(
             F.sum(F.log(F.coalesce(F.col("wavg_regular"), F.lit(0.5)))).alias("s_reg"),
         )
     )
-    cats = {
-        r["label"]: (r["cat_cnt"], r["total_cnt"])
-        for r in model.cat_counts.collect()
-    }
     ln_prior_err = (
-        F.log(F.lit(cats[CAT_ERROR][0] / cats[CAT_ERROR][1]))
-        if CAT_ERROR in cats
+        F.log(F.lit(model.n_error / model.total))
+        if model.n_error > 0
         else F.lit(float("-inf"))
     )
     ln_prior_reg = (
-        F.log(F.lit(cats[CAT_REGULAR][0] / cats[CAT_REGULAR][1]))
-        if CAT_REGULAR in cats
+        F.log(F.lit(model.n_regular / model.total))
+        if model.n_regular > 0
         else F.lit(float("-inf"))
     )
     return sums.select(

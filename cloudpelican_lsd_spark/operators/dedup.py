@@ -128,31 +128,37 @@ def minhash_band_signatures(
     explode entirely but evaluates md5 in the interpreted lambda path —
     measured ~2x slower despite zero shuffle; codegen wins.)
     """
+    assert num_hashes * 5 <= 64, "sliced-md5 scheme supports <= 12 hashes"
     sh = shingles(_spread(docs), n)
-    mh = (
-        sh.select(
-            "doc_id",
-            "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        )
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    # all num_hashes minhashes as columns of ONE hash aggregate: the
+    # map-side partial MIN collapses each mapper's shingles to a single
+    # row per doc before the (only) shuffle, and bands are then a per-row
+    # stack — vs the explode×seeds formulation this removes the seed-fold
+    # row blowup and a second shuffle entirely.  The "permutations" are
+    # disjoint 5-hex (20-bit) slices of two md5s — 2 digest evaluations
+    # per shingle instead of num_hashes (md5 is the hot loop, and the only
+    # digest DuckDB reproduces bit-for-bit).
+    hashed = sh.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.concat(F.lit("0:"), F.col("shingle"))),
+            F.md5(F.concat(F.lit("1:"), F.col("shingle"))),
+        ).alias("h"),
     )
-    return (
-        mh.withColumn("band", F.expr(f"seed div {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), '|')"
-            ).alias("sig")
-        )
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col("h"), 1 + 5 * s, 5)).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    n_bands = num_hashes // rows_per_band
+    band_args = ", ".join(
+        f"{b}, concat_ws('|', {', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(n_bands)
+    )
+    return mins.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {band_args})").alias("band", "sig"),
     )
 
 
@@ -182,10 +188,13 @@ def lsh_candidate_pairs(
 
 def minhash_oracle_cte(num_hashes: int = 12, rows_per_band: int = 3, n: int = 3) -> str:
     return f"""{shingles_oracle_cte(n)},
+hashed AS (
+  SELECT doc_id, md5('0:' || shingle) || md5('1:' || shingle) AS h FROM sh
+),
 seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed),
 mh AS (
-  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
-  FROM sh, seeds GROUP BY doc_id, seed
+  SELECT doc_id, seed, min(substr(h, 1 + 5 * seed, 5)) AS mh
+  FROM hashed, seeds GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id, seed // {rows_per_band} AS band,
@@ -209,33 +218,48 @@ def ngram_jaccard_pairs(
     shingle self-join only touches docs sharing a shingle (inverted-index
     join), not the full cross product.
     """
-    sh = shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # shingle set per row (no shuffle), set size carried through the
+    # explode so no separate sizes join; self-join keys are xxhash64 of the
+    # shingle — 8-byte shuffle keys instead of n-word strings (collision
+    # odds ~|shingles|²/2⁶⁵: at 100 TB switch to a 128-bit hash pair, same
+    # plan).  _spread parallelizes the per-row shingling when the scan has
+    # few splits.
+    sharr = f"""array_distinct(transform(
+        sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 0)),
+        i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n}))))"""
+    sh = (
+        _spread(docs)
+        .select("doc_id", F.expr(sharr).alias("sharr"))
+        .select(
+            "doc_id",
+            F.size("sharr").alias("sz"),
+            F.explode("sharr").alias("shingle"),
+        )
+        .select("doc_id", "sz", F.xxhash64("shingle").alias("sh_h"))
+    )
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             on=[
-                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.sh_h") == F.col("b.sh_h"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
             ],
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter_cnt"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("inter_cnt"),
+            F.max(F.col("a.sz")).alias("sz_a"),
+            F.max(F.col("b.sz")).alias("sz_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
             "inter_cnt",
-            (F.col("sa.sz") + F.col("sb.sz") - F.col("inter_cnt")).alias(
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter_cnt")).alias(
                 "union_cnt"
             ),
         )

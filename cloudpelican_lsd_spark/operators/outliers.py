@@ -126,7 +126,36 @@ def _iqr_envelope(hist: np.ndarray) -> tuple[float, float]:
     return med, float(q3 - q1) * 1.5 + (q3 - med)
 
 
+def _noop(hist: np.ndarray) -> tuple[float, float]:
+    """Noop analyzer: accepts everything — its role is diluting the
+    consensus denominator exactly as the reference's Noop entry does
+    (OutlierDetectionBolt.java:62)."""
+    return float(hist.mean()), float("inf")
+
+
+def _multiple_linear_regression(
+    hist: np.ndarray, buckets: np.ndarray, target_bucket: int
+) -> tuple[float, float]:
+    """Least-squares fit on [1, t, sin(hour), cos(hour)] — trend plus
+    daily seasonality (MultipleLinearRegression analog)."""
+    t = (buckets - buckets[0]).astype(float)
+    hour = ((buckets // 3600) % 24).astype(float) * (2.0 * np.pi / 24.0)
+    X = np.column_stack([np.ones_like(t), t, np.sin(hour), np.cos(hour)])
+    coef, *_ = np.linalg.lstsq(X, hist, rcond=None)
+    resid = float(np.abs(hist - X @ coef).std(ddof=0))
+    tt = float(target_bucket - buckets[0])
+    th = ((target_bucket // 3600) % 24) * (2.0 * np.pi / 24.0)
+    expected = float(
+        np.array([1.0, tt, np.sin(th), np.cos(th)]) @ coef
+    )
+    return expected, 3.0 * resid
+
+
+#: 12 analyzers — same count and roles as the reference list
+#: (OutlierDetectionBolt.java:61-74); OneClassSVM → iqr_envelope is the
+#: one documented substitution.
 ANALYZERS = (
+    "noop",
     "normal_dist",
     "log_normal_dist",
     "moving_average",
@@ -136,6 +165,7 @@ ANALYZERS = (
     "interval_interceptor",
     "random_walk",
     "time_bucket_regression",
+    "multiple_linear_regression",
     "iqr_envelope",
 )
 
@@ -149,8 +179,8 @@ def score_last_bucket(
     hist, target = counts[:-1].astype(float), float(counts[-1])
     flags = {}
     for name in ANALYZERS:
-        if name == "time_bucket_regression":
-            expected, tol = _time_bucket_regression(
+        if name in ("time_bucket_regression", "multiple_linear_regression"):
+            expected, tol = globals()[f"_{name}"](
                 hist, buckets[:-1], int(buckets[-1])
             )
         else:

@@ -95,3 +95,32 @@ def test_search_sql(engine):
 def test_unknown_command(engine):
     with pytest.raises(ValueError):
         engine.execute("frobnicate the logs")
+
+
+def test_session_commands(engine, tmp_path):
+    engine.session_path = str(tmp_path / "session.json")
+    assert engine.execute("ping") == "pong"
+    assert "alice" in engine.execute("auth alice secret")
+    engine.execute("connect http://sup:1525")
+    engine.execute("create filter errs as 'error'")
+    engine.execute("configure supervisor max_msg_memory=5000")
+    hist = engine.execute("history")
+    assert "create filter errs as 'error'" in hist
+    # history <id> re-executes
+    idx = hist.index("ping")
+    assert engine.execute(f"history {idx}") == "pong"
+    engine.execute("save")
+
+    # a fresh engine restores filters + config from the session file
+    e2 = CloudPelicanEngine(
+        engine.spark, engine.logs, session_path=engine.session_path
+    )
+    e2.load_session()
+    assert e2.session["config"]["max_msg_memory"] == "5000"
+    assert e2.catalog.get("errs").regex == "error"
+    assert e2.describe_filter("errs")["id"] == engine.describe_filter("errs")["id"]
+
+    engine.execute("clearhistory")
+    assert engine.execute("history") == []
+    engine.execute("clearsession")
+    assert engine.session["config"] == {}
