@@ -268,14 +268,31 @@ class CloudPelicanEngine:
 
     # -- search (historical SQL) -------------------------------------------------
 
-    def search(self, sql: str) -> DataFrame:
+    def search(self, sql: str, results: DataFrame | None = None) -> DataFrame:
         """Arbitrary SQL over the engine tables — the reference delegates
         this to BigQuery via subprocess+HTTP (supervisor.go:276-351,
-        bigquery-client Main.java:98-148); here it's one spark.sql call."""
+        bigquery-client Main.java:98-148); here it's one spark.sql call.
+
+        FROM-name resolution (P6): a FROM target that names a catalog
+        filter resolves to the partitioned results table constrained to
+        `filter_id = <id>` — the reference's per-filter-per-day table name
+        (`<id>_results_<date>_v1`, cli/supervisorcon.go:34-40) becomes a
+        partition predicate Catalyst prunes at the file index.  Pass the
+        results DataFrame (e.g. `StreamingEngine.results()`) to enable it.
+        """
         if not self._tables_registered:
             if self.sf_dir:
                 for name, df in load_tables(self.spark, self.sf_dir).items():
                     df.createOrReplaceTempView(name)
             self.logs.createOrReplaceTempView("logs")
             self._tables_registered = True
+        if results is not None:
+            for f in self.catalog.list(include_temp=True):
+                pat = re.compile(
+                    rf"(?i)\bFROM\s+{re.escape(f.name)}\b"
+                )
+                if pat.search(sql):
+                    view = f"__results_{f.name}"
+                    results.where(F.col("filter_id") == f.id).createOrReplaceTempView(view)
+                    sql = pat.sub(f"FROM {view}", sql)
         return self.spark.sql(sql)

@@ -105,3 +105,85 @@ def streaming_classifier(labeled_matched: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming outlier detection with per-series high-water mark
+# ---------------------------------------------------------------------------
+
+from cloudpelican_lsd_spark.operators.outliers import (  # noqa: E402
+    BUCKET_SEC,
+    LOOKBACK_SEC,
+    score_last_bucket,
+)
+
+OUTLIER_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("filter_id", T.StringType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("actual", T.DoubleType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("details", T.StringType(), False),
+    ]
+)
+
+
+def outlier_state_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-filter 5-min count series kept in state (bounded: 24h lookback
+    = 288 buckets); the newest *complete* bucket is consensus-scored once
+    — the `lastAnalyzed` high-water mark skips series with no new data
+    exactly as OutlierDetectionBolt.java:164-170 does."""
+    import numpy as np
+
+    st = json.loads(state.get[0]) if state.exists else {"counts": {}, "last": 0}
+    for pdf in pdf_iter:
+        for e in pdf["ts_epoch"]:
+            b = int(e) - int(e) % BUCKET_SEC
+            st["counts"][str(b)] = st["counts"].get(str(b), 0) + 1
+    buckets = sorted(int(k) for k in st["counts"])
+    rows = []
+    if buckets:
+        lo = buckets[-1] - LOOKBACK_SEC
+        st["counts"] = {k: v for k, v in st["counts"].items() if int(k) >= lo}
+        buckets = sorted(int(k) for k in st["counts"])
+        # exclude the newest (still-filling) bucket; score its predecessor
+        if len(buckets) >= 2 and buckets[-2] > st["last"]:
+            hist_b = np.array(buckets[:-1], dtype=np.int64)
+            hist_c = np.array(
+                [st["counts"][str(b)] for b in buckets[:-1]], dtype=float
+            )
+            res = score_last_bucket(hist_b, hist_c)
+            st["last"] = buckets[-2]
+            if res is not None:
+                score, flags = res
+                rows.append(
+                    {
+                        "filter_id": key[0],
+                        "bucket": int(hist_b[-1]),
+                        "actual": float(hist_c[-1]),
+                        "score": float(score),
+                        "details": json.dumps(flags, sort_keys=True),
+                    }
+                )
+    state.update((json.dumps(st),))
+    yield pd.DataFrame(
+        rows, columns=[f.name for f in OUTLIER_OUTPUT_SCHEMA]
+    )
+
+
+def streaming_outliers(matched: DataFrame) -> DataFrame:
+    """`(filter_id, bucket, actual, score, details)` — one row per newly
+    completed 5-min bucket per filter, consensus-scored against the 24h
+    in-state history.  Input: streaming matched stream with `filter_id`
+    and `ts_epoch`."""
+    return matched.select("filter_id", "ts_epoch").groupBy("filter_id").applyInPandasWithState(
+        outlier_state_fn,
+        outputStructType=OUTLIER_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -67,3 +67,64 @@ def test_streaming_classifier_accumulates_state(spark, tmp_path):
     assert final.err_samples == 3
     assert final.reg_samples == 2
     assert final.vocab_size > 0
+
+
+def test_streaming_outliers_high_water_mark(spark, tmp_path):
+    from cloudpelican_lsd_spark.streaming.stateful import streaming_outliers
+
+    src = str(tmp_path / "out_in")
+    os.makedirs(src)
+    base = 1706745600  # 2024-02-01T00:00:00Z, multiple of 300
+    lines_a = []
+    for j in range(13):  # buckets 0..12; 11 = spike, 12 = newest (partial)
+        n = 40 if j == 11 else (3 if j < 12 else 1)
+        for i in range(n):
+            ts = base + 300 * j + i % 60
+            import datetime
+            iso = datetime.datetime.fromtimestamp(
+                ts, tz=datetime.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%S.000+00:00")
+            lines_a.append(f"{iso} app error req={j}-{i}")
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("\n".join(lines_a) + "\n")
+
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+
+    emitted = []
+
+    def run():
+        stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+            .withColumnRenamed("value", "_raw")
+        )
+        matched = match_filters_compiled(
+            sp.parse_stream(stream), cat.list(include_temp=True)
+        )
+        q = (
+            streaming_outliers(matched)
+            .writeStream.foreachBatch(
+                lambda df, _eid: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "out_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    rows = emitted
+    assert len(rows) == 1
+    assert rows[0].bucket == base + 300 * 11  # the spike bucket
+    assert rows[0].actual == 40.0
+    assert rows[0].score >= 0.5
+
+    # second batch: more lines in the newest bucket only -> target bucket
+    # unchanged -> high-water mark suppresses re-analysis
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        f.write(lines_a[-1] + "\n")
+    run()
+    assert len(emitted) == 1

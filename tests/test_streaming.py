@@ -119,3 +119,34 @@ def test_maintenance_ttl_sweeps(spark, tmp_path):
     # stats buckets older than 7d are gone, newer survive
     buckets = [r.bucket for r in eng.stats().select("bucket").collect()]
     assert buckets and all(b >= now - 7 * 86400 for b in buckets)
+
+
+def test_search_from_filter_name_partition_pruned(spark, tmp_path):
+    """P6: `search ... FROM <filtername>` resolves to the partitioned
+    results table with a filter_id partition predicate."""
+    from cloudpelican_lsd_spark.engine import CloudPelicanEngine
+    from cloudpelican_lsd_spark.sources.tables import logs_view
+
+    src = str(tmp_path / "in4")
+    base = str(tmp_path / "engine4")
+    _write_lines(
+        src,
+        [
+            "2024-02-01T10:00:00.000+00:00 h app: error one",
+            "2024-02-01T10:00:01.000+00:00 h app: all good",
+        ],
+    )
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    cat.create("allgood", "good")
+    eng = sp.StreamingEngine(spark, cat, base)
+    q = eng.start(sp.file_source(spark, src), trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    ce = CloudPelicanEngine(spark, logs_view(spark), catalog=cat)
+    df = ce.search("SELECT _raw FROM errors", results=eng.results())
+    rows = df.collect()
+    assert len(rows) == 1 and "error" in rows[0]._raw
+    # partition pruning: the physical scan carries the filter_id predicate
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and cat.get("errors").id in plan
