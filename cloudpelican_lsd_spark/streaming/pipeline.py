@@ -291,6 +291,33 @@ class StreamingEngine:
         shutil.rmtree(self.stats_path)
         os.rename(tmp, self.stats_path)
 
+    def compact_results(self) -> None:
+        """Ring-buffer truncation: keep only the newest
+        ``max_msgs_per_filter`` rows per filter (the reference's 10k
+        in-memory FIFO cap with truncate-oldest, filter_manager.go:315-356;
+        cap supervisor.go:52).  One window rank per filter partition; at
+        scale this runs per-partition with no global shuffle because the
+        table is partitioned by filter_id."""
+        import shutil
+
+        from pyspark.sql.window import Window
+
+        if not os.path.isdir(self.results_path):
+            return
+        w = Window.partitionBy("filter_id").orderBy(
+            F.col("ts_epoch").desc(), F.col("row_id").desc()
+        )
+        kept = (
+            self.spark.read.parquet(self.results_path)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= self.max_msgs_per_filter)
+            .drop("_rn")
+        )
+        tmp = self.results_path + ".compact"
+        kept.write.partitionBy("filter_id", "date").mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.results_path)
+        os.rename(tmp, self.results_path)
+
     def maintenance(self, now_unix: int) -> dict:
         """One maintenance tick = the reference's three TTL sweeps: temp
         filters >1h (Filter.java:64-75), result partitions >168h
@@ -303,8 +330,53 @@ class StreamingEngine:
         ).strftime("%Y-%m-%d")
         self.expire_results(cutoff_results)
         self.expire_stats(now_unix - 7 * 86400)
+        self.compact_results()
         return {
             "dropped_temp_filters": self.catalog.expire_temp(now_unix),
             "results_before": cutoff_results,
             "stats_before": now_unix - 7 * 86400,
         }
+
+
+def windowed_stats_stream(
+    matched: DataFrame, lateness: str = "1 hour", width: str = "1 minute"
+) -> DataFrame:
+    """A2/A3 as a *native* Structured Streaming windowed aggregation:
+    `(filter_id, metric, bucket, cnt)` maintained by Spark's streaming
+    state store instead of foreachBatch merge-on-read.
+
+    - watermark bounds state: the reference accepts arbitrarily-late
+      counts (filter_manager.go:121 adds into any bucket); Spark needs a
+      lateness horizon to ever drop window state, so `lateness` is the
+      documented divergence knob — generous by default.
+    - partial aggregation before the shuffle is automatic
+      (HashAggregateExec partial -> state store update), the same
+      reduce-before-network the 1s RollupStatsBolt implements by hand.
+    """
+    from cloudpelican_lsd_spark.functions.parse import is_likely_error
+    from cloudpelican_lsd_spark.operators.stats import METRIC_ERROR, METRIC_MATCH
+
+    fanned = matched.select(
+        "filter_id",
+        # watermarks require TIMESTAMP (tz-aware); the engine's NTZ event
+        # time is UTC by construction (session tz pinned), so the cast is a
+        # reinterpretation, not a shift
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.explode(
+            F.when(
+                is_likely_error(F.col("_raw")),
+                F.array(F.lit(METRIC_MATCH), F.lit(METRIC_ERROR)),
+            ).otherwise(F.array(F.lit(METRIC_MATCH)))
+        ).alias("metric"),
+    )
+    return (
+        fanned.withWatermark("ts", lateness)
+        .groupBy("filter_id", "metric", F.window("ts", width).alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "filter_id",
+            "metric",
+            F.unix_timestamp(F.col("win.start")).alias("bucket"),
+            "cnt",
+        )
+    )

@@ -150,3 +150,66 @@ def test_search_from_filter_name_partition_pruned(spark, tmp_path):
     # partition pruning: the physical scan carries the filter_id predicate
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and cat.get("errors").id in plan
+
+
+def test_windowed_stats_stream_native_agg(spark, tmp_path):
+    """Native watermarked window agg produces the same minutely counts as
+    the foreachBatch merge-on-read path."""
+    from cloudpelican_lsd_spark.operators.fanout import match_filters_compiled
+
+    src = str(tmp_path / "in5")
+    lines = []
+    for m in range(3):
+        for i in range(20):
+            kind = "error failed" if i % 4 == 0 else "ok served"
+            lines.append(
+                f"2024-02-01T10:0{m}:{i:02d}.000+00:00 web1 app: {kind} req={m}{i}"
+            )
+    _write_lines(src, lines)
+    cat = FilterCatalog()
+    cat.create("all_req", "req=")
+
+    matched = match_filters_compiled(
+        sp.parse_stream(sp.file_source(spark, src)),
+        cat.list(include_temp=True),
+    )
+    q = (
+        sp.windowed_stats_stream(matched)
+        .writeStream.format("memory")
+        .queryName("win_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT metric, bucket, cnt FROM win_stats ORDER BY metric, bucket"
+    ).collect()
+    match = [r.cnt for r in rows if r.metric == 1]
+    err = [r.cnt for r in rows if r.metric == 2]
+    assert match == [20, 20, 20]
+    assert err == [5, 5, 5]
+    # buckets are minute-aligned
+    assert all(r.bucket % 60 == 0 for r in rows)
+
+
+def test_compact_results_ring_buffer_cap(spark, tmp_path):
+    src = str(tmp_path / "in6")
+    base = str(tmp_path / "engine6")
+    lines = [
+        f"2024-02-01T10:00:{i:02d}.000+00:00 h app: error n={i:03d}"
+        for i in range(40)
+    ]
+    _write_lines(src, lines)
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, base, max_msgs_per_filter=10)
+    q = eng.start(sp.file_source(spark, src), trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert eng.results().count() == 40
+    eng.compact_results()
+    res = eng.results().collect()
+    assert len(res) == 10
+    # the NEWEST 10 survived (truncate-oldest semantics)
+    assert sorted(r._raw[-3:] for r in res) == [f"{i:03d}" for i in range(30, 40)]
