@@ -153,8 +153,28 @@ def _multiple_linear_regression(
 
 #: 12 analyzers — same count and roles as the reference list
 #: (OutlierDetectionBolt.java:61-74); OneClassSVM → iqr_envelope is the
-#: one documented substitution.
-ANALYZERS = (
+#: one documented substitution.  The registry is the §2.10 extension
+#: point (the reference's compiled-in ITimeserieAnalyzer list):
+#: `register_analyzer` plugs any (hist [, buckets, target]) -> (expected,
+#: tolerance) callable into the consensus.
+_SEASONAL = {"time_bucket_regression", "multiple_linear_regression"}
+
+ANALYZER_REGISTRY: dict = {}
+
+
+def register_analyzer(name: str, fn, seasonal: bool = False) -> None:
+    """Add/replace a consensus analyzer.  `seasonal` analyzers receive
+    (hist, buckets, target_bucket); plain ones receive (hist).
+
+    On a real cluster, register at import time of a module shipped to
+    executors (--py-files) so the registry exists inside applyInPandas
+    workers, not just on the driver."""
+    ANALYZER_REGISTRY[name] = fn
+    if seasonal:
+        _SEASONAL.add(name)
+
+
+for _n in (
     "noop",
     "normal_dist",
     "log_normal_dist",
@@ -167,7 +187,10 @@ ANALYZERS = (
     "time_bucket_regression",
     "multiple_linear_regression",
     "iqr_envelope",
-)
+):
+    ANALYZER_REGISTRY[_n] = globals()[f"_{_n}"]
+
+ANALYZERS = tuple(ANALYZER_REGISTRY)
 
 
 def score_last_bucket(
@@ -178,13 +201,11 @@ def score_last_bucket(
         return None
     hist, target = counts[:-1].astype(float), float(counts[-1])
     flags = {}
-    for name in ANALYZERS:
-        if name in ("time_bucket_regression", "multiple_linear_regression"):
-            expected, tol = globals()[f"_{name}"](
-                hist, buckets[:-1], int(buckets[-1])
-            )
+    for name, fn in ANALYZER_REGISTRY.items():
+        if name in _SEASONAL:
+            expected, tol = fn(hist, buckets[:-1], int(buckets[-1]))
         else:
-            expected, tol = globals()[f"_{name}"](hist)
+            expected, tol = fn(hist)
         tol = max(tol, 1e-9)
         flags[name] = bool(abs(target - expected) > tol)
     score = sum(flags.values()) / len(flags)

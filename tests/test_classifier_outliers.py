@@ -62,3 +62,22 @@ def test_detect_outliers_end_to_end(spark, sf_dir):
         details = json.loads(r.details)
         assert set(details) == set(out.ANALYZERS)
         assert 0.0 <= r.score <= 1.0
+
+
+def test_register_custom_analyzer():
+    import numpy as np
+
+    from cloudpelican_lsd_spark.operators import outliers as out
+
+    def always_flags(hist):
+        return float(hist.mean()), 1e-12  # zero tolerance -> flags anything
+
+    out.register_analyzer("always_flags", always_flags)
+    try:
+        buckets = np.arange(0, 14) * 300
+        counts = np.array([4.0, 6.0] * 6 + [5.5, 5.0])  # mild target, calm hist
+        score, flags = out.score_last_bucket(buckets, counts)
+        assert flags["always_flags"] is True  # zero tolerance fires
+        assert score > 0
+    finally:
+        del out.ANALYZER_REGISTRY["always_flags"]
