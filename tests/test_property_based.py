@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure-Python planner layers:
+the grep-pipeline grammar and the bucket/gap-fill integer math.  These are
+the components where a fuzzer finds real bugs (tokenizer edge cases,
+rounding at bucket boundaries) without needing a SparkSession.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cloudpelican_lsd_spark.catalog import compile_fast_path
+from cloudpelican_lsd_spark.functions.durations import parse_duration
+from cloudpelican_lsd_spark.operators.grep_pipeline import GrepPipeline
+
+# plain-word patterns (contains fast path) and safe regex-ish patterns
+_WORD = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-",
+    min_size=1,
+    max_size=12,
+)
+_NAME = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=10)
+
+
+@st.composite
+def pipelines(draw):
+    name = draw(_NAME)
+    stages = [f"cat {name}"]
+    for _ in range(draw(st.integers(0, 4))):
+        flags = draw(
+            st.lists(st.sampled_from(["-v", "-i", "-e"]), max_size=3, unique=True)
+        )
+        word = draw(_WORD)
+        stages.append("grep " + " ".join([*flags, word]))
+    if draw(st.booleans()):
+        stages.append("sort - r" if draw(st.booleans()) else "sort")
+    tail = draw(st.sampled_from(["", "head", "limit"]))
+    if tail == "head":
+        stages.append("head")
+    elif tail == "limit":
+        stages.append(f"limit {draw(st.integers(1, 10000))}")
+    return name, " | ".join(stages)
+
+
+@given(pipelines())
+@settings(max_examples=200, deadline=None)
+def test_grep_parse_roundtrips_to_sql(pipe):
+    """Every generated pipeline parses; its SQL mirrors the parsed shape
+    (grep count = AND count, LIMIT value, ORDER BY direction)."""
+    name, text = pipe
+    p = GrepPipeline.parse(text)
+    assert p.source == name
+    sql = p.to_duckdb_sql("t")
+    assert sql.startswith("SELECT _raw FROM t")
+    if p.greps:
+        where = sql.split(" WHERE ", 1)[1].split(" ORDER BY ")[0].split(" LIMIT ")[0]
+        assert where.count(" AND ") == len(p.greps) - 1
+    if p.limit is not None:
+        assert sql.rstrip().endswith(f"LIMIT {p.limit}")
+    if p.sort:
+        assert (" DESC" in sql) == p.sort_desc
+
+
+@given(_WORD)
+@settings(max_examples=200, deadline=None)
+def test_fast_path_plain_words(word):
+    """Plain words always compile to the contains fast path; the (?i)
+    prefix is hoisted and lowercases the needle (Filter.java:33-52)."""
+    plain, ci = compile_fast_path(word)
+    assert plain == word and ci is False
+    plain_ci, ci2 = compile_fast_path(f"(?i){word}")
+    assert plain_ci == word.lower() and ci2 is True
+
+
+@given(st.text(min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_fast_path_never_misclassifies_regex(pattern):
+    """Anything with a metacharacter must NOT take the contains path."""
+    plain, _ = compile_fast_path(pattern)
+    if plain is not None:
+        body = pattern[4:] if pattern.startswith("(?i)") else pattern
+        assert re.fullmatch(r"[A-Za-z0-9_-]+", body)
+
+
+@given(st.integers(0, 10**6), st.sampled_from(["s", "m", "h", "d", ""]))
+@settings(max_examples=200, deadline=None)
+def test_duration_literals(n, suffix):
+    """`10m/2h/1d` → seconds (cli/cloudpelican-lsd.go:723-747)."""
+    mult = {"": 1, "s": 1, "m": 60, "h": 3600, "d": 86400}[suffix]
+    assert parse_duration(f"{n}{suffix}") == n * mult
+
+
+@given(
+    st.lists(st.integers(0, 2**31), min_size=1, max_size=50),
+    st.integers(1, 86400),
+)
+@settings(max_examples=200, deadline=None)
+def test_bucket_math_invariants(epochs, rollup):
+    """`ts - ts % N` is idempotent, aligned, and never exceeds ts —
+    the exact arithmetic both engines must agree on (SURVEY §7)."""
+    for e in epochs:
+        b = e - e % rollup
+        assert b % rollup == 0
+        assert 0 <= e - b < rollup
+        assert (b - b % rollup) == b
