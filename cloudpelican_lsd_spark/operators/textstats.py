@@ -111,16 +111,29 @@ FROM documents"""
 def fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     """`(doc_id, exact_fp, min_shingle_fp)` — md5 exact fingerprint plus a
     rolling min-hash over word n-grams (content-defined fingerprint that
-    survives small edits).  Pure per-row HOF math — zero shuffle."""
-    return docs.select(
+    survives small edits).
+
+    explode + hash-aggregate rather than a per-row HOF fold: md5 inside a
+    lambda runs on the interpreted expression path, while the exploded
+    form keeps it in whole-stage codegen (~2x) — and the map-side partial
+    MIN means the shuffle still carries one row per doc.  Docs shorter
+    than n words keep a NULL min_shingle_fp (explode_outer)."""
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
+    sh = _spread(docs).select(
         "doc_id",
         F.md5(F.col("text")).alias("exact_fp"),
-        F.expr(
-            f"""array_min(transform(
-                   sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 0)),
-                   i -> md5(concat_ws(' ', slice(split(lower(text), ' '), i, {n})))
-               ))"""
-        ).alias("min_shingle_fp"),
+        F.explode_outer(
+            F.expr(
+                f"""transform(
+                       sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 0)),
+                       i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n}))
+                   )"""
+            )
+        ).alias("shingle"),
+    )
+    return sh.groupBy("doc_id", "exact_fp").agg(
+        F.min(F.md5(F.col("shingle"))).alias("min_shingle_fp")
     )
 
 
@@ -135,4 +148,4 @@ fps AS (
   FROM pos GROUP BY doc_id
 )
 SELECT d.doc_id, md5(d.text) AS exact_fp, fps.min_shingle_fp
-FROM documents d JOIN fps ON fps.doc_id = d.doc_id"""
+FROM documents d LEFT JOIN fps ON fps.doc_id = d.doc_id"""
