@@ -48,17 +48,23 @@ def kafka_source(
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 18000,
 ) -> DataFrame:
     """Production source — consume raw lines from Kafka starting at the
-    earliest offset like the reference spout (Main.java:97-103)."""
-    return (
+    earliest offset like the reference spout (Main.java:97-103).
+
+    `max_offsets_per_trigger` is the backpressure bound: the reference
+    caps in-flight tuples at maxSpoutPending = 6x1000xpartitions = 18,000
+    (Main.java:102,164); Spark's equivalent caps rows per micro-batch."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
-        .selectExpr("CAST(value AS STRING) AS _raw")
     )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load().selectExpr("CAST(value AS STRING) AS _raw")
 
 
 def file_source(spark: SparkSession, path: str) -> DataFrame:

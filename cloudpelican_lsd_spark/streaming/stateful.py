@@ -64,11 +64,29 @@ def _learn(model: dict, label: str, tokens: list[str]) -> None:
                 del fc[key]
 
 
+#: staleness eviction horizon — the reference drops per-filter state 10
+#: minutes after its last data (OutlierDetectionBolt.java:100-111)
+STATE_TTL_MS = 600_000
+
+
+def _arm_ttl(state: GroupState) -> None:
+    """Arm the idle-eviction timer iff the query runs with a
+    processing-time timeout (no-op under NoTimeout)."""
+    try:
+        state.setTimeoutDuration(STATE_TTL_MS)
+    except Exception:
+        pass
+
+
 def classifier_state_fn(
     key: tuple,
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA])
+        return
     if state.exists:
         model = json.loads(state.get[0])
     else:
@@ -77,6 +95,7 @@ def classifier_state_fn(
         for _raw, label in zip(pdf["_raw"], pdf["label"]):
             _learn(model, str(label), str(_raw).split())
     state.update((json.dumps(model),))
+    _arm_ttl(state)
     vocab = {k.split("\x00", 1)[1] for k in model["feat"]}
     yield pd.DataFrame(
         [
@@ -91,19 +110,27 @@ def classifier_state_fn(
     )
 
 
-def streaming_classifier(labeled_matched: DataFrame) -> DataFrame:
+def streaming_classifier(
+    labeled_matched: DataFrame, evict_stale: bool = False
+) -> DataFrame:
     """`(filter_id, samples_in_memory, err_samples, reg_samples,
     vocab_size)` updated per micro-batch.
 
     Input: a *streaming* DataFrame with `filter_id`, `_raw`, `label`
     columns (fan-out output + heuristic label).
-    """
+
+    `evict_stale=True` enables the reference's 10-min idle-state eviction
+    (OutlierDetectionBolt.java:100-111) via a processing-time timeout —
+    for continuously-running queries; availableNow/batch-drain runs stay
+    alive until pending timeouts fire, so it defaults off."""
     return labeled_matched.groupBy("filter_id").applyInPandasWithState(
         classifier_state_fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if evict_stale
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -139,6 +166,10 @@ def outlier_state_fn(
     exactly as OutlierDetectionBolt.java:164-170 does."""
     import numpy as np
 
+    if state.hasTimedOut:
+        state.remove()
+        yield pd.DataFrame(columns=[f.name for f in OUTLIER_OUTPUT_SCHEMA])
+        return
     st = json.loads(state.get[0]) if state.exists else {"counts": {}, "last": 0}
     for pdf in pdf_iter:
         for e in pdf["ts_epoch"]:
@@ -170,20 +201,25 @@ def outlier_state_fn(
                     }
                 )
     state.update((json.dumps(st),))
+    _arm_ttl(state)
     yield pd.DataFrame(
         rows, columns=[f.name for f in OUTLIER_OUTPUT_SCHEMA]
     )
 
 
-def streaming_outliers(matched: DataFrame) -> DataFrame:
+def streaming_outliers(
+    matched: DataFrame, evict_stale: bool = False
+) -> DataFrame:
     """`(filter_id, bucket, actual, score, details)` — one row per newly
     completed 5-min bucket per filter, consensus-scored against the 24h
     in-state history.  Input: streaming matched stream with `filter_id`
-    and `ts_epoch`."""
+    and `ts_epoch`.  `evict_stale` as in `streaming_classifier`."""
     return matched.select("filter_id", "ts_epoch").groupBy("filter_id").applyInPandasWithState(
         outlier_state_fn,
         outputStructType=OUTLIER_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if evict_stale
+        else GroupStateTimeout.NoTimeout,
     )

@@ -128,3 +128,28 @@ def test_streaming_outliers_high_water_mark(spark, tmp_path):
         f.write(lines_a[-1] + "\n")
     run()
     assert len(emitted) == 1
+
+
+def test_timed_out_state_is_evicted():
+    """The hasTimedOut branch removes state and emits nothing (the
+    reference's 10-min idle eviction)."""
+    import pandas as pd
+
+    from cloudpelican_lsd_spark.streaming.stateful import (
+        classifier_state_fn,
+        outlier_state_fn,
+    )
+
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    for fn in (classifier_state_fn, outlier_state_fn):
+        st = FakeState()
+        out = list(fn(("f-1",), iter([pd.DataFrame()]), st))
+        assert st.removed
+        assert len(out) == 1 and out[0].empty
