@@ -45,6 +45,7 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "multimodal_features",
+    "corpus_clean_pipeline",
 ]
 
 

@@ -1,0 +1,127 @@
+"""End-to-end corpus-cleaning pipeline: the capstone training-data operator.
+
+Composes the north-star extensions (quality gate → language gate → exact
+dedup → near-dup removal → token accounting) into ONE declarative Catalyst
+plan — the shape a 100 TB pre-training data cleanup actually runs.  Not in
+the reference (its closest construct is the standing-filter match path,
+MatchBolt.java:189-202); this is the BASELINE.json north-star surface.
+
+Physical shape at scale (4 shuffles total, each on a compact key):
+  1. quality+language gate — pure per-row column math, fused into the scan
+     (no shuffle, predicate evaluated inside whole-stage codegen);
+  2. exact dedup — ONE hash aggregate keyed by md5(text) (fixed 32-byte
+     key); the keeper row rides along as ``min(struct(doc_id, text))`` so
+     no second join is needed;
+  3. near-dup candidate generation — shingle inverted-index equi-join on
+     xxhash64(shingle) (8-byte shuffle keys), Jaccard threshold in exact
+     integer cross-multiplied arithmetic;
+  4. survivor anti-join on doc_id — broadcast-able: the drop list is
+     pairs-that-crossed-threshold, orders of magnitude smaller than the
+     corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    shingles_oracle_cte,
+)
+from cloudpelican_lsd_spark.operators.textstats import EN_STOPWORDS
+
+
+def corpus_clean(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+) -> DataFrame:
+    """`(doc_id, n_tokens)` — documents surviving the full cleanup.
+
+    Stages: (1) keep docs with >= min_tokens whitespace tokens AND English
+    stopword density >= lang_num/lang_den (integer-exact, same heuristic as
+    textstats.lang_id); (2) exact dedup keeping the lowest doc_id per
+    byte-identical text; (3) drop every doc that is the higher-id member of
+    an n-gram Jaccard pair >= jac_num/jac_den among survivors.
+    """
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    stop_cnt = F.expr(
+        f"size(filter(split(lower(text), ' '), t -> array_contains({stop_arr}, t)))"
+    )
+    n_tok = F.size(F.split(F.col("text"), " "))
+    gated = docs.where(
+        (n_tok >= min_tokens) & (stop_cnt * lang_den >= n_tok * lang_num)
+    ).select("doc_id", "text")
+
+    # exact dedup in ONE hash aggregate: min(struct) carries the keeper's
+    # text through the shuffle, so no keeper-id semi-join is needed
+    deduped = (
+        gated.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("keeper"))
+        .select(F.col("keeper.doc_id").alias("doc_id"), F.col("keeper.text").alias("text"))
+    )
+
+    drops = (
+        ngram_jaccard_pairs(
+            deduped, n=n, threshold_num=jac_num, threshold_den=jac_den
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        deduped.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def corpus_clean_oracle(
+    base_cte: str,
+    base_table: str,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+) -> str:
+    """DuckDB twin of :func:`corpus_clean` over ``base_table`` (provided by
+    ``base_cte``, which must yield columns ``doc_id, text``)."""
+    stop_list = "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    sh_cte = shingles_oracle_cte(n).replace("FROM documents", "FROM ded")
+    return f"""WITH {base_cte},
+gated AS (
+  SELECT doc_id, text FROM {base_table}
+  WHERE len(string_split(text, ' ')) >= {min_tokens}
+    AND len(list_filter(string_split(lower(text), ' '),
+            t -> list_contains({stop_list}, t))) * {lang_den}
+        >= len(string_split(text, ' ')) * {lang_num}
+),
+ded AS (
+  SELECT min(doc_id)::BIGINT AS doc_id, arg_min(text, doc_id) AS text
+  FROM gated GROUP BY md5(text)
+),
+{sh_cte},
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter_cnt * {jac_den} >= (sa.sz + sb.sz - inter_cnt) * {jac_num}
+)
+SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens
+FROM ded d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)"""

@@ -494,6 +494,47 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# capstone: the full corpus-cleaning pipeline as ONE plan
+# ---------------------------------------------------------------------------
+
+from cloudpelican_lsd_spark.operators import corpus as corpus_ops  # noqa: E402
+
+#: documents ∪ exact copies (dedup stage fodder) ∪ near copies with a
+#: 2-token suffix (near-dup stage fodder)
+_CORPUS_CTE = """\
+documents0 AS (SELECT * FROM documents),
+docs_corpus AS (
+  SELECT doc_id, text FROM documents0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents0 WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + 200000, text || ' trailing marker' FROM documents0 WHERE doc_id < 30
+)"""
+
+
+def _corpus_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    exact = d.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    near = d.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing marker")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@register(
+    "corpus_clean_pipeline",
+    corpus_ops.corpus_clean_oracle(_CORPUS_CTE, "docs_corpus"),
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: quality gate → lang-ID gate → exact dedup → near-dup
+    removal → token accounting, one Catalyst plan (corpus.py)."""
+    return corpus_ops.corpus_clean(_corpus_base(spark, sf_dir))
+
+
 # ===========================================================================
 # north-star: similarity search over embeddings
 # ===========================================================================

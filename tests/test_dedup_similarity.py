@@ -96,3 +96,47 @@ def test_ivf_candidates_subset_and_ranked(spark, sf_dir):
         by_q.setdefault(r.qid, []).append(r.cos)
     for q, cs in by_q.items():
         assert len(cs) <= 5
+
+
+def test_corpus_clean_pipeline(spark, sf_dir):
+    """Capstone: exact copies and near copies are both removed, keepers
+    survive, and n_tokens matches a direct count."""
+    from cloudpelican_lsd_spark.operators import corpus as corpus_ops
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = (
+        d.unionByName(
+            d.where(F.col("doc_id") < 5).withColumn(
+                "doc_id", F.col("doc_id") + 1000
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+            )
+        )
+    )
+    out = corpus_ops.corpus_clean(base)
+    rows = {r.doc_id: r.n_tokens for r in out.collect()}
+    # no planted copy survives: exact dupes die in stage 2, near copies in 3
+    # (their original must have passed the gate for the pair to exist)
+    gate_pass = {
+        r.doc_id
+        for r in corpus_ops.corpus_clean(d).select("doc_id").collect()
+    }
+    for i in range(5):
+        assert (i + 1000) not in rows
+        if i in gate_pass:
+            assert (i + 2000) not in rows, f"near copy of {i} survived"
+            assert i in rows, f"keeper {i} missing"
+    # token accounting matches a direct computation
+    direct = {
+        r.doc_id: r.cnt
+        for r in d.select(
+            "doc_id", F.size(F.split("text", " ")).alias("cnt")
+        ).collect()
+    }
+    for doc_id, n_tok in rows.items():
+        if doc_id in direct:
+            assert n_tok == direct[doc_id]
