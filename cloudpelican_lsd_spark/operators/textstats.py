@@ -38,6 +38,34 @@ SELECT doc_id,
 FROM documents"""
 
 
+#: BPE-ish pre-tokenizer regex: letter runs, digit runs, single punctuation
+#: marks — the GPT-2-style pre-split shape, restricted to constructs whose
+#: semantics are identical in Java regex (Spark) and RE2 (DuckDB)
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_ws_tokens, n_bpe_tokens)` — whitespace count next to a
+    BPE-ish regex pre-tokenizer count (letter runs / digit runs / single
+    punctuation), the token-budget estimate a training pipeline reports."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        # lit() pattern, not an F.expr SQL literal: the SQL parser would
+        # process the \s escape and silently change the character class
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+BPE_TOKEN_COUNT_ORACLE = f"""\
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}'))::BIGINT AS n_bpe_tokens
+FROM documents"""
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """`(doc_id, n_tokens, stop_cnt, punct_cnt, avg_token_len, stop_ratio)`
     — length/punctuation/stopword quality signals."""

@@ -293,6 +293,42 @@ def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parse_normalize",
+    f"""WITH {LOGS_ORACLE_CTE},
+planted AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN '  ' || _raw || repeat('x', 5000)
+              WHEN event_id % 89 = 0 THEN '   '
+              ELSE _raw END AS _raw
+  FROM logs
+),
+trimmed AS (SELECT event_id, trim(_raw) AS t FROM planted)
+SELECT event_id,
+       CASE WHEN length(t) > 4096 THEN substr(t, 1, 4096) || '..'
+            ELSE t END AS _raw
+FROM trimmed
+WHERE t IS NOT NULL AND length(t) > 0""",
+)
+def q_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 ParseBolt normalize semantics (trim / drop-empty / 4096-truncate
+    with `..`), exercised on planted oversized and whitespace-only lines so
+    every branch shows up in the hash (testdata lines are all short)."""
+    logs = logs_view(spark, sf_dir).select("event_id", "_raw")
+    planted = logs.withColumn(
+        "_raw",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit("  "), F.col("_raw"), F.expr("repeat('x', 5000)")),
+        )
+        .when(F.col("event_id") % 89 == 0, F.lit("   "))
+        .otherwise(F.col("_raw")),
+    )
+    from cloudpelican_lsd_spark.functions.parse import normalize_lines
+
+    return normalize_lines(planted)
+
+
+@register(
     "classifier_heuristic",
     f"""WITH {LOGS_ORACLE_CTE}
 SELECT event_type, {is_likely_error_sql('_raw')} AS is_err,
@@ -576,6 +612,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_token_count", text_ops.TOKEN_COUNT_ORACLE)
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.token_count(load_table(spark, "documents", sf_dir))
+
+
+@register("text_bpe_token_count", text_ops.BPE_TOKEN_COUNT_ORACLE)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.bpe_token_count(load_table(spark, "documents", sf_dir))
 
 
 @register("text_quality_score", text_ops.quality_score_oracle())

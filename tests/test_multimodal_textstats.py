@@ -76,3 +76,33 @@ def test_fingerprint_exact_is_md5(spark, sf_dir):
     for r in rows:
         assert r.exact_fp == hashlib.md5(texts[r.doc_id].encode()).hexdigest()
         assert len(r.min_shingle_fp) == 32
+
+
+def test_bpe_token_count_shapes(spark, sf_dir):
+    from cloudpelican_lsd_spark.operators import textstats as text_ops
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = text_ops.bpe_token_count(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:50]:
+        # BPE pre-split can only refine whitespace tokens, never merge them
+        assert r.n_bpe_tokens >= r.n_ws_tokens
+
+
+def test_normalize_lines_branches(spark):
+    from pyspark.sql import functions as F
+    from cloudpelican_lsd_spark.functions.parse import (
+        MAX_MSG_LENGTH,
+        normalize_lines,
+    )
+
+    df = spark.createDataFrame(
+        [("  hi  ",), ("   ",), (None,), ("y" * 5000,)], ["_raw"]
+    )
+    got = {r._raw for r in normalize_lines(df).collect()}
+    assert "hi" in got                       # trimmed
+    assert len(got) == 2                     # empty + null dropped
+    long = next(x for x in got if x != "hi")
+    assert len(long) == MAX_MSG_LENGTH + 2 and long.endswith("..")
