@@ -157,13 +157,75 @@ def train_and_classify(
     logs: DataFrame, id_col: str = "event_id", raw_col: str = "_raw"
 ) -> DataFrame:
     """Self-train on heuristic labels, classify the same stream, and report
-    the confusion summary `(pred_label, heur_label, cnt)`."""
-    labeled = logs.withColumn("label", heuristic_label(F.col(raw_col)))
-    model = train(labeled, id_col, raw_col)
-    pred = classify(labeled, model, id_col, raw_col)
+    the confusion summary `(pred_label, heur_label, cnt)`.
+
+    Fully fused: ONE lazy plan, no driver-side collect.  The category
+    counts are a broadcast 1-row DataFrame folded into the probability and
+    prior arithmetic, and the heuristic label rides through the per-message
+    score aggregation — so the predicted-vs-heuristic confusion needs no
+    re-join on message id (at 100 TB that join is a full-stream shuffle;
+    carrying the 1-byte label is free)."""
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
+    # _spread: a single-file scan gives one input partition, serializing
+    # the tokenize/score work onto one core; at 100 TB the scan has
+    # thousands of splits and this repartition is dwarfed by the explode
+    labeled = _spread(logs).select(
+        id_col,
+        F.col(raw_col).alias("_nb_raw"),
+        heuristic_label(F.col(raw_col)).alias("label"),
+    )
+    cat = labeled.agg(
+        F.sum((F.col("label") == CAT_ERROR).cast("long")).alias("n_err"),
+        F.sum((F.col("label") == CAT_REGULAR).cast("long")).alias("n_reg"),
+    )
+    toks = labeled.select(
+        id_col, "label", F.explode(F.split(F.col("_nb_raw"), r"\s+")).alias("tok")
+    )
+    fcnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("label") == CAT_ERROR, 1).otherwise(0)).alias("fc_err"),
+        F.sum(F.when(F.col("label") == CAT_REGULAR, 1).otherwise(0)).alias("fc_reg"),
+        F.count(F.lit(1)).alias("ftot"),
+    )
+    probs = fcnt.crossJoin(F.broadcast(cat)).select(
+        "tok",
+        (
+            (F.lit(0.5) + F.col("ftot") * (F.col("fc_err") / F.col("n_err")))
+            / (1 + F.col("ftot"))
+        ).alias("wavg_error"),
+        (
+            (F.lit(0.5) + F.col("ftot") * (F.col("fc_reg") / F.col("n_reg")))
+            / (1 + F.col("ftot"))
+        ).alias("wavg_regular"),
+    )
+    sums = (
+        toks.join(F.broadcast(probs), "tok", "left")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(F.log(F.coalesce(F.col("wavg_error"), F.lit(0.5)))).alias("s_err"),
+            F.sum(F.log(F.coalesce(F.col("wavg_regular"), F.lit(0.5)))).alias("s_reg"),
+        )
+    )
+    pred = sums.crossJoin(F.broadcast(cat)).select(
+        F.col("label").alias("heur_label"),
+        F.when(
+            F.round(
+                F.log(F.col("n_err") / (F.col("n_err") + F.col("n_reg")))
+                + F.col("s_err"),
+                6,
+            )
+            >= F.round(
+                F.log(F.col("n_reg") / (F.col("n_err") + F.col("n_reg")))
+                + F.col("s_reg"),
+                6,
+            ),
+            F.lit(CAT_ERROR),
+        )
+        .otherwise(F.lit(CAT_REGULAR))
+        .alias("pred_label"),
+    )
     return (
-        pred.join(labeled.select(id_col, F.col("label").alias("heur_label")), id_col)
-        .groupBy("pred_label", "heur_label")
+        pred.groupBy("pred_label", "heur_label")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
