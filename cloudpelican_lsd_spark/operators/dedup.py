@@ -162,28 +162,32 @@ def minhash_band_signatures(
     )
 
 
+def _pairs_within_groups(rows: DataFrame, *keys: str) -> DataFrame:
+    """`(doc_a, doc_b)` for every ordered pair of `doc_id`s sharing the key
+    columns — groupBy + chained codegen Generates.  One shuffle, input
+    computed once (a self-join would recompute and shuffle it twice; Spark
+    does not reuse the exchange across the two aliases)."""
+    return (
+        rows.groupBy(*keys)
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("mem"))
+        .where(F.size("mem") >= 2)
+        .select("mem", F.posexplode("mem").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(mem, i + 2, size(mem) - i - 1)")).alias(
+                "doc_b"
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame, num_hashes: int = 12, rows_per_band: int = 3, n: int = 3
 ) -> DataFrame:
     """Distinct `(doc_a, doc_b)` sharing at least one LSH band — the
-    near-dup candidate set, via equi-join on (band, sig)."""
+    near-dup candidate set, via per-bucket pair generation."""
     bands = minhash_band_signatures(docs, num_hashes, rows_per_band, n)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.sig") == F.col("b.sig"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return _pairs_within_groups(bands, "band", "sig").distinct()
 
 
 def minhash_oracle_cte(num_hashes: int = 12, rows_per_band: int = 3, n: int = 3) -> str:
@@ -354,21 +358,23 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     hamming(simhash) <= max_hamming.  Prefix bucketing keeps the join an
     equi-join (no cross product); at scale use 4 rotated prefix blocks to
     guarantee recall for hamming <= 3 per the pigeonhole principle."""
+    # per-bucket pair generation (see _pairs_within_groups): the simhash
+    # pipeline is computed once and shuffled once; the struct carries the
+    # fingerprint so hamming needs no lookup join
     sh = simhash(docs).withColumn("prefix", F.expr("simhash >> 16"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.prefix") == F.col("b.prefix"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
+        sh.groupBy("prefix")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("mem"))
+        .where(F.size("mem") >= 2)
+        .select("mem", F.posexplode("mem").alias("i", "x"))
+        .select(
+            F.col("x"),
+            F.explode(F.expr("slice(mem, i + 2, size(mem) - i - 1)")).alias("y"),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )
