@@ -213,7 +213,11 @@ bands AS (
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold_num: int = 1, threshold_den: int = 5
+    docs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairs with Jaccard(shingles_a, shingles_b) >= num/den.
 
@@ -221,6 +225,16 @@ def ngram_jaccard_pairs(
     arithmetic — no float rounding, hash-stable across engines.  The
     shingle self-join only touches docs sharing a shingle (inverted-index
     join), not the full cross product.
+
+    ``max_df`` is the skew guard for 100 TB corpora: shingles appearing in
+    more than max_df documents are excluded from intersection counting
+    (the union denominator keeps the full set sizes).  A shingle shared by
+    k docs emits k·(k-1)/2 pairs, so one stop-phrase shingle with k=10⁶
+    would emit 5·10¹¹ pairs and stall its reducer; document-frequency
+    pruning bounds every group at max_df·(max_df-1)/2.  The bias is
+    one-sided (estimated Jaccard ≤ true Jaccard, only for pairs sharing
+    hot shingles — which carry the least signal).  Deterministic: the df
+    cut is an exact integer predicate, reproduced verbatim in the oracle.
     """
     # shingle set per row (no shuffle), set size carried through the
     # explode so no separate sizes join; inverted-index keys are xxhash64
@@ -253,10 +267,13 @@ def ngram_jaccard_pairs(
     # two chained Generates (posexplode + explode-of-slice) stay on the
     # codegen path — a nested transform() lambda formulation was measured
     # ~45% slower on the interpreted expression evaluator
+    grouped = sh.groupBy("sh_h").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("mem")
+    )
+    if max_df is not None:
+        grouped = grouped.where(F.size("mem") <= max_df)
     pairs = (
-        sh.groupBy("sh_h")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("mem"))
-        .where(F.size("mem") >= 2)
+        grouped.where(F.size("mem") >= 2)
         .select("mem", F.posexplode("mem").alias("i", "x"))
         .select(
             F.col("x"),
@@ -293,12 +310,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_oracle(n: int = 3, threshold_num: int = 1, threshold_den: int = 5) -> str:
+def ngram_jaccard_oracle(
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    max_df: int | None = None,
+) -> str:
+    df_filter = (
+        f"""
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {max_df}) ok ON ok.shingle = a.shingle"""
+        if max_df is not None
+        else ""
+    )
     return f"""WITH {shingles_oracle_cte(n)},
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter_cnt
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id{df_filter}
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, inter_cnt,

@@ -508,6 +508,23 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_jaccard_df_pruned",
+    f"""WITH {_PLANTED_CTE},
+{dedup_ops.ngram_jaccard_oracle(3, 1, 5, max_df=20).replace('FROM documents', 'FROM docs_planted').replace('WITH ', '', 1)}""",
+)
+def q_dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB skew-guarded Jaccard: shingles in >20 docs excluded from
+    intersection counting (document-frequency pruning, dedup.py)."""
+    return dedup_ops.ngram_jaccard_pairs(
+        _docs_with_dupes(spark, sf_dir),
+        n=3,
+        threshold_num=1,
+        threshold_den=5,
+        max_df=20,
+    )
+
+
 @register("simhash_fingerprints", dedup_ops.SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash(load_table(spark, "documents", sf_dir))

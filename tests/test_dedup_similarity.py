@@ -140,3 +140,26 @@ def test_corpus_clean_pipeline(spark, sf_dir):
     for doc_id, n_tok in rows.items():
         if doc_id in direct:
             assert n_tok == direct[doc_id]
+
+
+def test_jaccard_df_pruning_is_one_sided(spark, sf_dir):
+    """Pruned inter counts can only shrink: pruned pairs ⊆ unpruned pairs,
+    and a planted stop-shingle present in every doc is excluded."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # plant a hot trigram shared by ALL docs
+    hot = d.select(
+        "doc_id", F.concat(F.lit("aa bb cc "), F.col("text")).alias("text")
+    )
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ops.ngram_jaccard_pairs(hot, threshold_num=0).collect()
+    }
+    pruned = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ops.ngram_jaccard_pairs(
+            hot, threshold_num=0, max_df=10
+        ).collect()
+    }
+    assert pruned <= full
+    # the hot shingle alone connected every doc pair; pruning removes it
+    assert len(pruned) < len(full)
