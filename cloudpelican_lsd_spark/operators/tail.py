@@ -30,6 +30,48 @@ def tail_last_n(
     return last.orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
 
 
+def topk_per_group_salted(
+    df: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    id_col: str = "event_id",
+    k: int = 3,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exact top-k rows per group, skew-proof.
+
+    A ``row_number() OVER (PARTITION BY key)`` window shuffles every row
+    of a group into ONE reducer — with few distinct keys (here: a handful
+    of event types over 100 TB) that is a straggler by construction.  This
+    plan salts the key into `salt_buckets` sub-groups, takes a per-salt
+    top-k (hash aggregate, map-side partial), then reduces the ≤
+    salt_buckets·k survivors per key to the final top-k — the global top-k
+    is necessarily a subset of the per-salt top-ks.
+
+    Ordering: value DESC, id ASC (ties) — encoded as an ascending struct
+    sort on (-value, id); double negation is sign-exact in IEEE 754.
+    """
+    neg = F.struct((-F.col(value)).alias("nv"), F.col(id_col).alias("eid"))
+    partial = (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+        )
+        .groupBy(key, "_salt")
+        .agg(F.slice(F.sort_array(F.collect_list(neg)), 1, k).alias("top"))
+    )
+    return (
+        partial.select(key, F.explode("top").alias("t"))
+        .groupBy(key)
+        .agg(F.slice(F.sort_array(F.collect_list("t")), 1, k).alias("top"))
+        .select(key, F.explode("top").alias("t"))
+        .select(
+            key,
+            F.col("t.eid").alias(id_col),
+            (-F.col("t.nv")).alias(value),
+        )
+    )
+
+
 def cursor_read(
     df: DataFrame,
     offset: int,

@@ -745,3 +745,21 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("event_type", "event_id", "value")
     )
+
+
+@register(
+    "topk_per_group_salted",
+    """SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3""",
+)
+def q_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as topk_per_group via the skew-proof salted two-phase
+    plan (tail.topk_per_group_salted) — the shape that survives few-key
+    windows at 100 TB."""
+    from cloudpelican_lsd_spark.operators.tail import topk_per_group_salted
+
+    return topk_per_group_salted(load_table(spark, "events", sf_dir))

@@ -124,3 +124,26 @@ def test_session_commands(engine, tmp_path):
     assert engine.execute("history") == []
     engine.execute("clearsession")
     assert engine.session["config"] == {}
+
+
+def test_topk_salted_matches_window(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from cloudpelican_lsd_spark.operators.tail import topk_per_group_salted
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    expected = {
+        (r.event_type, r.event_id)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .collect()
+    }
+    got = {
+        (r.event_type, r.event_id)
+        for r in topk_per_group_salted(ev, k=3).collect()
+    }
+    assert got == expected
