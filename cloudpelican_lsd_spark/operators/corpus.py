@@ -40,8 +40,12 @@ def corpus_clean(
     n: int = 3,
     jac_num: int = 4,
     jac_den: int = 5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """`(doc_id, n_tokens)` — documents surviving the full cleanup.
+
+    ``max_df`` passes through to the Jaccard stage's document-frequency
+    pruning (the 100 TB skew guard; see dedup.ngram_jaccard_pairs).
 
     Stages: (1) keep docs with >= min_tokens whitespace tokens AND English
     stopword density >= lang_num/lang_den (integer-exact, same heuristic as
@@ -68,7 +72,11 @@ def corpus_clean(
 
     drops = (
         ngram_jaccard_pairs(
-            deduped, n=n, threshold_num=jac_num, threshold_den=jac_den
+            deduped,
+            n=n,
+            threshold_num=jac_num,
+            threshold_den=jac_den,
+            max_df=max_df,
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
