@@ -187,14 +187,19 @@ def train_and_classify(
         F.sum(F.when(F.col("label") == CAT_REGULAR, 1).otherwise(0)).alias("fc_reg"),
         F.count(F.lit(1)).alias("ftot"),
     )
+    # ANSI mode (Spark 4 default) errors on x/0 — an absent category gets
+    # P(f|cat)=0, the old train() guard's behavior
+    def _basic(fc: str, n: str) -> F.Column:
+        return F.when(F.col(n) > 0, F.col(fc) / F.col(n)).otherwise(F.lit(0.0))
+
     probs = fcnt.crossJoin(F.broadcast(cat)).select(
         "tok",
         (
-            (F.lit(0.5) + F.col("ftot") * (F.col("fc_err") / F.col("n_err")))
+            (F.lit(0.5) + F.col("ftot") * _basic("fc_err", "n_err"))
             / (1 + F.col("ftot"))
         ).alias("wavg_error"),
         (
-            (F.lit(0.5) + F.col("ftot") * (F.col("fc_reg") / F.col("n_reg")))
+            (F.lit(0.5) + F.col("ftot") * _basic("fc_reg", "n_reg"))
             / (1 + F.col("ftot"))
         ).alias("wavg_regular"),
     )
@@ -206,19 +211,23 @@ def train_and_classify(
             F.sum(F.log(F.coalesce(F.col("wavg_regular"), F.lit(0.5)))).alias("s_reg"),
         )
     )
+    # a zero-count category must never win: its prior is an explicit -inf
+    # (log(0) in Spark is NULL, and a NULL comparison would silently flip
+    # every prediction to the otherwise() branch)
+    neg_inf = F.lit(float("-inf"))
+    prior_err = F.when(
+        F.col("n_err") > 0,
+        F.log(F.col("n_err") / (F.col("n_err") + F.col("n_reg"))),
+    ).otherwise(neg_inf)
+    prior_reg = F.when(
+        F.col("n_reg") > 0,
+        F.log(F.col("n_reg") / (F.col("n_err") + F.col("n_reg"))),
+    ).otherwise(neg_inf)
     pred = sums.crossJoin(F.broadcast(cat)).select(
         F.col("label").alias("heur_label"),
         F.when(
-            F.round(
-                F.log(F.col("n_err") / (F.col("n_err") + F.col("n_reg")))
-                + F.col("s_err"),
-                6,
-            )
-            >= F.round(
-                F.log(F.col("n_reg") / (F.col("n_err") + F.col("n_reg")))
-                + F.col("s_reg"),
-                6,
-            ),
+            F.round(prior_err + F.col("s_err"), 6)
+            >= F.round(prior_reg + F.col("s_reg"), 6),
             F.lit(CAT_ERROR),
         )
         .otherwise(F.lit(CAT_REGULAR))

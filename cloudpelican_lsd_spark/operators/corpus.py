@@ -29,7 +29,10 @@ from cloudpelican_lsd_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingles_oracle_cte,
 )
-from cloudpelican_lsd_spark.operators.textstats import EN_STOPWORDS
+from cloudpelican_lsd_spark.operators.textstats import (
+    stop_count_expr,
+    stop_count_sql,
+)
 
 
 def corpus_clean(
@@ -53,10 +56,7 @@ def corpus_clean(
     byte-identical text; (3) drop every doc that is the higher-id member of
     an n-gram Jaccard pair >= jac_num/jac_den among survivors.
     """
-    stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
-    stop_cnt = F.expr(
-        f"size(filter(split(lower(text), ' '), t -> array_contains({stop_arr}, t)))"
-    )
+    stop_cnt = stop_count_expr()
     n_tok = F.size(F.split(F.col("text"), " "))
     gated = docs.where(
         (n_tok >= min_tokens) & (stop_cnt * lang_den >= n_tok * lang_num)
@@ -99,17 +99,23 @@ def corpus_clean_oracle(
     n: int = 3,
     jac_num: int = 4,
     jac_den: int = 5,
+    max_df: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`corpus_clean` over ``base_table`` (provided by
     ``base_cte``, which must yield columns ``doc_id, text``)."""
-    stop_list = "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
     sh_cte = shingles_oracle_cte(n).replace("FROM documents", "FROM ded")
+    df_filter = (
+        f"""
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {max_df}) ok ON ok.shingle = a.shingle"""
+        if max_df is not None
+        else ""
+    )
     return f"""WITH {base_cte},
 gated AS (
   SELECT doc_id, text FROM {base_table}
   WHERE len(string_split(text, ' ')) >= {min_tokens}
-    AND len(list_filter(string_split(lower(text), ' '),
-            t -> list_contains({stop_list}, t))) * {lang_den}
+    AND {stop_count_sql()} * {lang_den}
         >= len(string_split(text, ' ')) * {lang_num}
 ),
 ded AS (
@@ -120,7 +126,7 @@ ded AS (
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter_cnt
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id{df_filter}
   GROUP BY 1, 2
 ),
 drops AS (

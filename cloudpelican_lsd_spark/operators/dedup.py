@@ -162,32 +162,63 @@ def minhash_band_signatures(
     )
 
 
-def _pairs_within_groups(rows: DataFrame, *keys: str) -> DataFrame:
-    """`(doc_a, doc_b)` for every ordered pair of `doc_id`s sharing the key
-    columns — groupBy + chained codegen Generates.  One shuffle, input
-    computed once (a self-join would recompute and shuffle it twice; Spark
-    does not reuse the exchange across the two aliases)."""
+def _group_pairs(
+    rows: DataFrame,
+    group_keys: list[str],
+    member_cols: list[str],
+    max_group: int | None = None,
+) -> DataFrame:
+    """Columns `(x, y)` — structs of `member_cols` for every ordered pair
+    of distinct members sharing `group_keys`, with ``x.<first col> <
+    y.<first col>`` (members are sorted on the struct, whose first field
+    must be the unique id).
+
+    groupBy + chained codegen Generates (posexplode + explode-of-slice):
+    one shuffle, input computed once — a self-join would recompute the
+    whole upstream pipeline on both sides (Spark does not reuse the
+    exchange across the two aliases) and shuffle it twice.  A nested
+    transform() lambda formulation was measured ~45% slower on the
+    interpreted expression evaluator.
+
+    ``collect_set`` (not list) makes duplicate member structs impossible —
+    e.g. two shingles of one document colliding to the same xxhash64 group
+    key would otherwise emit a spurious self-pair.  ``max_group`` caps the
+    group size (skew guard; see ngram_jaccard_pairs' max_df).
+    """
+    grouped = rows.groupBy(*group_keys).agg(
+        F.sort_array(F.collect_set(F.struct(*member_cols))).alias("mem")
+    )
+    if max_group is not None:
+        grouped = grouped.where(F.size("mem") <= max_group)
     return (
-        rows.groupBy(*keys)
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("mem"))
-        .where(F.size("mem") >= 2)
-        .select("mem", F.posexplode("mem").alias("i", "doc_a"))
+        grouped.where(F.size("mem") >= 2)
+        .select("mem", F.posexplode("mem").alias("i", "x"))
         .select(
-            "doc_a",
-            F.explode(F.expr("slice(mem, i + 2, size(mem) - i - 1)")).alias(
-                "doc_b"
-            ),
+            "x",
+            F.explode(F.expr("slice(mem, i + 2, size(mem) - i - 1)")).alias("y"),
         )
     )
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, num_hashes: int = 12, rows_per_band: int = 3, n: int = 3
+    docs: DataFrame,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    max_group: int | None = None,
 ) -> DataFrame:
     """Distinct `(doc_a, doc_b)` sharing at least one LSH band — the
-    near-dup candidate set, via per-bucket pair generation."""
+    near-dup candidate set, via per-bucket pair generation.  ``max_group``
+    skips buckets with more members (skew guard: a degenerate signature —
+    e.g. boilerplate-dominated corpora — would emit quadratic pairs)."""
     bands = minhash_band_signatures(docs, num_hashes, rows_per_band, n)
-    return _pairs_within_groups(bands, "band", "sig").distinct()
+    return (
+        _group_pairs(bands, ["band", "sig"], ["doc_id"], max_group=max_group)
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
 
 
 def minhash_oracle_cte(num_hashes: int = 12, rows_per_band: int = 3, n: int = 3) -> str:
@@ -261,32 +292,13 @@ def ngram_jaccard_pairs(
         )
         .select("doc_id", "sz", F.xxhash64("shingle").alias("sh_h"))
     )
-    # sort_array orders members by doc_id, so (i < j) pairs satisfy
-    # doc_a < doc_b by construction (doc_ids are distinct within a group:
-    # the per-doc shingle set is array_distinct)
-    # two chained Generates (posexplode + explode-of-slice) stay on the
-    # codegen path — a nested transform() lambda formulation was measured
-    # ~45% slower on the interpreted expression evaluator
-    grouped = sh.groupBy("sh_h").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "sz"))).alias("mem")
-    )
-    if max_df is not None:
-        grouped = grouped.where(F.size("mem") <= max_df)
-    pairs = (
-        grouped.where(F.size("mem") >= 2)
-        .select("mem", F.posexplode("mem").alias("i", "x"))
-        .select(
-            F.col("x"),
-            F.explode(F.expr("slice(mem, i + 2, size(mem) - i - 1)")).alias("y"),
-        )
-        .select(
-            F.struct(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("x.sz").alias("sz_a"),
-                F.col("y.doc_id").alias("doc_b"),
-                F.col("y.sz").alias("sz_b"),
-            ).alias("p")
-        )
+    pairs = _group_pairs(sh, ["sh_h"], ["doc_id", "sz"], max_group=max_df).select(
+        F.struct(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.sz").alias("sz_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.sz").alias("sz_b"),
+        ).alias("p")
     )
     return (
         pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -382,24 +394,19 @@ def simhash(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", F.expr(f"CAST({fp} AS BIGINT)").alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 6, max_group: int | None = None
+) -> DataFrame:
     """Candidate near-dup pairs: same high-16-bit prefix block AND
     hamming(simhash) <= max_hamming.  Prefix bucketing keeps the join an
     equi-join (no cross product); at scale use 4 rotated prefix blocks to
     guarantee recall for hamming <= 3 per the pigeonhole principle."""
-    # per-bucket pair generation (see _pairs_within_groups): the simhash
-    # pipeline is computed once and shuffled once; the struct carries the
+    # per-bucket pair generation (see _group_pairs): the simhash pipeline
+    # is computed once and shuffled once; the struct carries the
     # fingerprint so hamming needs no lookup join
     sh = simhash(docs).withColumn("prefix", F.expr("simhash >> 16"))
     return (
-        sh.groupBy("prefix")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("mem"))
-        .where(F.size("mem") >= 2)
-        .select("mem", F.posexplode("mem").alias("i", "x"))
-        .select(
-            F.col("x"),
-            F.explode(F.expr("slice(mem, i + 2, size(mem) - i - 1)")).alias("y"),
-        )
+        _group_pairs(sh, ["prefix"], ["doc_id", "simhash"], max_group=max_group)
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),

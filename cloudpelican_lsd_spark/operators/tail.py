@@ -50,7 +50,14 @@ def topk_per_group_salted(
 
     Ordering: value DESC, id ASC (ties) — encoded as an ascending struct
     sort on (-value, id); double negation is sign-exact in IEEE 754.
+
+    Domain: NULL values are dropped up front (a DESC window ranks them
+    last; under the struct sort they would rank first).  NaN values are
+    not supported — Spark's window ordering puts NaN above every number
+    while -NaN sorts last ascending; pre-filter with ``isnan`` if the
+    column can contain them.
     """
+    df = df.where(F.col(value).isNotNull())
     neg = F.struct((-F.col(value)).alias("nv"), F.col(id_col).alias("eid"))
     partial = (
         df.withColumn(

@@ -22,6 +22,25 @@ EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
 _PUNCT_RE = "[^.,!?;:]"
 
 
+def stop_count_expr(text_col: str = "text"):
+    """Column: number of whitespace tokens of lower(text) that are English
+    stopwords — the shared building block of lang_id / quality_score /
+    corpus_clean (one definition, one oracle twin below)."""
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    return F.expr(
+        f"size(filter(split(lower({text_col}), ' '), t -> array_contains({stop_arr}, t)))"
+    )
+
+
+def stop_count_sql(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`stop_count_expr`."""
+    stop_list = "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    return (
+        f"len(list_filter(string_split(lower({text_col}), ' '), "
+        f"t -> list_contains({stop_list}, t)))"
+    )
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """`(doc_id, n_tokens, n_chars_obs)` — whitespace tokenization."""
     return docs.select(
@@ -40,8 +59,10 @@ FROM documents"""
 
 #: BPE-ish pre-tokenizer regex: letter runs, digit runs, single punctuation
 #: marks — the GPT-2-style pre-split shape, restricted to constructs whose
-#: semantics are identical in Java regex (Spark) and RE2 (DuckDB)
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+#: semantics are identical in Java regex (Spark) and RE2 (DuckDB).  The
+#: whitespace set is spelled out because the engines' \s differ on
+#: vertical tab (\x0B is whitespace to Java, not to RE2).
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_token_count(docs: DataFrame) -> DataFrame:
@@ -70,40 +91,28 @@ def quality_score(docs: DataFrame) -> DataFrame:
     """`(doc_id, n_tokens, stop_cnt, punct_cnt, avg_token_len, stop_ratio)`
     — length/punctuation/stopword quality signals."""
     toks = F.split(F.lower(F.col("text")), " ")
-    stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.expr(
-            f"cast(size(filter(split(lower(text), ' '), t -> array_contains({stop_arr}, t))) as bigint)"
-        ).alias("stop_cnt"),
+        stop_count_expr().cast("bigint").alias("stop_cnt"),
         F.length(F.regexp_replace(F.col("text"), _PUNCT_RE, ""))
         .cast("long")
         .alias("punct_cnt"),
         F.round(
             (F.length("text") - F.size(toks) + 1) / F.size(toks), 6
         ).alias("avg_token_len"),
-        F.round(
-            F.expr(
-                f"size(filter(split(lower(text), ' '), t -> array_contains({stop_arr}, t)))"
-            )
-            / F.size(toks),
-            6,
-        ).alias("stop_ratio"),
+        F.round(stop_count_expr() / F.size(toks), 6).alias("stop_ratio"),
     )
 
 
 def quality_score_oracle() -> str:
-    stop_list = "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
     return f"""SELECT doc_id,
        len(string_split(text, ' '))::BIGINT AS n_tokens,
-       len(list_filter(string_split(lower(text), ' '),
-           t -> list_contains({stop_list}, t)))::BIGINT AS stop_cnt,
+       {stop_count_sql()}::BIGINT AS stop_cnt,
        length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))::BIGINT AS punct_cnt,
        ROUND((length(text) - len(string_split(text, ' ')) + 1)
              / len(string_split(text, ' ')), 6) AS avg_token_len,
-       ROUND(len(list_filter(string_split(lower(text), ' '),
-             t -> list_contains({stop_list}, t)))
+       ROUND({stop_count_sql()}
              / len(string_split(text, ' ')), 6) AS stop_ratio
 FROM documents"""
 
@@ -111,10 +120,7 @@ FROM documents"""
 def lang_id(docs: DataFrame, threshold_num: int = 1, threshold_den: int = 20) -> DataFrame:
     """`(doc_id, pred_lang)` — stopword-density language heuristic:
     'en' when stopword_count/token_count >= num/den (integer-exact)."""
-    stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
-    stop_cnt = F.expr(
-        f"size(filter(split(lower(text), ' '), t -> array_contains({stop_arr}, t)))"
-    )
+    stop_cnt = stop_count_expr()
     n = F.size(F.split(F.col("text"), " "))
     return docs.select(
         "doc_id",
@@ -127,10 +133,8 @@ def lang_id(docs: DataFrame, threshold_num: int = 1, threshold_den: int = 20) ->
 
 
 def lang_id_oracle(threshold_num: int = 1, threshold_den: int = 20) -> str:
-    stop_list = "[" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
     return f"""SELECT doc_id,
-       CASE WHEN len(list_filter(string_split(lower(text), ' '),
-                 t -> list_contains({stop_list}, t))) * {threshold_den}
+       CASE WHEN {stop_count_sql()} * {threshold_den}
                  >= len(string_split(text, ' ')) * {threshold_num}
             THEN 'en' ELSE 'other' END AS pred_lang
 FROM documents"""

@@ -81,3 +81,14 @@ def test_register_custom_analyzer():
         assert score > 0
     finally:
         del out.ANALYZER_REGISTRY["always_flags"]
+
+
+def test_nb_all_one_category(spark):
+    """Degenerate input where every line is heuristic-'error': the zero
+    count category must never win (log(0) guard)."""
+    rows = [(i, f"error failure case {i}") for i in range(20)]
+    logs = spark.createDataFrame(rows, ["event_id", "_raw"])
+    out = nb.train_and_classify(logs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.pred_label, r.heur_label, r.cnt) == ("error", "error", 20)

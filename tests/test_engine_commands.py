@@ -147,3 +147,15 @@ def test_topk_salted_matches_window(spark, sf_dir):
         for r in topk_per_group_salted(ev, k=3).collect()
     }
     assert got == expected
+
+
+def test_topk_salted_drops_null_values(spark):
+    from pyspark.sql import functions as F
+    from cloudpelican_lsd_spark.operators.tail import topk_per_group_salted
+
+    rows = [(1, "a", 5.0), (2, "a", None), (3, "a", 7.0), (4, "a", 6.0),
+            (5, "a", 1.0), (6, "b", None), (7, "b", 2.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = {(r.event_type, r.event_id)
+           for r in topk_per_group_salted(df, k=3).collect()}
+    assert got == {("a", 3), ("a", 4), ("a", 1), ("b", 7)}

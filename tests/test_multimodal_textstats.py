@@ -82,13 +82,17 @@ def test_bpe_token_count_shapes(spark, sf_dir):
     from cloudpelican_lsd_spark.operators import textstats as text_ops
     from cloudpelican_lsd_spark.sources.tables import load_table
 
+    import re
+
     docs = load_table(spark, "documents", sf_dir)
     out = text_ops.bpe_token_count(docs)
-    rows = out.collect()
+    rows = {r.doc_id: r for r in out.collect()}
     assert len(rows) == docs.count()
-    for r in rows[:50]:
-        # BPE pre-split can only refine whitespace tokens, never merge them
-        assert r.n_bpe_tokens >= r.n_ws_tokens
+    # spot-check against a Python re reference implementation
+    for d in docs.limit(50).collect():
+        r = rows[d.doc_id]
+        assert r.n_bpe_tokens == len(re.findall(text_ops.BPE_RE, d.text))
+        assert r.n_ws_tokens == len(d.text.split(" "))
 
 
 def test_normalize_lines_branches(spark):
