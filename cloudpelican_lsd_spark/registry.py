@@ -748,6 +748,26 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_users_per_type",
+    """SELECT event_type,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY event_type""",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (the reference has no DISTINCT at all —
+    inherited from Spark SQL).  Physical plan is the two-phase expand +
+    partial agg; at 100 TB swap `count_distinct` for
+    `approx_count_distinct` (HyperLogLog++, one pass, mergeable sketches)
+    when ±2% error is acceptable — same query shape."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "topk_per_group_salted",
     """SELECT event_type, event_id, value FROM (
   SELECT event_type, event_id, value,
