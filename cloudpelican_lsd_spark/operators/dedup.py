@@ -72,6 +72,22 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def shingle_array_sql(n: int, text_expr: str = "lower(text)") -> str:
+    """SQL for the distinct word-n-gram array of ``text_expr``.
+
+    The `size >= n` guard matters: Spark's ``sequence(1, 0)`` is the
+    DESCENDING sequence [1, 0] (not empty like DuckDB's generate_series),
+    so an unguarded transform over a doc shorter than n words would slice
+    at position 0 and error out (or emit garbage shingles).
+    """
+    toks = f"split({text_expr}, ' ')"
+    return f"""CASE WHEN size({toks}) >= {n} THEN
+          array_distinct(transform(
+              sequence(1, size({toks}) - {n - 1}),
+              i -> concat_ws(' ', slice({toks}, i, {n}))))
+        ELSE array() END"""
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """`(doc_id, shingle)` — distinct word n-grams of lower(text).
 
@@ -80,14 +96,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """
     return docs.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"""array_distinct(transform(
-                       sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 0)),
-                       i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n}))
-                   ))"""
-            )
-        ).alias("shingle"),
+        F.explode(F.expr(shingle_array_sql(n))).alias("shingle"),
     )
 
 
@@ -279,12 +288,9 @@ def ngram_jaccard_pairs(
     # pipeline on both sides (no exchange reuse) and shuffles the shingle
     # set twice; this shape computes shingles once and shuffles once.  A
     # shingle shared by k docs emits k·(k-1)/2 pairs either way.
-    sharr = f"""array_distinct(transform(
-        sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 0)),
-        i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n}))))"""
     sh = (
         _spread(docs)
-        .select("doc_id", F.expr(sharr).alias("sharr"))
+        .select("doc_id", F.expr(shingle_array_sql(n)).alias("sharr"))
         .select(
             "doc_id",
             F.size("sharr").alias("sz"),

@@ -150,19 +150,12 @@ def fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     form keeps it in whole-stage codegen (~2x) — and the map-side partial
     MIN means the shuffle still carries one row per doc.  Docs shorter
     than n words keep a NULL min_shingle_fp (explode_outer)."""
-    from cloudpelican_lsd_spark.operators.dedup import _spread
+    from cloudpelican_lsd_spark.operators.dedup import _spread, shingle_array_sql
 
     sh = _spread(docs).select(
         "doc_id",
         F.md5(F.col("text")).alias("exact_fp"),
-        F.explode_outer(
-            F.expr(
-                f"""transform(
-                       sequence(1, greatest(size(split(lower(text), ' ')) - {n - 1}, 0)),
-                       i -> concat_ws(' ', slice(split(lower(text), ' '), i, {n}))
-                   )"""
-            )
-        ).alias("shingle"),
+        F.explode_outer(F.expr(shingle_array_sql(n))).alias("shingle"),
     )
     return sh.groupBy("doc_id", "exact_fp").agg(
         F.min(F.md5(F.col("shingle"))).alias("min_shingle_fp")

@@ -1,0 +1,123 @@
+"""Randomized cross-checks: seeded synthetic data, Spark operator vs a
+naive pure-Python reference implementation.  Complements the DuckDB parity
+gate (which uses the fixed driver testdata) with adversarial shapes —
+duplicate texts, shared boilerplate, value ties, tiny docs.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.operators import dedup as dedup_ops
+from cloudpelican_lsd_spark.operators.tail import topk_per_group_salted
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+def _random_docs(rng: random.Random, n_docs: int) -> list[tuple[int, str]]:
+    docs = []
+    for i in range(n_docs):
+        toks = [rng.choice(VOCAB) for _ in range(rng.randint(1, 12))]
+        if rng.random() < 0.3:  # shared boilerplate prefix (hot shingles)
+            toks = ["common", "header", "line", *toks]
+        docs.append((i, " ".join(toks)))
+    if n_docs > 3:  # exact duplicate pair
+        docs.append((n_docs, docs[0][1]))
+    return docs
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+
+def _py_jaccard_pairs(docs, n=3, num=1, den=5, max_df=None):
+    sh = {d: _py_shingles(t, n) for d, t in docs}
+    if max_df is not None:
+        df_cnt: dict[str, int] = {}
+        for s in sh.values():
+            for g in s:
+                df_cnt[g] = df_cnt.get(g, 0) + 1
+        hot = {g for g, c in df_cnt.items() if c > max_df}
+    else:
+        hot = set()
+    out = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sh.items()), 2):
+        inter = len((sa & sb) - hot)
+        union = len(sa) + len(sb) - len(sa & sb)
+        if inter and inter * den >= union * num:
+            out[(a, b)] = (inter, union)
+    return out
+
+
+def test_jaccard_matches_python_reference(spark):
+    for seed in (7, 11, 13):
+        rng = random.Random(seed)
+        docs = _random_docs(rng, 25)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_a, r.doc_b): (r.inter_cnt, r.union_cnt)
+            for r in dedup_ops.ngram_jaccard_pairs(
+                df, n=3, threshold_num=1, threshold_den=5
+            ).collect()
+        }
+        assert got == _py_jaccard_pairs(docs, 3, 1, 5), f"seed={seed}"
+
+
+def test_jaccard_pruned_matches_python_reference(spark):
+    rng = random.Random(42)
+    docs = _random_docs(rng, 30)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.inter_cnt
+        for r in dedup_ops.ngram_jaccard_pairs(
+            df, n=3, threshold_num=1, threshold_den=5, max_df=4
+        ).collect()
+    }
+    want = {
+        k: v[0] for k, v in _py_jaccard_pairs(docs, 3, 1, 5, max_df=4).items()
+    }
+    assert got == want
+
+
+def test_group_pairs_matches_combinations(spark):
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 5), i) for i in range(60)]
+    df = spark.createDataFrame(rows, ["bucket", "doc_id"])
+    got = {
+        (r.x.doc_id, r.y.doc_id)
+        for r in dedup_ops._group_pairs(df, ["bucket"], ["doc_id"]).collect()
+    }
+    by_bucket: dict[int, list[int]] = {}
+    for b, d in rows:
+        by_bucket.setdefault(b, []).append(d)
+    want = {
+        pair
+        for mem in by_bucket.values()
+        for pair in itertools.combinations(sorted(set(mem)), 2)
+    }
+    assert got == want
+
+
+def test_salted_topk_with_ties_matches_reference(spark):
+    rng = random.Random(99)
+    rows = [
+        (i, rng.choice(["x", "y"]), float(rng.randint(0, 4)))  # many ties
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = {
+        (r.event_type, r.event_id, r.value)
+        for r in topk_per_group_salted(df, k=5).collect()
+    }
+    want = set()
+    for g in ("x", "y"):
+        members = sorted(
+            ((v, i) for i, t, v in rows if t == g),
+            key=lambda p: (-p[0], p[1]),
+        )[:5]
+        want |= {(g, i, v) for v, i in members}
+    assert got == want
