@@ -513,6 +513,7 @@ n AS (
          sqrt({dot.format(a='emb', b='emb')}) AS nrm,
          ({bucket}) AS bucket
   FROM e
+  WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -31,7 +31,12 @@ _DOT = (
 
 
 def _with_norm(emb: DataFrame) -> DataFrame:
-    """(vec_id, emb DOUBLE[], nrm) — norms precomputed once."""
+    """(vec_id, emb DOUBLE[], nrm) — norms precomputed once.
+
+    Zero-norm vectors are dropped: cosine is undefined for them, and under
+    ANSI mode (Spark 4 default) the division would abort the whole job.
+    The oracles carry the same ``nrm > 0`` predicate.
+    """
     return emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -40,7 +45,7 @@ def _with_norm(emb: DataFrame) -> DataFrame:
                                   b="cast(embedding as array<double>)") + ")"
         ).alias("nrm"),
         *([c for c in emb.columns if c not in ("vec_id", "embedding")]),
-    )
+    ).where(F.col("nrm") > 0)
 
 
 def cosine_topk(
@@ -91,6 +96,7 @@ n AS (
   SELECT vec_id, emb,
          sqrt({dot.format(a='emb', b='emb')}) AS nrm
   FROM e
+  WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
 ),
 pairs AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -181,6 +187,7 @@ def ivf_topk_oracle(
 ),
 n AS (
   SELECT vec_id, emb, sqrt({dot.format(a='emb', b='emb')}) AS nrm FROM e
+  WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
 ),
 cents AS (
   SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM n
@@ -285,6 +292,7 @@ n AS (
          sqrt({dot.format(a='emb', b='emb')}) AS nrm,
          ({bucket}) AS bucket
   FROM e
+  WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -121,3 +121,25 @@ def test_salted_topk_with_ties_matches_reference(spark):
         )[:5]
         want |= {(g, i, v) for v, i in members}
     assert got == want
+
+
+def test_zero_norm_vectors_are_excluded(spark):
+    """Cosine ops drop zero-norm vectors instead of aborting on ANSI
+    divide-by-zero (Spark 4 default)."""
+    from cloudpelican_lsd_spark.operators.similarity import (
+        cosine_topk,
+        lsh_near_pairs,
+    )
+
+    rows = [
+        (0, [0.0] * 64, 0),
+        (1, [1.0] * 8 + [0.0] * 56, 0),
+        (2, [0.5] * 8 + [0.0] * 56, 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id INT, embedding ARRAY<FLOAT>, label INT"
+    )
+    pairs = lsh_near_pairs(emb, bits=2, min_cos_num=1, min_cos_den=10).collect()
+    assert [(r.vec_a, r.vec_b, r.cos) for r in pairs] == [(1, 2, 1.0)]
+    topk = cosine_topk(emb, num_queries=2, k=2).collect()
+    assert [(r.qid, r.cid) for r in topk] == [(1, 2)]
