@@ -694,33 +694,39 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+#: try_cast, not cast: schema-on-read over free-form JSON must tolerate
+#: malformed values (ANSI-mode CAST aborts the whole job on one bad row;
+#: try_cast → NULL, and DuckDB's TRY_CAST matches)
+_JSON_K = "try_cast(get_json_object(props, '$.k') AS long)"
+
+
 @register(
     "json_props_extract",
     """SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""",
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""",
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read over the JSON props blob (the reference keeps its
     `details` JSON opaque end-to-end; we expose it relationally)."""
     ev = load_table(spark, "events", sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return ev.select("event_id", k.alias("k_val")).where(F.col("k_val") >= 50)
+    return ev.select("event_id", F.expr(_JSON_K).alias("k_val")).where(
+        F.col("k_val") >= 50
+    )
 
 
 @register(
     "json_props_agg",
     """SELECT event_type,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*)::BIGINT AS cnt
 FROM events GROUP BY event_type""",
 )
 def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.groupBy("event_type").agg(
-        F.sum(k).cast("long").alias("sum_k"),
+        F.sum(F.expr(_JSON_K)).cast("long").alias("sum_k"),
         F.count(F.lit(1)).alias("cnt"),
     )
 

@@ -143,3 +143,18 @@ def test_zero_norm_vectors_are_excluded(spark):
     assert [(r.vec_a, r.vec_b, r.cos) for r in pairs] == [(1, 2, 1.0)]
     topk = cosine_topk(emb, num_queries=2, k=2).collect()
     assert [(r.qid, r.cid) for r in topk] == [(1, 2)]
+
+
+def test_json_ops_tolerate_malformed_values(spark):
+    """try_cast semantics: malformed JSON numerics become NULL instead of
+    aborting the job under ANSI mode."""
+    from cloudpelican_lsd_spark.registry import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"k": "60"}'), (2, '{"k": "oops"}'), (3, "not json"), (4, None)],
+        ["event_id", "props"],
+    )
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS long)")
+    rows = df.select("event_id", k.alias("k_val")).collect()
+    assert {r.event_id: r.k_val for r in rows} == {1: 60, 2: None, 3: None, 4: None}
