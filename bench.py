@@ -46,6 +46,10 @@ HEADLINE = [
     "text_fingerprint",
     "multimodal_features",
     "corpus_clean_pipeline",
+    "parse_normalize",
+    "text_bpe_token_count",
+    "topk_per_group_salted",
+    "distinct_users_per_type",
 ]
 
 
