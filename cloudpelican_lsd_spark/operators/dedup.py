@@ -422,6 +422,63 @@ def simhash_near_pairs(
     )
 
 
+def simhash_near_pairs_complete(
+    docs: DataFrame, max_hamming: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """`(doc_a, doc_b, hamming)` with GUARANTEED recall for
+    hamming <= n_blocks - 1.
+
+    Pigeonhole: split the 32-bit fingerprint into `n_blocks` disjoint
+    blocks; a pair differing in <= n_blocks-1 bits must agree on at least
+    one whole block, so bucketing once per block and unioning the
+    per-block candidates cannot miss such a pair.  (The single high-16
+    prefix variant above is the cheaper heuristic: one table, no recall
+    guarantee.)  Candidates found in several blocks are deduped on the
+    pair key.  Cost: n_blocks bucketing passes over the fingerprint table
+    — which is 1 row × 12 bytes per doc, so the multiplier is on the
+    cheap side of the pipeline.
+    """
+    assert 32 % n_blocks == 0
+    width = 32 // n_blocks
+    mask = (1 << width) - 1
+    sh = simhash(docs)
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[F.expr(f"(simhash >> {width * b}) & {mask}") for b in range(n_blocks)]
+            )
+        ).alias("blk", "key"),
+    )
+    return (
+        _group_pairs(blocks, ["blk", "key"], ["doc_id", "simhash"])
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_complete_oracle(max_hamming: int = 3, n_blocks: int = 4) -> str:
+    width = 32 // n_blocks
+    mask = (1 << width) - 1
+    return f"""WITH {_SIMHASH_CTE},
+blocks AS (
+  SELECT doc_id, simhash, b.b AS blk,
+         (simhash >> ({width} * b.b)) & {mask} AS key
+  FROM sh32, (SELECT unnest(generate_series(0, {n_blocks - 1})) AS b) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
 _SIMHASH_CTE = """\
 tokd AS (
   SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok

@@ -537,6 +537,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("simhash_pairs_complete", dedup_ops.simhash_complete_oracle(3, 4))
+def q_simhash_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-recall simhash near-dup pairs (4 rotated blocks,
+    pigeonhole-complete for hamming <= 3; dedup.py)."""
+    return dedup_ops.simhash_near_pairs_complete(
+        load_table(spark, "documents", sf_dir), max_hamming=3, n_blocks=4
+    )
+
+
 @register("dedup_embedding_cosine", dedup_ops.embedding_near_dups_oracle(4, 3, 10))
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.embedding_near_dups(

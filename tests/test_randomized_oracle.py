@@ -158,3 +158,24 @@ def test_json_ops_tolerate_malformed_values(spark):
     k = F.expr("try_cast(get_json_object(props, '$.k') AS long)")
     rows = df.select("event_id", k.alias("k_val")).collect()
     assert {r.event_id: r.k_val for r in rows} == {1: 60, 2: None, 3: None, 4: None}
+
+
+def test_simhash_complete_recall_vs_bruteforce(spark, sf_dir):
+    """The rotated-block variant must find EVERY pair with hamming <= 3
+    (pigeonhole guarantee); the prefix heuristic may miss some."""
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    fps = {r.doc_id: r.simhash for r in dedup_ops.simhash(docs).collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ops.simhash_near_pairs_complete(
+            docs, max_hamming=3, n_blocks=4
+        ).collect()
+    }
+    assert got == want
