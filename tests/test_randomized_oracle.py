@@ -179,3 +179,78 @@ def test_simhash_complete_recall_vs_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_grep_pipeline_matches_python_reference(spark):
+    """Flagship grammar vs a re/contains Python reference on random lines."""
+    import re as _re
+
+    from cloudpelican_lsd_spark.operators.grep_pipeline import GrepPipeline
+
+    rng = random.Random(5)
+    words = ["GET", "POST", "error", "ok", "checkout", "404", "200", "cart"]
+    lines = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(2, 6)))
+        + f" value={rng.randint(0, 999)}"
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["_raw"])
+
+    cases = [
+        ("cat f | grep error | sort", 
+         lambda l: "error" in l, False),
+        ("cat f | grep -v 404 | grep -i ERROR | sort", 
+         lambda l: "404" not in l and "error" in l.lower(), False),
+        ("cat f | grep -e 'value=[0-9][0-9][0-9]' | sort - r", 
+         lambda l: _re.search(r"value=[0-9][0-9][0-9]", l) is not None, True),
+        ("cat f | grep -i -e 'ERROR|CHECKOUT' | sort | limit 40", 
+         lambda l: _re.search(r"(?i)ERROR|CHECKOUT", l) is not None, False),
+    ]
+    for pipe, pred, desc in cases:
+        got = [r._raw for r in GrepPipeline.parse(pipe).apply(df).collect()]
+        want = sorted((l for l in lines if pred(l)), reverse=desc)
+        p = GrepPipeline.parse(pipe)
+        if p.limit:
+            want = want[: p.limit]
+        assert got == want, pipe
+
+
+def test_streaming_stats_consistent_with_batch(spark, tmp_path, sf_dir):
+    """The streaming engine's merge-on-read stats equal the batch
+    metric_counts over the same matched lines (layer consistency)."""
+    import os
+
+    from cloudpelican_lsd_spark.catalog import FilterCatalog
+    from cloudpelican_lsd_spark.operators.stats import metric_counts
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    rng = random.Random(8)
+    lines = [
+        f"2024-02-01T10:{m:02d}:{s:02d}.000+00:00 h app: "
+        + ("error failed x" if rng.random() < 0.3 else "ok served y")
+        for m in range(10)
+        for s in range(0, 60, 7)
+    ]
+    with open(os.path.join(src, "part-000.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    cat = FilterCatalog()
+    cat.create("everything", "app")
+    eng = sp.StreamingEngine(spark, cat, str(tmp_path / "eng"))
+    q = eng.start(sp.file_source(spark, src), trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    fid = cat.get("everything").id
+    streamed = {
+        (r.metric, r.bucket): r.cnt for r in eng.stats(fid).collect()
+    }
+    matched = eng.results().select(
+        "_raw", "ts_epoch"
+    )
+    batch = {
+        (r.metric, r.bucket): r.cnt
+        for r in metric_counts(matched, rollup_sec=60).collect()
+    }
+    assert streamed == batch
