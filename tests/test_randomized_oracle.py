@@ -254,3 +254,54 @@ def test_streaming_stats_consistent_with_batch(spark, tmp_path, sf_dir):
         for r in metric_counts(matched, rollup_sec=60).collect()
     }
     assert streamed == batch
+
+
+def test_stats_family_matches_python_reference(spark):
+    """bucket → re-rollup → gap-fill vs a dict-based Python reference on
+    random epochs (the reference CLI's supervisorcon.go:43-119 math)."""
+    from cloudpelican_lsd_spark.operators.stats import (
+        gap_fill,
+        metric_counts,
+        rollup_window,
+    )
+
+    rng = random.Random(17)
+    base = 1_700_000_000
+    rows = [
+        (
+            i,
+            base + rng.randint(0, 3600),
+            "error x" if rng.random() < 0.25 else "ok y",
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_epoch", "_raw"])
+
+    mc = metric_counts(df, rollup_sec=60)
+    got_mc = {(r.metric, r.bucket): r.cnt for r in mc.collect()}
+    want_mc: dict[tuple[int, int], int] = {}
+    for _, ts, raw in rows:
+        b = ts - ts % 60
+        want_mc[(1, b)] = want_mc.get((1, b), 0) + 1
+        if "error" in raw:
+            want_mc[(2, b)] = want_mc.get((2, b), 0) + 1
+    assert got_mc == want_mc
+
+    rolled = rollup_window(mc, rollup_sec=300)
+    got_roll = {(r.metric, r.bucket): r.cnt for r in rolled.collect()}
+    want_roll: dict[tuple[int, int], int] = {}
+    for (m, b), c in want_mc.items():
+        rb = b - b % 300
+        want_roll[(m, rb)] = want_roll.get((m, rb), 0) + c
+    assert got_roll == want_roll
+
+    filled = gap_fill(rolled, rollup_sec=300)
+    got_fill = {(r.metric, r.bucket): r.cnt for r in filled.collect()}
+    lo = min(b for _, b in want_roll)
+    hi = max(b for _, b in want_roll)
+    want_fill = {
+        (m, b): want_roll.get((m, b), 0)
+        for m in {m for m, _ in want_roll}
+        for b in range(lo, hi + 1, 300)
+    }
+    assert got_fill == want_fill
