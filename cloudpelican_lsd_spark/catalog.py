@@ -134,6 +134,15 @@ class FilterCatalog:
                 )
                 + ")"
             )
+        if not rows:
+            # `VALUES` with zero tuples is a syntax error — emit a typed
+            # empty relation instead
+            return (
+                "(SELECT NULL::VARCHAR AS id, NULL::VARCHAR AS name,"
+                " NULL::VARCHAR AS regex, NULL::VARCHAR AS client_host,"
+                " NULL::VARCHAR AS plain_word, NULL::BOOLEAN AS plain_ci"
+                " WHERE 1 = 0)"
+            )
         return (
             "(SELECT * FROM (VALUES "
             + ", ".join(rows)

@@ -210,7 +210,9 @@ class CloudPelicanEngine:
             df = match_filters_compiled(self.logs, [tmp])
             where_regex = None  # already applied as the temp filter
         else:
-            df = self.logs
+            # the reference fails on a missing per-filter results table;
+            # silently returning the whole stream would mask typos
+            raise ValueError(f"unknown filter: {name!r}")
         if where_regex:
             df = df.where(F.col("_raw").rlike(where_regex))
         out = df.select("_raw")
@@ -252,12 +254,20 @@ class CloudPelicanEngine:
     ) -> DataFrame:
         """Windowed, re-bucketed, zero-gap-filled series for one filter
         (supervisorcon.go:43-119 semantics, window anchored at the newest
-        event rather than wall-clock for determinism)."""
+        event rather than wall-clock for determinism).
+
+        Two-stage bucketing like the reference: the store keeps MINUTELY
+        buckets (SupervisorStatsWriterBolt.java:132) and the client
+        re-buckets those to the requested rollup (supervisorcon.go:86-89).
+        Bucketing raw timestamps directly at `rollup_sec` would differ for
+        any rollup that is not a multiple of 60 (ts=119 → minute bucket
+        60 → re-bucket@90 = 0, vs direct 119-(119%90) = 90)."""
         matched = self._matched(name)
-        mc = stats_ops.metric_counts(matched, rollup_sec=rollup_sec)
+        mc = stats_ops.metric_counts(matched, rollup_sec=60)
+        rolled = stats_ops.rollup_window(mc, rollup_sec=rollup_sec)
         now_df = matched.agg(F.max("ts_epoch").alias("_now"))
         windowed = (
-            mc.crossJoin(F.broadcast(now_df))
+            rolled.crossJoin(F.broadcast(now_df))
             .where(F.col("bucket") >= F.col("_now") - F.lit(window_sec))
             .drop("_now")
         )
@@ -287,12 +297,23 @@ class CloudPelicanEngine:
             self.logs.createOrReplaceTempView("logs")
             self._tables_registered = True
         if results is not None:
+            # rewrite only OUTSIDE single-quoted string literals (a WHERE
+            # literal like 'from errors' must pass through untouched); a
+            # filter name that shadows a base table resolves to the filter
+            # — reference precedence, where FROM names are always filters
+            segments = re.split(r"('(?:[^']|'')*')", sql)
             for f in self.catalog.list(include_temp=True):
-                pat = re.compile(
-                    rf"(?i)\bFROM\s+{re.escape(f.name)}\b"
-                )
-                if pat.search(sql):
+                pat = re.compile(rf"(?i)\bFROM\s+{re.escape(f.name)}\b")
+                if any(
+                    pat.search(seg)
+                    for k, seg in enumerate(segments)
+                    if k % 2 == 0
+                ):
                     view = f"__results_{f.name}"
                     results.where(F.col("filter_id") == f.id).createOrReplaceTempView(view)
-                    sql = pat.sub(f"FROM {view}", sql)
+                    segments = [
+                        pat.sub(f"FROM {view}", seg) if k % 2 == 0 else seg
+                        for k, seg in enumerate(segments)
+                    ]
+            sql = "".join(segments)
         return self.spark.sql(sql)

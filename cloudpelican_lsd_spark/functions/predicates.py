@@ -61,22 +61,25 @@ class GrepPredicate:
         return ~cond if self.invert else cond
 
     def duckdb_sql(self, col: str = "_raw") -> str:
-        """Equivalent DuckDB predicate (the oracle side)."""
+        """Equivalent DuckDB predicate (the oracle side).
+
+        Substring stages use ``contains()`` — literal semantics identical
+        to Spark's ``Column.contains`` with no metacharacters.  (A LIKE
+        '%...%' formulation needs an explicit ESCAPE clause for `_`/`%`/
+        `\\` — DuckDB has NO default escape char — and is easy to get
+        subtly wrong; the reference emits LIKE only because BigQuery
+        legacy SQL lacked contains().)
+        """
         pat = self.pattern
         if self.regex:
             flags = ", 'i'" if self.case_insensitive else ""
             expr = f"regexp_matches({col}, '{_sq(pat)}'{flags})"
         else:
-            like = _sq(_escape_like(pat))
             if self.case_insensitive:
-                expr = f"lower({col}) LIKE '%{like.lower()}%'"
+                expr = f"contains(lower({col}), '{_sq(pat.lower())}')"
             else:
-                expr = f"{col} LIKE '%{like}%'"
+                expr = f"contains({col}, '{_sq(pat)}')"
         return f"NOT ({expr})" if self.invert else expr
-
-
-def _escape_like(s: str) -> str:
-    return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
 
 
 def _sq(s: str) -> str:

@@ -70,6 +70,16 @@ def match_filters_compiled(logs: DataFrame, filters: list) -> DataFrame:
     """
     from cloudpelican_lsd_spark.catalog import compile_fast_path
 
+    if not filters:
+        # F.array() of zero branches is VOID-typed and struct-field
+        # extraction fails analysis; an empty filter set just matches
+        # nothing, with the same output schema
+        return (
+            logs.withColumn("filter_id", F.lit(None).cast("string"))
+            .withColumn("filter_name", F.lit(None).cast("string"))
+            .where(F.lit(False))
+        )
+
     branches = []
     for f in filters:
         plain, ci = compile_fast_path(f.regex)

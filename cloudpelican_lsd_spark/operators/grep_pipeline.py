@@ -18,7 +18,6 @@ the header comment at grepsql.go:3 claims ``ts`` — we follow the code).
 
 from __future__ import annotations
 
-import shlex
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -63,7 +62,7 @@ class GrepPipeline:
             source = head[0]
         p = cls(source=source)
         for stage in stages[1:]:
-            toks = shlex.split(stage)
+            toks = _split_stage(stage)
             if not toks:
                 raise ValueError("empty pipeline stage")
             cmd, args = toks[0], toks[1:]
@@ -104,7 +103,11 @@ class GrepPipeline:
         if self.greps:
             sql += f" WHERE {grep_sql(self.greps, col)}"
         if self.sort:
-            sql += f" ORDER BY {col} {'DESC' if self.sort_desc else 'ASC'}"
+            # explicit null ordering: Spark ASC is NULLS FIRST / DESC is
+            # NULLS LAST; DuckDB defaults to NULLS LAST for both — without
+            # this a NULL _raw under LIMIT diverges between the engines
+            nulls = "NULLS LAST" if self.sort_desc else "NULLS FIRST"
+            sql += f" ORDER BY {col} {'DESC' if self.sort_desc else 'ASC'} {nulls}"
         if self.limit is not None:
             sql += f" LIMIT {self.limit}"
         return sql
@@ -131,11 +134,54 @@ def _parse_grep(args: list[str]) -> GrepPredicate:
     return GrepPredicate(pattern=pattern, invert=invert, case_insensitive=ci, regex=rx)
 
 
+def _split_stage(stage: str) -> list[str]:
+    """Whitespace-split with verbatim quoted tokens.
+
+    NOT shlex: shlex's POSIX mode eats unquoted backslashes (silently
+    corrupting regex patterns like ``value=\\d+``) and raises on a lone
+    apostrophe inside a word (``grep don't``).  Here a quote only opens a
+    quoted token at a token boundary; inside a word it is a literal char,
+    and backslashes pass through untouched (the reference tokenizes with
+    Go's text/scanner, which behaves the same way for these inputs).
+    """
+    toks: list[str] = []
+    i, n = 0, len(stage)
+    while i < n:
+        while i < n and stage[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        if stage[i] in "'\"":
+            q = stage[i]
+            j = stage.find(q, i + 1)
+            if j == -1:
+                raise ValueError(f"unclosed quote in stage {stage!r}")
+            toks.append(stage[i + 1 : j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not stage[j].isspace():
+                j += 1
+            toks.append(stage[i:j])
+            i = j
+    return toks
+
+
+def _has_unclosed_quote(s: str) -> bool:
+    """True when `_split_stage` would reject `s` for an unterminated quoted
+    token (an apostrophe INSIDE a word is a literal and doesn't count)."""
+    try:
+        _split_stage(s)
+        return False
+    except ValueError:
+        return True
+
+
 def _rejoin_quoted(stages: list[str]) -> list[str]:
     """Re-join stages split on a `|` that was inside quotes."""
     out: list[str] = []
     for s in stages:
-        if out and (out[-1].count("'") % 2 == 1 or out[-1].count('"') % 2 == 1):
+        if out and _has_unclosed_quote(out[-1]):
             out[-1] = out[-1] + "|" + s
         else:
             out.append(s)

@@ -34,7 +34,13 @@ METRIC_ERROR = 2
 
 def bucket_col(epoch_col: str, rollup_sec: int) -> F.Column:
     """``ts - (ts % rollup)`` — the reference's bucket arithmetic
-    (supervisorcon.go:86-89), deterministic for oracle hash-equality."""
+    (supervisorcon.go:86-89), deterministic for oracle hash-equality.
+
+    Rejects rollup <= 0 at plan-build time: ``% 0`` aborts the whole job
+    at runtime under ANSI mode (and `parse_duration("0")` is accepted by
+    the CLI grammar, so the value can reach here from user input)."""
+    if rollup_sec <= 0:
+        raise ValueError(f"rollup must be positive, got {rollup_sec}")
     c = F.col(epoch_col)
     return (c - (c % F.lit(rollup_sec))).cast("long")
 
@@ -92,21 +98,24 @@ def gap_fill(stats: DataFrame, rollup_sec: int) -> DataFrame:
     metric list, left-joined back — all broadcastable scalars; no driver
     collect, so the plan is identical at any scale.
     """
-    # the aggregated series is tiny (buckets × metrics) but feeds three
-    # consumers (bounds, metric list, the left join) — cache it so the
-    # upstream scan+aggregation runs once, not three times
-    stats = stats.cache()
-    bounds = stats.agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    if rollup_sec <= 0:
+        raise ValueError(f"rollup must be positive, got {rollup_sec}")
+    # ONE auxiliary agg pass derives bounds AND the metric list together
+    # (a broadcast 1-row frame), so the upstream series is computed twice
+    # total (aux pass + join probe), not three times — and nothing is
+    # .cache()d: a cached relation per stats command would pin executor
+    # storage memory for the whole session
+    meta = stats.agg(
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.collect_set("metric").alias("metrics"),
     )
-    grid = (
-        bounds.select(
-            F.explode(
-                F.sequence(F.col("lo"), F.col("hi"), F.lit(rollup_sec))
-            ).alias("bucket")
-        )
-        .crossJoin(stats.select("metric").distinct())
-    )
+    grid = meta.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(rollup_sec))
+        ).alias("bucket"),
+        "metrics",
+    ).select("bucket", F.explode("metrics").alias("metric"))
     return (
         grid.join(stats, ["metric", "bucket"], "left")
         .select(

@@ -159,3 +159,79 @@ def test_topk_salted_drops_null_values(spark):
     got = {(r.event_type, r.event_id)
            for r in topk_per_group_salted(df, k=3).collect()}
     assert got == {("a", 3), ("a", 4), ("a", 1), ("b", 7)}
+
+
+def test_stats_rollup_zero_rejected(spark, sf_dir):
+    import pytest
+    from cloudpelican_lsd_spark.operators.stats import bucket_col
+
+    with pytest.raises(ValueError, match="rollup"):
+        bucket_col("ts_epoch", 0)
+
+
+def test_grep_tokenizer_edge_cases():
+    from cloudpelican_lsd_spark.operators.grep_pipeline import GrepPipeline
+
+    # apostrophe inside a word is a literal, not a quote
+    p = GrepPipeline.parse("cat all | grep don't | sort")
+    assert p.greps[0].pattern == "don't"
+    # unquoted backslash survives (shlex would eat it)
+    p = GrepPipeline.parse(r"cat all | grep -e value=\d+")
+    assert p.greps[0].pattern == r"value=\d+"
+    # quoted regex containing the pipe char still re-joins
+    p = GrepPipeline.parse("cat all | grep -e '(100|200)' | limit 5")
+    assert p.greps[0].pattern == "(100|200)" and p.limit == 5
+
+
+def test_grep_oracle_sql_special_chars():
+    """contains() oracle is literal — LIKE metacharacters stay literal."""
+    import duckdb
+    from cloudpelican_lsd_spark.operators.grep_pipeline import GrepPipeline
+
+    sql = GrepPipeline.parse("cat f | grep user_id | sort").to_duckdb_sql("t")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES ('has user_id here'),"
+        " ('userXid other'), ('unrelated')) v(_raw)"
+    )
+    rows = [r[0] for r in con.execute(sql).fetchall()]
+    assert rows == ["has user_id here"]
+
+
+def test_empty_filter_set_surfaces(spark, sf_dir):
+    from cloudpelican_lsd_spark.catalog import FilterCatalog
+    from cloudpelican_lsd_spark.operators.fanout import match_counts_compiled
+    from cloudpelican_lsd_spark.sources.tables import logs_view
+    import duckdb
+
+    logs = logs_view(spark, sf_dir).limit(10)
+    assert match_counts_compiled(logs, []).count() == 0
+    # empty catalog VALUES SQL parses in DuckDB
+    sql = FilterCatalog().to_values_sql(include_temp=True)
+    assert duckdb.connect().execute(f"SELECT COUNT(*) FROM {sql} f").fetchone()[0] == 0
+
+
+def test_select_unknown_filter_raises(spark, sf_dir):
+    import pytest
+    from cloudpelican_lsd_spark.engine import CloudPelicanEngine
+    from cloudpelican_lsd_spark.sources.tables import logs_view
+
+    eng = CloudPelicanEngine(spark, logs_view(spark, sf_dir), sf_dir=sf_dir)
+    with pytest.raises(ValueError, match="unknown filter"):
+        eng.select("no_such_filter", None, 10)
+
+
+def test_search_literal_not_rewritten(spark, sf_dir):
+    from cloudpelican_lsd_spark.engine import CloudPelicanEngine
+    from cloudpelican_lsd_spark.sources.tables import logs_view
+
+    eng = CloudPelicanEngine(spark, logs_view(spark, sf_dir), sf_dir=sf_dir)
+    eng.create_filter("errors", "error")
+    results = spark.createDataFrame(
+        [("x", "1", "error line")], ["filter_id", "row_id", "_raw"]
+    )
+    # the string literal 'from errors' must not be rewritten
+    out = eng.search(
+        "SELECT 'from errors' AS lit, COUNT(*) AS c FROM logs", results=results
+    ).collect()
+    assert out[0].lit == "from errors"
