@@ -47,7 +47,7 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("modality", T.StringType(), False),
-        T.StructField("content_sha256", T.StringType(), False),
+        T.StructField("content_sha256", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
@@ -92,15 +92,22 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     "real media decode requires PIL/soundfile/av; "
                     "install and replace _fake_feature with the decoder"
                 )
+            # content is nullable BINARY — bytes(None) raises and would
+            # kill the whole task on a single bad row; NULL payloads get
+            # NULL-ish outputs instead
+            payloads = [None if b is None else bytes(b) for b in pdf["content"]]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
                     "content_sha256": [
-                        hashlib.sha256(bytes(b)).hexdigest() for b in pdf["content"]
+                        None if b is None else hashlib.sha256(b).hexdigest()
+                        for b in payloads
                     ],
-                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
-                    "feature": [_fake_feature(bytes(b)) for b in pdf["content"]],
+                    "n_bytes": [0 if b is None else len(b) for b in payloads],
+                    "feature": [
+                        None if b is None else _fake_feature(b) for b in payloads
+                    ],
                 }
             )
             yield out
@@ -132,7 +139,9 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     "frame_ms": pdf["frame_ms"],
                     # stub: real impl seeks to frame_ms and decodes
                     "frame_sha256": [
-                        hashlib.sha256(
+                        None
+                        if b is None
+                        else hashlib.sha256(
                             bytes(b) + int(m).to_bytes(8, "big")
                         ).hexdigest()
                         for b, m in zip(pdf["content"], pdf["frame_ms"])
@@ -144,7 +153,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("frame_ms", T.LongType(), False),
-            T.StructField("frame_sha256", T.StringType(), False),
+            T.StructField("frame_sha256", T.StringType(), True),
         ]
     )
     return frames.mapInPandas(decode, schema)

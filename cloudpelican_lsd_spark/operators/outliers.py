@@ -240,6 +240,15 @@ def detect_outliers(
         lo = buckets[-1] - LOOKBACK_SEC
         mask = buckets >= lo
         buckets, counts = buckets[mask], counts[mask]
+        # zero gap-fill over the observed range (≤ 288 buckets): count
+        # series only materialize buckets with events, so without the
+        # fill a traffic-drop-to-zero is invisible (the outage bucket
+        # simply doesn't exist) and analyzer baselines are biased high
+        if len(buckets) >= 2:
+            full = np.arange(buckets[0], buckets[-1] + 1, BUCKET_SEC)
+            filled = np.zeros(len(full), dtype=counts.dtype)
+            filled[((buckets - buckets[0]) // BUCKET_SEC).astype(int)] = counts
+            buckets, counts = full, filled
         res = score_last_bucket(buckets, counts)
         if res is None:
             return pd.DataFrame(columns=[f.name for f in OUTLIER_SCHEMA])
@@ -262,12 +271,15 @@ def detect_outliers(
 
 
 def event_series(logs: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
-    """Per-event-type 5-min count series (the per-filter series analog)."""
-    c = F.col("ts_epoch")
+    """Per-event-type 5-min count series (the per-filter series analog).
+    Bucket math via stats.bucket_col — one definition, and its
+    rollup-positive guard (ANSI `% 0` aborts at runtime)."""
+    from cloudpelican_lsd_spark.operators.stats import bucket_col
+
     return (
         logs.groupBy(
             F.col("event_type").alias("series_key"),
-            (c - (c % F.lit(bucket_sec))).cast("long").alias("bucket"),
+            bucket_col("ts_epoch", bucket_sec).alias("bucket"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -228,10 +228,15 @@ SELECT qid, cid, cos FROM (
 def sign_lsh_bucket(emb_col: str = "emb", bits: int = 8) -> F.Column:
     """Deterministic sign-bit sketch over the first `bits` dims.
 
+    ``try_element_at``: plain element_at on a vector shorter than `bits`
+    ABORTS under ANSI mode, while the DuckDB oracle's `emb[j]` yields
+    NULL → CASE → 0; try_element_at gives Spark the same NULL → IF-false
+    → 0 behavior, so short vectors bucket identically in both engines.
+
     (Production variant: seeded random hyperplanes — same plan shape.)
     """
     terms = " + ".join(
-        f"IF(element_at({emb_col}, {j + 1}) > 0D, {1 << j}, 0)"
+        f"IF(try_element_at({emb_col}, {j + 1}) > 0D, {1 << j}, 0)"
         for j in range(bits)
     )
     return F.expr(f"({terms})").alias("bucket")

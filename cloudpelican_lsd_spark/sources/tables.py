@@ -57,11 +57,19 @@ def _nanos_to_ntz(df: DataFrame, col: str) -> DataFrame:
     """
     dtype = dict(df.dtypes)[col]
     if dtype == "bigint":  # nanos-as-long
+        # FLOOR division, not `div`: `div` truncates toward zero, so a
+        # pre-1970 nanos value would land one second/microsecond high,
+        # diverging from the DuckDB oracle's floor(epoch(ts)).  Subtracting
+        # pmod first makes the quotient exact floor semantics in pure
+        # integer arithmetic (never doubles: 2^53 loss).
+        ns = f"`{col}`"
+        fsec = f"(({ns} - pmod({ns}, 1000000000)) div 1000000000)"
+        fmicro = f"(({ns} - pmod({ns}, 1000)) div 1000)"
         return df.withColumn(
-            f"{col}_epoch", F.expr(f"`{col}` div 1000000000").cast("long")
+            f"{col}_epoch", F.expr(fsec).cast("long")
         ).withColumn(
             col,
-            F.expr(f"convert_timezone('UTC', timestamp_micros(`{col}` div 1000))"),
+            F.expr(f"convert_timezone('UTC', timestamp_micros({fmicro}))"),
         )
     if dtype == "timestamp":  # LTZ instant → pin to UTC wall
         df = df.withColumn(col, F.expr(f"convert_timezone('UTC', `{col}`)"))

@@ -125,21 +125,40 @@ class StreamingEngine:
     # -- batch hook ---------------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """All three writes are keyed by an `epoch` partition column and
+        use DYNAMIC partition overwrite: a replayed micro-batch (Spark's
+        at-least-once redelivery after a crash between write and
+        checkpoint commit) rewrites exactly its own epoch partitions
+        instead of appending duplicates — results stay unique and the
+        merge-on-read SUMs (stats, classifier counts) don't double-count.
+        That upgrade from "at-least-once into an append table" is what
+        makes the sinks effectively exactly-once.
+        """
         # filter set re-read per batch = the reference's 1s hot-swap poll
         # (MatchBolt.java:89-97); compiled into literal predicates per batch
         matched = match_filters_compiled(
             batch_df, self.catalog.list(include_temp=True)
         ).withColumn("date", F.date_format(F.col("ts"), "yyyy-MM-dd"))
         matched.persist()
+        epoch = int(epoch_id)
+        dyn = {"partitionOverwriteMode": "dynamic"}
         try:
-            # results: date+filter partitioned append (S4/S5 analog)
+            # results: date+filter partitioned, per-epoch idempotent
+            # (S4/S5 analog).  row_id embeds the epoch in the high bits so
+            # ids stay unique and FIFO-ordered ACROSS batches
+            # (monotonically_increasing_id alone restarts every batch).
             (
                 matched.select(
                     "filter_id", "filter_name", "_raw", "ts", "ts_epoch", "date"
                 )
-                .withColumn("row_id", F.monotonically_increasing_id())
-                .write.partitionBy("filter_id", "date")
-                .mode("append")
+                .withColumn(
+                    "row_id",
+                    F.lit(epoch * (1 << 40)) + F.monotonically_increasing_id(),
+                )
+                .withColumn("epoch", F.lit(epoch))
+                .write.partitionBy("filter_id", "date", "epoch")
+                .options(**dyn)
+                .mode("overwrite")
                 .parquet(self.results_path)
             )
             # stats: minutely partial counts, merge-on-read (A2/A3 analog)
@@ -163,10 +182,16 @@ class StreamingEngine:
                 )
                 .where(F.col("cnt") > 0)
             )
-            stats.write.mode("append").parquet(self.stats_path)
+            (
+                stats.withColumn("epoch", F.lit(epoch))
+                .write.partitionBy("epoch")
+                .options(**dyn)
+                .mode("overwrite")
+                .parquet(self.stats_path)
+            )
             # classifier training feed (ErrorClassifierBolt trains on
             # matched tuples)
-            self.update_classifier_state(matched)
+            self.update_classifier_state(matched, epoch)
         finally:
             matched.unpersist()
 
@@ -188,7 +213,7 @@ class StreamingEngine:
     #: results-table schema (for empty reads after retention wipes)
     RESULTS_SCHEMA = (
         "filter_name STRING, _raw STRING, ts TIMESTAMP_NTZ, ts_epoch BIGINT,"
-        " row_id BIGINT, filter_id STRING, date DATE"
+        " row_id BIGINT, filter_id STRING, date DATE, epoch INT"
     )
 
     def results(self, filter_id: str | None = None) -> DataFrame:
@@ -207,9 +232,16 @@ class StreamingEngine:
         last = res.orderBy(F.col("ts_epoch").desc(), F.col("row_id").desc()).limit(n)
         return last.orderBy(F.col("ts_epoch").asc(), F.col("row_id").asc())
 
+    #: stats-table schema (empty reads before the first batch / after purge)
+    STATS_SCHEMA = "filter_id STRING, bucket BIGINT, metric INT, cnt BIGINT, epoch INT"
+
     def stats(self, filter_id: str | None = None) -> DataFrame:
         """Merged stats view: sum the appended partials (merge-on-read)."""
-        df = self.spark.read.parquet(self.stats_path)
+        try:
+            df = self.spark.read.parquet(self.stats_path)
+        except Exception:
+            # absent/empty table (before first batch, after full purge)
+            df = self.spark.createDataFrame([], self.STATS_SCHEMA)
         if filter_id is not None:
             df = df.where(F.col("filter_id") == filter_id)
         return df.groupBy("filter_id", "metric", "bucket").agg(
@@ -236,14 +268,15 @@ class StreamingEngine:
 
     # -- classifier state (batch-incremental, SURVEY §7 risk-register path) ----
 
-    def update_classifier_state(self, batch_df: DataFrame) -> None:
-        """Append per-batch (token, label) counts to the model state table.
+    def update_classifier_state(self, batch_df: DataFrame, epoch: int = 0) -> None:
+        """Write per-batch (token, label) counts into the model state table
+        under the batch's epoch partition (idempotent on replay).
 
         The reference trains online per filter with a 1000-sample forget
         queue (ErrorClassifierBolt.java:57-63); the Spark-shaped equivalent
-        is an append-only count table merged on read — at-least-once
-        friendly (counts are additive) and shuffle-light (map-side combine
-        per batch).
+        is a per-epoch count table merged on read — exactly-once under
+        redelivery (each epoch overwrites itself) and shuffle-light
+        (map-side combine per batch).
         """
         from cloudpelican_lsd_spark.operators.classifier import heuristic_label
 
@@ -253,13 +286,25 @@ class StreamingEngine:
             .groupBy("tok", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        toks.write.mode("append").parquet(os.path.join(self.base_dir, "nb_state"))
+        (
+            toks.withColumn("epoch", F.lit(int(epoch)))
+            .write.partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(os.path.join(self.base_dir, "nb_state"))
+        )
+
+    #: classifier-state schema (empty reads before the first batch)
+    NB_SCHEMA = "tok STRING, label STRING, cnt BIGINT, epoch INT"
 
     def classifier_model(self) -> DataFrame:
         """Merged (tok, label, cnt) frequency table."""
+        try:
+            df = self.spark.read.parquet(os.path.join(self.base_dir, "nb_state"))
+        except Exception:
+            df = self.spark.createDataFrame([], self.NB_SCHEMA)
         return (
-            self.spark.read.parquet(os.path.join(self.base_dir, "nb_state"))
-            .groupBy("tok", "label")
+            df.groupBy("tok", "label")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
 
@@ -280,6 +325,19 @@ class StreamingEngine:
                 if ddir.startswith("date=") and ddir[5:] < before_date:
                     shutil.rmtree(os.path.join(fpath, ddir))
 
+    def _require_quiesced(self, op: str) -> None:
+        """The rewrite sweeps are read→write-tmp→swap over plain parquet —
+        NOT transactional.  A micro-batch committing between the read and
+        the swap would be silently erased, so they refuse to run while any
+        streaming query is active.  (At scale: a transactional table
+        format, or partition-level drops like expire_results, removes the
+        restriction.)"""
+        if self.spark.streams.active:
+            raise RuntimeError(
+                f"{op}: stop streaming queries first — the table rewrite "
+                "would lose concurrently committed batches"
+            )
+
     def expire_stats(self, before_bucket: int) -> None:
         """7-day stats purge (filter_manager.go:519-576, age check
         :541-542): compact the stats table to buckets >= `before_bucket`.
@@ -287,15 +345,17 @@ class StreamingEngine:
         is a partition drop; here it's a rewrite of a small table."""
         if not os.path.isdir(self.stats_path):
             return
+        self._require_quiesced("expire_stats")
         kept = self.spark.read.parquet(self.stats_path).where(
             F.col("bucket") >= before_bucket
         )
         tmp = self.stats_path + ".compact"
-        kept.write.mode("overwrite").parquet(tmp)
+        kept.write.partitionBy("epoch").mode("overwrite").parquet(tmp)
         import shutil
 
         shutil.rmtree(self.stats_path)
-        os.rename(tmp, self.stats_path)
+        if os.path.isdir(tmp):
+            os.rename(tmp, self.stats_path)
 
     def compact_results(self) -> None:
         """Ring-buffer truncation: keep only the newest
@@ -310,6 +370,7 @@ class StreamingEngine:
 
         if not os.path.isdir(self.results_path):
             return
+        self._require_quiesced("compact_results")
         w = Window.partitionBy("filter_id").orderBy(
             F.col("ts_epoch").desc(), F.col("row_id").desc()
         )
@@ -320,9 +381,12 @@ class StreamingEngine:
             .drop("_rn")
         )
         tmp = self.results_path + ".compact"
-        kept.write.partitionBy("filter_id", "date").mode("overwrite").parquet(tmp)
+        kept.write.partitionBy("filter_id", "date", "epoch").mode(
+            "overwrite"
+        ).parquet(tmp)
         shutil.rmtree(self.results_path)
-        os.rename(tmp, self.results_path)
+        if os.path.isdir(tmp):
+            os.rename(tmp, self.results_path)
 
     def maintenance(self, now_unix: int) -> dict:
         """One maintenance tick = the reference's three TTL sweeps: temp

@@ -24,6 +24,7 @@ over at most the batch rows, not history.
 from __future__ import annotations
 
 import json
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -171,8 +172,14 @@ def outlier_state_fn(
         yield pd.DataFrame(columns=[f.name for f in OUTLIER_OUTPUT_SCHEMA])
         return
     st = json.loads(state.get[0]) if state.exists else {"counts": {}, "last": 0}
+    # processing-time sanity bound: one line with a bogus far-future
+    # embedded timestamp would otherwise anchor the 24h retention trim
+    # below and wipe the whole accumulated history for this filter
+    max_plausible = int(time.time()) + 300
     for pdf in pdf_iter:
         for e in pdf["ts_epoch"]:
+            if int(e) > max_plausible:
+                continue
             b = int(e) - int(e) % BUCKET_SEC
             st["counts"][str(b)] = st["counts"].get(str(b), 0) + 1
     buckets = sorted(int(k) for k in st["counts"])
