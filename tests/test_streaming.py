@@ -194,6 +194,49 @@ def test_windowed_stats_stream_native_agg(spark, tmp_path):
     assert all(r.bucket % 60 == 0 for r in rows)
 
 
+def test_process_batch_replay_idempotent(spark, tmp_path):
+    """A redelivered micro-batch (same epoch_id) must not duplicate
+    results rows, stats counts, or classifier counts — the epoch
+    partition overwrites itself.  A genuinely new epoch appends."""
+    base = str(tmp_path / "engine7")
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, base)
+
+    def batch(lines):
+        raw = spark.createDataFrame([(l,) for l in lines], "_raw STRING")
+        # same transformation parse_stream applies to the streaming DF
+        return sp.parse_stream(raw)
+
+    b0 = batch(
+        [
+            f"2024-02-01T10:00:{i:02d}.000+00:00 h app: error n={i}"
+            for i in range(8)
+        ]
+    )
+    eng.process_batch(b0, epoch_id=0)
+    res0 = eng.results().count()
+    st0 = {(r.metric, r.bucket): r.cnt for r in eng.stats().collect()}
+    nb0 = {(r.tok, r.label): r.cnt for r in eng.classifier_model().collect()}
+    assert res0 == 8 and st0 and nb0
+
+    # crash-replay of epoch 0: everything identical, nothing doubled
+    eng.process_batch(b0, epoch_id=0)
+    assert eng.results().count() == res0
+    assert {(r.metric, r.bucket): r.cnt for r in eng.stats().collect()} == st0
+    assert {
+        (r.tok, r.label): r.cnt for r in eng.classifier_model().collect()
+    } == nb0
+
+    # epoch 1 with new rows appends; row_ids stay globally unique+ordered
+    b1 = batch(["2024-02-01T10:01:00.000+00:00 h app: error n=9"])
+    eng.process_batch(b1, epoch_id=1)
+    res = eng.results().collect()
+    assert len(res) == 9
+    ids = [r.row_id for r in sorted(res, key=lambda r: r.ts_epoch)]
+    assert len(set(ids)) == 9 and max(ids[:-1]) < ids[-1]
+
+
 def test_compact_results_ring_buffer_cap(spark, tmp_path):
     src = str(tmp_path / "in6")
     base = str(tmp_path / "engine6")
