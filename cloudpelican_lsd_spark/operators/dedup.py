@@ -72,32 +72,42 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingle_array_sql(n: int, text_expr: str = "lower(text)") -> str:
-    """SQL for the distinct word-n-gram array of ``text_expr``.
+def shingle_rows(
+    docs: DataFrame, n: int = 3, text_expr: str = "lower(text)"
+) -> DataFrame:
+    """`(doc_id, shingle)` — word n-grams of ``text_expr`` WITH duplicates.
 
-    The `size >= n` guard matters: Spark's ``sequence(1, 0)`` is the
+    Position-explode + ``element_at`` concat, NOT a ``transform()`` lambda:
+    higher-order-function lambdas run on the interpreted expression path,
+    measured ~6x slower than this whole-stage-codegen shape at sf0.1 (the
+    shingle build dominated the whole Jaccard pipeline).  Duplicate
+    n-grams are preserved — MIN-style consumers (minhash, fingerprints)
+    are duplicate-insensitive; set-semantics consumers dedup downstream.
+
+    The `size >= n` CASE guard matters: Spark's ``sequence(1, 0)`` is the
     DESCENDING sequence [1, 0] (not empty like DuckDB's generate_series),
-    so an unguarded transform over a doc shorter than n words would slice
-    at position 0 and error out (or emit garbage shingles).
+    so a doc shorter than n words would otherwise emit garbage positions.
     """
-    toks = f"split({text_expr}, ' ')"
-    return f"""CASE WHEN size({toks}) >= {n} THEN
-          array_distinct(transform(
-              sequence(1, size({toks}) - {n - 1}),
-              i -> concat_ws(' ', slice({toks}, i, {n}))))
-        ELSE array() END"""
+    els = ", ".join(f"element_at(toks, i + {k})" for k in range(n))
+    return (
+        docs.select("doc_id", F.expr(f"split({text_expr}, ' ')").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {n} THEN"
+                    f" sequence(1, size(toks) - {n - 1}) ELSE array() END"
+                )
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr(f"concat_ws(' ', {els})").alias("shingle"))
+    )
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """`(doc_id, shingle)` — distinct word n-grams of lower(text).
-
-    Built with higher-order functions (split → transform over sequence →
-    array_distinct) entirely per-row, then one explode; no UDF.
-    """
-    return docs.select(
-        "doc_id",
-        F.explode(F.expr(shingle_array_sql(n))).alias("shingle"),
-    )
+    """`(doc_id, shingle)` — DISTINCT word n-grams of lower(text)."""
+    return shingle_rows(docs, n).distinct()
 
 
 SHINGLES_ORACLE_CTE = """\
@@ -138,7 +148,9 @@ def minhash_band_signatures(
     measured ~2x slower despite zero shuffle; codegen wins.)
     """
     assert num_hashes * 5 <= 64, "sliced-md5 scheme supports <= 12 hashes"
-    sh = shingles(_spread(docs), n)
+    # shingle_rows keeps duplicate n-grams — MIN is duplicate-insensitive,
+    # so skipping the dedup avoids a per-row array_distinct entirely
+    sh = shingle_rows(_spread(docs), n)
     # all num_hashes minhashes as columns of ONE hash aggregate: the
     # map-side partial MIN collapses each mapper's shingles to a single
     # row per doc before the (only) shuffle, and bands are then a per-row
@@ -276,12 +288,14 @@ def ngram_jaccard_pairs(
     hot shingles — which carry the least signal).  Deterministic: the df
     cut is an exact integer predicate, reproduced verbatim in the oracle.
     """
-    # shingle set per row (no shuffle), set size carried through the
-    # explode so no separate sizes join; inverted-index keys are xxhash64
-    # of the shingle — 8-byte shuffle keys instead of n-word strings
-    # (collision odds ~|shingles|²/2⁶⁵: at 100 TB switch to a 128-bit hash
-    # pair, same plan).  _spread parallelizes the per-row shingling when
-    # the scan has few splits.
+    # codegen shingle explode (shingle_rows), then per-doc collect_set of
+    # xxhash64(shingle): the hash-set IS the distinct-shingle set, its
+    # size the exact set size — 8-byte inverted-index keys instead of
+    # n-word strings, and the whole dedup happens in one hash aggregate
+    # instead of a per-row array_distinct on the interpreted path
+    # (collision odds ~|shingles|²/2⁶⁵: at 100 TB switch to a 128-bit
+    # hash pair, same plan).  _spread parallelizes the shingling when the
+    # scan has few splits.
     #
     # Pair generation is a groupBy(shingle) + per-group combination
     # explode, NOT a self-join: a self-join recomputes the whole shingle
@@ -289,14 +303,10 @@ def ngram_jaccard_pairs(
     # set twice; this shape computes shingles once and shuffles once.  A
     # shingle shared by k docs emits k·(k-1)/2 pairs either way.
     sh = (
-        _spread(docs)
-        .select("doc_id", F.expr(shingle_array_sql(n)).alias("sharr"))
-        .select(
-            "doc_id",
-            F.size("sharr").alias("sz"),
-            F.explode("sharr").alias("shingle"),
-        )
-        .select("doc_id", "sz", F.xxhash64("shingle").alias("sh_h"))
+        shingle_rows(_spread(docs), n)
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
+        .select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("sh_h"))
     )
     pairs = _group_pairs(sh, ["sh_h"], ["doc_id", "sz"], max_group=max_df).select(
         F.struct(

@@ -145,17 +145,43 @@ def fingerprint(docs: DataFrame, n: int = 3) -> DataFrame:
     rolling min-hash over word n-grams (content-defined fingerprint that
     survives small edits).
 
-    explode + hash-aggregate rather than a per-row HOF fold: md5 inside a
-    lambda runs on the interpreted expression path, while the exploded
-    form keeps it in whole-stage codegen (~2x) — and the map-side partial
-    MIN means the shuffle still carries one row per doc.  Docs shorter
-    than n words keep a NULL min_shingle_fp (explode_outer)."""
-    from cloudpelican_lsd_spark.operators.dedup import _spread, shingle_array_sql
+    Position-explode + hash-aggregate rather than a per-row HOF fold: md5
+    (and the shingle build itself) inside a lambda runs on the interpreted
+    expression path, while the exploded ``element_at`` form keeps both in
+    whole-stage codegen — and the map-side partial MIN means the shuffle
+    still carries one row per doc.  MIN is duplicate-insensitive, so the
+    raw (non-distinct) n-gram stream is fine.  Docs shorter than n words
+    keep a NULL min_shingle_fp (explode_outer over an empty position
+    sequence yields a NULL position → NULL shingle → NULL min)."""
+    from cloudpelican_lsd_spark.operators.dedup import _spread
 
-    sh = _spread(docs).select(
-        "doc_id",
-        F.md5(F.col("text")).alias("exact_fp"),
-        F.explode_outer(F.expr(shingle_array_sql(n))).alias("shingle"),
+    els = ", ".join(f"element_at(toks, i + {k})" for k in range(n))
+    sh = (
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.md5(F.col("text")).alias("exact_fp"),
+            F.expr("split(lower(text), ' ')").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "exact_fp",
+            "toks",
+            F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {n} THEN"
+                    f" sequence(1, size(toks) - {n - 1}) ELSE array() END"
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "exact_fp",
+            # concat_ws would fold NULL args to '' — keep NULL explicit
+            F.expr(
+                f"CASE WHEN i IS NULL THEN NULL ELSE concat_ws(' ', {els}) END"
+            ).alias("shingle"),
+        )
     )
     return sh.groupBy("doc_id", "exact_fp").agg(
         F.min(F.md5(F.col("shingle"))).alias("min_shingle_fp")
