@@ -37,16 +37,22 @@ ERROR_WORDS = (
 
 
 def normalize_lines(df: DataFrame, raw: str = "_raw") -> DataFrame:
-    """trim → drop empty → truncate-with-`..` (ParseBolt.java:49-66)."""
+    """trim → drop empty → truncate-with-`..` (ParseBolt.java:49-66).
+
+    The empty/null filter runs on ``length(trim(raw))`` BEFORE the
+    truncation projection: filtering on the computed column makes Spark
+    evaluate the whole truncate expression twice (once in the Filter,
+    once in the Project — no subexpression elimination across the two
+    operators; measured ~3x the whole-operator cost).  Equivalent output:
+    truncation never turns a non-empty trimmed line empty, and NULL
+    length is never > 0.
+    """
     c = F.trim(F.col(raw))
     truncated = F.when(
         F.length(c) > MAX_MSG_LENGTH,
         F.concat(F.substring(c, 1, MAX_MSG_LENGTH), F.lit("..")),
     ).otherwise(c)
-    return (
-        df.withColumn(raw, truncated)
-        .where(F.col(raw).isNotNull() & (F.length(F.col(raw)) > 0))
-    )
+    return df.where(F.length(c) > 0).withColumn(raw, truncated)
 
 
 def extract_event_time(raw: Column) -> Column:

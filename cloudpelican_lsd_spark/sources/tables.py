@@ -132,7 +132,13 @@ logs AS (
 
 
 def logs_view(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
-    """`(_raw, ts, ts_epoch, event_id, event_type, user_id)` log stream."""
+    """`(_raw, ts, ts_epoch, event_id, event_type, user_id)` log stream.
+
+    Deliberately NOT repartitioned here: the testdata scan is one split
+    (single-row-group parquet), but an unconditional exchange taxes every
+    consumer — aggregating queries pay a second shuffle and operators
+    that _spread internally would shuffle twice (measured net loss on the
+    headline bench).  CPU-heavy per-row consumers opt in via _spread."""
     ev = load_table(spark, "events", sf_dir)
     return ev.select(
         F.expr(_RAW_SPARK).alias("_raw"),
