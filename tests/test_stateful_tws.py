@@ -1,0 +1,213 @@
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.catalog import FilterCatalog
+from cloudpelican_lsd_spark.operators.classifier import heuristic_label
+from cloudpelican_lsd_spark.operators.fanout import match_filters_compiled
+from cloudpelican_lsd_spark.streaming import pipeline as sp
+from cloudpelican_lsd_spark.streaming.stateful_tws import (
+    OnlineClassifierProcessor,
+    streaming_classifier_tws,
+    tws_available,
+)
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+needs_tws = pytest.mark.skipif(
+    not tws_available(),
+    reason="transformWithState needs protobuf (not in this container)",
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python processor-logic tests (no streaming runtime needed)
+# ---------------------------------------------------------------------------
+
+
+class FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return tuple(k) in self._m
+
+    def getValue(self, k):
+        return self._m[tuple(k)]
+
+    def updateValue(self, k, v):
+        self._m[tuple(k)] = tuple(v)
+
+    def removeKey(self, k):
+        del self._m[tuple(k)]
+
+
+class FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttl=None):
+        return self.states.setdefault(name, FakeValueState())
+
+    def getMapState(self, name, kschema, vschema, ttl=None):
+        return self.states.setdefault(name, FakeMapState())
+
+
+def _run(proc, batches):
+    out = []
+    for rows in batches:
+        out.extend(
+            pd.concat(
+                list(proc.handleInputRows(("f-1",), iter(rows), None))
+            ).to_dict("records")
+        )
+    return out
+
+
+def test_tws_processor_accumulates_and_counts_vocab():
+    proc = OnlineClassifierProcessor()
+    proc.init(FakeHandle())
+    b1 = [pd.DataFrame({"_raw": ["error failed hard"] * 3,
+                        "label": ["error"] * 3})]
+    b2 = [pd.DataFrame({"_raw": ["all good served"] * 2,
+                        "label": ["regular"] * 2})]
+    out = _run(proc, [b1, b2])
+    assert out[-1] == {
+        "filter_id": "f-1",
+        "samples_in_memory": 5,
+        "err_samples": 3,
+        "reg_samples": 2,
+        "vocab_size": 6,  # error failed hard all good served
+    }
+
+
+def test_tws_processor_forget_ring_matches_reference_learn():
+    """The MapState ring reproduces stateful._learn (the JSON-blob
+    variant) exactly: same membership, category counts, and vocab after
+    overflow."""
+    from cloudpelican_lsd_spark.streaming.stateful import _learn
+
+    proc = OnlineClassifierProcessor(capacity=5)
+    handle = FakeHandle()
+    proc.init(handle)
+    lines = [
+        (f"uniq{i} common", "error" if i % 2 == 0 else "regular")
+        for i in range(9)
+    ]
+    batches = [
+        [pd.DataFrame({"_raw": [r], "label": [l]})] for r, l in lines
+    ]
+    out = _run(proc, batches)
+
+    ref = {"queue": [], "cat": {}, "feat": {}}
+    import cloudpelican_lsd_spark.streaming.stateful as st
+
+    old_cap = st.MEMORY_CAPACITY
+    st.MEMORY_CAPACITY = 5
+    try:
+        for r, l in lines:
+            _learn(ref, l, r.split())
+    finally:
+        st.MEMORY_CAPACITY = old_cap
+
+    final = out[-1]
+    assert final["samples_in_memory"] == len(ref["queue"]) == 5
+    assert final["err_samples"] == ref["cat"].get("error", 0)
+    assert final["reg_samples"] == ref["cat"].get("regular", 0)
+    ref_vocab = {k.split("\x00", 1)[1] for k in ref["feat"]}
+    assert final["vocab_size"] == len(ref_vocab)
+    # feature table contents identical
+    feat = {k[0]: v[0] for k, v in handle.states["feat"]._m.items()}
+    assert feat == ref["feat"]
+
+
+def test_tws_processor_zero_sum_batch_keeps_state_clean():
+    """A batch that learns and forgets the same token leaves no residue
+    (no zero-count entries, vocab unchanged)."""
+    proc = OnlineClassifierProcessor(capacity=1)
+    handle = FakeHandle()
+    proc.init(handle)
+    batches = [
+        [pd.DataFrame({"_raw": ["aaa"], "label": ["error"]})],
+        # overflows the 1-slot ring: learns bbb, forgets aaa
+        [pd.DataFrame({"_raw": ["bbb"], "label": ["regular"]})],
+    ]
+    out = _run(proc, batches)
+    assert out[-1]["samples_in_memory"] == 1
+    assert out[-1]["vocab_size"] == 1
+    feat = {k[0]: v[0] for k, v in handle.states["feat"]._m.items()}
+    assert feat == {"regular\x00bbb": 1}
+    toks = {k[0]: v[0] for k, v in handle.states["tok"]._m.items()}
+    assert toks == {"bbb": 1}
+
+
+# ---------------------------------------------------------------------------
+# full streaming-runtime test (skipped where protobuf is unavailable)
+# ---------------------------------------------------------------------------
+
+
+@needs_tws
+def test_tws_classifier_streaming(spark, tmp_path):
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB)
+    try:
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.txt"), "w") as f:
+            f.write("2024-02-01T10:00:00.000+00:00 app error failed\n" * 3)
+        with open(os.path.join(src, "b.txt"), "w") as f:
+            f.write("2024-02-01T10:01:00.000+00:00 app all good\n" * 2)
+        cat = FilterCatalog()
+        cat.create("all_app", "app")
+        stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+            .withColumnRenamed("value", "_raw")
+        )
+        labeled = match_filters_compiled(
+            sp.parse_stream(stream), cat.list(include_temp=True)
+        ).withColumn("label", heuristic_label(F.col("_raw")))
+        out = streaming_classifier_tws(labeled)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_state")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql(
+            "SELECT * FROM tws_state ORDER BY samples_in_memory"
+        ).collect()
+        final = rows[-1]
+        assert final.samples_in_memory == 5
+        assert final.err_samples == 3
+        assert final.reg_samples == 2
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
