@@ -379,9 +379,8 @@ def simhash(docs: DataFrame) -> DataFrame:
     """`(doc_id, simhash BIGINT)` — 32-bit SimHash over distinct tokens.
 
     Bit p is the sign of Σ_token ±1 where +1 iff the p-th hex nibble of
-    md5(token) has its high bit set.  Computed entirely per-row with nested
-    higher-order functions: **zero shuffle** — the scan parallelism is the
-    only thing that matters at 100 TB.
+    md5(token) has its high bit set.  One shuffle, carrying one 32-column
+    partial-sum row per (doc, mapper) — the network never sees tokens.
     """
     # explode distinct tokens, md5 once per token in whole-stage codegen,
     # then ONE hash aggregate with 32 per-position ±1 sums (map-side
