@@ -33,6 +33,7 @@ HEADLINE = [
     "classifier_heuristic",
     "search_pricing_summary",
     "search_region_revenue",
+    "search_shipping_priority",
     "topk_per_group",
     "naive_bayes_confusion",
     "outlier_consensus",

@@ -413,6 +413,65 @@ def q_search_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "search_shipping_priority",
+    """SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)))
+            AS DOUBLE) AS revenue,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+       o.o_orderpriority AS orderpriority
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, orderkey
+LIMIT 10""",
+)
+def q_search_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the `search` surface (S10: arbitrary SQL is
+    inherited from the engine, supervisor.go:276-351 collapses to one
+    API call).  Plan notes: both date filters push to the scans; the
+    orders⨝lineitem join shuffles on the key with AQE free to re-plan;
+    the final top-10 needs a deterministic total order, so revenue (an
+    exact DECIMAL-summed value) ties break on the unique orderkey —
+    LIMIT over a non-total order would be engine-dependent row
+    membership."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1995-03-15 00:00:00"))
+        .join(
+            o.where(F.col("o_orderdate") < F.lit("1995-03-15 00:00:00")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            c.where(F.col("c_mktsegment") == "BUILDING"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate_epoch").alias("orderdate_epoch"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate_epoch", "orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
 from cloudpelican_lsd_spark.operators import classifier as nb_ops  # noqa: E402
 
 
