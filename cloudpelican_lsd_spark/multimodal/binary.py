@@ -64,8 +64,9 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("modality"),
         F.lit("application/octet-stream").alias("mime"),
-        F.lit(64).cast("int").alias("width"),
-        F.lit(64).cast("int").alias("height"),
+        # dims vary by id so resize targets exercise every branch
+        (F.lit(32) + (F.col("doc_id") % 40) * 16).cast("int").alias("width"),
+        (F.lit(32) + (F.col("doc_id") % 23) * 16).cast("int").alias("height"),
         (F.length("text") * 10).cast("long").alias("duration_ms"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
@@ -157,6 +158,110 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ]
     )
     return frames.mapInPandas(decode, schema)
+
+
+def resize_dims(
+    media: DataFrame, max_w: int = 256, max_h: int = 192
+) -> DataFrame:
+    """Adds aspect-preserving target dims ``(new_w, new_h)`` — pure
+    integer column math on the prunable metadata, no Python, no blob
+    read.
+
+    The binding side is chosen by cross-multiplication
+    (``w*max_h >= h*max_w`` ⇔ width's scale factor is the smaller), and
+    the scaled dimension is exact integer ``div`` — both reproducible
+    bit-for-bit in the DuckDB oracle, unlike float scale factors."""
+    w, h = F.col("width"), F.col("height")
+    fits = (w <= max_w) & (h <= max_h)
+    width_binds = w * max_h >= h * max_w
+    return media.withColumn(
+        "new_w",
+        F.when(fits, w)
+        .when(width_binds, F.lit(max_w))
+        .otherwise(F.expr(f"width * {max_h} div height"))
+        .cast("int"),
+    ).withColumn(
+        "new_h",
+        F.when(fits, h)
+        .when(width_binds, F.expr(f"height * {max_w} div width"))
+        .otherwise(F.lit(max_h))
+        .cast("int"),
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("resized", T.BooleanType(), False),
+    ]
+)
+
+
+def resize(
+    media: DataFrame,
+    max_w: int = 256,
+    max_h: int = 192,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Bound media to ``max_w × max_h`` preserving aspect ratio.
+
+    Spark-first split: target dims come from `resize_dims` (relational,
+    metadata-only), and rows already within bounds BYPASS the Python
+    boundary entirely — their blobs are never shipped through Arrow.
+    Only genuinely-shrinking rows enter the ``mapInPandas`` resample,
+    which is the stubbed decode point (real impl: decode → resample to
+    (new_w, new_h) → re-encode; fake: sha256(content + dims) digest
+    bytes, deterministic).  Rows with NULL dims can't be resized and
+    pass through unchanged."""
+    dims = resize_dims(media, max_w, max_h)
+    needs = (F.col("new_w") < F.col("width")) | (
+        F.col("new_h") < F.col("height")
+    )
+    passthrough = dims.where(~F.coalesce(needs, F.lit(False))).select(
+        "media_id",
+        "modality",
+        "width",
+        "height",
+        "content",
+        F.lit(False).alias("resized"),
+    )
+
+    def resample(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resample requires PIL/av; replace the fake "
+                    "re-encode below with decode→resize→encode"
+                )
+            out_content = [
+                None
+                if c is None
+                else hashlib.sha256(
+                    bytes(c)
+                    + int(nw).to_bytes(4, "big")
+                    + int(nh).to_bytes(4, "big")
+                ).digest()
+                for c, nw, nh in zip(pdf["content"], pdf["new_w"], pdf["new_h"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "width": pdf["new_w"],
+                    "height": pdf["new_h"],
+                    "content": out_content,
+                    "resized": [True] * len(pdf),
+                }
+            )
+
+    shrunk = dims.where(F.coalesce(needs, F.lit(False))).mapInPandas(
+        resample, RESIZE_SCHEMA
+    )
+    return passthrough.unionByName(shrunk)
 
 
 def metadata_only_scan(media: DataFrame) -> DataFrame:

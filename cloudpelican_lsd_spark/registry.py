@@ -757,6 +757,45 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.frame_sample(media, every_ms=500)
 
 
+@register(
+    "multimodal_resize_dims",
+    """WITH media AS (
+  SELECT doc_id AS media_id,
+         CAST(32 + (doc_id % 40) * 16 AS INT) AS width,
+         CAST(32 + (doc_id % 23) * 16 AS INT) AS height
+  FROM documents
+)
+SELECT media_id, width AS orig_w, height AS orig_h,
+  CAST(CASE WHEN width <= 256 AND height <= 192 THEN width
+            WHEN width * 192 >= height * 256 THEN 256
+            ELSE width * 192 // height END AS INT) AS new_w,
+  CAST(CASE WHEN width <= 256 AND height <= 192 THEN height
+            WHEN width * 192 >= height * 256 THEN height * 256 // width
+            ELSE 192 END AS INT) AS new_h
+FROM media""",
+)
+def q_mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize targets as pure relational integer math
+    on the prunable metadata (multimodal/binary.py resize_dims) — the
+    blob column is never read."""
+    media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
+    return mm_ops.resize_dims(media, max_w=256, max_h=192).select(
+        "media_id",
+        F.col("width").alias("orig_w"),
+        F.col("height").alias("orig_h"),
+        "new_w",
+        "new_h",
+    )
+
+
+@register("multimodal_resize")  # rows-only: stubbed pixel resample
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full resize op: within-bounds rows bypass Python entirely; only
+    shrinking rows ship blobs through the Arrow mapInPandas boundary."""
+    media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
+    return mm_ops.resize(media, max_w=256, max_h=192).drop("content")
+
+
 # ===========================================================================
 # JSON column ops (events.props — schema-on-read extraction)
 # ===========================================================================

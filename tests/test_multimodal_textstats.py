@@ -110,3 +110,55 @@ def test_normalize_lines_branches(spark):
     assert len(got) == 2                     # empty + null dropped
     long = next(x for x in got if x != "hi")
     assert len(long) == MAX_MSG_LENGTH + 2 and long.endswith("..")
+
+
+def test_resize_dims_aspect_and_bounds(spark, sf_dir):
+    """Targets are within bounds, aspect-preserving (exact integer
+    floor), and identity for already-fitting media."""
+    media = mm.synthesize_media(load_table(spark, "documents", sf_dir))
+    rows = mm.resize_dims(media, max_w=256, max_h=192).collect()
+    assert rows
+    for r in rows:
+        assert r.new_w <= 256 and r.new_h <= 192
+        if r.width <= 256 and r.height <= 192:
+            assert (r.new_w, r.new_h) == (r.width, r.height)
+        elif r.width * 192 >= r.height * 256:
+            assert r.new_w == 256
+            assert r.new_h == r.height * 256 // r.width
+        else:
+            assert r.new_h == 192
+            assert r.new_w == r.width * 192 // r.height
+
+
+def test_resize_passthrough_skips_python_boundary(spark, sf_dir):
+    """Within-bounds rows keep their original bytes untouched; shrinking
+    rows get the (stub) re-encoded payload and resized=True."""
+    media = mm.synthesize_media(
+        load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 60)
+    )
+    out = {r.media_id: r for r in mm.resize(media, 256, 192).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        s = src[mid]
+        if s.width <= 256 and s.height <= 192:
+            assert not r.resized
+            assert bytes(r.content) == bytes(s.content)
+            assert (r.width, r.height) == (s.width, s.height)
+        else:
+            assert r.resized
+            expected = hashlib.sha256(
+                bytes(s.content)
+                + int(r.width).to_bytes(4, "big")
+                + int(r.height).to_bytes(4, "big")
+            ).digest()
+            assert bytes(r.content) == expected
+
+
+def test_resize_real_decode_is_stubbed(spark, sf_dir):
+    media = mm.synthesize_media(load_table(spark, "documents", sf_dir))
+    with pytest.raises(Exception) as exc_info:
+        mm.resize(media, 64, 64, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
