@@ -200,3 +200,91 @@ fps AS (
 )
 SELECT d.doc_id, md5(d.text) AS exact_fp, fps.min_shingle_fp
 FROM documents d LEFT JOIN fps ON fps.doc_id = d.doc_id"""
+
+
+def cdc_chunks(
+    docs: DataFrame, window: int = 16, divisor: int = 64
+) -> DataFrame:
+    """`(doc_id, chunk_start, chunk_len, chunk_md5)` — content-defined
+    chunking: the rolling-hash document-fingerprint family (boundary
+    where the hash of the `window`-char suffix at a position ≡ 0 mod
+    `divisor`; expected chunk ≈ divisor chars).  Insert/delete edits
+    shift only the chunks they touch, so shared chunks between document
+    versions survive — the fragment-level dedup primitive.
+
+    Relational formulation: position-explode (codegen) → windowed-hash
+    boundary filter → per-doc running boundary index (window function)
+    → per-chunk substring + md5.  Hash = first 8 hex of md5, an exact
+    integer both engines compute identically; a true Rabin rolling
+    update saves CPU only in a sequential scan — per-position md5 is
+    embarrassingly parallel and oracle-reproducible, same output.
+    Docs shorter than `window` form one chunk.
+    """
+    from pyspark.sql import Window
+
+    ln = F.length("text")
+    # boundary candidate positions: window end i in [window, len-1]; the
+    # last position is excluded (a boundary there would add an empty
+    # tail chunk the oracle's generate_series also avoids)
+    pos = docs.select(
+        "doc_id",
+        "text",
+        ln.alias("len"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(text) > {window}"
+                f" THEN sequence({window}, length(text) - 1) ELSE array() END"
+            )
+        ).alias("i"),
+    )
+    bounds = pos.where(
+        F.expr(
+            f"cast(conv(substring(md5(substring(text, i - {window - 1}, {window})), 1, 8),"
+            f" 16, 10) as bigint) % {divisor} = 0"
+        )
+    ).select("doc_id", "text", "len", F.col("i").alias("b"))
+    # chunk k spans (prev boundary, this boundary]; the final chunk spans
+    # (last boundary, len] and is synthesized by unioning a len sentinel
+    sentinel = docs.select(
+        "doc_id", "text", ln.alias("len"), ln.alias("b")
+    )
+    w = Window.partitionBy("doc_id").orderBy("b")
+    return (
+        bounds.unionByName(sentinel)
+        .withColumn("prev_b", F.coalesce(F.lag("b").over(w), F.lit(0)))
+        .where(F.col("b") > F.col("prev_b"))  # len==last boundary dedup
+        .select(
+            "doc_id",
+            (F.col("prev_b") + 1).cast("long").alias("chunk_start"),
+            (F.col("b") - F.col("prev_b")).cast("long").alias("chunk_len"),
+            F.md5(
+                F.expr("substring(text, prev_b + 1, b - prev_b)")
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def cdc_chunks_oracle(window: int = 16, divisor: int = 64) -> str:
+    return f"""WITH pos AS (
+  SELECT doc_id, text, length(text) AS len,
+         unnest(generate_series({window},
+                                greatest(length(text) - 1, {window - 1}))) AS i
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, text, len, i AS b FROM pos
+  WHERE CAST(('0x' || substring(md5(substring(text, i - {window - 1}, {window})), 1, 8))
+             AS BIGINT) % {divisor} = 0
+  UNION ALL
+  SELECT doc_id, text, length(text), length(text) FROM documents
+),
+chunks AS (
+  SELECT doc_id, text, b,
+         COALESCE(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS prev_b
+  FROM bounds
+)
+SELECT doc_id,
+       CAST(prev_b + 1 AS BIGINT) AS chunk_start,
+       CAST(b - prev_b AS BIGINT) AS chunk_len,
+       md5(substring(text, prev_b + 1, b - prev_b)) AS chunk_md5
+FROM chunks WHERE b > prev_b"""

@@ -716,6 +716,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_cdc_chunks", text_ops.cdc_chunks_oracle(16, 64))
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash fingerprint family):
+    per-chunk md5s that survive insert/delete edits outside the touched
+    chunk (textstats.cdc_chunks)."""
+    return text_ops.cdc_chunks(
+        load_table(spark, "documents", sf_dir), window=16, divisor=64
+    )
+
+
 @register("text_fingerprint", text_ops.fingerprint_oracle(3))
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(load_table(spark, "documents", sf_dir), n=3)

@@ -162,3 +162,36 @@ def test_resize_real_decode_is_stubbed(spark, sf_dir):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_cdc_chunks_match_python_reference(spark, sf_dir):
+    """Chunks tile the document exactly and boundaries match a direct
+    Python computation of the windowed-hash rule."""
+    import hashlib as _h
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 40)
+    got = {}
+    for r in ts.cdc_chunks(docs, window=16, divisor=64).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_start, r.chunk_len, r.chunk_md5)
+        )
+    for row in docs.collect():
+        text = row.text
+        bounds = [
+            i
+            for i in range(16, len(text))  # 1-based end pos in [16, len-1]
+            if int(_h.md5(text[i - 16 : i].encode()).hexdigest()[:8], 16) % 64
+            == 0
+        ] + [len(text)]
+        expect = []
+        prev = 0
+        for b in bounds:
+            if b > prev:
+                chunk = text[prev:b]
+                expect.append(
+                    (prev + 1, b - prev, _h.md5(chunk.encode()).hexdigest())
+                )
+                prev = b
+        assert sorted(got.get(row.doc_id, [])) == expect
+        # chunks tile the doc: lens sum to the full length
+        assert sum(c[1] for c in expect) == len(text)
