@@ -38,6 +38,7 @@ HEADLINE = [
     "naive_bayes_confusion",
     "outlier_consensus",
     "dedup_exact_groups",
+    "dedup_clusters",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "simhash_fingerprints",
@@ -51,6 +52,7 @@ HEADLINE = [
     "text_bpe_token_count",
     "topk_per_group_salted",
     "distinct_users_per_type",
+    "events_sessionize",
 ]
 
 

@@ -592,3 +592,90 @@ SELECT vec_b AS doc_id,
 FROM pairs
 WHERE cos * {min_cos_den} >= {min_cos_num}
 GROUP BY vec_b"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster formation (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """`(doc_id, cluster_id)` — connected components of the near-dup pair
+    graph; ``cluster_id`` is the smallest doc_id reachable from each node.
+
+    This is the step that turns candidate *pairs* (LSH/simhash/Jaccard
+    output) into duplicate *groups*, so a pipeline can keep exactly one
+    canonical document per cluster (``doc_id == cluster_id``) — pairwise
+    removal alone over-deletes chains (a~b, b~c would drop both b and c
+    even when a~c was never observed).
+
+    Physical shape: iterative min-label propagation.  Each round is one
+    hash-aggregate shuffle of compact `(node BIGINT, lbl BIGINT)` rows —
+    the network never sees text.  Labels only ever decrease, so
+    convergence is an unchanged SUM(lbl) (no expensive join-compare), and
+    rounds ≈ graph diameter — duplicate clusters in practice are shallow
+    star/clique shapes (2-4 rounds).  For adversarial long-chain graphs
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    *Connected Components in MapReduce and Beyond*, SoCC'14) bounds rounds
+    at O(log² n) with the same per-round plan shape; diameter-bounded
+    propagation is the right default for dedup graphs.
+
+    ``localCheckpoint`` truncates lineage every round — an iterative plan
+    otherwise doubles in depth per iteration and Catalyst re-analysis
+    starts to dominate (classic iterative-Spark pitfall).  At cluster
+    scale, prefer ``checkpoint`` on reliable storage so recomputation
+    after executor loss does not replay every round.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    prev_sum = object()  # sentinel: never equal on first comparison
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        propagated = labels.join(
+            edges, labels["node"] == edges["src"], "inner"
+        ).select(F.col("dst").alias("node"), "lbl")
+        labels = (
+            labels.unionByName(propagated)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def connected_components_oracle(pairs_sql: str) -> str:
+    """Recursive-CTE oracle: min-label reachability over ``pairs_sql``
+    (a relation with columns ``doc_a < doc_b``).  The ``r.lbl < e.dst``
+    guard prunes propagation to labels that can still win the MIN —
+    the component minimum always satisfies it, so the result is exact."""
+    return f"""cpairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cpairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl
+  FROM reach r JOIN edges e ON r.node = e.src
+  WHERE r.lbl < e.dst
+)"""

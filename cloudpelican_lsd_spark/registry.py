@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from cloudpelican_lsd_spark.catalog import demo_catalog
 from cloudpelican_lsd_spark.operators import dedup as dedup_ops
+from cloudpelican_lsd_spark.operators import sessions as session_ops
 from cloudpelican_lsd_spark.operators import similarity as sim_ops
 from cloudpelican_lsd_spark.operators import textstats as text_ops
 from cloudpelican_lsd_spark.functions.parse import (
@@ -544,6 +545,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_PAIRS_SQL = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+
+
+@register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+{dedup_ops.connected_components_oracle(_MINHASH_PAIRS_SQL)}
+SELECT node::BIGINT AS doc_id, MIN(lbl)::BIGINT AS cluster_id
+FROM reach GROUP BY node""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the MinHash
+    LSH candidate pairs — keep ``doc_id == cluster_id`` as the canonical
+    copy per group (see dedup.connected_components for the scale story)."""
+    pairs = dedup_ops.lsh_candidate_pairs(
+        _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
+    )
+    return dedup_ops.connected_components(pairs)
+
+
 @register(
     "dedup_ngram_jaccard_pairs",
     f"""WITH {_PLANTED_CTE},
@@ -888,6 +912,23 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "events_sessionize",
+    f"""WITH {session_ops.sessionize_oracle(1800)}
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       MIN(ts_epoch)::BIGINT AS start_epoch,
+       MAX(ts_epoch)::BIGINT AS end_epoch,
+       COUNT(*)::BIGINT AS n_events,
+       (MAX(ts_epoch) - MIN(ts_epoch))::BIGINT AS duration_s,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors
+FROM sess GROUP BY user_id, session_idx""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) — one shuffle,
+    all-codegen; see operators/sessions.py for the 100 TB plan story."""
+    return session_ops.sessionize(load_table(spark, "events", sf_dir))
 
 
 @register(

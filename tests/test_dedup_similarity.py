@@ -163,3 +163,26 @@ def test_jaccard_df_pruning_is_one_sided(spark, sf_dir):
     assert pruned <= full
     # the hot shingle alone connected every doc pair; pruning removes it
     assert len(pruned) < len(full)
+
+
+def test_connected_components_merges_chains(spark):
+    # chain 1-2-3, triangle 5-6-7, isolated pair 10-11: pairwise output
+    # alone would not link 1 and 3 (no direct pair observed)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (5, 7), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_ops.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (5, 5), (6, 5), (7, 5),
+        (10, 10), (11, 10),
+    }
+
+
+def test_connected_components_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_ops.connected_components(pairs).count() == 0

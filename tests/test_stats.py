@@ -73,3 +73,30 @@ def test_chart_series_truncates_to_newest(spark, sf_dir):
     for m, buckets in per_metric.items():
         assert len(buckets) == 10
         assert max(buckets) == full_max[m]  # newest bucket retained
+
+
+def test_sessionize_gap_splits_and_counts(spark):
+    from cloudpelican_lsd_spark.operators.sessions import sessionize
+
+    # user 1: events at t=1000,1010 (one session), then t=3010 — the
+    # 2000s gap (> 1800) starts session 2; user 2: a single error event
+    ev = spark.createDataFrame(
+        [
+            (100, 1, "view", 1000),
+            (101, 1, "click", 1010),
+            (102, 1, "error", 3010),
+            (200, 2, "error", 500),
+        ],
+        "event_id long, user_id long, event_type string, ts_epoch long",
+    )
+    got = {
+        (r.user_id, r.session_idx): (
+            r.start_epoch, r.end_epoch, r.n_events, r.duration_s, r.n_errors
+        )
+        for r in sessionize(ev, gap_s=1800).collect()
+    }
+    assert got == {
+        (1, 1): (1000, 1010, 2, 10, 0),
+        (1, 2): (3010, 3010, 1, 0, 1),
+        (2, 1): (500, 500, 1, 0, 1),
+    }
