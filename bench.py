@@ -53,6 +53,7 @@ HEADLINE = [
     "topk_per_group_salted",
     "distinct_users_per_type",
     "events_sessionize",
+    "events_asof_attribution",
 ]
 
 

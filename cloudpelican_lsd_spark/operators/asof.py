@@ -1,0 +1,86 @@
+"""As-of (most-recent-prior) join — a custom operator Spark lacks.
+
+The reference implements no joins at all (SURVEY.md §2.3); this is one of
+the beyond-the-reference operators a log/metrics engine needs constantly:
+attribute each observation to the latest preceding fact — error → last
+deploy, event → last config change, trade → last quote (the classic
+time-series formulation).
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do), and the naive
+formulations collapse at scale:
+
+- equi-join on key + ``r.ts <= l.ts`` + row_number to keep the max is a
+  many-to-many explosion (every left row × every earlier right row)
+  before the filter;
+- a theta band join is a BroadcastNestedLoopJoin unless one side is tiny;
+- per-key ``applyInPandas`` + ``pandas.merge_asof`` works but moves every
+  row through Arrow into Python.
+
+The scalable relational shape is the **union-merge**: tag both inputs,
+union them, and carry the right side's values forward over one
+``PARTITION BY key ORDER BY (ts, side)`` window with
+``last(value, ignoreNulls=True)``.  Each left row then holds the values
+of the latest right row with ``r.ts <= l.ts``.  Physical plan: ONE
+shuffle (hash by key), one per-partition sort, whole-stage codegen
+throughout — rows never multiply, no Python.  Right rows ordered before
+left rows at equal timestamps, so a same-instant fact is visible
+("at-or-before" semantics, matching DuckDB ``ASOF JOIN`` with ``>=``).
+
+At 100 TB: the shuffle is keyed by the join key (users/hosts — high
+cardinality), AQE splits skewed keys, and the window sort spills to disk
+per partition.  This beats the pairwise formulations by the ratio of
+right-rows-per-key (often thousands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts: str = "ts_epoch",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of-backward join: every ``left`` row gains each
+    ``value_cols`` column from the latest ``right`` row of the same
+    ``keys`` with ``right.ts <= left.ts`` (NULL when no such row).
+
+    Precondition: ``right`` has at most one row per ``(keys, ts)`` —
+    pre-aggregate otherwise (ties would be nondeterministic in any
+    engine; DuckDB's ASOF has the same caveat).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in keys and c != ts
+    ]
+    clash = set(value_cols) & set(left.columns)
+    assert not clash, f"value_cols must not collide with left columns: {clash}"
+    r = right.select(
+        *keys, ts, *value_cols, F.lit(0).alias("_side")
+    )
+    l = left.select(*left.columns, F.lit(1).alias("_side"))
+    u = r.unionByName(l, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+    )
+    return carried.where(F.col("_side") == 1).select(
+        *left.columns,
+        *[f"asof_{c}" for c in value_cols],
+        "asof_ts",
+    )

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from cloudpelican_lsd_spark.catalog import demo_catalog
 from cloudpelican_lsd_spark.operators import dedup as dedup_ops
+from cloudpelican_lsd_spark.operators import asof as asof_ops
 from cloudpelican_lsd_spark.operators import sessions as session_ops
 from cloudpelican_lsd_spark.operators import similarity as sim_ops
 from cloudpelican_lsd_spark.operators import textstats as text_ops
@@ -911,6 +912,52 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count_distinct(F.col("user_id")).alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_asof_attribution",
+    """WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+  FROM events
+),
+l AS (SELECT event_id, user_id, ts_epoch FROM ev WHERE event_type = 'error'),
+r AS (
+  SELECT user_id, ts_epoch, MAX(event_id) AS purchase_id
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_epoch
+)
+SELECT l.event_id, l.user_id, l.ts_epoch,
+       r.purchase_id AS asof_purchase_id,
+       r.ts_epoch AS asof_ts,
+       (l.ts_epoch - r.ts_epoch) AS lag_s
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_epoch >= r.ts_epoch""",
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of-backward join: each error event attributed to the same
+    user's latest at-or-before purchase (union-merge single-shuffle plan;
+    see operators/asof.py).  Oracle uses DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_epoch"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_epoch")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof_ops.asof_join(
+        errors, purchases, keys=["user_id"], ts="ts_epoch",
+        value_cols=["purchase_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.col("asof_purchase_id"),
+        "asof_ts",
+        (F.col("ts_epoch") - F.col("asof_ts")).alias("lag_s"),
     )
 
 

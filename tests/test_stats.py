@@ -100,3 +100,31 @@ def test_sessionize_gap_splits_and_counts(spark):
         (1, 2): (3010, 3010, 1, 0, 1),
         (2, 1): (500, 500, 1, 0, 1),
     }
+
+
+def test_asof_join_backward_semantics(spark):
+    from cloudpelican_lsd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 200), (3, 1, 50), (4, 2, 100)],
+        "event_id long, user_id long, ts_epoch long",
+    )
+    right = spark.createDataFrame(
+        # user 1: facts at t=100 (id 10) and t=150 (id 11); user 3: never
+        # matches anything
+        [(1, 100, 10), (1, 150, 11), (3, 10, 30)],
+        "user_id long, ts_epoch long, fact_id long",
+    )
+    got = {
+        r.event_id: (r.asof_fact_id, r.asof_ts)
+        for r in asof_join(
+            left, right, keys=["user_id"], ts="ts_epoch",
+            value_cols=["fact_id"],
+        ).collect()
+    }
+    assert got == {
+        1: (10, 100),   # at-or-before: fact at the same instant counts
+        2: (11, 150),   # latest prior wins, not the first
+        3: (None, None),  # nothing at-or-before t=50
+        4: (None, None),  # user with no facts at all
+    }
