@@ -54,6 +54,10 @@ HEADLINE = [
     "distinct_users_per_type",
     "events_sessionize",
     "events_asof_attribution",
+    "stats_moving_zscore",
+    "events_range_join",
+    "events_value_percentiles",
+    "corpus_split_assign",
 ]
 
 

@@ -163,3 +163,66 @@ def chart_series(stats: DataFrame, width: int) -> DataFrame:
         .where(F.col("rn") <= width)
         .select("metric", "bucket", "cnt")
     )
+
+
+def moving_zscore(
+    series: DataFrame,
+    keys: list[str],
+    bucket: str = "bucket",
+    cnt: str = "cnt",
+    lookback: int = 12,
+    min_points: int = 10,
+) -> DataFrame:
+    """Trailing moving-average z-score per series point — the relational
+    form of the reference's MovingAverage / NormalDistribution analyzers
+    (storm OutlierDetectionBolt.java:61-74): for each bucket, score the
+    count against the mean/stddev of the previous ``lookback`` buckets
+    (current bucket excluded, mirroring the skip-newest-bucket rule
+    OutlierDetectionBolt.java:140-141; ``min_points`` mirrors the ≥10
+    points gate :159-161).
+
+    Determinism: mean/variance are derived from integer SUM / SUM-of-
+    squares window aggregates with an explicit double-arithmetic order
+    (``(ss - s*s/n)/(n-1)``) so DuckDB reproduces the exact IEEE result;
+    z-scores round to 6 places before comparison.
+
+    Scale: the input is an already-aggregated bucket series (rows ∝
+    series-count × time-buckets, independent of raw data volume); one
+    hash partition per series key, one per-partition sort, all codegen.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket)
+        .rowsBetween(-lookback, -1)
+    )
+    c = F.col(cnt)
+    n = F.count(c).over(w)
+    s = F.sum(c).over(w)
+    ss = F.sum(c * c).over(w)
+    # denominators clamped to >=1 so ANSI mode can never hit x/0 (a
+    # when() guard is NOT enough: codegen may evaluate the expression
+    # before the branch); rows with too few points are nulled by the
+    # when() below, so the clamped garbage value is never emitted.  The
+    # oracle SQL uses the IDENTICAL greatest() expressions so the IEEE
+    # double arithmetic matches bit-for-bit.
+    nd = F.greatest(n, F.lit(1))
+    n1 = F.greatest(n - F.lit(1), F.lit(1))
+    mean = s.cast("double") / nd
+    var = (ss.cast("double") - s.cast("double") * s.cast("double") / nd) / n1
+    z = (c.cast("double") - mean) / F.sqrt(var)
+    gate = n >= F.lit(max(min_points, 2))
+    scored = series.select(
+        *keys,
+        bucket,
+        cnt,
+        F.when(gate, F.round(mean, 6)).alias("mov_avg"),
+        F.when(gate & (var > F.lit(0.0)), F.round(z, 6)).alias("zscore"),
+    )
+    return scored.withColumn(
+        "is_outlier",
+        F.when(F.abs(F.col("zscore")) > F.lit(3.0), 1)
+        .otherwise(0)
+        .cast("int"),
+    )

@@ -994,3 +994,218 @@ def q_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudpelican_lsd_spark.operators.tail import topk_per_group_salted
 
     return topk_per_group_salted(load_table(spark, "events", sf_dir))
+
+
+# ===========================================================================
+# windowed anomaly analytics, range join, grouping sets, percentiles,
+# deterministic sampling (beyond-reference batch surface)
+# ===========================================================================
+
+@register(
+    "stats_moving_zscore",
+    """WITH ev AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM events
+),
+series AS (
+  SELECT event_type, ts_epoch - (ts_epoch % 300) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+framed AS (
+  SELECT event_type, bucket, cnt,
+         COUNT(cnt) OVER w AS n,
+         CAST(SUM(cnt) OVER w AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS ss
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+),
+calc AS (
+  SELECT event_type, bucket, cnt, n,
+         CAST(s AS DOUBLE) / greatest(n, 1) AS mean,
+         (CAST(ss AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / greatest(n, 1))
+           / greatest(n - 1, 1) AS var
+  FROM framed
+)
+SELECT event_type, bucket, cnt,
+       CASE WHEN n >= 10 THEN round(mean, 6) END AS mov_avg,
+       CASE WHEN n >= 10 AND var > 0.0
+            THEN round((CAST(cnt AS DOUBLE) - mean) / sqrt(var), 6)
+       END AS zscore,
+       CAST(CASE WHEN abs(CASE WHEN n >= 10 AND var > 0.0
+                    THEN round((CAST(cnt AS DOUBLE) - mean) / sqrt(var), 6)
+                    END) > 3.0 THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+FROM calc""",
+)
+def q_stats_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing moving-average z-score over per-type 5-min bucket counts —
+    relational form of the MovingAverage/NormalDistribution analyzers
+    (storm OutlierDetectionBolt.java:61-74); see stats.moving_zscore."""
+    ev = load_table(spark, "events", sf_dir)
+    series = ev.groupBy(
+        "event_type",
+        stats_ops.bucket_col("ts_epoch", 300).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return stats_ops.moving_zscore(series, keys=["event_type"])
+
+
+@register(
+    "events_range_join",
+    """WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+  FROM events
+),
+e AS (SELECT event_id AS error_id, user_id, ts_epoch AS error_ts
+      FROM ev WHERE event_type = 'error'),
+p AS (SELECT event_id AS purchase_id, user_id, ts_epoch AS purchase_ts
+      FROM ev WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, p.purchase_ts, e.error_id, e.error_ts,
+       (p.purchase_ts - e.error_ts) AS delta_s
+FROM p JOIN e
+  ON p.user_id = e.user_id
+ AND p.purchase_ts >= e.error_ts
+ AND p.purchase_ts <= e.error_ts + 3600""",
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases within one hour after an error by the same
+    user, via the bucketized equi-join (operators/ranges.py) — compact
+    (user, hour-bucket) shuffle keys, no nested-loop join."""
+    from cloudpelican_lsd_spark.operators.ranges import interval_join
+
+    ev = load_table(spark, "events", sf_dir)
+    points = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_epoch").alias("purchase_ts"),
+    )
+    intervals = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts_epoch").alias("error_ts"),
+        F.col("ts_epoch").alias("start_epoch"),
+        (F.col("ts_epoch") + F.lit(3600)).alias("end_epoch"),
+    )
+    joined = interval_join(
+        points, intervals, keys=["user_id"],
+        point_ts="purchase_ts", bucket_s=3600,
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "error_id",
+        "error_ts",
+        (F.col("purchase_ts") - F.col("error_ts")).alias("delta_s"),
+    )
+
+
+@register(
+    "events_rollup_day_type",
+    """WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+  FROM events
+),
+d AS (
+  SELECT event_type, ts_epoch - (ts_epoch % 86400) AS day_bucket FROM ev
+)
+SELECT event_type, day_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(event_type, day_bucket) AS INTEGER) AS gid
+FROM d GROUP BY ROLLUP (event_type, day_bucket)""",
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation (per type×day, per type, grand
+    total) — one pass, Spark expands grouping sets inside a single hash
+    aggregate; `gid` disambiguates NULL-as-total from NULL data."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.select(
+        "event_type",
+        stats_ops.bucket_col("ts_epoch", 86400).alias("day_bucket"),
+    )
+    return d.rollup("event_type", "day_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+@register(
+    "events_value_percentiles",
+    """WITH ev AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+)
+SELECT event_type,
+       round(quantile_cont(cents, 0.5), 6) AS p50,
+       round(quantile_cont(cents, 0.9), 6) AS p90,
+       round(quantile_cont(cents, 0.99), 6) AS p99,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM ev GROUP BY event_type""",
+)
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (integer-cents
+    domain so both engines interpolate over identical inputs).  At 100 TB
+    swap `percentile` for `percentile_approx` (t-digest sketch, map-side
+    combinable) — exact percentile is a full sort per group."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cents.groupBy("event_type").agg(
+        F.round(F.expr("percentile(cents, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(cents, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(cents, 0.99)"), 6).alias("p99"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+@register(
+    "corpus_split_assign",
+    """SELECT doc_id,
+       CASE WHEN substr(md5(text), 1, 2) < '0d' THEN 'val'
+            WHEN substr(md5(text), 1, 2) < '1a' THEN 'test'
+            ELSE 'train' END AS split
+FROM documents""",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test assignment (~5%/5%/90%)
+    — the reproducible-split primitive of a training-data pipeline:
+    pure per-row hashing, no shuffle, no RNG state, stable under
+    re-partitioning and re-runs at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    prefix = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(prefix < "0d", "val")
+        .when(prefix < "1a", "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+@register(
+    "events_stratified_sample",
+    """WITH kept AS (
+  SELECT event_type, event_id FROM events
+  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY event_type""",
+)
+def q_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% per-stratum sample via key-hash thresholding
+    (substr(md5,1,2) < '1a' ⇒ 26/256) — unlike `sample()`, replayable
+    across engines/runs; the checksum pins exact membership."""
+    ev = load_table(spark, "events", sf_dir)
+    kept = ev.where(
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 2)
+        < "1a"
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("event_id").alias("id_checksum"),
+    )

@@ -128,3 +128,62 @@ def test_asof_join_backward_semantics(spark):
         3: (None, None),  # nothing at-or-before t=50
         4: (None, None),  # user with no facts at all
     }
+
+
+def test_moving_zscore_math_and_gates(spark):
+    # key "a": buckets 0..12 alternate 4/6 (so trailing var > 0), bucket
+    # 13 spikes to 50.  key "b": constant series -> var=0 -> zscore NULL.
+    rows = [("a", b, 4 if b % 2 == 0 else 6) for b in range(13)]
+    rows.append(("a", 13, 50))
+    rows += [("b", b, 5) for b in range(14)]
+    series = spark.createDataFrame(rows, "k string, bucket long, cnt long")
+    got = {
+        (r.k, r.bucket): (r.mov_avg, r.zscore, r.is_outlier)
+        for r in stats_ops.moving_zscore(series, keys=["k"]).collect()
+    }
+    # too few trailing points (n<10): both stats NULL, not flagged
+    assert got[("a", 5)] == (None, None, 0)
+    assert got[("a", 9)] == (None, None, 0)
+    # first gated bucket: n=10 trailing points (buckets 0..9: five 4s,
+    # five 6s), mean 5, var = (260 - 250)/9
+    import math
+
+    var10 = (5 * 16 + 5 * 36 - 50 * 50 / 10) / 9
+    z10 = round((4 - 5.0) / math.sqrt(var10), 6)
+    assert got[("a", 10)] == (5.0, z10, 0)
+    # the spike: 12 trailing points alternating 4/6 -> mean 5,
+    # var = (312 - 300)/11, z = 45/sd -> flagged
+    var12 = (6 * 16 + 6 * 36 - 60 * 60 / 12) / 11
+    z13 = round((50 - 5.0) / math.sqrt(var12), 6)
+    assert got[("a", 13)] == (5.0, z13, 1)
+    assert z13 > 40
+    # constant series: mean defined, zero variance -> zscore NULL
+    assert got[("b", 13)] == (5.0, None, 0)
+
+
+def test_interval_join_boundaries_and_overlap(spark):
+    from cloudpelican_lsd_spark.operators.ranges import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 600), (3, 1, 601), (4, 2, 100), (5, 1, 4000)],
+        "pid long, user_id long, ts_epoch long",
+    )
+    intervals = spark.createDataFrame(
+        # [100,600] and an overlapping [500,5000] for user 1; user 3 never
+        # matches; interval spans multiple 1h buckets
+        [(10, 1, 100, 600), (11, 1, 500, 5000), (12, 3, 0, 10000)],
+        "iid long, user_id long, start_epoch long, end_epoch long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, keys=["user_id"], point_ts="ts_epoch",
+            bucket_s=3600,
+        ).collect()
+    )
+    assert got == [
+        (1, 10),          # start boundary inclusive
+        (2, 10), (2, 11),  # end boundary inclusive + overlap -> two rows
+        (3, 11),          # just past [100,600], inside [500,5000]
+        (5, 11),          # multi-bucket interval still matches (bucket 1)
+    ]  # pid 4: user 2 has no intervals
