@@ -450,3 +450,70 @@ def windowed_stats_stream(
             "cnt",
         )
     )
+
+
+def session_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization — the `session_window` analog of the
+    batch operator (operators/sessions.sessionize): Spark's state store
+    merges windows that keep receiving events within ``gap`` and emits a
+    session once the watermark passes its close.
+
+    Boundary divergence to document: the batch operator starts a new
+    session when delta > gap (strict), ``session_window`` when
+    delta >= gap (window end = last_event + gap, end-exclusive).  Equal-
+    to-gap deltas are measure-zero in real data but the tests avoid them.
+
+    Scale: state is per open session keyed by (key, merged-window) —
+    bounded by the watermark horizon, shuffled once on the grouping key.
+    """
+    # NTZ event time is UTC by construction (session tz pinned); the cast
+    # to the tz-aware type watermarks require is a reinterpretation
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, lateness)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_timestamp("sw.start").alias("start_epoch"),
+            F.unix_timestamp("sw.end").alias("end_epoch"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    lines: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    the key's state once the watermark passes ``horizon`` — the
+    streaming face of the batch exact-dedup family (operators/dedup.py).
+
+    Unbounded `dropDuplicates` on a stream would grow state forever; the
+    horizon bounds it to keys seen in the last window, which is the
+    practical contract for log/event streams (replays and producer
+    retries arrive close together).  Keys should be compact — hash the
+    payload first (`xxhash64(_raw)`) so state stores 8-byte keys, not
+    raw lines.
+    """
+    keyed = lines.withColumn("_k", F.xxhash64(*(keys or ["_raw"]))).withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
+    return (
+        keyed.withWatermark(ts_col, horizon)
+        .dropDuplicatesWithinWatermark(["_k"])
+        .drop("_k")
+    )

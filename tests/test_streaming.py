@@ -256,3 +256,93 @@ def test_compact_results_ring_buffer_cap(spark, tmp_path):
     assert len(res) == 10
     # the NEWEST 10 survived (truncate-oldest semantics)
     assert sorted(r._raw[-3:] for r in res) == [f"{i:03d}" for i in range(30, 40)]
+
+
+def test_session_stream_matches_batch_sessionize(spark, tmp_path):
+    """session_window streaming sessions agree with the batch gap
+    sessionizer on gap-free-boundary data."""
+    from cloudpelican_lsd_spark.operators.sessions import sessionize
+
+    src = str(tmp_path / "in6")
+    # user A: two sessions (40-min gap); user B: one session
+    stamps = {
+        "hostA": ["10:00:00", "10:05:00", "10:20:00", "11:00:00", "11:01:00"],
+        "hostB": ["10:30:00", "10:31:00"],
+    }
+    lines = [
+        f"2024-02-01T{t}.000+00:00 {h} app: ok served req=1"
+        for h, ts in stamps.items()
+        for t in ts
+    ]
+    _write_lines(src, lines)
+
+    parsed = sp.parse_stream(sp.file_source(spark, src)).withColumn(
+        "host", F.split(F.col("_raw"), " ")[1]
+    )
+    q = (
+        sp.session_stream(parsed, key_col="host", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.start_epoch): r.n_events
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    # batch operator over the same rows (rebuilt batch-side: a streaming
+    # DF can't be collect()ed)
+    from datetime import datetime, timezone
+
+    batch_rows = [
+        (
+            h,
+            int(
+                datetime.strptime(
+                    f"2024-02-01T{t}+00:00", "%Y-%m-%dT%H:%M:%S%z"
+                ).timestamp()
+            ),
+            "x",
+            i,
+        )
+        for i, (h, t) in enumerate(
+            (h, t) for h, ts in stamps.items() for t in ts
+        )
+    ]
+    batch_in = spark.createDataFrame(
+        batch_rows, "user_id string, ts_epoch long, event_type string, event_id long"
+    )
+    batch = {
+        (r.user_id, r.start_epoch): r.n_events
+        for r in sessionize(batch_in, gap_s=1800).collect()
+    }
+    assert got == batch
+    assert len(got) == 3  # A split into two sessions, B one
+    assert sum(got.values()) == 7
+
+
+def test_dedup_stream_drops_replayed_lines(spark, tmp_path):
+    src = str(tmp_path / "in7")
+    uniq = [
+        f"2024-02-01T10:00:{i:02d}.000+00:00 web1 app: ok req={i}"
+        for i in range(10)
+    ]
+    # duplicates of 3 lines (producer-retry shape) interleaved
+    lines = uniq + [uniq[2], uniq[5], uniq[5], uniq[7]]
+    _write_lines(src, lines)
+
+    q = (
+        sp.dedup_stream(sp.parse_stream(sp.file_source(spark, src)))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt7"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r._raw for r in spark.sql("SELECT _raw FROM dedup_stream").collect()]
+    assert sorted(got) == sorted(uniq)
