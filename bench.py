@@ -58,6 +58,14 @@ HEADLINE = [
     "events_range_join",
     "events_value_percentiles",
     "corpus_split_assign",
+    "search_order_priority",
+    "search_stalled_orders",
+    "search_promo_revenue",
+    "search_supplier_rank",
+    "events_cube_day_type",
+    "user_day_setops",
+    "emb_centroid_per_label",
+    "text_bigram_topk",
 ]
 
 

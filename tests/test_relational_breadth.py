@@ -1,0 +1,114 @@
+"""Relational-breadth queries (semi/anti joins, ranking windows, CUBE,
+set ops) and the embedding-centroid / bigram / sketch north-star ops:
+DuckDB oracle parity at sf0.001 plus semantic assertions the hash compare
+can't express (sketch error bound, anti⊥semi complementarity).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+
+from cloudpelican_lsd_spark import registry
+
+NEW_QUERIES = [
+    "search_order_priority",
+    "search_stalled_orders",
+    "search_promo_revenue",
+    "search_supplier_rank",
+    "events_user_top3",
+    "events_cube_day_type",
+    "user_day_setops",
+    "emb_centroid_per_label",
+    "text_bigram_topk",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "part", "supplier", "events",
+              "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    sdf = registry.QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    rel = duck.sql(registry.ORACLES[name])
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert _multiset(srows, sdf.columns) == _multiset(drows, dcols)
+
+
+def test_semi_anti_partition_orders(spark, sf_dir):
+    """Semi ∪ anti on the same key+condition must partition the left side:
+    every order either has or lacks a post-1998 shipment."""
+    from pyspark.sql import functions as F
+
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00")
+    )
+    cond = F.col("l_orderkey") == F.col("o_orderkey")
+    n_semi = o.join(li, cond, "left_semi").count()
+    n_anti = o.join(li, cond, "left_anti").count()
+    assert n_semi + n_anti == o.count()
+
+
+def test_cube_marginals_consistent(spark, sf_dir):
+    """CUBE grand total (gid=3) equals the sum of the finest cells
+    (gid=0), and the two single-axis marginals each re-total to it."""
+    rows = registry.QUERIES["events_cube_day_type"](spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    total = by_gid[3][0].n
+    assert sum(r.n for r in by_gid[0]) == total
+    assert sum(r.n for r in by_gid[1]) == total  # day marginal
+    assert sum(r.n for r in by_gid[2]) == total  # type marginal
+
+
+def test_setops_disjoint_and_bounded(spark, sf_dir):
+    rows = registry.QUERIES["user_day_setops"](spark, sf_dir).collect()
+    both = {(r.user_id, r.day_bucket) for r in rows
+            if r.cohort == "click_and_purchase"}
+    only = {(r.user_id, r.day_bucket) for r in rows
+            if r.cohort == "click_only"}
+    assert both.isdisjoint(only)
+    assert len(both) + len(only) == len(rows)  # set semantics: no dups
+
+
+def test_sketch_within_rsd(spark, sf_dir):
+    """HLL++ estimate stays within a generous multiple of the 2% target
+    rsd (sf0.001 strata are tiny, where HLL uses exact linear counting)."""
+    for r in registry.QUERIES["distinct_users_sketch"](spark, sf_dir).collect():
+        assert r.exact_users > 0
+        assert abs(r.approx_users - r.exact_users) <= max(
+            3, 0.1 * r.exact_users
+        )
