@@ -1566,3 +1566,58 @@ def q_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "dedup_cluster_keepers",
+    f"""WITH RECURSIVE {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+{dedup_ops.connected_components_oracle(_MINHASH_PAIRS_SQL)},
+clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+sel AS (
+  SELECT c.cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN docs_planted d USING (doc_id)
+)
+SELECT cluster_id::BIGINT AS cluster_id, doc_id::BIGINT AS keeper_id,
+       n_chars::BIGINT AS keeper_chars, n_members::BIGINT AS n_members
+FROM sel WHERE rn = 1""",
+)
+def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection per duplicate cluster: keep the
+    longest member (ties → lowest doc_id) — the canonical-copy policy of
+    a training-data dedup stage (vs `dedup_clusters`' structural
+    doc_id==cluster_id convention).  One hash aggregate with an argmax
+    encoded as max(struct(n_chars, -doc_id)): no per-cluster window sort,
+    map-side combinable, so the shuffle carries one candidate struct per
+    (partition, cluster) — at 100 TB the cluster table is tiny next to
+    the corpus and the join stays broadcast-able."""
+    docs = _docs_with_dupes(spark, sf_dir)
+    pairs = dedup_ops.lsh_candidate_pairs(
+        docs, num_hashes=12, rows_per_band=3, n=3
+    )
+    clusters = dedup_ops.connected_components(pairs)
+    members = F.broadcast(clusters).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("m.neg_id")).cast("long").alias("keeper_id"),
+            F.col("m.n_chars").cast("long").alias("keeper_chars"),
+            "n_members",
+        )
+    )

@@ -517,3 +517,45 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["_k"])
         .drop("_k")
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper_s: int = 3600,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    the right events of the same ``key`` that occur in
+    ``[left_ts, left_ts + upper_s]`` — the streaming face of the batch
+    range join (operators/ranges.interval_join) and the attribution
+    pattern of the as-of operator (operators/asof.py).
+
+    Both sides MUST be watermarked and the join MUST carry a time bound:
+    that pair is what lets Spark expire buffered rows — state per side is
+    bounded by lateness + upper_s instead of growing forever.  The join
+    shuffles both streams on ``key``; rows co-locate in the state store
+    and matches emit incrementally in append mode.
+
+    Column layout: the right side's key/ts are renamed (``r_<key>``,
+    ``r_ts``) so the output schema is join-order unambiguous.
+    """
+    # NTZ event time is UTC by construction; cast is a reinterpretation
+    lw = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+        left_ts, lateness
+    )
+    rw = (
+        right.withColumnRenamed(key, f"r_{key}")
+        .withColumnRenamed(right_ts, "r_ts")
+        .withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+        .withWatermark("r_ts", lateness)
+    )
+    cond = (
+        (F.col(f"r_{key}") == F.col(key))
+        & (F.col("r_ts") >= F.col(left_ts))
+        & (F.col("r_ts") <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    return lw.join(rw, cond, "inner")

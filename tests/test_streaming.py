@@ -346,3 +346,35 @@ def test_dedup_stream_drops_replayed_lines(spark, tmp_path):
     q.awaitTermination(120)
     got = [r._raw for r in spark.sql("SELECT _raw FROM dedup_stream").collect()]
     assert sorted(got) == sorted(uniq)
+
+
+def test_interval_join_stream(spark, tmp_path):
+    """error→recovery attribution within 120s, keyed by host, as a
+    watermarked stream-stream interval join (both sides derived from one
+    parsed file stream)."""
+    src = str(tmp_path / "in3")
+    _write_lines(src, [
+        "2024-02-01T10:00:00.000+00:00 h1 app: error disk full",
+        "2024-02-01T10:01:30.000+00:00 h1 app: recovered ok",   # +90s  -> match
+        "2024-02-01T10:05:00.000+00:00 h1 app: recovered late", # +300s -> no
+        "2024-02-01T10:00:10.000+00:00 h2 app: error oom",
+        "2024-02-01T10:00:20.000+00:00 h3 app: recovered other",# wrong host
+    ])
+    parsed = sp.parse_stream(sp.file_source(spark, src)).withColumn(
+        "host", F.regexp_extract("_raw", r"T[0-9:.+]+ (\S+) app:", 1)
+    )
+    errors = parsed.where(F.col("_raw").contains("error")).select("host", "ts")
+    recov = parsed.where(F.col("_raw").contains("recovered")).select("host", "ts")
+    joined = sp.interval_join_stream(errors, recov, key="host", upper_s=120)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT host, ts, r_ts FROM ij_out").collect()
+    assert len(rows) == 1
+    assert rows[0].host == "h1"
+    assert (rows[0].r_ts - rows[0].ts).total_seconds() == 90
