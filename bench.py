@@ -66,6 +66,7 @@ HEADLINE = [
     "user_day_setops",
     "emb_centroid_per_label",
     "text_bigram_topk",
+    "events_funnel_daily",
 ]
 
 

@@ -1621,3 +1621,72 @@ def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "events_funnel_daily",
+    """WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - (CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS day_bucket
+  FROM events
+),
+w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN tse END)
+    OVER (PARTITION BY user_id, day_bucket ORDER BY tse, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_view
+  FROM e
+),
+w2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND run_view IS NOT NULL
+                  AND tse > run_view THEN tse END AS click_after
+  FROM w1
+),
+w3 AS (
+  SELECT *, MIN(click_after)
+    OVER (PARTITION BY user_id, day_bucket ORDER BY tse, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_click
+  FROM w2
+),
+w4 AS (
+  SELECT *, CASE WHEN event_type = 'purchase' AND run_click IS NOT NULL
+                  AND tse > run_click THEN tse END AS purch_after
+  FROM w3
+),
+ud AS (
+  SELECT user_id, day_bucket,
+         MIN(CASE WHEN event_type = 'view' THEN tse END) AS t_view,
+         MIN(click_after) AS t_click,
+         MIN(purch_after) AS t_purchase
+  FROM w4 GROUP BY user_id, day_bucket
+)
+SELECT day_bucket,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_click,
+       CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full_funnel
+FROM ud GROUP BY day_bucket""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing event-second, per user per day): per-day counts of
+    user-days reaching each stage.  Sequential "B after A" is a running
+    conditional MIN over one window spec — both funnel hops share the
+    same (partition, order), so Spark plans ONE shuffle + ONE sort for
+    the whole chain; the day-level re-aggregation then shuffles only
+    user-day rows.  No self-joins: a join-per-hop formulation would
+    re-shuffle the fact table once per funnel stage."""
+    from cloudpelican_lsd_spark.operators import funnel as funnel_ops
+
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts_epoch").alias("tse"),
+        stats_ops.bucket_col("ts_epoch", 86400).alias("day_bucket"),
+    )
+    return funnel_ops.funnel_daily_counts(funnel_ops.funnel_stage_times(e))

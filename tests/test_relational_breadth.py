@@ -112,3 +112,46 @@ def test_sketch_within_rsd(spark, sf_dir):
         assert abs(r.approx_users - r.exact_users) <= max(
             3, 0.1 * r.exact_users
         )
+
+
+def test_funnel_daily_oracle_and_monotone(spark, sf_dir, duck):
+    """Funnel stages must be monotone non-increasing per day, and the
+    whole result must match the DuckDB oracle."""
+    name = "events_funnel_daily"
+    sdf = registry.QUERIES[name](spark, sf_dir)
+    srows = sdf.collect()
+    rel = duck.sql(registry.ORACLES[name])
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    assert _multiset(srows, sdf.columns) == _multiset(drows, dcols)
+    for r in srows:
+        assert r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
+
+
+def test_funnel_ordering_semantics(spark):
+    """Hand-built fixture: click before any view must NOT count; purchase
+    before click must NOT count; same-second stages must NOT count
+    (strict >); a proper chain counts once per user-day."""
+    from pyspark.sql import functions as F
+
+    from cloudpelican_lsd_spark.operators.funnel import funnel_stage_times
+
+    rows = [
+        # u1: view(10) -> click(20) -> purchase(30): full funnel
+        (1, "view", 101, 10), (1, "click", 102, 20), (1, "purchase", 103, 30),
+        # u2: click(5) precedes first view(10): no click stage
+        (2, "click", 201, 5), (2, "view", 202, 10), (2, "purchase", 203, 20),
+        # u3: purchase(15) between view(5) and click(25): no purchase stage
+        (3, "view", 301, 5), (3, "purchase", 302, 15), (3, "click", 303, 25),
+        # u4: same-second view+click: strict > rejects the click
+        (4, "view", 401, 7), (4, "click", 402, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_type", "event_id", "tse"]
+    ).withColumn("day_bucket", F.col("tse") - F.col("tse") % 86400)
+    out = funnel_stage_times(df).collect()
+    got = {r.user_id: (r.t_view, r.t_click, r.t_purchase) for r in out}
+    assert got[1] == (10, 20, 30)
+    assert got[2] == (10, None, None)
+    assert got[3] == (5, 25, None)
+    assert got[4] == (7, None, None)
