@@ -67,6 +67,7 @@ HEADLINE = [
     "emb_centroid_per_label",
     "text_bigram_topk",
     "events_funnel_daily",
+    "dedup_minhash_est_vs_true",
 ]
 
 

@@ -132,6 +132,39 @@ def shingles_oracle_cte(n: int = 3) -> str:
 # ---------------------------------------------------------------------------
 
 
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 12, n: int = 3
+) -> DataFrame:
+    """`(doc_id, m0..m{num_hashes-1})` — the wide minhash signature table.
+
+    All num_hashes minhashes as columns of ONE hash aggregate: the
+    map-side partial MIN collapses each mapper's shingles to a single
+    row per doc before the (only) shuffle — vs the explode×seeds
+    formulation this removes the seed-fold row blowup and a second
+    shuffle entirely.  The "permutations" are disjoint 5-hex (20-bit)
+    slices of two md5s — 2 digest evaluations per shingle instead of
+    num_hashes (md5 is the hot loop, and the only digest DuckDB
+    reproduces bit-for-bit).
+    """
+    assert num_hashes * 5 <= 64, "sliced-md5 scheme supports <= 12 hashes"
+    # shingle_rows keeps duplicate n-grams — MIN is duplicate-insensitive,
+    # so skipping the dedup avoids a per-row array_distinct entirely
+    sh = shingle_rows(_spread(docs), n)
+    hashed = sh.select(
+        "doc_id",
+        F.concat(
+            F.md5(F.concat(F.lit("0:"), F.col("shingle"))),
+            F.md5(F.concat(F.lit("1:"), F.col("shingle"))),
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col("h"), 1 + 5 * s, 5)).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
 def minhash_band_signatures(
     docs: DataFrame, num_hashes: int = 12, rows_per_band: int = 3, n: int = 3
 ) -> DataFrame:
@@ -147,31 +180,17 @@ def minhash_band_signatures(
     explode entirely but evaluates md5 in the interpreted lambda path —
     measured ~2x slower despite zero shuffle; codegen wins.)
     """
-    assert num_hashes * 5 <= 64, "sliced-md5 scheme supports <= 12 hashes"
-    # shingle_rows keeps duplicate n-grams — MIN is duplicate-insensitive,
-    # so skipping the dedup avoids a per-row array_distinct entirely
-    sh = shingle_rows(_spread(docs), n)
-    # all num_hashes minhashes as columns of ONE hash aggregate: the
-    # map-side partial MIN collapses each mapper's shingles to a single
-    # row per doc before the (only) shuffle, and bands are then a per-row
-    # stack — vs the explode×seeds formulation this removes the seed-fold
-    # row blowup and a second shuffle entirely.  The "permutations" are
-    # disjoint 5-hex (20-bit) slices of two md5s — 2 digest evaluations
-    # per shingle instead of num_hashes (md5 is the hot loop, and the only
-    # digest DuckDB reproduces bit-for-bit).
-    hashed = sh.select(
-        "doc_id",
-        F.concat(
-            F.md5(F.concat(F.lit("0:"), F.col("shingle"))),
-            F.md5(F.concat(F.lit("1:"), F.col("shingle"))),
-        ).alias("h"),
-    )
-    mins = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(F.col("h"), 1 + 5 * s, 5)).alias(f"m{s}")
-            for s in range(num_hashes)
-        ]
-    )
+    mins = minhash_signatures(docs, num_hashes, n)
+    return bands_from_signatures(mins, num_hashes, rows_per_band)
+
+
+def bands_from_signatures(
+    mins: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
+) -> DataFrame:
+    """`(doc_id, band, sig)` from a wide signature table — split out so a
+    caller that also needs the signatures (e.g. the estimate-vs-true
+    audit) can build both from ONE aggregate and let Spark reuse the
+    exchange instead of recomputing the corpus scan."""
     n_bands = num_hashes // rows_per_band
     band_args = ", ".join(
         f"{b}, concat_ws('|', {', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
@@ -679,3 +698,102 @@ reach(node, lbl) AS (
   FROM reach r JOIN edges e ON r.node = e.src
   WHERE r.lbl < e.dst
 )"""
+
+
+def minhash_estimate_vs_true(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    Jaccard estimate's raw agreement count (`n_agree` of ``num_hashes``)
+    next to the TRUE shingle-set overlap (`inter_n`, `union_n`).
+
+    This is the measurement harness for tuning (num_hashes,
+    rows_per_band) against a corpus: est ≈ n_agree/num_hashes vs truth
+    inter/union, integer-exact so the oracle hash is stable.
+
+    Scale shape: signatures and shingle sets are per-doc tables (built
+    once, one shuffle each); the pair table joins them by doc key —
+    candidates ≪ corpus so these joins broadcast under AQE.  The true
+    intersection uses array_intersect on the two collect_set arrays:
+    per-pair work is |set_a|+|set_b|, never a shingle×shingle join.
+    """
+    mins = minhash_signatures(docs, num_hashes, n)
+    bands = bands_from_signatures(mins, num_hashes, rows_per_band)
+    pairs = (
+        _group_pairs(bands, ["band", "sig"], ["doc_id"], max_group=max_group)
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = (
+        shingle_rows(docs, n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sset"))
+    )
+    a_sig = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{s}").alias(f"a{s}") for s in range(num_hashes)],
+    )
+    b_sig = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{s}").alias(f"b{s}") for s in range(num_hashes)],
+    )
+    a_set = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
+    b_set = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
+    n_agree = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(num_hashes)
+    )
+    inter_n = F.size(F.array_intersect("sa", "sb"))
+    return (
+        pairs.join(a_sig, "doc_a")
+        .join(b_sig, "doc_b")
+        .join(a_set, "doc_a")
+        .join(b_set, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.cast("long").alias("n_agree"),
+            inter_n.cast("long").alias("inter_n"),
+            (F.size("sa") + F.size("sb") - inter_n).cast("long").alias("union_n"),
+        )
+    )
+
+
+def minhash_estimate_oracle(num_hashes: int = 12) -> str:
+    """DuckDB twin of minhash_estimate_vs_true — expects the CTEs of
+    ``minhash_oracle_cte`` (sh/hashed/seeds/mh/bands) in scope."""
+    return f"""cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_agree
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+  GROUP BY c.doc_a, c.doc_b
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM dsh GROUP BY doc_id),
+inters AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_n
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT g.doc_a, g.doc_b, CAST(g.n_agree AS BIGINT) AS n_agree,
+       CAST(COALESCE(i.inter_n, 0) AS BIGINT) AS inter_n,
+       CAST(sa.nsh + sb.nsh - COALESCE(i.inter_n, 0) AS BIGINT) AS union_n
+FROM agree g
+LEFT JOIN inters i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
+JOIN sizes sa ON sa.doc_id = g.doc_a
+JOIN sizes sb ON sb.doc_id = g.doc_b"""

@@ -1690,3 +1690,20 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats_ops.bucket_col("ts_epoch", 86400).alias("day_bucket"),
     )
     return funnel_ops.funnel_daily_counts(funnel_ops.funnel_stage_times(e))
+
+
+@register(
+    "dedup_minhash_est_vs_true",
+    f"""WITH {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+{dedup_ops.minhash_estimate_oracle(12)}""",
+)
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash family: per LSH candidate
+    pair, signature agreement count vs TRUE shingle-set
+    intersection/union — the measurement loop for tuning
+    (num_hashes, rows_per_band) on a corpus before a 100 TB run.
+    Integer-exact outputs keep the oracle hash stable."""
+    return dedup_ops.minhash_estimate_vs_true(
+        _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
+    )

@@ -186,3 +186,23 @@ def test_connected_components_merges_chains(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup_ops.connected_components(pairs).count() == 0
+
+
+def test_minhash_estimate_vs_true_bounds(spark, sf_dir):
+    """Every candidate pair's agreement count is in [0, 12], true overlap
+    respects inter<=union, and high-agreement pairs (>=9 of 12) really
+    are high-Jaccard (>=0.5) — the planted exact dupes must appear with
+    full agreement."""
+    from cloudpelican_lsd_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_minhash_est_vs_true"](spark, sf_dir).collect()
+    assert rows
+    full = 0
+    for r in rows:
+        assert 0 <= r.n_agree <= 12
+        assert 0 <= r.inter_n <= r.union_n
+        if r.n_agree >= 9:
+            assert r.inter_n / r.union_n >= 0.5
+        if r.n_agree == 12 and r.inter_n == r.union_n:
+            full += 1
+    assert full > 0  # planted doc_id -> doc_id+100000 exact copies
