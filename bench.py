@@ -68,6 +68,7 @@ HEADLINE = [
     "text_bigram_topk",
     "events_funnel_daily",
     "dedup_minhash_est_vs_true",
+    "emb_ivf_recall",
 ]
 
 

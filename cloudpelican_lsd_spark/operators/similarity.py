@@ -306,3 +306,56 @@ pairs AS (
 )
 SELECT vec_a, vec_b, cos FROM pairs
 WHERE cos * {min_cos_den} >= {min_cos_num}"""
+
+
+def ivf_recall(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    num_queries: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """ANN-accuracy audit: recall@k of the IVF probe search against the
+    brute-force cosine ground truth, per query — `(qid, n_hits, k,
+    recall)`.  The tuning loop for (n_centroids, nprobe) before a large
+    run, mirroring the MinHash estimate-vs-true audit (dedup.py).
+
+    Plan shape: both rankings are per-query top-k tables (num_queries × k
+    rows); the audit join is trivially broadcast-able and the heavy
+    lifting stays in the two underlying searches, which share the
+    normalized-embedding scan."""
+    bf = cosine_topk(emb, num_queries=num_queries, k=k)
+    approx = ivf_topk(
+        emb, n_centroids=n_centroids, nprobe=nprobe,
+        num_queries=num_queries, k=k,
+    ).select(F.col("qid").alias("i_qid"), F.col("cid").alias("i_cid"))
+    hits = bf.join(
+        F.broadcast(approx),
+        (F.col("i_qid") == F.col("qid")) & (F.col("i_cid") == F.col("cid")),
+        "left",
+    )
+    return (
+        hits.groupBy("qid")
+        .agg(F.count(F.col("i_cid")).alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.lit(k).cast("long").alias("k"),
+            (F.col("n_hits").cast("double") / F.lit(k)).alias("recall"),
+        )
+    )
+
+
+def ivf_recall_oracle(
+    n_centroids: int = 8, nprobe: int = 2, num_queries: int = 10, k: int = 10
+) -> str:
+    bf = cosine_topk_oracle(num_queries, k)
+    ivf = ivf_topk_oracle(n_centroids, nprobe, num_queries, k)
+    return f"""WITH bf AS (SELECT * FROM ({bf}) t),
+ivf AS (SELECT * FROM ({ivf}) t)
+SELECT bf.qid,
+       CAST(COUNT(i.cid) AS BIGINT) AS n_hits,
+       CAST({k} AS BIGINT) AS k,
+       CAST(COUNT(i.cid) AS DOUBLE) / {k} AS recall
+FROM bf LEFT JOIN ivf i ON i.qid = bf.qid AND i.cid = bf.cid
+GROUP BY bf.qid"""

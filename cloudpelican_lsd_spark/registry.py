@@ -1707,3 +1707,13 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_estimate_vs_true(
         _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
     )
+
+
+@register("emb_ivf_recall", sim_ops.ivf_recall_oracle(8, 2, 10, 10))
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe search vs brute-force ground truth —
+    the ANN tuning loop (see similarity.ivf_recall)."""
+    return sim_ops.ivf_recall(
+        load_table(spark, "embeddings", sf_dir),
+        n_centroids=8, nprobe=2, num_queries=10, k=10,
+    )

@@ -206,3 +206,22 @@ def test_minhash_estimate_vs_true_bounds(spark, sf_dir):
         if r.n_agree == 12 and r.inter_n == r.union_n:
             full += 1
     assert full > 0  # planted doc_id -> doc_id+100000 exact copies
+
+
+def test_ivf_recall_bounds(spark, sf_dir):
+    """recall@k must be in [0,1] with n_hits <= k, one row per query, and
+    nprobe = n_centroids (probe everything) must give recall 1.0."""
+    from cloudpelican_lsd_spark.operators import similarity as sim_ops
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    rows = QUERIES["emb_ivf_recall"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hits <= r.k
+        assert 0.0 <= r.recall <= 1.0
+    full = sim_ops.ivf_recall(
+        load_table(spark, "embeddings", sf_dir),
+        n_centroids=8, nprobe=8, num_queries=5, k=5,
+    ).collect()
+    assert all(r.recall == 1.0 for r in full)
