@@ -69,6 +69,10 @@ HEADLINE = [
     "events_funnel_daily",
     "dedup_minhash_est_vs_true",
     "emb_ivf_recall",
+    "text_repetition_ratio",
+    "corpus_shingle_contamination",
+    "emb_kmeans_assign",
+    "text_length_quartiles",
 ]
 
 

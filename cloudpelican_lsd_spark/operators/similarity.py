@@ -359,3 +359,131 @@ SELECT bf.qid,
        CAST(COUNT(i.cid) AS DOUBLE) / {k} AS recall
 FROM bf LEFT JOIN ivf i ON i.qid = bf.qid AND i.cid = bf.cid
 GROUP BY bf.qid"""
+
+
+# ---------------------------------------------------------------------------
+# k-means assignment step (cluster prototypes → nearest-centroid)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign_confusion(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """One k-means assignment step with the per-label mean vectors as
+    centroids: every vector is assigned to its nearest centroid by cosine,
+    and the result is the `(label, assigned_label, cnt)` confusion — the
+    primitive behind IVF training, cluster-balance audits, and
+    label-vs-cluster agreement scoring.
+
+    Determinism (the interesting part — float k-means is normally NOT
+    hash-comparable across engines): all vector math happens in exact
+    integer fixed point.  Elements quantize to floor(v·1e7); the centroid
+    mean re-quantizes to floor(c·1e4).  Dots and squared norms are then
+    BIGINT sums of BIGINT products — associative, partitioning-independent
+    — and the final cosine is a single sqrt/divide chain of exact inputs
+    (each IEEE op correctly rounded, so bit-identical on any engine),
+    rounded to 6 decimals before the argmax.
+
+    Physical shape: one posexplode scan feeds BOTH the centroid agg (tiny:
+    labels × dim rows) and the dot-product join; centroids broadcast back,
+    so the only full-data shuffles are the (vec_id, clabel)-keyed partial
+    sums.  At 100 TB with k centroids this is the standard brute-force
+    assign — swap in ivf_topk's bucketing when k is large.
+    """
+    ex = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "v"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("v") * 10000000).cast("long").alias("qv"),
+        )
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e7)
+            ).alias("c")
+        )
+        .select(
+            "clabel",
+            "pos",
+            F.floor(F.col("c") * 10000).cast("long").alias("qc"),
+        )
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sum(F.col("qc") * F.col("qc")).alias("cn")
+    )
+    vnorm = ex.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("vn"))
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("qv") * F.col("qc")).alias("dot"))
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .where((F.col("vn") > 0) & (F.col("cn") > 0))
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("vn").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("clabel").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def kmeans_assign_oracle(dim: int = 64) -> str:
+    return f"""WITH ex AS (
+  SELECT vec_id, label, i AS pos,
+         floor(embedding[i]::DOUBLE * 10000000)::BIGINT AS qv
+  FROM embeddings, generate_series(1, {dim}) t(i)
+),
+cent AS (
+  SELECT label AS clabel, pos,
+         floor((SUM(qv)::DOUBLE / COUNT(*) / 1e7) * 10000)::BIGINT AS qc
+  FROM ex GROUP BY label, pos
+),
+cnorm AS (SELECT clabel, SUM(qc * qc) AS cn FROM cent GROUP BY clabel),
+vnorm AS (SELECT vec_id, SUM(qv * qv) AS vn FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT e.vec_id, e.label, c.clabel, SUM(e.qv * c.qc) AS dot
+  FROM ex e JOIN cent c ON c.pos = e.pos
+  GROUP BY e.vec_id, e.label, c.clabel
+),
+scored AS (
+  SELECT d.vec_id, d.label, d.clabel,
+         ROUND(d.dot::DOUBLE / (sqrt(v.vn::DOUBLE) * sqrt(n.cn::DOUBLE)), 6)
+           AS cos
+  FROM dots d
+  JOIN vnorm v ON v.vec_id = d.vec_id
+  JOIN cnorm n ON n.clabel = d.clabel
+  WHERE v.vn > 0 AND n.cn > 0
+),
+assigned AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, clabel ASC) AS rn
+  FROM scored
+)
+SELECT label, clabel AS assigned_label, COUNT(*)::BIGINT AS cnt
+FROM assigned WHERE rn = 1 GROUP BY label, clabel"""

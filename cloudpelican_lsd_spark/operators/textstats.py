@@ -288,3 +288,189 @@ SELECT doc_id,
        CAST(b - prev_b AS BIGINT) AS chunk_len,
        md5(substring(text, prev_b + 1, b - prev_b)) AS chunk_md5
 FROM chunks WHERE b > prev_b"""
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality heuristics)
+# ---------------------------------------------------------------------------
+
+
+def repetition_ratio(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_words, top_word_cnt, top_word_frac, n_bigrams,
+    top_bigram_cnt, top_bigram_frac)` — the Gopher-rules repetition
+    signals: what fraction of a document is its single most common word /
+    word bigram.  High fractions flag boilerplate and degenerate text for
+    corpus filtering.
+
+    Physical shape: two explode → hash-agg chains keyed by
+    (doc_id, token); counts partial-aggregate map-side, the shuffle
+    carries per-(doc, token) partials, and the per-doc MAX/SUM reduce is
+    keyed by doc_id alone.  Both chains and the final join co-partition
+    on doc_id, so at 100 TB this is two token-stream shuffles and no
+    broadcast of anything unbounded.  Fractions are BIGINT/BIGINT double
+    divisions rounded to 6 decimals (deterministic across engines).
+    """
+    from cloudpelican_lsd_spark.operators.dedup import shingle_rows
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    udoc = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_word_cnt"),
+            F.sum("c").cast("long").alias("n_words"),
+        )
+    )
+    bdoc = (
+        shingle_rows(docs, 2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_cnt"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    return udoc.join(bdoc, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "top_word_cnt",
+        F.round(F.col("top_word_cnt") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("top_bigram_cnt", F.lit(0)).cast("long").alias(
+            "top_bigram_cnt"
+        ),
+        F.when(F.col("n_bigrams").isNull(), F.lit(0.0))
+        .otherwise(F.round(F.col("top_bigram_cnt") / F.col("n_bigrams"), 6))
+        .alias("top_bigram_frac"),
+    )
+
+
+REPETITION_RATIO_ORACLE = """\
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+ucnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+udoc AS (
+  SELECT doc_id, MAX(c) AS top_word_cnt, SUM(c) AS n_words
+  FROM ucnt GROUP BY doc_id
+),
+bcnt AS (
+  SELECT doc_id, sh, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS sh
+    FROM toks WHERE len(w) >= 2
+  )
+  GROUP BY doc_id, sh
+),
+bdoc AS (
+  SELECT doc_id, MAX(c) AS top_bigram_cnt, SUM(c) AS n_bigrams
+  FROM bcnt GROUP BY doc_id
+)
+SELECT u.doc_id,
+       u.n_words::BIGINT AS n_words,
+       u.top_word_cnt::BIGINT AS top_word_cnt,
+       ROUND(u.top_word_cnt / u.n_words, 6) AS top_word_frac,
+       COALESCE(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(b.top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt,
+       CASE WHEN b.n_bigrams IS NULL THEN 0.0
+            ELSE ROUND(b.top_bigram_cnt / b.n_bigrams, 6)
+       END AS top_bigram_frac
+FROM udoc u LEFT JOIN bdoc b USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# cross-document shingle contamination
+# ---------------------------------------------------------------------------
+
+
+def shingle_contamination(
+    docs: DataFrame, n: int = 8, min_df: int = 2
+) -> DataFrame:
+    """`(doc_id, n_shingles, n_contaminated, contaminated_frac)` — what
+    fraction of each document's DISTINCT word n-grams also appear in at
+    least `min_df` documents.  This is the document-level "how much of me
+    is duplicated elsewhere" score used for sub-document dedup decisions
+    (benchmark-contamination / boilerplate detection).
+
+    Physical shape: the shingle doc-frequency table is filtered to
+    df >= min_df BEFORE joining back — the join's build side holds only
+    actually-duplicated shingles (typically a tiny fraction of the shingle
+    space), and the probe is a LEFT SEMI join followed by a doc_id-keyed
+    count.  The full-df variant would shuffle the entire shingle stream
+    twice; this shape shuffles it once for the df agg and once for the
+    semi join, with the semi join's right side pre-shrunk.
+    """
+    from cloudpelican_lsd_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n)
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    contaminated = (
+        sh.join(dup, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.when(F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_contaminated", F.lit(0))
+                    / F.col("n_shingles"),
+                    6,
+                )
+            )
+            .alias("contaminated_frac"),
+        )
+    )
+
+
+def shingle_contamination_oracle(n: int = 8, min_df: int = 2) -> str:
+    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
+
+    return f"""WITH {shingles_oracle_cte(n)},
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= {min_df}
+),
+contaminated AS (
+  SELECT s.doc_id, COUNT(*) AS n_contaminated
+  FROM sh s WHERE s.shingle IN (SELECT shingle FROM dup)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0)::BIGINT AS n_shingles,
+       COALESCE(c.n_contaminated, 0)::BIGINT AS n_contaminated,
+       CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+            ELSE ROUND(COALESCE(c.n_contaminated, 0) / p.n_shingles, 6)
+       END AS contaminated_frac
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+LEFT JOIN contaminated c ON c.doc_id = d.doc_id"""

@@ -1717,3 +1717,78 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "embeddings", sf_dir),
         n_centroids=8, nprobe=2, num_queries=10, k=10,
     )
+
+
+@register("text_repetition_ratio", text_ops.REPETITION_RATIO_ORACLE)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per-doc top-word and top-bigram
+    mass fractions (textstats.repetition_ratio) — the boilerplate /
+    degenerate-text quality gate for corpus filtering."""
+    return text_ops.repetition_ratio(load_table(spark, "documents", sf_dir))
+
+
+@register("corpus_shingle_contamination", text_ops.shingle_contamination_oracle(8, 2))
+def q_shingle_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document contamination: fraction of each doc's distinct word
+    8-grams that appear in >= 2 documents (textstats.shingle_contamination).
+    The sub-document "how much of me is duplicated elsewhere" score used
+    for benchmark-decontamination and boilerplate stripping."""
+    return text_ops.shingle_contamination(
+        load_table(spark, "documents", sf_dir), n=8, min_df=2
+    )
+
+
+@register("emb_kmeans_assign", sim_ops.kmeans_assign_oracle(64))
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step in exact fixed-point arithmetic:
+    per-label mean centroids, nearest-centroid by cosine, output the
+    label-vs-cluster confusion (similarity.kmeans_assign_confusion)."""
+    return sim_ops.kmeans_assign_confusion(
+        load_table(spark, "embeddings", sf_dir), dim=64
+    )
+
+
+@register(
+    "text_length_quartiles",
+    """WITH base AS (
+  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+tiled AS (
+  SELECT lang, n_tokens,
+         ntile(4) OVER (PARTITION BY lang
+                        ORDER BY n_tokens ASC, doc_id ASC) AS quartile
+  FROM base
+)
+SELECT lang, CAST(quartile AS INT) AS quartile,
+       COUNT(*)::BIGINT AS cnt,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM tiled GROUP BY lang, quartile""",
+)
+def q_text_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language NTILE(4) buckets of document token length with
+    per-quartile count/min/max — the length-distribution audit behind
+    curriculum bucketing and truncation-budget decisions.  NTILE needs a
+    total order within each lang partition (tie-broken by doc_id, so the
+    tiling is deterministic); at 100 TB the per-lang sort is the cost —
+    the scale path swaps exact NTILE for approx_percentile cut points
+    (distributed sketch, no global sort) with the same downstream shape."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_tokens").asc(), F.col("doc_id").asc()
+    )
+    return (
+        base.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("lang", F.col("quartile").cast("int").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

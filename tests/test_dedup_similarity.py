@@ -225,3 +225,15 @@ def test_ivf_recall_bounds(spark, sf_dir):
         n_centroids=8, nprobe=8, num_queries=5, k=5,
     ).collect()
     assert all(r.recall == 1.0 for r in full)
+
+
+def test_kmeans_assign_partitions_all_vectors(spark, sf_dir):
+    from cloudpelican_lsd_spark.operators import similarity as sim
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    conf = sim.kmeans_assign_confusion(emb).collect()
+    # every nonzero vector assigned exactly once
+    assert sum(r.cnt for r in conf) == emb.count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert {r.assigned_label for r in conf} <= labels

@@ -195,3 +195,43 @@ def test_cdc_chunks_match_python_reference(spark, sf_dir):
         assert sorted(got.get(row.doc_id, [])) == expect
         # chunks tile the doc: lens sum to the full length
         assert sum(c[1] for c in expect) == len(text)
+
+
+def test_repetition_ratio_bounds_and_synthetic(spark):
+    # synthetic: "a a a b" -> top word 'a' 3/4; bigrams: "a a" x2, "a b" -> 2/3
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "x"), (2, "w w")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in ts.repetition_ratio(docs).collect()}
+    assert rows[0].n_words == 4 and rows[0].top_word_cnt == 3
+    assert rows[0].top_word_frac == 0.75
+    assert rows[0].n_bigrams == 3 and rows[0].top_bigram_cnt == 2
+    assert rows[0].top_bigram_frac == round(2 / 3, 6)
+    # single-word doc: no bigrams, frac 0.0 not null
+    assert rows[1].n_bigrams == 0 and rows[1].top_bigram_frac == 0.0
+    # fully-repeated doc saturates at 1.0
+    assert rows[2].top_word_frac == 1.0 and rows[2].top_bigram_frac == 1.0
+
+
+def test_shingle_contamination_synthetic(spark):
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " tail0 a b c"),
+            (1, shared + " tail1 d e f"),
+            (2, "totally different words with no overlap here at all ok"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in ts.shingle_contamination(docs, n=8, min_df=2).collect()
+    }
+    # docs 0/1 share exactly the one 8-gram covering `shared`
+    assert rows[0].n_contaminated == 1 and rows[1].n_contaminated == 1
+    assert rows[0].n_shingles == 5  # 12 words -> 5 distinct 8-grams
+    assert rows[0].contaminated_frac == 0.2
+    assert rows[2].n_contaminated == 0 and rows[2].contaminated_frac == 0.0
+    # shorter than n words: zero shingles, present with frac 0.0
+    assert rows[3].n_shingles == 0 and rows[3].contaminated_frac == 0.0
