@@ -73,6 +73,8 @@ HEADLINE = [
     "corpus_shingle_contamination",
     "emb_kmeans_assign",
     "text_length_quartiles",
+    "search_small_qty_revenue",
+    "events_grouping_sets",
 ]
 
 

@@ -1792,3 +1792,86 @@ def q_text_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+@register(
+    "search_small_qty_revenue",
+    """WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice,
+         AVG(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem
+)
+SELECT p.p_brand AS brand,
+       COUNT(*)::BIGINT AS small_qty_lines,
+       CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+         AS small_qty_revenue
+FROM li JOIN part p ON p.p_partkey = li.l_partkey
+WHERE li.qty < 0.2 * li.avg_qty
+GROUP BY p.p_brand""",
+)
+def q_search_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue from lineitems whose quantity is below
+    20% of their part's average (the correlated-scalar-subquery pattern).
+    Spark-first: the correlated subquery decorrelates into a window AVG
+    over l_partkey — ONE shuffle of the fact table, no per-part rejoin of
+    an aggregated copy (the naive self-join shuffles lineitem twice and
+    materializes the agg).  Quantities ride as BIGINT so the window AVG is
+    an exact-sum division (order-independent → hash-stable); revenue sums
+    through DECIMAL(25,6).  The part join broadcasts the dimension."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("l_partkey")
+    flt = (
+        li.select(
+            "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+            "l_extendedprice",
+        )
+        .withColumn("avg_qty", F.avg("qty").over(w))
+        .where(F.col("qty") < 0.2 * F.col("avg_qty"))
+    )
+    return (
+        flt.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("small_qty_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("small_qty_revenue"),
+        )
+    )
+
+
+@register(
+    "events_grouping_sets",
+    """WITH d AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % 86400)
+           AS day_bucket
+  FROM events
+)
+SELECT event_type, day_bucket,
+       COUNT(*)::BIGINT AS n,
+       CAST(GROUPING(event_type, day_bucket) AS INT) AS gid
+FROM d GROUP BY GROUPING SETS ((event_type), (day_bucket))""",
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — per-type totals and per-day totals in ONE
+    hash aggregate (neither is a prefix of the other, so ROLLUP/CUBE can't
+    express it); `gid` = GROUPING bitmask disambiguates NULL-as-total.
+    Spark expands the sets before the agg, so the input scans once and the
+    shuffle carries both groupings' partials together."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.select(
+        "event_type",
+        stats_ops.bucket_col("ts_epoch", 86400).alias("day_bucket"),
+    )
+    return d.groupingSets(
+        [["event_type"], ["day_bucket"]], "event_type", "day_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("int").alias("gid"),
+    )

@@ -155,3 +155,49 @@ def test_funnel_ordering_semantics(spark):
     assert got[2] == (10, None, None)
     assert got[3] == (5, 25, None)
     assert got[4] == (7, None, None)
+
+
+def test_grouping_sets_partition_totals(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    rows = QUERIES["events_grouping_sets"](spark, sf_dir).collect()
+    total = load_table(spark, "events", sf_dir).count()
+    # gid 1 = grouped by event_type (day is the aggregated-away column),
+    # gid 2 = grouped by day_bucket; each set partitions all events
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, 0)
+        by_gid[r.gid] += r.n
+    assert set(by_gid) == {1, 2}
+    assert by_gid[1] == total and by_gid[2] == total
+
+
+def test_small_qty_revenue_threshold_is_strict(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = {r.brand: r for r in QUERIES["search_small_qty_revenue"](spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    # python-side reference for one brand's line count
+    import collections
+
+    rows = li.select("l_partkey", F.col("l_quantity").cast("long").alias("q"),
+                     "l_extendedprice").collect()
+    sums = collections.defaultdict(lambda: [0, 0])
+    for r in rows:
+        sums[r.l_partkey][0] += r.q
+        sums[r.l_partkey][1] += 1
+    part_brand = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, "part", sf_dir).collect()
+    }
+    expect = collections.Counter()
+    for r in rows:
+        s, c = sums[r.l_partkey]
+        if r.q < 0.2 * (s / c):
+            expect[part_brand[r.l_partkey]] += 1
+    for brand, cnt in expect.items():
+        assert out[brand].small_qty_lines == cnt
+    assert set(out) == set(expect)
