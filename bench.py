@@ -75,6 +75,7 @@ HEADLINE = [
     "text_length_quartiles",
     "search_small_qty_revenue",
     "events_grouping_sets",
+    "dedup_pair_edit_distance",
 ]
 
 

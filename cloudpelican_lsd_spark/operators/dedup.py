@@ -797,3 +797,51 @@ FROM agree g
 LEFT JOIN inters i ON i.doc_a = g.doc_a AND i.doc_b = g.doc_b
 JOIN sizes sa ON sa.doc_id = g.doc_a
 JOIN sizes sb ON sb.doc_id = g.doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# candidate-pair verification by edit distance
+# ---------------------------------------------------------------------------
+
+
+def pair_edit_distance(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    prefix: int = 64,
+) -> DataFrame:
+    """`(doc_a, doc_b, lev, sim)` — LSH candidate pairs scored by
+    Levenshtein distance on the first `prefix` chars, the cheap
+    "verify stage" of the near-dup pipeline (sketches propose, edit
+    distance confirms).
+
+    The prefix cap is the scale contract: Levenshtein is O(len²) per
+    pair, so an unbounded-text version would make one long outlier doc
+    quadratically dominate its task.  With the cap each pair costs
+    O(prefix²) = constant, and the candidate set (not the corpus) drives
+    total work.  Text lookup is two doc_id-keyed hash joins of the pair
+    list against the `prefix`-char projection — the full text column is
+    pruned at the scan.  `sim = 1 - lev/max(len)` is a small-int division
+    rounded to 6 decimals (hash-stable)."""
+    t = docs.select(
+        "doc_id", F.substring("text", 1, prefix).alias("t")
+    )
+    pairs = lsh_candidate_pairs(docs, num_hashes, rows_per_band, n)
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("lev"),
+            F.round(
+                1
+                - F.levenshtein("ta", "tb")
+                / F.greatest(F.length("ta"), F.length("tb")),
+                6,
+            ).alias("sim"),
+        )
+    )

@@ -1875,3 +1875,27 @@ def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.grouping_id().cast("int").alias("gid"),
     )
+
+
+@register(
+    "dedup_pair_edit_distance",
+    f"""WITH {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+pairs AS ({_MINHASH_PAIRS_SQL}),
+t AS (SELECT doc_id, substr(text, 1, 64) AS t FROM docs_planted)
+SELECT p.doc_a, p.doc_b,
+       levenshtein(a.t, b.t)::BIGINT AS lev,
+       ROUND(1 - levenshtein(a.t, b.t) / greatest(length(a.t), length(b.t)), 6)
+         AS sim
+FROM pairs p
+JOIN t a ON a.doc_id = p.doc_a
+JOIN t b ON b.doc_id = p.doc_b""",
+)
+def q_pair_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the MinHash LSH candidate pairs —
+    sketches propose, Levenshtein on a 64-char prefix confirms
+    (dedup.pair_edit_distance)."""
+    return dedup_ops.pair_edit_distance(
+        _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3,
+        prefix=64,
+    )

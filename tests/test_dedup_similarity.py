@@ -237,3 +237,22 @@ def test_kmeans_assign_partitions_all_vectors(spark, sf_dir):
     assert sum(r.cnt for r in conf) == emb.count()
     labels = {r.label for r in emb.select("label").distinct().collect()}
     assert {r.assigned_label for r in conf} <= labels
+
+
+def test_pair_edit_distance_planted_dupes_score_zero(spark, sf_dir):
+    from cloudpelican_lsd_spark.operators import dedup
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "documents", sf_dir)
+    planted = d.unionByName(
+        d.where(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+    out = dedup.pair_edit_distance(planted).collect()
+    exact = [r for r in out if r.doc_b == r.doc_a + 100000]
+    # every planted copy is recalled by LSH and verified with lev 0 / sim 1
+    assert len(exact) == 20
+    assert all(r.lev == 0 and r.sim == 1.0 for r in exact)
+    assert all(0 <= r.sim <= 1 for r in out)
