@@ -76,6 +76,8 @@ HEADLINE = [
     "search_small_qty_revenue",
     "events_grouping_sets",
     "dedup_pair_edit_distance",
+    "corpus_lang_drift",
+    "text_length_histogram",
 ]
 
 

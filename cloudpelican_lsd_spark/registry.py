@@ -1899,3 +1899,95 @@ def q_pair_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3,
         prefix=64,
     )
+
+
+@register(
+    "corpus_lang_drift",
+    """WITH marked AS (
+  SELECT lang, doc_id % 2 AS half FROM documents
+),
+cnt AS (
+  SELECT lang,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM marked GROUP BY lang
+),
+tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM cnt)
+SELECT c.lang,
+       c.n_a::BIGINT AS n_a,
+       c.n_b::BIGINT AS n_b,
+       ROUND((c.n_a / t.t_a) * ln((c.n_a / t.t_a) / (c.n_b / t.t_b)), 6)
+         AS kl_contrib
+FROM cnt c, tot t
+WHERE c.n_a > 0 AND c.n_b > 0""",
+)
+def q_corpus_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-distribution drift between two corpus halves (doc_id
+    parity stands in for snapshot A/B): per-language KL-divergence
+    contribution p·ln(p/q).  The drift audit that catches a crawl or
+    filter change shifting corpus composition before training.  One hash
+    agg (lang keys) + a broadcast 1-row totals frame — no shuffle of the
+    corpus beyond the lang count; ln ulps are absorbed by round-6 (the
+    ratio inputs are exact BIGINT-division doubles)."""
+    docs = load_table(spark, "documents", sf_dir)
+    cnt = docs.select("lang", (F.col("doc_id") % 2).alias("half")).groupBy(
+        "lang"
+    ).agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = cnt.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    p = F.col("n_a") / F.col("t_a")
+    q = F.col("n_b") / F.col("t_b")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "lang",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(p * F.log(p / q), 6).alias("kl_contrib"),
+        )
+    )
+
+
+@register(
+    "text_length_histogram",
+    """WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS log2_bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS sum_tokens,
+       MIN(n_tokens)::BIGINT AS min_tokens,
+       MAX(n_tokens)::BIGINT AS max_tokens
+FROM t GROUP BY 1""",
+)
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram — the shape audit behind
+    sequence-length budgeting (how much of the corpus lands in each
+    context-window doubling).  The bucket is length(bin(n))-1 =
+    floor(log2(n)) computed in INTEGER space (binary-string length), not
+    float log2 — floating log at exact powers of two is
+    implementation-defined at the ulp level and would flip bucket
+    boundaries between engines.  Single hash agg, ~30 groups, map-side
+    combinable."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        t.select(
+            "n_tokens",
+            (F.length(F.bin("n_tokens")) - 1).cast("int").alias("log2_bucket"),
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

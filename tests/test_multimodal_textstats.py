@@ -235,3 +235,29 @@ def test_shingle_contamination_synthetic(spark):
     assert rows[2].n_contaminated == 0 and rows[2].contaminated_frac == 0.0
     # shorter than n words: zero shingles, present with frac 0.0
     assert rows[3].n_shingles == 0 and rows[3].contaminated_frac == 0.0
+
+
+def test_length_histogram_buckets_tile_doc_counts(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    rows = QUERIES["text_length_histogram"](spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 2**r.log2_bucket <= r.min_tokens
+        assert r.max_tokens < 2 ** (r.log2_bucket + 1)
+
+
+def test_lang_drift_kl_nonnegative_when_support_matches(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["corpus_lang_drift"](spark, sf_dir).collect()
+    docs = load_table(spark, "documents", sf_dir)
+    langs = docs.select("lang").distinct().count()
+    # full-support case: every lang in both halves -> Gibbs: KL >= 0
+    if len(rows) == langs:
+        assert sum(r.kl_contrib for r in rows) >= -1e-5
+    assert all(r.n_a > 0 and r.n_b > 0 for r in rows)
