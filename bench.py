@@ -78,6 +78,8 @@ HEADLINE = [
     "dedup_pair_edit_distance",
     "corpus_lang_drift",
     "text_length_histogram",
+    "corpus_pack_sequences",
+    "corpus_source_mixture",
 ]
 
 

@@ -139,3 +139,74 @@ drops AS (
 SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens
 FROM ded d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (contiguous concat-and-cut)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame, capacity: int = 256, shards: int = 8
+) -> DataFrame:
+    """`(doc_id, shard, pack_id, start_offset, n_tokens)` — contiguous
+    sequence packing: within each shard, documents are concatenated in
+    doc_id order into one token stream and cut every `capacity` tokens
+    (docs may straddle a cut — the standard pack-with-splitting
+    semantics).  `pack_id` is the pack holding the doc's FIRST token;
+    `start_offset` its position inside that pack.
+
+    This is the training-batch assembly primitive: token streams become
+    fixed-length context windows with zero padding waste.  A global
+    cumulative sum would serialize on one partition; sharding by
+    `doc_id % shards` makes each cumsum an independent partition-local
+    window (shards ≈ cluster parallelism at 100 TB), at the cost of one
+    partial pack per shard — a fraction `shards·capacity / total_tokens`
+    of waste, negligible when shards ≪ corpus tokens.  All integer math:
+    hash-stable across engines and re-runs.
+    """
+    from pyspark.sql.window import Window
+
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "shard",
+        (
+            F.col("shard") * F.lit(1_000_000)
+            + F.floor(start / capacity)
+        ).cast("long").alias("pack_id"),
+        (start % capacity).cast("long").alias("start_offset"),
+        "n_tokens",
+    )
+
+
+def pack_sequences_oracle(capacity: int = 256, shards: int = 8) -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, doc_id % {shards} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST(shard * 1000000 + (cum - n_tokens) // {capacity} AS BIGINT)
+         AS pack_id,
+       CAST((cum - n_tokens) % {capacity} AS BIGINT) AS start_offset,
+       n_tokens::BIGINT AS n_tokens
+FROM c"""

@@ -1991,3 +1991,44 @@ def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+@register("corpus_pack_sequences", corpus_ops.pack_sequences_oracle(256, 8))
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing into 256-token context windows across
+    8 shards (corpus.pack_sequences) — training-batch assembly with
+    partition-local cumulative sums instead of a serializing global
+    order."""
+    return corpus_ops.pack_sequences(
+        load_table(spark, "documents", sf_dir), capacity=256, shards=8
+    )
+
+
+@register(
+    "corpus_source_mixture",
+    """SELECT doc_id, source
+FROM documents
+WHERE substr(md5(text), 1, 2) <
+      CASE source
+        WHEN 'src0' THEN 'ff'
+        WHEN 'src1' THEN '80'
+        WHEN 'src2' THEN '40'
+        ELSE '1a'
+      END""",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture downsampling — per-source keep rates
+    (src0 ~100%, src1 ~50%, src2 ~25%, tail ~10%) applied by content-hash
+    threshold, the mixture-reweighting primitive for combining crawl /
+    curated / synthetic sources at target proportions.  Like
+    corpus_split_assign: pure per-row hashing, no RNG state, no shuffle,
+    reproducible under re-partitioning at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    prefix = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    thr = (
+        F.when(F.col("source") == "src0", "ff")
+        .when(F.col("source") == "src1", "80")
+        .when(F.col("source") == "src2", "40")
+        .otherwise("1a")
+    )
+    return docs.where(prefix < thr).select("doc_id", "source")

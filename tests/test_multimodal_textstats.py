@@ -261,3 +261,36 @@ def test_lang_drift_kl_nonnegative_when_support_matches(spark, sf_dir):
     if len(rows) == langs:
         assert sum(r.kl_contrib for r in rows) >= -1e-5
     assert all(r.n_a > 0 and r.n_b > 0 for r in rows)
+
+
+def test_pack_sequences_contiguity(spark, sf_dir):
+    from cloudpelican_lsd_spark.operators import corpus as corpus_ops
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = corpus_ops.pack_sequences(docs, capacity=256, shards=8).collect()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
+        g = (r.pack_id - r.shard * 1_000_000) * 256 + r.start_offset
+        prev = by_shard.get(r.shard)
+        if prev is not None:
+            # each doc starts exactly where the previous one ended
+            assert g == prev, (r.shard, r.doc_id)
+        by_shard[r.shard] = g + r.n_tokens
+        assert 0 <= r.start_offset < 256
+    assert len(rows) == docs.count()
+
+
+def test_source_mixture_matches_python_hash(spark, sf_dir):
+    import hashlib as _h
+
+    from cloudpelican_lsd_spark.registry import QUERIES
+
+    kept = {
+        r.doc_id for r in QUERIES["corpus_source_mixture"](spark, sf_dir).collect()
+    }
+    thr = {"src0": "ff", "src1": "80", "src2": "40"}
+    expect = set()
+    for r in load_table(spark, "documents", sf_dir).collect():
+        if _h.md5(r.text.encode()).hexdigest()[:2] < thr.get(r.source, "1a"):
+            expect.add(r.doc_id)
+    assert kept == expect
