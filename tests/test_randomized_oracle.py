@@ -305,3 +305,86 @@ def test_stats_family_matches_python_reference(spark):
         for b in range(lo, hi + 1, 300)
     }
     assert got_fill == want_fill
+
+
+def test_repetition_ratio_matches_python_reference(spark):
+    from collections import Counter
+
+    from cloudpelican_lsd_spark.operators.textstats import repetition_ratio
+
+    rng = random.Random(411)
+    docs = _random_docs(rng, 40)
+    got = {
+        r.doc_id: r
+        for r in repetition_ratio(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.lower().split(" ")
+        uni = Counter(toks)
+        bg = Counter(
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        )
+        r = got[doc_id]
+        assert r.n_words == len(toks)
+        assert r.top_word_cnt == max(uni.values())
+        assert r.top_word_frac == round(max(uni.values()) / len(toks), 6)
+        if len(toks) >= 2:
+            assert r.n_bigrams == len(toks) - 1
+            assert r.top_bigram_cnt == max(bg.values())
+        else:
+            assert r.n_bigrams == 0 and r.top_bigram_frac == 0.0
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    from cloudpelican_lsd_spark.operators.corpus import pack_sequences
+
+    rng = random.Random(777)
+    docs = _random_docs(rng, 60)
+    cap, shards = 7, 3
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.start_offset, r.n_tokens)
+        for r in pack_sequences(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            capacity=cap,
+            shards=shards,
+        ).collect()
+    }
+    cum: dict[int, int] = {}
+    for doc_id, text in sorted(docs):
+        shard = doc_id % shards
+        start = cum.get(shard, 0)
+        n = len(text.split(" "))
+        cum[shard] = start + n
+        assert got[doc_id] == (
+            shard,
+            shard * 1_000_000 + start // cap,
+            start % cap,
+            n,
+        ), doc_id
+
+
+def test_shingle_contamination_matches_python_reference(spark):
+    from cloudpelican_lsd_spark.operators.textstats import shingle_contamination
+
+    rng = random.Random(99)
+    docs = _random_docs(rng, 50)
+    n, min_df = 3, 2
+    sh = {d: _py_shingles(t, n) for d, t in docs}
+    df_cnt: dict[str, int] = {}
+    for s in sh.values():
+        for g in s:
+            df_cnt[g] = df_cnt.get(g, 0) + 1
+    got = {
+        r.doc_id: r
+        for r in shingle_contamination(
+            spark.createDataFrame(docs, ["doc_id", "text"]), n=n, min_df=min_df
+        ).collect()
+    }
+    for doc_id, _ in docs:
+        mine = sh[doc_id]
+        dup = sum(1 for g in mine if df_cnt[g] >= min_df)
+        r = got[doc_id]
+        assert r.n_shingles == len(mine)
+        assert r.n_contaminated == dup
