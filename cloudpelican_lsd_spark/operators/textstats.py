@@ -404,26 +404,35 @@ def shingle_contamination(
     is duplicated elsewhere" score used for sub-document dedup decisions
     (benchmark-contamination / boilerplate detection).
 
-    Physical shape: the shingle doc-frequency table is filtered to
-    df >= min_df BEFORE joining back — the join's build side holds only
-    actually-duplicated shingles (typically a tiny fraction of the shingle
-    space), and the probe is a LEFT SEMI join followed by a doc_id-keyed
-    count.  The full-df variant would shuffle the entire shingle stream
-    twice; this shape shuffles it once for the df agg and once for the
-    semi join, with the semi join's right side pre-shrunk.
+    Physical shape: ONE scan computes shingles, collapsed to a per-doc
+    xxhash64 set in a single doc_id-keyed aggregate (the n-gram-Jaccard
+    trick, dedup.py: the hash set IS the distinct-shingle set, its size
+    the exact count; collision odds ~|shingles|²/2⁶⁵).  Every downstream
+    branch — the shingle df count, the semi-join probe, the per-doc size
+    — descends from that one aggregate, so Spark's ReuseExchange serves
+    all of them from a single shuffle write instead of re-scanning and
+    re-shingling the text column per branch (at 100 TB the text scan is
+    the dominant cost; the naive three-branch form reads it 3×).  The df
+    table is filtered to df >= min_df BEFORE the semi join, so the
+    join's right side holds only actually-duplicated shingles.
     """
-    from cloudpelican_lsd_spark.operators.dedup import shingles
+    from cloudpelican_lsd_spark.operators.dedup import _spread, shingle_rows
 
-    sh = shingles(docs, n)
-    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    agg = (
+        shingle_rows(_spread(docs), n)
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
+    )
+    exploded = agg.select("doc_id", F.explode("hs").alias("h"))
+    per_doc = agg.select("doc_id", F.size("hs").cast("long").alias("n_shingles"))
     dup = (
-        sh.groupBy("shingle")
+        exploded.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
-        .select("shingle")
+        .select("h")
     )
     contaminated = (
-        sh.join(dup, "shingle", "left_semi")
+        exploded.join(dup, "h", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
