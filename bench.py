@@ -80,6 +80,8 @@ HEADLINE = [
     "text_length_histogram",
     "corpus_pack_sequences",
     "corpus_source_mixture",
+    "events_retention_cohorts",
+    "emb_quantize_audit",
 ]
 
 

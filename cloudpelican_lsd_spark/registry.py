@@ -2032,3 +2032,121 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("1a")
     )
     return docs.where(prefix < thr).select("doc_id", "source")
+
+
+@register(
+    "events_retention_cohorts",
+    """WITH d AS (
+  SELECT DISTINCT user_id,
+         (epoch_ns(ts) // 1000000000)
+           - ((epoch_ns(ts) // 1000000000) % 86400) AS day
+  FROM events
+),
+first AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id)
+SELECT f.first_day,
+       CAST((d.day - f.first_day) // 86400 AS BIGINT) AS day_offset,
+       COUNT(*)::BIGINT AS n_users
+FROM d JOIN first f ON f.user_id = d.user_id
+GROUP BY f.first_day, day_offset""",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen day, counted
+    on each later active day offset — the engagement-decay view behind
+    any cohort chart.  (user, day) pairs dedup in one hash agg; the
+    first-seen MIN reuses that exchange's output; the cohort cell count
+    keys on (first_day, offset) — three user-keyed-or-smaller shuffles
+    total, nothing driver-side."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.select(
+        "user_id", stats_ops.bucket_col("ts_epoch", 86400).alias("day")
+    ).distinct()
+    first = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(first, "user_id")
+        .select(
+            "first_day",
+            ((F.col("day") - F.col("first_day")) / 86400)
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .groupBy("first_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "emb_quantize_audit",
+    """WITH ex AS (
+  SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v
+  FROM embeddings, generate_series(1, 64) t(i)
+),
+st AS (
+  SELECT vec_id, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY vec_id
+),
+q AS (
+  SELECT e.vec_id, e.v, s.mn, s.mx,
+         CASE WHEN s.mx > s.mn
+              THEN least(floor(((e.v - s.mn) * 255) / (s.mx - s.mn)), 255)
+              ELSE 0 END AS qv
+  FROM ex e JOIN st s ON s.vec_id = e.vec_id
+),
+err AS (
+  SELECT vec_id, abs(v - (mn + (qv * (mx - mn)) / 255)) AS e FROM q
+)
+SELECT vec_id,
+       ROUND(MAX(e), 6) AS max_abs_err,
+       ROUND(SUM(CAST(floor(e * 1000000000) AS BIGINT)) / 64 / 1e9, 6)
+         AS mean_abs_err
+FROM err GROUP BY vec_id""",
+)
+def q_emb_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (256-level) min-max quantization error audit per vector —
+    the compression-loss measurement for shipping embeddings at 1/4 the
+    bytes (the PQ/scalar-quantization decision input).  Quantize/
+    dequantize stay in per-row IEEE chains (deterministic given identical
+    operand order, written identically in both engines); the MEAN goes
+    through exact fixed-point (floor(err·1e9) BIGINT sum) because a
+    double sum's reduce order is partitioning-dependent — same discipline
+    as emb_centroid_per_label.  One posexplode scan, vec_id-keyed aggs
+    (exchange reused between the min/max agg and the join)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        ),
+    )
+    st = ex.groupBy("vec_id").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    q = ex.join(st, "vec_id").select(
+        "vec_id",
+        "v",
+        "mn",
+        "mx",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    ((F.col("v") - F.col("mn")) * 255) / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(255),
+            ),
+        )
+        .otherwise(0)
+        .alias("qv"),
+    )
+    err = q.select(
+        "vec_id",
+        F.abs(
+            F.col("v")
+            - (F.col("mn") + (F.col("qv") * (F.col("mx") - F.col("mn"))) / 255)
+        ).alias("e"),
+    )
+    return err.groupBy("vec_id").agg(
+        F.round(F.max("e"), 6).alias("max_abs_err"),
+        F.round(
+            F.sum(F.floor(F.col("e") * 1000000000).cast("long")) / 64 / F.lit(1e9),
+            6,
+        ).alias("mean_abs_err"),
+    )

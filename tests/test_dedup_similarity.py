@@ -256,3 +256,23 @@ def test_pair_edit_distance_planted_dupes_score_zero(spark, sf_dir):
     assert len(exact) == 20
     assert all(r.lev == 0 and r.sim == 1.0 for r in exact)
     assert all(0 <= r.sim <= 1 for r in out)
+
+
+def test_quantize_audit_error_bounded_by_step(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = {r.vec_id: r for r in QUERIES["emb_quantize_audit"](spark, sf_dir).collect()}
+    emb = load_table(spark, "embeddings", sf_dir)
+    rng = {
+        r.vec_id: (min(r.embedding), max(r.embedding))
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    assert set(out) == set(rng)
+    for vid, r in out.items():
+        mn, mx = rng[vid]
+        step = (mx - mn) / 255 if mx > mn else 0.0
+        # max error of floor-quantization is one full step
+        assert r.max_abs_err <= step + 1e-6
+        assert 0 <= r.mean_abs_err <= r.max_abs_err + 1e-6

@@ -187,3 +187,19 @@ def test_interval_join_boundaries_and_overlap(spark):
         (3, 11),          # just past [100,600], inside [500,5000]
         (5, 11),          # multi-bucket interval still matches (bucket 1)
     ]  # pid 4: user 2 has no intervals
+
+
+def test_retention_cohort_day0_equals_cohort_size(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    rows = QUERIES["events_retention_cohorts"](spark, sf_dir).collect()
+    # every cohort has a day-0 cell and it is its largest cell
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.first_day, {})[r.day_offset] = r.n_users
+    users = load_table(spark, "events", sf_dir).select("user_id").distinct().count()
+    assert sum(c[0] for c in by_cohort.values()) == users
+    for c in by_cohort.values():
+        assert 0 in c and c[0] == max(c.values())
+        assert all(off >= 0 for off in c)
