@@ -82,6 +82,7 @@ HEADLINE = [
     "corpus_source_mixture",
     "events_retention_cohorts",
     "emb_quantize_audit",
+    "emb_kmeans_step_shift",
 ]
 
 

@@ -487,3 +487,156 @@ assigned AS (
 )
 SELECT label, clabel AS assigned_label, COUNT(*)::BIGINT AS cnt
 FROM assigned WHERE rn = 1 GROUP BY label, clabel"""
+
+
+def kmeans_step_shift(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """One full Lloyd iteration as relational algebra: assign every vector
+    to its nearest label-centroid (see kmeans_assign_confusion), recompute
+    each cluster's mean from its assigned members, and report
+    `(assigned_label, n_members, shift)` — the L2 distance each centroid
+    would move.  `shift` is THE k-means convergence signal; at scale this
+    query is the loop body, re-run until max(shift) < ε.
+
+    Same determinism discipline as the assign step: member coordinates
+    stay in exact fixed point, and the squared-shift sum runs over
+    floor(diff·1e6) BIGINTs (64 exact squares per cluster — reduce-order
+    free), with one sqrt at the end.  Physical shape: the assignment's
+    (vec_id → cluster) map joins back to the exploded coordinates by
+    vec_id, then ONE (cluster, pos)-keyed agg computes all new means;
+    old centroids broadcast onto it.
+    """
+    ex = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "v"
+            ),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("v") * 10000000).cast("long").alias("qv"),
+        )
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e7)
+            ).alias("c")
+        )
+        .select(
+            "clabel",
+            "pos",
+            F.floor(F.col("c") * 10000).cast("long").alias("qc"),
+        )
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sum(F.col("qc") * F.col("qc")).alias("cn")
+    )
+    vnorm = ex.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("vn"))
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(F.col("qv") * F.col("qc")).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("clabel").asc()
+    )
+    assign = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .where((F.col("vn") > 0) & (F.col("cn") > 0))
+        .withColumn(
+            "cos",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("vn").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cluster"))
+    )
+    new_cent = (
+        ex.join(assign, "vec_id")
+        .groupBy(F.col("cluster"), "pos")
+        .agg(
+            (
+                F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e7)
+            ).alias("nc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    joined = new_cent.join(
+        F.broadcast(cent),
+        (F.col("cluster") == F.col("clabel")) & (new_cent.pos == cent.pos),
+    ).select(
+        "cluster",
+        "n_rows",
+        F.floor((F.col("nc") - F.col("qc") / 10000) * 1000000)
+        .cast("long")
+        .alias("qd"),
+    )
+    return joined.groupBy(F.col("cluster").alias("assigned_label")).agg(
+        (F.max("n_rows")).cast("long").alias("n_members"),
+        F.round(
+            F.sqrt(F.sum(F.col("qd") * F.col("qd")).cast("double")) / F.lit(1e6),
+            6,
+        ).alias("shift"),
+    )
+
+
+def kmeans_step_shift_oracle(dim: int = 64) -> str:
+    return f"""WITH ex AS (
+  SELECT vec_id, label, i AS pos,
+         floor(embedding[i]::DOUBLE * 10000000)::BIGINT AS qv
+  FROM embeddings, generate_series(1, {dim}) t(i)
+),
+cent AS (
+  SELECT label AS clabel, pos,
+         floor((SUM(qv)::DOUBLE / COUNT(*) / 1e7) * 10000)::BIGINT AS qc
+  FROM ex GROUP BY label, pos
+),
+cnorm AS (SELECT clabel, SUM(qc * qc) AS cn FROM cent GROUP BY clabel),
+vnorm AS (SELECT vec_id, SUM(qv * qv) AS vn FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT e.vec_id, c.clabel, SUM(e.qv * c.qc) AS dot
+  FROM ex e JOIN cent c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.clabel
+),
+assign AS (
+  SELECT vec_id, clabel AS cluster FROM (
+    SELECT d.vec_id, d.clabel,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY ROUND(d.dot::DOUBLE / (sqrt(v.vn::DOUBLE) * sqrt(n.cn::DOUBLE)), 6) DESC,
+                      d.clabel ASC) AS rn
+    FROM dots d
+    JOIN vnorm v ON v.vec_id = d.vec_id
+    JOIN cnorm n ON n.clabel = d.clabel
+    WHERE v.vn > 0 AND n.cn > 0
+  ) WHERE rn = 1
+),
+new_cent AS (
+  SELECT a.cluster, e.pos,
+         SUM(e.qv)::DOUBLE / COUNT(*) / 1e7 AS nc,
+         COUNT(*) AS n_rows
+  FROM ex e JOIN assign a ON a.vec_id = e.vec_id
+  GROUP BY a.cluster, e.pos
+),
+diffs AS (
+  SELECT n.cluster, n.n_rows,
+         floor((n.nc - c.qc / 10000) * 1000000)::BIGINT AS qd
+  FROM new_cent n JOIN cent c ON c.clabel = n.cluster AND c.pos = n.pos
+)
+SELECT cluster AS assigned_label,
+       MAX(n_rows)::BIGINT AS n_members,
+       ROUND(sqrt(SUM(qd * qd)::DOUBLE) / 1e6, 6) AS shift
+FROM diffs GROUP BY cluster"""

@@ -2150,3 +2150,14 @@ def q_emb_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs_err"),
     )
+
+
+@register("emb_kmeans_step_shift", sim_ops.kmeans_step_shift_oracle(64))
+def q_kmeans_step_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration: nearest-centroid assignment, cluster-mean
+    recompute, per-cluster L2 centroid shift — the k-means convergence
+    loop body as pure relational algebra
+    (similarity.kmeans_step_shift)."""
+    return sim_ops.kmeans_step_shift(
+        load_table(spark, "embeddings", sf_dir), dim=64
+    )

@@ -276,3 +276,18 @@ def test_quantize_audit_error_bounded_by_step(spark, sf_dir):
         # max error of floor-quantization is one full step
         assert r.max_abs_err <= step + 1e-6
         assert 0 <= r.mean_abs_err <= r.max_abs_err + 1e-6
+
+
+def test_kmeans_step_shift_consistent_with_assignment(spark, sf_dir):
+    from cloudpelican_lsd_spark.operators import similarity as sim
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    conf = sim.kmeans_assign_confusion(emb).collect()
+    shift = sim.kmeans_step_shift(emb).collect()
+    # member totals agree between the confusion and the shift views
+    by_cluster = {}
+    for r in conf:
+        by_cluster[r.assigned_label] = by_cluster.get(r.assigned_label, 0) + r.cnt
+    assert {r.assigned_label: r.n_members for r in shift} == by_cluster
+    assert all(r.shift >= 0 for r in shift)
