@@ -83,6 +83,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "emb_quantize_audit",
     "emb_kmeans_step_shift",
+    "emb_rank_fusion",
 ]
 
 

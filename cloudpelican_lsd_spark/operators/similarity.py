@@ -640,3 +640,92 @@ SELECT cluster AS assigned_label,
        MAX(n_rows)::BIGINT AS n_members,
        ROUND(sqrt(SUM(qd * qd)::DOUBLE) / 1e6, 6) AS shift
 FROM diffs GROUP BY cluster"""
+
+
+def rank_fusion_topk(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    num_queries: int = 10,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — sign-LSH-free
+    brute-force cosine and IVF probe search — into one list per query:
+    `(qid, cid, rrf)` with rrf = Σ 1/(rrf_k + rank).  The standard
+    multi-retriever ensembling step of a RAG / retrieval pipeline.
+
+    Determinism: ranks are row_numbers over (cos DESC, cid) total orders;
+    each fused score sums at most two doubles (float addition is
+    commutative, so a 2-term sum is reduce-order-free), rounded to 6
+    decimals before the final (rrf DESC, cid) re-rank.  Physical shape:
+    both retrievals share the `_with_norm` scan subtree; the fusion is a
+    FULL OUTER equi-join on (qid, cid) of two k-row-per-query lists —
+    bounded size, broadcast-friendly."""
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    bf = (
+        cosine_topk(emb, num_queries, k)
+        .withColumn("r_bf", F.row_number().over(w))
+        .select("qid", "cid", "r_bf")
+    )
+    ivf = (
+        ivf_topk(emb, n_centroids, nprobe, num_queries, k)
+        .withColumn("r_ivf", F.row_number().over(w))
+        .select("qid", "cid", "r_ivf")
+    )
+    fused = (
+        bf.join(ivf, ["qid", "cid"], "full_outer")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.coalesce(1 / (F.lit(rrf_k) + F.col("r_bf")), F.lit(0.0))
+                + F.coalesce(1 / (F.lit(rrf_k) + F.col("r_ivf")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w_out = Window.partitionBy("qid").orderBy(
+        F.col("rrf").desc(), F.col("cid").asc()
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_out))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "rrf")
+    )
+
+
+def rank_fusion_oracle(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    num_queries: int = 10,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> str:
+    bf = cosine_topk_oracle(num_queries, k)
+    ivf = ivf_topk_oracle(n_centroids, nprobe, num_queries, k)
+    return f"""WITH bf0 AS (SELECT * FROM ({bf}) t),
+ivf0 AS (SELECT * FROM ({ivf}) t),
+bf AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS r_bf
+  FROM bf0
+),
+ivf AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS r_ivf
+  FROM ivf0
+),
+fused AS (
+  SELECT COALESCE(b.qid, i.qid) AS qid,
+         COALESCE(b.cid, i.cid) AS cid,
+         ROUND(COALESCE(1.0 / ({rrf_k} + b.r_bf), 0.0)
+               + COALESCE(1.0 / ({rrf_k} + i.r_ivf), 0.0), 6) AS rrf
+  FROM bf b FULL OUTER JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
+),
+ranked AS (
+  SELECT qid, cid, rrf,
+         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid ASC) AS rn
+  FROM fused
+)
+SELECT qid, cid, rrf FROM ranked WHERE rn <= {k}"""

@@ -2161,3 +2161,13 @@ def q_kmeans_step_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.kmeans_step_shift(
         load_table(spark, "embeddings", sf_dir), dim=64
     )
+
+
+@register("emb_rank_fusion", sim_ops.rank_fusion_oracle(8, 2, 10, 10, 60))
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of brute-force and IVF retrieval lists —
+    the multi-retriever ensembling step (similarity.rank_fusion_topk)."""
+    return sim_ops.rank_fusion_topk(
+        load_table(spark, "embeddings", sf_dir),
+        n_centroids=8, nprobe=2, num_queries=10, k=10, rrf_k=60,
+    )

@@ -291,3 +291,21 @@ def test_kmeans_step_shift_consistent_with_assignment(spark, sf_dir):
         by_cluster[r.assigned_label] = by_cluster.get(r.assigned_label, 0) + r.cnt
     assert {r.assigned_label: r.n_members for r in shift} == by_cluster
     assert all(r.shift >= 0 for r in shift)
+
+
+def test_rank_fusion_bounds_and_membership(spark, sf_dir):
+    from cloudpelican_lsd_spark.operators import similarity as sim
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    bf = {(r.qid, r.cid) for r in sim.cosine_topk(emb, 5, 5).collect()}
+    ivf = {(r.qid, r.cid) for r in sim.ivf_topk(emb, 8, 2, 5, 5).collect()}
+    fused = sim.rank_fusion_topk(emb, 8, 2, 5, 5).collect()
+    per_q = {}
+    for r in fused:
+        assert (r.qid, r.cid) in bf | ivf
+        # max rrf = in both lists at rank 1; min > 0
+        assert 0 < r.rrf <= round(2 / 61, 6) + 1e-9
+        per_q.setdefault(r.qid, []).append(r.rrf)
+    for scores in per_q.values():
+        assert len(scores) <= 5
