@@ -84,6 +84,8 @@ HEADLINE = [
     "emb_quantize_audit",
     "emb_kmeans_step_shift",
     "emb_rank_fusion",
+    "logs_template_mining",
+    "stats_rate_of_change",
 ]
 
 

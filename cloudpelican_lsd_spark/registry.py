@@ -2171,3 +2171,85 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "embeddings", sf_dir),
         n_centroids=8, nprobe=2, num_queries=10, k=10, rrf_k=60,
     )
+
+
+@register(
+    "logs_template_mining",
+    f"""WITH {LOGS_ORACLE_CTE},
+t AS (
+  SELECT regexp_replace(_raw, '[0-9]+', '#', 'g') AS template FROM logs
+)
+SELECT template, COUNT(*)::BIGINT AS cnt
+FROM t GROUP BY template ORDER BY cnt DESC, template LIMIT 20""",
+)
+def q_logs_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log template mining (Drain-lite): mask every digit run to '#' and
+    count the surviving templates — turns a raw log stream into its
+    message-shape inventory (the reference's filters are hand-written
+    regexes over exactly these shapes; this query discovers them).
+    Per-row regexp_replace in codegen, one template-keyed hash agg with
+    map-side partials (template cardinality ≪ line count), TakeOrdered
+    top-20 — no global sort."""
+    logs = logs_view(spark, sf_dir)
+    t = logs.select(
+        F.regexp_replace("_raw", "[0-9]+", "#").alias("template")
+    )
+    return (
+        t.groupBy("template")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "template")
+        .limit(20)
+    )
+
+
+@register(
+    "stats_rate_of_change",
+    f"""WITH {LOGS_ORACLE_CTE},
+b AS (
+  SELECT event_type, ts_epoch - ts_epoch % 3600 AS bucket, COUNT(*) AS cnt
+  FROM logs GROUP BY event_type, bucket
+),
+d AS (
+  SELECT event_type, bucket, cnt,
+         lag(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+  FROM b
+)
+SELECT event_type, bucket, cnt::BIGINT AS cnt,
+       COALESCE(prev, 0)::BIGINT AS prev_cnt,
+       CAST(cnt - COALESCE(prev, 0) AS BIGINT) AS delta,
+       CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+            ELSE ROUND((cnt - prev) * 100.0 / prev, 6) END AS pct_change
+FROM d""",
+)
+def q_stats_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type rate-of-change: bucket counts with LAG delta and
+    percent change — the dashboard "rate spiked vs last hour" primitive.
+    One hash agg (map-side partial) then ONE window sort per event_type
+    partition over already-aggregated rows (buckets ≪ events); integer
+    deltas exact, pct through a single rounded division."""
+    logs = logs_view(spark, sf_dir)
+    b = (
+        logs.select(
+            "event_type", stats_ops.bucket_col("ts_epoch", 3600).alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    d = b.withColumn("prev", F.lag("cnt").over(w))
+    return d.select(
+        "event_type",
+        "bucket",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.coalesce("prev", F.lit(0)).cast("long").alias("prev_cnt"),
+        (F.col("cnt") - F.coalesce("prev", F.lit(0)))
+        .cast("long")
+        .alias("delta"),
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.round((F.col("cnt") - F.col("prev")) * 100.0 / F.col("prev"), 6)
+        )
+        .alias("pct_change"),
+    )

@@ -203,3 +203,33 @@ def test_retention_cohort_day0_equals_cohort_size(spark, sf_dir):
     for c in by_cohort.values():
         assert 0 in c and c[0] == max(c.values())
         assert all(off >= 0 for off in c)
+
+
+def test_template_mining_masks_all_digits(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+
+    rows = QUERIES["logs_template_mining"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert not any(ch.isdigit() for ch in r.template)
+    # templates cover the whole stream (synthetic logs: one per event type)
+    from cloudpelican_lsd_spark.sources.tables import logs_view
+
+    assert sum(r.cnt for r in rows) == logs_view(spark, sf_dir).count()
+
+
+def test_rate_of_change_chains_consistently(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+
+    rows = QUERIES["stats_rate_of_change"](spark, sf_dir).collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.bucket)):
+        assert r.delta == r.cnt - r.prev_cnt
+        prev = series.get(r.event_type)
+        if prev is None:
+            assert r.prev_cnt == 0 and r.pct_change is None
+        else:
+            assert r.prev_cnt == prev
+            if prev > 0:
+                assert r.pct_change == round((r.cnt - prev) * 100.0 / prev, 6)
+        series[r.event_type] = r.cnt
