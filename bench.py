@@ -86,6 +86,7 @@ HEADLINE = [
     "emb_rank_fusion",
     "logs_template_mining",
     "stats_rate_of_change",
+    "corpus_token_budget_sample",
 ]
 
 

@@ -2253,3 +2253,63 @@ def q_stats_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("pct_change"),
     )
+
+
+@register(
+    "corpus_token_budget_sample",
+    """WITH tok AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+tot AS (
+  SELECT source, SUM(n_tokens)::BIGINT AS t_s FROM tok GROUP BY source
+),
+ns AS (SELECT COUNT(*)::BIGINT AS n_sources FROM tot),
+thr AS (
+  SELECT t.source,
+         least(65536, (65536 * 20000) // (n.n_sources * t.t_s)) AS keep65536
+  FROM tot t, ns n
+)
+SELECT k.doc_id, k.source, k.n_tokens
+FROM tok k JOIN thr ON thr.source = k.source
+WHERE ('0x' || substr(md5(k.text), 1, 4))::BIGINT < thr.keep65536""",
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: split a 20k-token budget equally across
+    sources, derive each source's keep probability FROM THE DATA
+    (keep = budget_share / source_tokens, floored into 65536 hash
+    buckets — all integer arithmetic), and keep a doc iff its content
+    hash falls under the source's threshold.  The data-dependent
+    follow-up to corpus_source_mixture: thresholds come from a per-source
+    token aggregate (tiny, broadcast), sampling stays stateless per-row
+    hashing — reproducible at any scale, expected sampled tokens per
+    oversized source ≈ its budget share."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    tot = tok.groupBy("source").agg(F.sum("n_tokens").alias("t_s"))
+    ns = tot.agg(F.count(F.lit(1)).alias("n_sources"))
+    thr = (
+        tot.crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            F.least(
+                F.lit(65536),
+                F.expr("(65536 * 20000) div (n_sources * t_s)"),
+            ).alias("keep65536"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(thr), "source")
+        .where(
+            F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 4), 16, 10)
+            .cast("long")
+            < F.col("keep65536")
+        )
+        .select("doc_id", "source", "n_tokens")
+    )

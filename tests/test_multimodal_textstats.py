@@ -294,3 +294,25 @@ def test_source_mixture_matches_python_hash(spark, sf_dir):
         if _h.md5(r.text.encode()).hexdigest()[:2] < thr.get(r.source, "1a"):
             expect.add(r.doc_id)
     assert kept == expect
+
+
+def test_token_budget_sample_respects_thresholds(spark, sf_dir):
+    import hashlib as _h
+
+    from cloudpelican_lsd_spark.registry import QUERIES
+
+    kept = {
+        r.doc_id
+        for r in QUERIES["corpus_token_budget_sample"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, "documents", sf_dir).collect()
+    tot = {}
+    for r in docs:
+        tot[r.source] = tot.get(r.source, 0) + len(r.text.split(" "))
+    n_sources = len(tot)
+    expect = set()
+    for r in docs:
+        keep = min(65536, (65536 * 20000) // (n_sources * tot[r.source]))
+        if int(_h.md5(r.text.encode()).hexdigest()[:4], 16) < keep:
+            expect.add(r.doc_id)
+    assert kept == expect
