@@ -154,7 +154,11 @@ def pack_sequences(
     doc_id order into one token stream and cut every `capacity` tokens
     (docs may straddle a cut — the standard pack-with-splitting
     semantics).  `pack_id` is the pack holding the doc's FIRST token;
-    `start_offset` its position inside that pack.
+    `start_offset` its position inside that pack.  Pack ids interleave
+    the shard into the low bits (`within_shard_pack * shards + shard`),
+    globally unique for ANY number of packs per shard — a fixed
+    per-shard offset would alias across shards once one shard outgrew
+    it.
 
     This is the training-batch assembly primitive: token streams become
     fixed-length context windows with zero padding waste.  A global
@@ -183,8 +187,7 @@ def pack_sequences(
         "doc_id",
         "shard",
         (
-            F.col("shard") * F.lit(1_000_000)
-            + F.floor(start / capacity)
+            F.floor(start / capacity) * shards + F.col("shard")
         ).cast("long").alias("pack_id"),
         (start % capacity).cast("long").alias("start_offset"),
         "n_tokens",
@@ -205,7 +208,7 @@ c AS (
   FROM t
 )
 SELECT doc_id, shard,
-       CAST(shard * 1000000 + (cum - n_tokens) // {capacity} AS BIGINT)
+       CAST(((cum - n_tokens) // {capacity}) * {shards} + shard AS BIGINT)
          AS pack_id,
        CAST((cum - n_tokens) % {capacity} AS BIGINT) AS start_offset,
        n_tokens::BIGINT AS n_tokens

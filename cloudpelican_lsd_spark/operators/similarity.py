@@ -366,7 +366,7 @@ GROUP BY bf.qid"""
 # ---------------------------------------------------------------------------
 
 
-def kmeans_assign_confusion(emb: DataFrame, dim: int = 64) -> DataFrame:
+def kmeans_assign_confusion(emb: DataFrame) -> DataFrame:
     """One k-means assignment step with the per-label mean vectors as
     centroids: every vector is assigned to its nearest centroid by cosine,
     and the result is the `(label, assigned_label, cnt)` confusion — the
@@ -489,7 +489,7 @@ SELECT label, clabel AS assigned_label, COUNT(*)::BIGINT AS cnt
 FROM assigned WHERE rn = 1 GROUP BY label, clabel"""
 
 
-def kmeans_step_shift(emb: DataFrame, dim: int = 64) -> DataFrame:
+def kmeans_step_shift(emb: DataFrame) -> DataFrame:
     """One full Lloyd iteration as relational algebra: assign every vector
     to its nearest label-centroid (see kmeans_assign_confusion), recompute
     each cluster's mean from its assigned members, and report

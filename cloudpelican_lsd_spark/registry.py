@@ -1744,7 +1744,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-label mean centroids, nearest-centroid by cosine, output the
     label-vs-cluster confusion (similarity.kmeans_assign_confusion)."""
     return sim_ops.kmeans_assign_confusion(
-        load_table(spark, "embeddings", sf_dir), dim=64
+        load_table(spark, "embeddings", sf_dir)
     )
 
 
@@ -2159,7 +2159,7 @@ def q_kmeans_step_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop body as pure relational algebra
     (similarity.kmeans_step_shift)."""
     return sim_ops.kmeans_step_shift(
-        load_table(spark, "embeddings", sf_dir), dim=64
+        load_table(spark, "embeddings", sf_dir)
     )
 
 

@@ -270,7 +270,7 @@ def test_pack_sequences_contiguity(spark, sf_dir):
     rows = corpus_ops.pack_sequences(docs, capacity=256, shards=8).collect()
     by_shard = {}
     for r in sorted(rows, key=lambda r: (r.shard, r.doc_id)):
-        g = (r.pack_id - r.shard * 1_000_000) * 256 + r.start_offset
+        g = (r.pack_id // 8) * 256 + r.start_offset
         prev = by_shard.get(r.shard)
         if prev is not None:
             # each doc starts exactly where the previous one ended

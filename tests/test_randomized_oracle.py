@@ -359,7 +359,7 @@ def test_pack_sequences_matches_python_reference(spark):
         cum[shard] = start + n
         assert got[doc_id] == (
             shard,
-            shard * 1_000_000 + start // cap,
+            (start // cap) * shards + shard,
             start % cap,
             n,
         ), doc_id
