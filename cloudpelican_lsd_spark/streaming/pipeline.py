@@ -559,3 +559,30 @@ def interval_join_stream(
         & (F.col("r_ts") <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def template_stream(
+    parsed: DataFrame, lateness: str = "1 hour", width: str = "5 minutes"
+) -> DataFrame:
+    """Streaming twin of the batch `logs_template_mining` query:
+    digit-masked message templates counted per tumbling window —
+    `(win_start, template, cnt)` in update mode.  New log shapes surface
+    as new template rows within one window of arriving; the watermark
+    bounds template-count state exactly like windowed_stats_stream.
+    Template cardinality ≪ line rate, so the shuffle carries map-side
+    partials keyed by (template, window) — the same
+    reduce-before-network contract as the stats rollup."""
+    masked = parsed.select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.regexp_replace("_raw", "[0-9]+", "#").alias("template"),
+    )
+    return (
+        masked.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", width).alias("win"), "template")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start"),
+            "template",
+            "cnt",
+        )
+    )

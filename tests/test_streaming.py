@@ -378,3 +378,33 @@ def test_interval_join_stream(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].host == "h1"
     assert (rows[0].r_ts - rows[0].ts).total_seconds() == 90
+
+
+def test_template_stream_counts_masked_shapes(spark, tmp_path):
+    src = str(tmp_path / "in8")
+    lines = [
+        f"2024-02-01T10:0{i}:00.000+00:00 web1 app: ok served req={i}"
+        for i in range(4)
+    ] + [
+        "2024-02-01T10:02:00.000+00:00 web2 app: ERROR timeout code=500",
+        "2024-02-01T10:03:00.000+00:00 web9 app: ERROR timeout code=404",
+    ]
+    _write_lines(src, lines)
+    parsed = sp.parse_stream(sp.file_source(spark, src))
+    q = (
+        sp.template_stream(parsed, width="1 hour")
+        .writeStream.format("memory")
+        .queryName("tmpl_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt8"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM tmpl_stream").collect()
+    by_template = {r.template: r.cnt for r in rows}
+    assert len(by_template) == 2  # ok-served and ERROR-timeout shapes
+    assert sum(by_template.values()) == 6
+    ok_tmpl = next(t for t in by_template if "ok served" in t)
+    assert by_template[ok_tmpl] == 4
+    assert all("#" in t and not any(c.isdigit() for c in t) for t in by_template)
