@@ -87,6 +87,8 @@ HEADLINE = [
     "logs_template_mining",
     "stats_rate_of_change",
     "corpus_token_budget_sample",
+    "search_disjunctive_revenue",
+    "search_custdist",
 ]
 
 

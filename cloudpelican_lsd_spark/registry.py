@@ -2313,3 +2313,92 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_tokens")
     )
+
+
+@register(
+    "search_disjunctive_revenue",
+    """SELECT COUNT(*)::BIGINT AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)""",
+)
+def q_search_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under a 3-branch disjunction of
+    conjunctive brand/size/quantity predicates.  The optimizer test: the
+    common `p_partkey = l_partkey` stays an equi-join (NOT a nested-loop
+    over the OR), Catalyst pushes the brand/size disjunction to the part
+    scan and the quantity bounds to the lineitem scan (CNF extraction:
+    `l_quantity >= 1 AND l_quantity <= 30` is derivable), and the small
+    filtered part side broadcasts."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(branch).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(25,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "search_custdist",
+    """WITH co AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+  GROUP BY c.c_custkey
+)
+SELECT c_count::BIGINT AS c_count, COUNT(*)::BIGINT AS custdist
+FROM co GROUP BY c_count""",
+)
+def q_search_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of per-customer order counts,
+    zero-order customers included via the LEFT join (COUNT(col) skips the
+    unmatched NULLs, so they land in the c_count=0 bucket).  The
+    join-side filter rides in the join condition, not a WHERE (a WHERE
+    would silently turn the outer join inner).  Two hash aggs; the
+    second's input is one row per customer."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    co = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderstatus") != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).alias("custdist")
+    )

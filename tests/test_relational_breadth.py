@@ -201,3 +201,24 @@ def test_small_qty_revenue_threshold_is_strict(spark, sf_dir):
     for brand, cnt in expect.items():
         assert out[brand].small_qty_lines == cnt
     assert set(out) == set(expect)
+
+
+def test_custdist_covers_all_customers(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    rows = QUERIES["search_custdist"](spark, sf_dir).collect()
+    total_customers = load_table(spark, "customer", sf_dir).count()
+    assert sum(r.custdist for r in rows) == total_customers
+    # zero-order customers bucket exists iff some customer has no open order
+    assert all(r.c_count >= 0 for r in rows)
+
+
+def test_disjunctive_revenue_plan_pushes_and_broadcasts(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+
+    df = QUERIES["search_disjunctive_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the quantity bounds reach the lineitem scan as pushed filters
+    assert "PushedFilters" in plan
