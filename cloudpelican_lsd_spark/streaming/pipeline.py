@@ -199,9 +199,27 @@ class StreamingEngine:
 
     def start(self, source: DataFrame, trigger: dict | None = None):
         """Start the streaming query.  ``trigger`` defaults to the
-        reference's 1s result tick; pass {"availableNow": True} in tests."""
+        reference's 1s result tick; pass {"availableNow": True} in tests.
+
+        The parsed stream carries ``observe()`` metrics — per micro-batch
+        line count, likely-error count, and max event time — surfaced in
+        every StreamingQueryProgress under ``observedMetrics['ingest']``.
+        This is the engine-side monitoring the reference approximates
+        with its 5% Storm stats sampling (Main.java:165): exact, free
+        (computed inside the existing pass), and queryable from the
+        driver without touching the data path."""
+        from cloudpelican_lsd_spark.functions.parse import is_likely_error
+
+        observed = parse_stream(source).observe(
+            "ingest",
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(is_likely_error(F.col("_raw")).cast("long")).alias(
+                "n_likely_errors"
+            ),
+            F.max("ts").alias("max_event_ts"),
+        )
         writer = (
-            parse_stream(source)
+            observed
             .writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", self.checkpoint)
         )

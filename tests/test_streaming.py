@@ -408,3 +408,31 @@ def test_template_stream_counts_masked_shapes(spark, tmp_path):
     ok_tmpl = next(t for t in by_template if "ok served" in t)
     assert by_template[ok_tmpl] == 4
     assert all("#" in t and not any(c.isdigit() for c in t) for t in by_template)
+
+
+def test_ingest_observed_metrics_reported(spark, tmp_path):
+    from cloudpelican_lsd_spark.streaming.pipeline import StreamingEngine
+
+    src = str(tmp_path / "in9")
+    lines = [
+        "2024-02-01T10:00:00.000+00:00 web1 app: ok served req=1",
+        "2024-02-01T10:00:01.000+00:00 web1 app: ERROR timeout code=500",
+        "2024-02-01T10:00:02.000+00:00 web2 app: ok served req=2",
+    ]
+    _write_lines(src, lines)
+    from cloudpelican_lsd_spark.catalog import FilterCatalog
+
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = StreamingEngine(spark, cat, str(tmp_path / "eng9"))
+    q = eng.start(sp.file_source(spark, src), trigger={"availableNow": True})
+    q.awaitTermination(120)
+    obs = [
+        p["observedMetrics"]["ingest"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("ingest")
+    ]
+    assert obs, "no observed metrics in any progress event"
+    assert sum(m["n_lines"] for m in obs) == 3
+    assert sum(m["n_likely_errors"] for m in obs) == 1
+    assert max(m["max_event_ts"] for m in obs).startswith("2024-02-01 10:00:02")
