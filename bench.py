@@ -89,6 +89,7 @@ HEADLINE = [
     "corpus_token_budget_sample",
     "search_disjunctive_revenue",
     "search_custdist",
+    "user_day_setops_all",
 ]
 
 

@@ -2402,3 +2402,46 @@ def q_search_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@register(
+    "user_day_setops_all",
+    """WITH d AS (
+  SELECT event_type, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - (CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS day_bucket
+  FROM events
+),
+views  AS (SELECT user_id, day_bucket FROM d WHERE event_type = 'view'),
+clicks AS (SELECT user_id, day_bucket FROM d WHERE event_type = 'click')
+SELECT user_id, day_bucket, 'both_bag' AS cohort
+FROM (SELECT * FROM views INTERSECT ALL SELECT * FROM clicks) t
+UNION ALL
+SELECT user_id, day_bucket, 'view_surplus' AS cohort
+FROM (SELECT * FROM views EXCEPT ALL SELECT * FROM clicks) t""",
+)
+def q_user_day_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics, the other
+    half of the set-op surface: per (user, day), min(view_n, click_n)
+    rows survive the intersection and the view surplus survives the
+    difference (row multiplicity is data, e.g. event-frequency
+    balancing).  Spark plans both as a count-aggregate + generate
+    (no row-by-row anti join); the sides stay co-partitioned on the
+    full row key."""
+    ev = load_table(spark, "events", sf_dir)
+    d = ev.select(
+        "event_type",
+        "user_id",
+        stats_ops.bucket_col("ts_epoch", 86400).alias("day_bucket"),
+    )
+    views = d.where(F.col("event_type") == "view").select(
+        "user_id", "day_bucket"
+    )
+    clicks = d.where(F.col("event_type") == "click").select(
+        "user_id", "day_bucket"
+    )
+    both = views.intersectAll(clicks).withColumn("cohort", F.lit("both_bag"))
+    surplus = views.exceptAll(clicks).withColumn(
+        "cohort", F.lit("view_surplus")
+    )
+    return both.unionByName(surplus)

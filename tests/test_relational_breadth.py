@@ -222,3 +222,28 @@ def test_disjunctive_revenue_plan_pushes_and_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the quantity bounds reach the lineitem scan as pushed filters
     assert "PushedFilters" in plan
+
+
+def test_bag_setops_multiplicity_invariant(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from cloudpelican_lsd_spark.operators import stats as stats_ops
+    from pyspark.sql import functions as F
+    from collections import Counter
+
+    rows = QUERIES["user_day_setops_all"](spark, sf_dir).collect()
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "user_id",
+        stats_ops.bucket_col("ts_epoch", 86400).alias("day"),
+    ).collect()
+    views = Counter((r.user_id, r.day) for r in ev if r.event_type == "view")
+    clicks = Counter((r.user_id, r.day) for r in ev if r.event_type == "click")
+    got_both = Counter(
+        (r.user_id, r.day_bucket) for r in rows if r.cohort == "both_bag"
+    )
+    got_surplus = Counter(
+        (r.user_id, r.day_bucket) for r in rows if r.cohort == "view_surplus"
+    )
+    for k in set(views) | set(clicks):
+        assert got_both.get(k, 0) == min(views.get(k, 0), clicks.get(k, 0))
+        assert got_surplus.get(k, 0) == max(views.get(k, 0) - clicks.get(k, 0), 0)
