@@ -873,14 +873,19 @@ def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "topk_per_group",
-    """SELECT event_type, event_id, value FROM (
+#: shared contract of the plain and salted top-k-per-group variants —
+#: ONE oracle string so the pair can never silently diverge
+_TOPK3_ORACLE = """SELECT event_type, event_id, value FROM (
   SELECT event_type, event_id, value,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value DESC, event_id ASC) AS rn
   FROM events
-) WHERE rn <= 3""",
+) WHERE rn <= 3"""
+
+
+@register(
+    "topk_per_group",
+    _TOPK3_ORACLE,
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -980,12 +985,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "topk_per_group_salted",
-    """SELECT event_type, event_id, value FROM (
-  SELECT event_type, event_id, value,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY value DESC, event_id ASC) AS rn
-  FROM events
-) WHERE rn <= 3""",
+    _TOPK3_ORACLE,
 )
 def q_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as topk_per_group via the skew-proof salted two-phase

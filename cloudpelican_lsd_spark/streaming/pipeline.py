@@ -28,8 +28,8 @@ source; file/rate sources serve tests (no Kafka in the test container).
 from __future__ import annotations
 
 import os
-import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -126,13 +126,21 @@ class StreamingEngine:
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """All three writes are keyed by an `epoch` partition column and
-        use DYNAMIC partition overwrite: a replayed micro-batch (Spark's
-        at-least-once redelivery after a crash between write and
-        checkpoint commit) rewrites exactly its own epoch partitions
-        instead of appending duplicates — results stay unique and the
-        merge-on-read SUMs (stats, classifier counts) don't double-count.
-        That upgrade from "at-least-once into an append table" is what
-        makes the sinks effectively exactly-once.
+        replay whole-epoch-idempotently: a redelivered micro-batch
+        (Spark's at-least-once redelivery after a crash between write and
+        checkpoint commit) replaces exactly its own epoch's data — results
+        stay unique and the merge-on-read SUMs (stats, classifier counts)
+        don't double-count.  That upgrade from "at-least-once into an
+        append table" is what makes the sinks effectively exactly-once.
+
+        The results table is epoch-MAJOR (`epoch/filter_id/date`) and the
+        epoch directory is dropped before the write: per-(filter, date)
+        dynamic overwrite would leave stale partitions when a replayed
+        batch lands a DIFFERENT partition set than the crashed attempt —
+        which genuinely happens (now()-fallback timestamps crossing
+        midnight between attempts; the filter catalog hot-swapping
+        between attempt and replay).  Dropping the whole epoch first
+        makes the replay exact regardless of such drift.
         """
         # filter set re-read per batch = the reference's 1s hot-swap poll
         # (MatchBolt.java:89-97); compiled into literal predicates per batch
@@ -143,22 +151,31 @@ class StreamingEngine:
         epoch = int(epoch_id)
         dyn = {"partitionOverwriteMode": "dynamic"}
         try:
-            # results: date+filter partitioned, per-epoch idempotent
-            # (S4/S5 analog).  row_id embeds the epoch in the high bits so
-            # ids stay unique and FIFO-ordered ACROSS batches
-            # (monotonically_increasing_id alone restarts every batch).
+            # results (S4/S5 analog).  row_id = epoch·2^40 + pid·2^25 + row
+            # keeps ids unique and FIFO-ordered ACROSS batches
+            # (monotonically_increasing_id alone restarts every batch, and
+            # used raw it spends 2^33 per partition — 128 partitions would
+            # overflow into the next epoch's range).  Caps: 2^15 partitions
+            # per batch, 2^25 rows per partition per batch, 2^23 epochs.
+            import shutil
+
+            epoch_dir = os.path.join(self.results_path, f"epoch={epoch}")
+            if os.path.isdir(epoch_dir):
+                shutil.rmtree(epoch_dir)
+            mono = F.monotonically_increasing_id()
             (
                 matched.select(
                     "filter_id", "filter_name", "_raw", "ts", "ts_epoch", "date"
                 )
                 .withColumn(
                     "row_id",
-                    F.lit(epoch * (1 << 40)) + F.monotonically_increasing_id(),
+                    F.lit(epoch * (1 << 40))
+                    + F.shiftright(mono, 33) * F.lit(1 << 25)
+                    + mono.bitwiseAND(F.lit((1 << 33) - 1)),
                 )
                 .withColumn("epoch", F.lit(epoch))
-                .write.partitionBy("filter_id", "date", "epoch")
-                .options(**dyn)
-                .mode("overwrite")
+                .write.partitionBy("epoch", "filter_id", "date")
+                .mode("append")
                 .parquet(self.results_path)
             )
             # stats: minutely partial counts, merge-on-read (A2/A3 analog)
@@ -208,8 +225,6 @@ class StreamingEngine:
         with its 5% Storm stats sampling (Main.java:165): exact, free
         (computed inside the existing pass), and queryable from the
         driver without touching the data path."""
-        from cloudpelican_lsd_spark.functions.parse import is_likely_error
-
         observed = parse_stream(source).observe(
             "ingest",
             F.count(F.lit(1)).alias("n_lines"),
@@ -237,7 +252,7 @@ class StreamingEngine:
     def results(self, filter_id: str | None = None) -> DataFrame:
         try:
             df = self.spark.read.parquet(self.results_path)
-        except Exception:
+        except AnalysisException:
             # empty/absent table (e.g. everything expired) → typed empty DF
             df = self.spark.createDataFrame([], self.RESULTS_SCHEMA)
         if filter_id is not None:
@@ -257,7 +272,7 @@ class StreamingEngine:
         """Merged stats view: sum the appended partials (merge-on-read)."""
         try:
             df = self.spark.read.parquet(self.stats_path)
-        except Exception:
+        except AnalysisException:
             # absent/empty table (before first batch, after full purge)
             df = self.spark.createDataFrame([], self.STATS_SCHEMA)
         if filter_id is not None:
@@ -298,10 +313,18 @@ class StreamingEngine:
         """
         from cloudpelican_lsd_spark.operators.classifier import heuristic_label
 
+        # keyed by filter_id: the reference trains one classifier PER
+        # FILTER (fieldsGrouping(filter_id), ErrorClassifierBolt); a global
+        # model over the fanned-out stream would count a line once per
+        # matching filter, weighting the model by filter overlap
         toks = (
             batch_df.withColumn("label", heuristic_label(F.col("_raw")))
-            .select("label", F.explode(F.split(F.col("_raw"), r"\s+")).alias("tok"))
-            .groupBy("tok", "label")
+            .select(
+                "filter_id",
+                "label",
+                F.explode(F.split(F.col("_raw"), r"\s+")).alias("tok"),
+            )
+            .groupBy("filter_id", "tok", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         (
@@ -313,16 +336,21 @@ class StreamingEngine:
         )
 
     #: classifier-state schema (empty reads before the first batch)
-    NB_SCHEMA = "tok STRING, label STRING, cnt BIGINT, epoch INT"
+    NB_SCHEMA = (
+        "filter_id STRING, tok STRING, label STRING, cnt BIGINT, epoch INT"
+    )
 
-    def classifier_model(self) -> DataFrame:
-        """Merged (tok, label, cnt) frequency table."""
+    def classifier_model(self, filter_id: str | None = None) -> DataFrame:
+        """Merged (filter_id, tok, label, cnt) frequency table — one model
+        per filter (reference semantics); pass `filter_id` for one."""
         try:
             df = self.spark.read.parquet(os.path.join(self.base_dir, "nb_state"))
-        except Exception:
+        except AnalysisException:
             df = self.spark.createDataFrame([], self.NB_SCHEMA)
+        if filter_id is not None:
+            df = df.where(F.col("filter_id") == filter_id)
         return (
-            df.groupBy("tok", "label")
+            df.groupBy("filter_id", "tok", "label")
             .agg(F.sum("cnt").cast("long").alias("cnt"))
         )
 
@@ -335,13 +363,17 @@ class StreamingEngine:
 
         if not os.path.isdir(self.results_path):
             return
-        for fdir in os.listdir(self.results_path):
-            fpath = os.path.join(self.results_path, fdir)
-            if not os.path.isdir(fpath) or not fdir.startswith("filter_id="):
+        for edir in os.listdir(self.results_path):
+            epath = os.path.join(self.results_path, edir)
+            if not os.path.isdir(epath) or not edir.startswith("epoch="):
                 continue
-            for ddir in os.listdir(fpath):
-                if ddir.startswith("date=") and ddir[5:] < before_date:
-                    shutil.rmtree(os.path.join(fpath, ddir))
+            for fdir in os.listdir(epath):
+                fpath = os.path.join(epath, fdir)
+                if not os.path.isdir(fpath) or not fdir.startswith("filter_id="):
+                    continue
+                for ddir in os.listdir(fpath):
+                    if ddir.startswith("date=") and ddir[5:] < before_date:
+                        shutil.rmtree(os.path.join(fpath, ddir))
 
     def _require_quiesced(self, op: str) -> None:
         """The rewrite sweeps are read→write-tmp→swap over plain parquet —
@@ -399,7 +431,7 @@ class StreamingEngine:
             .drop("_rn")
         )
         tmp = self.results_path + ".compact"
-        kept.write.partitionBy("filter_id", "date", "epoch").mode(
+        kept.write.partitionBy("epoch", "filter_id", "date").mode(
             "overwrite"
         ).parquet(tmp)
         shutil.rmtree(self.results_path)
@@ -413,6 +445,11 @@ class StreamingEngine:
         (filter_manager.go:541-542)."""
         import datetime
 
+        # all-or-nothing: the stats/compact rewrites refuse to run beside
+        # an active stream, so check BEFORE the first destructive step —
+        # otherwise result partitions would already be expired when the
+        # sweep aborts half-way
+        self._require_quiesced("maintenance")
         cutoff_results = datetime.datetime.fromtimestamp(
             now_unix - 168 * 3600, tz=datetime.timezone.utc
         ).strftime("%Y-%m-%d")
@@ -441,9 +478,6 @@ def windowed_stats_stream(
       (HashAggregateExec partial -> state store update), the same
       reduce-before-network the 1s RollupStatsBolt implements by hand.
     """
-    from cloudpelican_lsd_spark.functions.parse import is_likely_error
-    from cloudpelican_lsd_spark.operators.stats import METRIC_ERROR, METRIC_MATCH
-
     fanned = matched.select(
         "filter_id",
         # watermarks require TIMESTAMP (tz-aware); the engine's NTZ event
