@@ -90,6 +90,7 @@ HEADLINE = [
     "search_disjunctive_revenue",
     "search_custdist",
     "user_day_setops_all",
+    "events_rolling_wau",
 ]
 
 

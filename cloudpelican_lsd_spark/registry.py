@@ -2445,3 +2445,45 @@ def q_user_day_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", F.lit("view_surplus")
     )
     return both.unionByName(surplus)
+
+
+@register(
+    "events_rolling_wau",
+    """WITH ud AS (
+  SELECT DISTINCT user_id,
+         (epoch_ns(ts) // 1000000000)
+           - ((epoch_ns(ts) // 1000000000) % 86400) AS day
+  FROM events
+),
+contrib AS (
+  SELECT user_id, day + i * 86400 AS obs_day
+  FROM ud, generate_series(0, 6) t(i)
+),
+spine AS (SELECT DISTINCT day AS obs_day FROM ud)
+SELECT s.obs_day,
+       COUNT(DISTINCT c.user_id)::BIGINT AS wau
+FROM spine s JOIN contrib c ON c.obs_day = s.obs_day
+GROUP BY s.obs_day""",
+)
+def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per observed day — the WAU/DAU family.
+    Spark windows can't COUNT(DISTINCT) over a RANGE frame, so the
+    scalable shape is contribution-explode: each distinct (user, day)
+    fans out to the ≤7 observation days it counts toward, then one
+    distinct-agg per observation day.  The fan-out is bounded (×7) and
+    happens AFTER the user-day dedup, so the exploded stream is
+    7·|user-days|, not 7·|events|; the day spine keeps the output to
+    days that actually occur."""
+    ev = load_table(spark, "events", sf_dir)
+    ud = ev.select(
+        "user_id", stats_ops.bucket_col("ts_epoch", 86400).alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id", "day", F.explode(F.expr("sequence(0, 6)")).alias("i")
+    ).select("user_id", (F.col("day") + F.col("i") * 86400).alias("obs_day"))
+    spine = ud.select(F.col("day").alias("obs_day")).distinct()
+    return (
+        contrib.join(spine, "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -233,3 +233,29 @@ def test_rate_of_change_chains_consistently(spark, sf_dir):
             if prev > 0:
                 assert r.pct_change == round((r.cnt - prev) * 100.0 / prev, 6)
         series[r.event_type] = r.cnt
+
+
+def test_rolling_wau_matches_python_reference(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.operators import stats as stats_ops
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r.obs_day: r.wau
+        for r in QUERIES["events_rolling_wau"](spark, sf_dir).collect()
+    }
+    ud = {
+        (r.user_id, r.day)
+        for r in load_table(spark, "events", sf_dir)
+        .select("user_id", stats_ops.bucket_col("ts_epoch", 86400).alias("day"))
+        .distinct()
+        .collect()
+    }
+    days = sorted({d for _, d in ud})
+    for obs in days:
+        expect = len(
+            {u for u, d in ud if obs - 6 * 86400 <= d <= obs}
+        )
+        assert got[obs] == expect, obs
+    assert set(got) == set(days)
