@@ -70,6 +70,15 @@ class FilterCatalog:
     def create(self, name: str, regex: str, client_host: str | None = None) -> Filter:
         if not _NAME_RE.match(name) or _is_uuid(name):
             raise ValueError(f"invalid filter name: {name!r}")
+        if name.startswith("__tmp__"):
+            # reserved for create_temp: a user filter with this prefix is
+            # hidden from `show filters` and silently reaped by the 1h
+            # expire_temp maintenance tick
+            raise ValueError(f"reserved name prefix '__tmp__': {name!r}")
+        if name in self._filters:
+            # replacing would mint a fresh UUID and orphan results rows
+            # keyed by the old filter_id
+            raise ValueError(f"filter exists: {name!r} (drop it first)")
         f = Filter(name=name, regex=regex, client_host=client_host)
         self._filters[name] = f
         return f

@@ -77,16 +77,23 @@ class CloudPelicanEngine:
             self.spark.sql("SELECT 1").collect()
             return "pong"
         if low.startswith("auth "):
-            _, user, _pw = cmd.split(maxsplit=2)
-            self.session["user"] = user
-            return f"authenticated as {user}"
+            parts = cmd.split(maxsplit=2)
+            if len(parts) != 3:
+                raise ValueError("usage: auth <user> <password>")
+            self.session["user"] = parts[1]
+            return f"authenticated as {parts[1]}"
         if low.startswith("connect "):
             self.session["uri"] = cmd.split(maxsplit=1)[1]
             return f"connected to {self.session['uri']}"
         if low == "history":
             return list(self.session["history"])
         if low.startswith("history "):
-            idx = int(cmd.split()[1])
+            arg = cmd.split()[1]
+            if not arg.lstrip("-").isdigit():
+                raise ValueError("usage: history <index>")
+            idx = int(arg)
+            if not -len(self.session["history"]) <= idx < len(self.session["history"]):
+                raise ValueError(f"history: no entry {idx}")
             return self.execute(self.session["history"][idx])
         if low == "clearhistory":
             self.session["history"].clear()
@@ -97,7 +104,10 @@ class CloudPelicanEngine:
             self.session = {"history": [], "config": {}}
             return "session cleared"
         if low.startswith("configure supervisor "):
-            k, v = cmd[len("configure supervisor "):].split("=", 1)
+            body = cmd[len("configure supervisor "):]
+            if "=" not in body:
+                raise ValueError("usage: configure supervisor <key>=<value>")
+            k, v = body.split("=", 1)
             self.session["config"][k.strip()] = v.strip()
             return dict(self.session["config"])
         if low == "show filters":
@@ -112,7 +122,12 @@ class CloudPelicanEngine:
             return self.select(m.group(1), m.group(2), m.group(3))
         if low.startswith("tail "):
             parts = cmd.split()
-            n = int(parts[parts.index("limit") + 1]) if "limit" in parts else 100
+            n = 100
+            if "limit" in parts:
+                li = parts.index("limit")
+                if li + 1 >= len(parts) or not parts[li + 1].isdigit():
+                    raise ValueError("usage: tail <filter> [limit N]")
+                n = int(parts[li + 1])
             return self.tail(parts[1], n)
         if low.startswith("stats "):
             return self._stats_command(cmd)
@@ -186,11 +201,15 @@ class CloudPelicanEngine:
 
     def cat(self, pipeline: str) -> DataFrame:
         p = GrepPipeline.parse(pipeline)
-        base = (
-            self._matched(p.source)
-            if p.source in {f.name for f in self.catalog.list(include_temp=True)}
-            else self.logs
-        )
+        known = {f.name for f in self.catalog.list(include_temp=True)}
+        if p.source in known:
+            base = self._matched(p.source)
+        elif p.source == "logs":
+            base = self.logs  # explicit raw-stream alias
+        else:
+            # same contract as select(): a typo'd filter name must not
+            # silently fall back to a full-stream scan
+            raise ValueError(f"unknown filter: {p.source!r} (use 'logs' for the raw stream)")
         return p.apply(base)
 
     # -- select / tail ---------------------------------------------------------
@@ -229,10 +248,14 @@ class CloudPelicanEngine:
         """`stats f [window W] [rollup R] [-regular|-error]`
         (cloudpelican-lsd.go:761-833; defaults window=86400 rollup=60 :795-798)."""
         parts = cmd.split()
+        if len(parts) < 2:
+            raise ValueError("usage: stats <filter> [window W] [rollup R] [-regular|-error]")
         name = parts[1]
         window, rollup, metric = 86400, 60, None
         i = 2
         while i < len(parts):
+            if parts[i] in ("window", "rollup") and i + 1 >= len(parts):
+                raise ValueError(f"stats: {parts[i]} needs a duration argument")
             if parts[i] == "window":
                 window = parse_duration(parts[i + 1]); i += 2
             elif parts[i] == "rollup":
@@ -285,7 +308,9 @@ class CloudPelicanEngine:
 
         FROM-name resolution (P6): a FROM target that names a catalog
         filter resolves to the partitioned results table constrained to
-        `filter_id = <id>` — the reference's per-filter-per-day table name
+        `filter_id = <id>` (FROM and JOIN targets; names buried in a
+        comma-separated FROM list are not rewritten) — the reference's
+        per-filter-per-day table name
         (`<id>_results_<date>_v1`, cli/supervisorcon.go:34-40) becomes a
         partition predicate Catalyst prunes at the file index.  Pass the
         results DataFrame (e.g. `StreamingEngine.results()`) to enable it.
@@ -303,7 +328,7 @@ class CloudPelicanEngine:
             # — reference precedence, where FROM names are always filters
             segments = re.split(r"('(?:[^']|'')*')", sql)
             for f in self.catalog.list(include_temp=True):
-                pat = re.compile(rf"(?i)\bFROM\s+{re.escape(f.name)}\b")
+                pat = re.compile(rf"(?i)\b(FROM|JOIN)\s+{re.escape(f.name)}\b")
                 if any(
                     pat.search(seg)
                     for k, seg in enumerate(segments)
@@ -312,7 +337,7 @@ class CloudPelicanEngine:
                     view = f"__results_{f.name}"
                     results.where(F.col("filter_id") == f.id).createOrReplaceTempView(view)
                     segments = [
-                        pat.sub(f"FROM {view}", seg) if k % 2 == 0 else seg
+                        pat.sub(rf"\1 {view}", seg) if k % 2 == 0 else seg
                         for k, seg in enumerate(segments)
                     ]
             sql = "".join(segments)

@@ -58,7 +58,8 @@ def asof_join(
         c for c in right.columns if c not in keys and c != ts
     ]
     clash = set(value_cols) & set(left.columns)
-    assert not clash, f"value_cols must not collide with left columns: {clash}"
+    if clash:  # a stripped assert (-O) would yield ambiguous output columns
+        raise ValueError(f"value_cols must not collide with left columns: {clash}")
     r = right.select(
         *keys, ts, *value_cols, F.lit(0).alias("_side")
     )

@@ -218,6 +218,8 @@ def detect_outliers(
     bucket_col: str = "bucket",
     cnt_col: str = "cnt",
     min_score: float = 0.5,
+    bucket_sec: int = BUCKET_SEC,
+    now_epoch: int | None = None,
 ) -> DataFrame:
     """`(series_key, bucket, actual, score, details)` for the newest
     complete bucket of each series whose consensus score >= min_score.
@@ -225,6 +227,17 @@ def detect_outliers(
     Input: a bucketed count series, e.g. from stats.metric_counts keyed by
     (filter, metric).  The 24h lookback / newest-bucket-exclusion of the
     reference is applied inside the group function.
+
+    ``bucket_sec`` MUST match the series' bucket width: the zero gap-fill
+    materializes the grid at this spacing, and a finer input grid would
+    silently collapse (several input buckets mapping to one slot).
+    ``now_epoch`` (optional) anchors the analysis window to wall clock:
+    buckets in the still-filling current bucket are dropped and the fill
+    extends to the newest COMPLETE bucket even when the series went dark
+    — a trailing traffic-drop-to-zero then scores as the zero it is
+    instead of never materializing.  Without it (static/backtest data)
+    the newest observed bucket plays the still-filling role, matching
+    the reference's data-driven behavior.
     """
 
     def analyze(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -234,20 +247,31 @@ def detect_outliers(
         # 24h lookback ending at the newest bucket, which itself is still
         # filling and therefore excluded as the reference does (:140-141):
         # the *target* is the newest complete bucket (index -2 overall).
-        if len(buckets) < 2:
-            return pd.DataFrame(columns=[f.name for f in OUTLIER_SCHEMA])
-        buckets, counts = buckets[:-1], counts[:-1]
-        lo = buckets[-1] - LOOKBACK_SEC
+        if now_epoch is not None:
+            cur = (now_epoch // bucket_sec) * bucket_sec
+            live = buckets < cur
+            buckets, counts = buckets[live], counts[live]
+            if len(buckets) == 0:
+                return pd.DataFrame(columns=[f.name for f in OUTLIER_SCHEMA])
+            ceiling = cur - bucket_sec
+        else:
+            if len(buckets) < 2:
+                return pd.DataFrame(columns=[f.name for f in OUTLIER_SCHEMA])
+            buckets, counts = buckets[:-1], counts[:-1]
+            ceiling = int(buckets[-1])
+        lo = ceiling - LOOKBACK_SEC
         mask = buckets >= lo
         buckets, counts = buckets[mask], counts[mask]
+        if len(buckets) == 0:
+            return pd.DataFrame(columns=[f.name for f in OUTLIER_SCHEMA])
         # zero gap-fill over the observed range (≤ 288 buckets): count
         # series only materialize buckets with events, so without the
         # fill a traffic-drop-to-zero is invisible (the outage bucket
         # simply doesn't exist) and analyzer baselines are biased high
-        if len(buckets) >= 2:
-            full = np.arange(buckets[0], buckets[-1] + 1, BUCKET_SEC)
+        if len(buckets) >= 1 and ceiling > buckets[0]:
+            full = np.arange(buckets[0], ceiling + 1, bucket_sec)
             filled = np.zeros(len(full), dtype=counts.dtype)
-            filled[((buckets - buckets[0]) // BUCKET_SEC).astype(int)] = counts
+            filled[((buckets - buckets[0]) // bucket_sec).astype(int)] = counts
             buckets, counts = full, filled
         res = score_last_bucket(buckets, counts)
         if res is None:

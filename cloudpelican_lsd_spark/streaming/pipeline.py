@@ -297,7 +297,10 @@ class StreamingEngine:
             )
             .select("series_key", "bucket", "cnt")
         )
-        return detect_outliers(series, min_score=min_score)
+        # the maintained stats table is MINUTELY (bucket_col 60 in
+        # process_batch) — the gap-fill grid must match or 4/5 of the
+        # counts silently vanish into collapsed slots
+        return detect_outliers(series, min_score=min_score, bucket_sec=60)
 
     # -- classifier state (batch-incremental, SURVEY §7 risk-register path) ----
 

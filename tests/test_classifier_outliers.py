@@ -92,3 +92,40 @@ def test_nb_all_one_category(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.pred_label, r.heur_label, r.cnt) == ("error", "error", 20)
+
+
+def test_outlier_trailing_outage_scores_zero_bucket(spark):
+    """With a now anchor, a series that goes dark is scored on the
+    zero-filled newest complete bucket instead of the last pre-outage
+    one."""
+    import json
+
+    from cloudpelican_lsd_spark.operators.outliers import detect_outliers
+
+    base = 1_700_000_000 - (1_700_000_000 % 300)
+    rows = [("s", base + i * 300, 100) for i in range(40)]  # steady 100/5min
+    df = spark.createDataFrame(rows, "series_key string, bucket long, cnt long")
+    now = base + 45 * 300 + 10  # 5 empty buckets after the last datapoint
+    out = detect_outliers(df, min_score=0.0, now_epoch=now).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.bucket == base + 44 * 300  # newest COMPLETE bucket, zero-filled
+    assert r.actual == 0.0
+    assert r.score >= 0.5  # a flatline dropping to zero flags consensus
+    assert json.loads(r.details)
+
+
+def test_outlier_minutely_grid_not_collapsed(spark):
+    """bucket_sec=60 input keeps every minutely count (the 300s default
+    grid would silently collapse 5 buckets into one slot)."""
+    from cloudpelican_lsd_spark.operators.outliers import detect_outliers
+
+    base = 1_700_000_000 - (1_700_000_000 % 60)
+    rows = [("s", base + i * 60, 10) for i in range(30)]
+    rows.append(("s", base + 30 * 60, 1000))  # spike in the newest complete
+    rows.append(("s", base + 31 * 60, 1))  # still-filling bucket (excluded)
+    df = spark.createDataFrame(rows, "series_key string, bucket long, cnt long")
+    out = detect_outliers(df, min_score=0.0, bucket_sec=60).collect()
+    assert len(out) == 1
+    assert out[0].bucket == base + 30 * 60 and out[0].actual == 1000.0
+    assert out[0].score > 0.5

@@ -235,3 +235,40 @@ def test_search_literal_not_rewritten(spark, sf_dir):
         "SELECT 'from errors' AS lit, COUNT(*) AS c FROM logs", results=results
     ).collect()
     assert out[0].lit == "from errors"
+
+
+def test_cat_unknown_filter_raises(engine):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown filter"):
+        engine.execute("cat no_such_filter | grep x")
+    # explicit raw-stream alias still works
+    assert engine.execute("cat logs | limit 1").collect() is not None
+
+
+def test_malformed_commands_raise_usage_errors(engine):
+    import pytest
+
+    for bad in [
+        "auth bob",
+        "history abc",
+        "history 999",
+        "tail errs limit",
+        "stats errs window",
+        "configure supervisor keyonly",
+    ]:
+        with pytest.raises(ValueError):
+            engine.execute(bad)
+
+
+def test_catalog_rejects_reserved_and_duplicate_names():
+    import pytest
+
+    from cloudpelican_lsd_spark.catalog import FilterCatalog
+
+    cat = FilterCatalog()
+    cat.create("mine", "x")
+    with pytest.raises(ValueError, match="exists"):
+        cat.create("mine", "y")
+    with pytest.raises(ValueError, match="reserved"):
+        cat.create("__tmp__1700000000", "x")
