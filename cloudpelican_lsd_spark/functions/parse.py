@@ -65,9 +65,21 @@ def extract_event_time(raw: Column) -> Column:
     s = F.regexp_extract(raw, ISO8601_RE, 0)
     # normalize: strip offset/Z for NTZ parse; seconds-precision tolerant
     s = F.when(s == "", None).otherwise(s)
+    cleaned = F.regexp_replace(s, r"(Z|[+-][0-9]{2}:?[0-9]{2})$", "")
+    # the regex admits ANY fractional digit count but a fixed
+    # [.SSSSSS][.SSS] pattern parses only 3 or 6 — under ANSI (Spark 4
+    # default) one line like '...:00.12Z' would abort the whole query.
+    # Width-normalize the fraction to exactly 6 digits (truncate past
+    # micros, right-pad short) so the parse pattern always matches.
+    frac = F.regexp_extract(cleaned, r"\.([0-9]+)$", 1)
+    base = F.regexp_replace(cleaned, r"\.[0-9]+$", "")
+    norm = F.when(
+        frac == "", base
+    ).otherwise(
+        F.concat(base, F.lit("."), F.rpad(F.substring(frac, 1, 6), 6, "0"))
+    )
     return F.to_timestamp_ntz(
-        F.regexp_replace(s, r"(Z|[+-][0-9]{2}:?[0-9]{2})$", ""),
-        F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]"),
+        norm, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
     )
 
 

@@ -74,12 +74,17 @@ def _nanos_to_ntz(df: DataFrame, col: str) -> DataFrame:
     if dtype == "timestamp":  # LTZ instant → pin to UTC wall
         df = df.withColumn(col, F.expr(f"convert_timezone('UTC', `{col}`)"))
     # NTZ epoch: pure wall-time arithmetic (timestampdiff on NTZ never
-    # consults the session timezone, unlike unix_timestamp)
+    # consults the session timezone, unlike unix_timestamp).  SECOND-diff
+    # truncates toward zero, so pre-1970 sub-second values would land one
+    # high vs the oracle's floor(epoch(ts)); diff in micros then floor-
+    # divide with the same pmod trick as the nanos branch above.
+    us = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" `{col}`)"
+    )
     return df.withColumn(
         f"{col}_epoch",
-        F.expr(
-            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
-        ).cast("long"),
+        F.expr(f"(({us}) - pmod({us}, 1000000)) div 1000000").cast("long"),
     )
 
 

@@ -190,10 +190,17 @@ def outlier_state_fn(
         buckets = sorted(int(k) for k in st["counts"])
         # exclude the newest (still-filling) bucket; score its predecessor
         if len(buckets) >= 2 and buckets[-2] > st["last"]:
-            hist_b = np.array(buckets[:-1], dtype=np.int64)
-            hist_c = np.array(
+            # zero gap-fill like the batch detector (outliers.py): count
+            # series only materialize buckets with events, so without it
+            # an outage-to-zero bucket is skipped over and analyzers see
+            # a gapped grid (biased baselines, wrong seasonal alignment)
+            sparse_b = np.array(buckets[:-1], dtype=np.int64)
+            sparse_c = np.array(
                 [st["counts"][str(b)] for b in buckets[:-1]], dtype=float
             )
+            hist_b = np.arange(sparse_b[0], sparse_b[-1] + 1, BUCKET_SEC)
+            hist_c = np.zeros(len(hist_b), dtype=float)
+            hist_c[((sparse_b - sparse_b[0]) // BUCKET_SEC).astype(int)] = sparse_c
             res = score_last_bucket(hist_b, hist_c)
             st["last"] = buckets[-2]
             if res is not None:

@@ -139,9 +139,15 @@ class OnlineClassifierProcessor(StatefulProcessor):
                     self._load(tok_d, tok_p, self._tok, t)
                     tok_d[t] += 1
                 if tail - head > self._cap:
-                    old_label, old_toks = self._mem.getValue((head,))
+                    old = self._mem.getValue((head,))
                     self._mem.removeKey((head,))
                     head += 1
+                    if old is None:
+                        # per-entry TTL expired this ring slot ahead of the
+                        # head/tail counters (TTL is per state VALUE, not
+                        # per processor) — nothing left to forget
+                        continue
+                    old_label, old_toks = old
                     if str(old_label) == CAT_ERROR:
                         n_err -= 1
                     else:

@@ -73,3 +73,26 @@ def test_grep_matches_python_semantics(spark, sf_dir):
     }
     want_rx = {s for s in raw if re.search(r"value=1[0-9]{2} ", s)}
     assert got_rx == want_rx
+
+
+def test_extract_event_time_tolerates_any_fraction_width(spark):
+    from cloudpelican_lsd_spark.functions.parse import extract_event_time
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("2026-08-13T12:00:00.12Z x",),       # 2-digit fraction
+            ("2026-08-13T12:00:00.123456789Z x",),  # nanos
+            ("2026-08-13T12:00:00.123+02:00 x",),  # millis + offset
+            ("2026-08-13T12:00:00 x",),            # no fraction
+            ("no timestamp at all",),
+        ],
+        ["_raw"],
+    )
+    got = df.select(extract_event_time(F.col("_raw")).alias("ts")).collect()
+    vals = [str(r.ts) for r in got]
+    assert vals[0] == "2026-08-13 12:00:00.120000"
+    assert vals[1] == "2026-08-13 12:00:00.123456"  # truncated to micros
+    assert vals[2] == "2026-08-13 12:00:00.123000"
+    assert vals[3] == "2026-08-13 12:00:00"
+    assert got[4].ts is None
