@@ -91,6 +91,7 @@ HEADLINE = [
     "search_custdist",
     "user_day_setops_all",
     "events_rolling_wau",
+    "events_first_last_touch",
 ]
 
 

@@ -2487,3 +2487,43 @@ def q_events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("obs_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "events_first_last_touch",
+    """WITH o AS (
+  SELECT user_id,
+         first_value(event_type) OVER w AS first_touch,
+         last_value(event_type) OVER w AS last_touch
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_ns(ts) // 1000000000, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+per_user AS (SELECT DISTINCT user_id, first_touch, last_touch FROM o)
+SELECT first_touch, last_touch, COUNT(*)::BIGINT AS n_users
+FROM per_user GROUP BY first_touch, last_touch""",
+)
+def q_events_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution matrix: each user's earliest
+    and latest event type (first_value/last_value over one unbounded
+    frame — both share the window spec, so Spark plans ONE sort per user
+    partition), deduped to a user row, counted per combination.
+    Tie-broken by event_id for a total order (hash-stable)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_user = (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_touch"),
+            F.last("event_type").over(w).alias("last_touch"),
+        )
+        .distinct()
+    )
+    return per_user.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -247,3 +247,19 @@ def test_bag_setops_multiplicity_invariant(spark, sf_dir):
     for k in set(views) | set(clicks):
         assert got_both.get(k, 0) == min(views.get(k, 0), clicks.get(k, 0))
         assert got_surplus.get(k, 0) == max(views.get(k, 0) - clicks.get(k, 0), 0)
+
+
+def test_first_last_touch_covers_all_users(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    rows = QUERIES["events_first_last_touch"](spark, sf_dir).collect()
+    users = load_table(spark, "events", sf_dir).select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == users
+    types = {
+        r.event_type
+        for r in load_table(spark, "events", sf_dir)
+        .select("event_type").distinct().collect()
+    }
+    for r in rows:
+        assert r.first_touch in types and r.last_touch in types
