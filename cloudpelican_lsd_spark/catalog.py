@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 _NAME_RE = re.compile(r"^[a-z0-9_]+$")
-_PLAIN_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+# \Z, not $: Python's $ also matches before a trailing newline, which would
+# misclassify e.g. "err\n" as a plain word (fullmatch semantics required).
+_PLAIN_RE = re.compile(r"[A-Za-z0-9_-]+\Z")
 _CI_PREFIX = "(?i)"
 
 FILTER_SCHEMA = T.StructType(

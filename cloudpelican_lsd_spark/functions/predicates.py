@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 #: plain-word pattern eligible for the contains fast path
 #: (reference: Filter.java:34 `^[a-zA-Z0-9-_]+$`)
-_PLAIN_WORD_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+#: \Z, not $ — $ would also match before a trailing newline (fullmatch needed)
+_PLAIN_WORD_RE = re.compile(r"[A-Za-z0-9_-]+\Z")
 _CASE_PREFIX = "(?i)"
 
 
