@@ -92,6 +92,8 @@ HEADLINE = [
     "user_day_setops_all",
     "events_rolling_wau",
     "events_first_last_touch",
+    "logs_pii_redact",
+    "text_tfidf_topk",
 ]
 
 

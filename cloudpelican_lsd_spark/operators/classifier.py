@@ -175,18 +175,30 @@ def train_and_classify(
         F.col(raw_col).alias("_nb_raw"),
         heuristic_label(F.col(raw_col)).alias("label"),
     )
-    cat = labeled.agg(
-        F.sum((F.col("label") == CAT_ERROR).cast("long")).alias("n_err"),
-        F.sum((F.col("label") == CAT_REGULAR).cast("long")).alias("n_reg"),
-    )
     toks = labeled.select(
         id_col, "label", F.explode(F.split(F.col("_nb_raw"), r"\s+")).alias("tok")
     )
-    fcnt = toks.groupBy("tok").agg(
+    # One extra sentinel token per message folds the per-category message
+    # counts into the same vocabulary aggregation: the sentinel row's
+    # (fc_err, fc_reg) ARE (n_err, n_reg).  Saves a whole scan+label pass —
+    # cat and fcnt below both read the one shuffle (ReuseExchange).
+    sentinel = "\x00__cat__"
+    toks_s = labeled.select(
+        id_col,
+        "label",
+        F.explode(
+            F.array_append(F.split(F.col("_nb_raw"), r"\s+"), F.lit(sentinel))
+        ).alias("tok"),
+    )
+    fcnt_all = toks_s.groupBy("tok").agg(
         F.sum(F.when(F.col("label") == CAT_ERROR, 1).otherwise(0)).alias("fc_err"),
         F.sum(F.when(F.col("label") == CAT_REGULAR, 1).otherwise(0)).alias("fc_reg"),
         F.count(F.lit(1)).alias("ftot"),
     )
+    cat = fcnt_all.where(F.col("tok") == sentinel).select(
+        F.col("fc_err").alias("n_err"), F.col("fc_reg").alias("n_reg")
+    )
+    fcnt = fcnt_all.where(F.col("tok") != sentinel)
     # ANSI mode (Spark 4 default) errors on x/0 — an absent category gets
     # P(f|cat)=0, the old train() guard's behavior
     def _basic(fc: str, n: str) -> F.Column:

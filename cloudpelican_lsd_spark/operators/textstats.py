@@ -483,3 +483,130 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 LEFT JOIN contaminated c ON c.doc_id = d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — standard pre-training scrub pass.  Sequential rule
+# application (email → IPv4 → long digit runs) so later counts see earlier
+# redactions; per-rule match counts ride along for audit.  Pure per-row
+# regexp column math: zero shuffle, scales with input splits.  Regexes are
+# chosen to mean the same thing in Java regex (Spark) and RE2 (DuckDB).
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(([0-9]{1,3})\.){3}[0-9]{1,3}\b"
+PII_DIGITS_RE = r"[0-9]{4,}"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """`(id, redacted, n_email, n_ip, n_num)` — masked text + audit counts.
+
+    Counts are taken on the input of each stage (post prior redaction), so
+    an address inside an e-mail is never double-counted.
+    """
+    r1 = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    r2 = F.regexp_replace(r1, PII_IPV4_RE, "<IP>")
+    r3 = F.regexp_replace(r2, PII_DIGITS_RE, "<NUM>")
+    return df.select(
+        id_col,
+        r3.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(r1, F.lit(PII_IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ip"),
+        F.size(F.regexp_extract_all(r2, F.lit(PII_DIGITS_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_num"),
+    )
+
+
+def pii_redact_oracle(
+    relation: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin (note the 'g' flag: DuckDB replaces first-only by
+    default, Spark replaces all)."""
+    r1 = f"regexp_replace({text_col}, '{PII_EMAIL_RE}', '<EMAIL>', 'g')"
+    r2 = f"regexp_replace({r1}, '{PII_IPV4_RE}', '<IP>', 'g')"
+    r3 = f"regexp_replace({r2}, '{PII_DIGITS_RE}', '<NUM>', 'g')"
+    return f"""\
+SELECT {id_col},
+       {r3} AS redacted,
+       len(regexp_extract_all({text_col}, '{PII_EMAIL_RE}'))::BIGINT AS n_email,
+       len(regexp_extract_all({r1}, '{PII_IPV4_RE}'))::BIGINT AS n_ip,
+       len(regexp_extract_all({r2}, '{PII_DIGITS_RE}'))::BIGINT AS n_num
+FROM {relation}"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — classic corpus feature extraction.  tf and df come out
+# of ONE token aggregation (df re-aggregates the tf relation, so the wide
+# token shuffle happens once and ReuseExchange serves both); idf joins back
+# by token (tiny vocabulary side), top-k per doc is a row_number window.
+# Deterministic: rank on (round(score,6) DESC, term ASC); equal (tf, df)
+# pairs produce bit-identical doubles in both engines, so the only ulp risk
+# is ln(), absorbed by the rounding.
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """`(doc_id, term, tf, df, score, rnk)` — top-k terms per document by
+    tf·ln(N/df), whitespace tokens of lower(text)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+def tfidf_topk_oracle(k: int = 5) -> str:
+    return f"""\
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROUND(t.tf * ln(n.n_docs / d.df), 6) AS score
+  FROM tf t JOIN df d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= {k}"""

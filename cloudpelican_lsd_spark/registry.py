@@ -2527,3 +2527,23 @@ def q_events_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("first_touch", "last_touch").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "logs_pii_redact",
+    f"WITH {LOGS_ORACLE_CTE}\n"
+    + text_ops.pii_redact_oracle("logs", id_col="event_id", text_col="_raw"),
+)
+def q_logs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the log stream: mask e-mails / IPv4 / long digit
+    runs, with per-rule audit counts (textstats.pii_redact)."""
+    return text_ops.pii_redact(
+        logs_view(spark, sf_dir), id_col="event_id", text_col="_raw"
+    )
+
+
+@register("text_tfidf_topk", text_ops.tfidf_topk_oracle(5))
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — one token shuffle serves both tf
+    and df (ReuseExchange), vocabulary joined back, row_number top-k."""
+    return text_ops.tfidf_topk(load_table(spark, "documents", sf_dir), k=5)

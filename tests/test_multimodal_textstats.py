@@ -316,3 +316,56 @@ def test_token_budget_sample_respects_thresholds(spark, sf_dir):
         if int(_h.md5(r.text.encode()).hexdigest()[:4], 16) < keep:
             expect.add(r.doc_id)
     assert kept == expect
+
+
+def test_pii_redact_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@example.co.uk or 10.0.0.1 pin 123456"),
+            (2, "no pii here"),
+            (3, "short 123 ok, long 9999 masked; ip-ish 999.999.999.999"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ts.pii_redact(df).collect()}
+    assert out[1].redacted == "mail me at <EMAIL> or <IP> pin <NUM>"
+    assert (out[1].n_email, out[1].n_ip, out[1].n_num) == (1, 1, 1)
+    assert out[2].redacted == "no pii here"
+    assert (out[2].n_email, out[2].n_ip, out[2].n_num) == (0, 0, 0)
+    # 999.* is still a dotted quad per the \b-delimited pattern (no range
+    # check), 123 is below the 4-digit threshold
+    assert out[3].redacted == "short 123 ok, long <NUM> masked; ip-ish <IP>"
+    assert (out[3].n_email, out[3].n_ip, out[3].n_num) == (0, 1, 1)
+
+
+def test_pii_redact_email_digits_not_double_counted(spark):
+    df = spark.createDataFrame(
+        [(1, "contact 12345@digits.example.com today")], "doc_id long, text string"
+    )
+    row = ts.pii_redact(df).collect()[0]
+    assert row.redacted == "contact <EMAIL> today"
+    assert (row.n_email, row.n_ip, row.n_num) == (1, 0, 0)
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common unique"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ts.tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc in by_doc.values():
+        doc.sort(key=lambda r: r.rnk)
+    # 'common' appears in every doc -> idf = ln(1) = 0; rare terms win
+    assert by_doc[1][0].term == "rare" and by_doc[1][0].df == 1
+    assert by_doc[2][0].term == "unique"
+    assert by_doc[1][0].score > by_doc[1][1].score
+    # doc 3 has only the zero-idf term; still listed, score 0
+    assert by_doc[3][0].term == "common" and by_doc[3][0].score == 0.0
+    assert all(r.rnk <= 2 for r in rows)
