@@ -104,6 +104,14 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     throughput is the comparable number, and min-of-2 damps driver GC
     pauses that accumulate over a long single-JVM bench session."""
     fn = registry.QUERIES[name]
+    # Collect the garbage the *previous* query left (broadcasts, codegen
+    # classes, shuffle bookkeeping) before timing this one: a 70-query
+    # single-JVM session otherwise pays accumulated GC pauses inside later
+    # measurements — observed 2-3x inflation vs the same query isolated.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     times = []
     for i in range(3):
         t0 = time.perf_counter()

@@ -2536,9 +2536,13 @@ def q_events_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_logs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the log stream: mask e-mails / IPv4 / long digit
-    runs, with per-rule audit counts (textstats.pii_redact)."""
+    runs, with per-rule audit counts (textstats.pii_redact).  _spread:
+    six regexp passes per row is CPU-bound — parallelize the single-split
+    local scan (no-op on a real multi-split scan)."""
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
     return text_ops.pii_redact(
-        logs_view(spark, sf_dir), id_col="event_id", text_col="_raw"
+        _spread(logs_view(spark, sf_dir)), id_col="event_id", text_col="_raw"
     )
 
 
