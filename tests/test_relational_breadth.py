@@ -263,3 +263,45 @@ def test_first_last_touch_covers_all_users(spark, sf_dir):
     }
     for r in rows:
         assert r.first_touch in types and r.last_touch in types
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located equi-join: both sides bucketed on the key at write time
+    -> the join plan contains no Exchange (the 100 TB contract: the
+    shuffle happened once, at ingest)."""
+    from pyspark.sql import functions as F
+
+    from cloudpelican_lsd_spark.sources.bucketed import read_bucketed, write_bucketed
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    lineitem = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the test exercises the sort-merge path the
+        # co-location is for (at real scale neither side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(
+            orders, "t_orders_b", ["o_orderkey"], 4, path=str(tmp_path / "o")
+        )
+        write_bucketed(
+            lineitem, "t_lineitem_b", ["l_orderkey"], 4, path=str(tmp_path / "l")
+        )
+        j = read_bucketed(spark, "t_lineitem_b").join(
+            read_bucketed(spark, "t_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and it still computes the right thing
+        expected = lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
