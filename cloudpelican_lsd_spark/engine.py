@@ -301,6 +301,53 @@ class CloudPelicanEngine:
 
     # -- search (historical SQL) -------------------------------------------------
 
+    #: legacy BigQuery table ref the reference's grep transpiler emits:
+    #: cloudpelican_lsd_v1.<uuid with _ for ->_results_<yyyy_MM_dd>_v1
+    #: (cli/supervisorcon.go:34-40; written bare into SQL at grepsql.go:169),
+    #: optionally [bracket]-quoted as legacy BigQuery SQL allows.
+    _LEGACY_TABLE_RE = re.compile(
+        r"\[?cloudpelican_lsd_v\d+\.([0-9a-f_]+)_results_"
+        r"(\d{4})_(\d{2})_(\d{2})_v\d+\]?",
+        re.IGNORECASE,
+    )
+
+    def _legacy_sql_shim(self, sql: str, results: DataFrame | None) -> str:
+        """Accept the BigQuery-legacy SQL the reference's own CLI emits, so
+        a user's saved `search` queries run unchanged:
+
+        - ``REGEXP_MATCH(x, p)`` (grepsql.go:49) → Spark's ``REGEXP_LIKE``
+          (same two-arg substring-match semantics);
+        - per-filter-per-day table names → the partitioned results table
+          constrained to that filter_id and date (the table-per-day layout
+          IS our (filter_id, date) partitioning).
+
+        Rewrites apply outside single-quoted string literals only.
+        """
+        segments = re.split(r"('(?:[^']|'')*')", sql)
+
+        def fix(seg: str) -> str:
+            seg = re.sub(r"(?i)\bREGEXP_MATCH\s*\(", "REGEXP_LIKE(", seg)
+
+            def table(m: re.Match) -> str:
+                fid = m.group(1).replace("_", "-")
+                date = f"{m.group(2)}-{m.group(3)}-{m.group(4)}"
+                if results is None:
+                    raise ValueError(
+                        "legacy results-table reference needs the results "
+                        f"DataFrame: {m.group(0)}"
+                    )
+                view = f"__results_legacy_{m.group(1)}_{m.group(2)}{m.group(3)}{m.group(4)}"
+                results.where(
+                    (F.col("filter_id") == fid) & (F.col("date") == date)
+                ).createOrReplaceTempView(view)
+                return view
+
+            return self._LEGACY_TABLE_RE.sub(table, seg)
+
+        return "".join(
+            fix(seg) if k % 2 == 0 else seg for k, seg in enumerate(segments)
+        )
+
     def search(self, sql: str, results: DataFrame | None = None) -> DataFrame:
         """Arbitrary SQL over the engine tables — the reference delegates
         this to BigQuery via subprocess+HTTP (supervisor.go:276-351,
@@ -321,6 +368,7 @@ class CloudPelicanEngine:
                     df.createOrReplaceTempView(name)
             self.logs.createOrReplaceTempView("logs")
             self._tables_registered = True
+        sql = self._legacy_sql_shim(sql, results)
         if results is not None:
             # rewrite only OUTSIDE single-quoted string literals (a WHERE
             # literal like 'from errors' must pass through untouched); a

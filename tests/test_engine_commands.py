@@ -272,3 +272,41 @@ def test_catalog_rejects_reserved_and_duplicate_names():
         cat.create("mine", "y")
     with pytest.raises(ValueError, match="reserved"):
         cat.create("__tmp__1700000000", "x")
+
+
+def test_search_legacy_regexp_match(engine):
+    """BigQuery-legacy REGEXP_MATCH (what grepsql.go:49 emits) runs as-is."""
+    df = engine.execute(
+        "search SELECT count(*) AS n FROM logs WHERE REGEXP_MATCH(_raw, 'value=[0-9]+')"
+    )
+    assert df.collect()[0].n > 0
+
+
+def test_search_legacy_table_name(spark, sf_dir):
+    """The reference's per-filter-per-day table name resolves to a
+    (filter_id, date) slice of the partitioned results table."""
+    from cloudpelican_lsd_spark.engine import CloudPelicanEngine
+    from cloudpelican_lsd_spark.sources.tables import logs_view
+
+    eng = CloudPelicanEngine(spark, logs_view(spark, sf_dir), sf_dir=sf_dir)
+    f = eng.catalog.create("errors", "error")
+    results = spark.createDataFrame(
+        [
+            (f.id, "2015-11-10", "error one"),
+            (f.id, "2015-11-11", "error other day"),
+            ("other-filter", "2015-11-10", "error other filter"),
+        ],
+        ["filter_id", "date", "_raw"],
+    )
+    table = f"cloudpelican_lsd_v1.{f.id.replace('-', '_')}_results_2015_11_10_v1"
+    rows = eng.search(f"SELECT _raw FROM {table}", results=results).collect()
+    assert [r._raw for r in rows] == ["error one"]
+    # bracket-quoted form too
+    rows2 = eng.search(f"SELECT _raw FROM [{table}]", results=results).collect()
+    assert [r._raw for r in rows2] == ["error one"]
+    # without a results table the reference's name is a clear error
+    with pytest.raises(ValueError):
+        eng.search(f"SELECT _raw FROM {table}")
+    # inside a string literal it passes through untouched
+    lit = eng.search(f"SELECT '{table}' AS t FROM logs LIMIT 1", results=results)
+    assert lit.collect()[0].t == table
