@@ -299,6 +299,22 @@ class CloudPelicanEngine:
             filled = filled.where(F.col("metric") == metric)
         return filled
 
+    def stats_chart(
+        self,
+        name: str,
+        window_sec: int = 86400,
+        rollup_sec: int = 60,
+        width: int = 80,
+    ) -> str:
+        """The reference console's `stats f` output: the windowed series
+        rendered as a dual-series ASCII chart (cli/stats.go:59-201)."""
+        from cloudpelican_lsd_spark.chart import chart_from_df
+
+        return chart_from_df(
+            self.stats(name, window_sec=window_sec, rollup_sec=rollup_sec),
+            width=width,
+        )
+
     # -- search (historical SQL) -------------------------------------------------
 
     #: legacy BigQuery table ref the reference's grep transpiler emits:
