@@ -659,10 +659,17 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    from pyspark.sql import Observation
+
     prev_sum = object()  # sentinel: never equal on first comparison
-    for _ in range(max_iter):
-        labels = labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+    for i in range(max_iter):
+        # the convergence metric rides the checkpoint's own action via
+        # observe() — one job per round instead of checkpoint + agg
+        obs = Observation(f"cc_round_{i}")
+        labels = labels.observe(obs, F.sum("lbl").alias("s")).localCheckpoint(
+            eager=True
+        )
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
