@@ -406,3 +406,38 @@ class CloudPelicanEngine:
                     ]
             sql = "".join(segments)
         return self.spark.sql(sql)
+
+
+def slack_command(engine: CloudPelicanEngine, text: str, max_bytes: int = 12 * 1024) -> str:
+    """The supervisor's Slack slash-command adapter as a pure function
+    (reference: supervisor.go:97-273 shells the CLI binary and caps the
+    response at 12KB, supervisor.go:194).
+
+    Dispatches ``text`` through :meth:`CloudPelicanEngine.execute`,
+    renders the result as plain text (`stats` renders the ASCII chart,
+    DataFrames print as TSV rows), and truncates to ``max_bytes`` with a
+    marker — errors come back as text, never raised, matching a chat
+    bot's contract.
+    """
+    try:
+        if text.strip().lower().startswith("stats "):
+            parts = text.split()
+            body = engine.stats_chart(parts[1])
+        else:
+            out = engine.execute(text)
+            if isinstance(out, DataFrame):
+                rows = out.limit(1000).collect()
+                body = "\n".join(
+                    "\t".join("" if v is None else str(v) for v in r) for r in rows
+                ) or "(empty)"
+            elif isinstance(out, (list, dict)):
+                body = str(out)
+            else:
+                body = str(out)
+    except Exception as ex:  # noqa: BLE001 — bot answers, never crashes
+        body = f"error: {ex}"
+    raw = body.encode("utf-8", errors="replace")
+    if len(raw) > max_bytes:
+        marker = b"\n... (truncated)"
+        body = raw[: max_bytes - len(marker)].decode("utf-8", "ignore") + marker.decode()
+    return body

@@ -310,3 +310,19 @@ def test_search_legacy_table_name(spark, sf_dir):
     # inside a string literal it passes through untouched
     lit = eng.search(f"SELECT '{table}' AS t FROM logs LIMIT 1", results=results)
     assert lit.collect()[0].t == table
+
+
+def test_slack_command_adapter(engine):
+    from cloudpelican_lsd_spark.engine import slack_command
+
+    assert slack_command(engine, "ping") == "pong"
+    out = slack_command(engine, "show filters")
+    assert isinstance(out, str)
+    engine.execute("create filter slackf as 'value='")
+    chart = slack_command(engine, "stats slackf")
+    assert chart.startswith("max ")
+    # 12KB cap with truncation marker
+    rows = slack_command(engine, "search SELECT _raw FROM logs", max_bytes=500)
+    assert len(rows.encode()) <= 500 and rows.endswith("(truncated)")
+    # errors become text, never exceptions
+    assert slack_command(engine, "frobnicate").startswith("error:")
