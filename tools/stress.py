@@ -1,0 +1,76 @@
+"""Scale stress probe: replicate the sf0.1 tables in-memory (10x by
+default) and check that the heavy operator families stay near-linear in
+wall-clock — the local stand-in for "would this survive a 100x scale-up".
+
+Replication shifts doc_ids so the corpus grows honestly; note that
+replicas ARE true near-duplicates, so pair-generating ops legitimately
+emit more pairs per row at 10x (data property, not a plan property).
+
+Usage: python tools/stress.py [factor]
+Prints one line per op: name, 1x secs, Nx secs, ratio vs factor.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.operators import classifier, dedup, textstats
+from cloudpelican_lsd_spark.session import get_spark
+from cloudpelican_lsd_spark.sources.tables import logs_view
+
+
+def replicate(df, key: str, factor: int, n: int):
+    return (
+        df.crossJoin(F.broadcast(
+            __import__("pyspark").sql.SparkSession.active().range(factor)
+            .withColumnRenamed("id", "_rep")))
+        .withColumn(key, F.col(key) + F.col("_rep") * F.lit(n))
+        .drop("_rep")
+        .localCheckpoint()
+    )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf = "/root/testdata/sf0.1"
+    spark = get_spark("stress")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    logs = logs_view(spark, sf)
+    n_docs, n_logs = docs.count(), logs.count()
+    big_docs = replicate(docs, "doc_id", factor, n_docs)
+    big_logs = replicate(logs, "event_id", factor, n_logs)
+    big_docs.count(), big_logs.count()
+
+    ops = {
+        "minhash_lsh": lambda d: dedup.lsh_candidate_pairs(d),
+        "ngram_jaccard(max_df=50)": lambda d: dedup.ngram_jaccard_pairs(
+            d, n=3, threshold_num=1, threshold_den=5, max_df=50
+        ),
+        "tfidf_topk": lambda d: textstats.tfidf_topk(d, k=5),
+    }
+    for name, fn in ops.items():
+        t = {}
+        for label, dset in (("1x", docs), (f"{factor}x", big_docs)):
+            t0 = time.time()
+            fn(dset).write.format("noop").mode("overwrite").save()
+            t[label] = time.time() - t0
+        ratio = t[f"{factor}x"] / max(t["1x"], 1e-9)
+        print(
+            f"{name:28s} 1x={t['1x']:6.2f}s {factor}x={t[f'{factor}x']:6.2f}s"
+            f"  ratio={ratio:5.2f} (linear={factor})"
+        )
+    t0 = time.time()
+    classifier.train_and_classify(big_logs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    print(f"{'naive_bayes(' + str(factor) + 'x)':28s} {time.time()-t0:6.2f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
