@@ -1,0 +1,89 @@
+"""JSONL/CSV log ingest: every wire format lands in the same engine
+stream schema and feeds the standing-filter fan-out unchanged."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cloudpelican_lsd_spark.sources.formats import (
+    jsonl_stream_source,
+    read_csv_logs,
+    read_jsonl_logs,
+)
+
+ROWS = [
+    {"message": "checkout failed err=502", "ts": "2024-01-03T10:00:05",
+     "host": "web1", "level": "ERROR"},
+    {"message": "login ok", "ts": "2024-01-03T10:00:06", "host": "web2",
+     "level": "INFO"},
+    {"message": "ts inside 2024-01-03T11:22:33.123+00:00 here", "ts": None,
+     "host": "web3", "level": "INFO"},
+]
+
+
+def test_jsonl_ingest(spark, tmp_path):
+    p = tmp_path / "logs.jsonl"
+    with open(p, "w") as fh:
+        for r in ROWS:
+            fh.write(json.dumps(r) + "\n")
+        fh.write("{not valid json\n")
+    df = read_jsonl_logs(spark, str(p))
+    rows = df.orderBy("ts").collect()
+    assert df.columns == ["_raw", "ts", "ts_epoch"]
+    assert len(rows) == 3  # corrupt line dropped
+    assert rows[0]._raw == "2024-01-03T10:00:05 ERROR web1 checkout failed err=502"
+    assert str(rows[0].ts) == "2024-01-03 10:00:05"
+    # missing explicit ts -> extracted from message text
+    assert str(rows[2].ts).startswith("2024-01-03 11:22:33")
+    assert rows[0].ts_epoch == 1704276005
+
+
+def test_csv_ingest_matches_jsonl(spark, tmp_path):
+    p = tmp_path / "logs.csv"
+    with open(p, "w") as fh:
+        fh.write("message,ts,host,level\n")
+        for r in ROWS[:2]:
+            fh.write(f"{r['message']},{r['ts']},{r['host']},{r['level']}\n")
+    df = read_csv_logs(spark, str(p))
+    assert [r._raw for r in df.orderBy("ts").collect()] == [
+        "2024-01-03T10:00:05 ERROR web1 checkout failed err=502",
+        "2024-01-03T10:00:06 INFO web2 login ok",
+    ]
+
+
+def test_jsonl_feeds_fanout(spark, tmp_path):
+    from cloudpelican_lsd_spark.catalog import FilterCatalog
+    from cloudpelican_lsd_spark.operators.fanout import match_filters_compiled
+
+    p = tmp_path / "logs.jsonl"
+    with open(p, "w") as fh:
+        for r in ROWS:
+            fh.write(json.dumps(r) + "\n")
+    cat = FilterCatalog()
+    cat.create("errs", "(?i)error")
+    logs = read_jsonl_logs(spark, str(p))
+    matched = match_filters_compiled(logs, cat.list())
+    assert matched.count() == 1
+
+
+def test_jsonl_streaming_source(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as fh:
+        for r in ROWS:
+            fh.write(json.dumps(r) + "\n")
+    stream = jsonl_stream_source(spark, str(src))
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM jsonl_mem").collect()
+    assert len(got) == 3
+    assert {c for c in spark.table("jsonl_mem").columns} == {"_raw", "ts", "ts_epoch"}
