@@ -71,6 +71,25 @@ class CloudPelicanEngine:
         low = cmd.lower()
         if not low.startswith(("history", "clearhistory")):
             self.session["history"].append(cmd)
+        if low == "help":
+            # reference help text (cloudpelican-lsd.go:860-882) — same
+            # command inventory, engine-native wording
+            return "\n".join(
+                [
+                    "auth <user> <password>",
+                    "connect <uri>",
+                    "ping",
+                    "save | clearsession | history [id] | clearhistory",
+                    "show filters | describe filter <f>",
+                    "create filter <f> as '<regex>' | drop filter <f>",
+                    "select * from <f> [where '<regex>'] [limit N]",
+                    "tail <f> [limit N]",
+                    "cat <f> | grep [-v|-i|-e] <p> | sort [- r] | head | limit N",
+                    "search <sql>",
+                    "stats <f> [window W] [rollup R] [-regular|-error]",
+                    "configure supervisor <key>=<value>",
+                ]
+            )
         if low == "ping":
             # reference pings the supervisor; here: one trivial Catalyst
             # round-trip proves the session is live

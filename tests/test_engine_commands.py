@@ -326,3 +326,9 @@ def test_slack_command_adapter(engine):
     assert len(rows.encode()) <= 500 and rows.endswith("(truncated)")
     # errors become text, never exceptions
     assert slack_command(engine, "frobnicate").startswith("error:")
+
+
+def test_help_lists_every_command(engine):
+    out = engine.execute("help")
+    for cmd in ("create filter", "tail", "search", "stats", "grep"):
+        assert cmd in out
