@@ -94,6 +94,8 @@ HEADLINE = [
     "events_first_last_touch",
     "logs_pii_redact",
     "text_tfidf_topk",
+    "text_unigram_logprob",
+    "corpus_split_neardup_leakage",
 ]
 
 

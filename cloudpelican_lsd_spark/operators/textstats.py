@@ -610,3 +610,68 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-prob quality score — the CCNet/Gopher-style LM filter with a
+# corpus-MLE unigram model standing in for the external KenLM: documents
+# whose tokens are improbable under the corpus distribution score high
+# (gibberish, wrong-language, boilerplate-free noise).  Deterministic
+# cross-engine: each token's -ln(p) is rounded to integer micro-nats
+# FIRST, so the per-document sum is exact BIGINT arithmetic — float
+# summation order never matters.
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_tokens, mean_nll)` — mean negative log-likelihood per
+    token under the corpus's own unigram MLE.  One token shuffle builds
+    the vocabulary; token costs broadcast back; per-doc sums are exact
+    integer micro-nats."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    costs = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(-F.log(F.col("cnt") / F.col("total")) * 1e6, 0)
+        .cast("long")
+        .alias("micro_nll"),
+    )
+    return (
+        toks.join(F.broadcast(costs), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("micro_nll").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("sum_micro") / F.col("n_tokens") / 1e6, 6).alias(
+                "mean_nll"
+            ),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = """\
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY term
+),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+costs AS (
+  SELECT term,
+         CAST(ROUND(-ln(cnt / total) * 1e6, 0) AS BIGINT) AS micro_nll
+  FROM vocab CROSS JOIN tot
+)
+SELECT t.doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       ROUND(SUM(c.micro_nll) / COUNT(*) / 1e6, 6) AS mean_nll
+FROM toks t JOIN costs c USING (term)
+GROUP BY t.doc_id"""

@@ -2551,3 +2551,69 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document — one token shuffle serves both tf
     and df (ReuseExchange), vocabulary joined back, row_number top-k."""
     return text_ops.tfidf_topk(load_table(spark, "documents", sf_dir), k=5)
+
+
+@register("text_unigram_logprob", text_ops.UNIGRAM_LOGPROB_ORACLE)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: mean per-token negative log-likelihood
+    under the corpus's own unigram MLE (textstats.unigram_logprob) —
+    exact integer micro-nat sums, so order-independent and oracle-safe."""
+    return text_ops.unigram_logprob(load_table(spark, "documents", sf_dir))
+
+
+_ID_SPLIT_CASE = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+            ELSE 'train' END"""
+
+
+@register(
+    "corpus_split_neardup_leakage",
+    f"""WITH {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+pairs AS ({_MINHASH_PAIRS_SQL}),
+splits AS (
+  SELECT doc_id, {_ID_SPLIT_CASE} AS split FROM docs_planted
+)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       COUNT(*)::BIGINT AS n_pairs
+FROM pairs p
+JOIN splits sa ON sa.doc_id = p.doc_a
+JOIN splits sb ON sb.doc_id = p.doc_b
+WHERE sa.split <> sb.split
+GROUP BY sa.split, sb.split""",
+)
+def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: near-dup (MinHash-LSH) pairs that
+    straddle split boundaries under a doc_id-hash split — the classic
+    random-split leakage a content-hash or cluster-aware split
+    (corpus_split_assign, dedup_cluster_keepers) exists to prevent.
+    The pair table is tiny next to the corpus; both split lookups are
+    broadcast joins."""
+    docs = _docs_with_dupes(spark, sf_dir)
+    pairs = dedup_ops.lsh_candidate_pairs(
+        docs, num_hashes=12, rows_per_band=3, n=3
+    )
+    prefix = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(prefix < "0d", "val")
+        .when(prefix < "1a", "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return (
+        pairs.join(
+            F.broadcast(splits.withColumnRenamed("split", "split_a")),
+            pairs["doc_a"] == splits["doc_id"],
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(splits.withColumnRenamed("split", "split_b")),
+            pairs["doc_b"] == splits["doc_id"],
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -369,3 +369,27 @@ def test_tfidf_topk_ranks_rare_terms_first(spark):
     # doc 3 has only the zero-idf term; still listed, score 0
     assert by_doc[3][0].term == "common" and by_doc[3][0].score == 0.0
     assert all(r.rnk <= 2 for r in rows)
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    df = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rare"), (3, "common common")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ts.unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 3
+    # doc 2 carries the unique token -> highest mean NLL
+    assert out[2].mean_nll > out[1].mean_nll
+    assert out[2].mean_nll > out[3].mean_nll
+    # all-common doc: mean NLL equals the single token cost
+    assert abs(out[1].mean_nll - out[3].mean_nll) < 1e-6
+
+
+def test_split_neardup_leakage_detects_id_hash_leaks(spark, sf_dir):
+    from cloudpelican_lsd_spark import registry
+
+    rows = registry.QUERIES["corpus_split_neardup_leakage"](spark, sf_dir).collect()
+    # planted exact duplicates get fresh doc_ids, so an id-hash split
+    # must leak at least one pair across boundaries at this sf
+    assert sum(r.n_pairs for r in rows) > 0
+    assert all(r.split_a != r.split_b for r in rows)
