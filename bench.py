@@ -96,6 +96,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_unigram_logprob",
     "corpus_split_neardup_leakage",
+    "events_transition_matrix",
 ]
 
 

@@ -2617,3 +2617,38 @@ def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "events_transition_matrix",
+    """WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type""",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences: one LAG
+    window (single shuffle on user_id, ordered by (ts, event_id) for a
+    total order) then a tiny |types|² aggregation — the behavioral-model
+    primitive next to the funnel/sessionize family.  At scale the window
+    partitions by user (millions of small partitions, no single-reducer
+    key) and the output is dimension-bounded."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

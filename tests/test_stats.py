@@ -259,3 +259,19 @@ def test_rolling_wau_matches_python_reference(spark, sf_dir):
         )
         assert got[obs] == expect, obs
     assert set(got) == set(days)
+
+
+def test_transition_matrix_conserves_transitions(spark, sf_dir):
+    from cloudpelican_lsd_spark import registry
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    out = registry.QUERIES["events_transition_matrix"](spark, sf_dir)
+    rows = out.collect()
+    ev = load_table(spark, "events", sf_dir)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every event except each user's first contributes exactly one transition
+    assert sum(r.n for r in rows) == n_events - n_users
+    types = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+    assert {r.prev_type for r in rows} <= types
+    assert {r.next_type for r in rows} <= types
