@@ -305,3 +305,44 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB skew posture is AQE, not hand-salting, for plain joins:
+    with a hot key dominating one side, the executed plan must carry
+    SortMergeJoin(skew=true) — the skewed partition is split at runtime.
+    Thresholds are lowered so the skew is visible at test scale."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(60500).select(
+            F.when(F.col("id") < 60000, 0)
+            .otherwise((F.col("id") % 500) + 1)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(1000).select(
+            (F.col("id") % 500).alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        # act on THIS DataFrame's QueryExecution so AQE finalizes it
+        rows = j.collect()
+        assert len(rows) == 60000 * 2 + 499 * 2
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
