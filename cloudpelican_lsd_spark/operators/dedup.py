@@ -224,12 +224,27 @@ def _group_pairs(
     e.g. two shingles of one document colliding to the same xxhash64 group
     key would otherwise emit a spurious self-pair.  ``max_group`` caps the
     group size (skew guard; see ngram_jaccard_pairs' max_df).
+
+    The cap is enforced BEFORE the collect: oversized buckets are excluded
+    with a broadcast anti-join on the (by definition tiny) hot-bucket
+    list, so no reducer ever materializes a degenerate bucket's member
+    set — filtering on ``size(mem)`` after collecting would bound the
+    *output* but not the aggregation state that builds it.  The count
+    pre-pass is map-side combinable (one row per bucket per mapper);
+    callers' inputs carry distinct members per bucket, so COUNT(*) is the
+    set size.
     """
+    if max_group is not None:
+        hot = (
+            rows.groupBy(*group_keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_group)
+            .select(*group_keys)
+        )
+        rows = rows.join(F.broadcast(hot), group_keys, "left_anti")
     grouped = rows.groupBy(*group_keys).agg(
         F.sort_array(F.collect_set(F.struct(*member_cols))).alias("mem")
     )
-    if max_group is not None:
-        grouped = grouped.where(F.size("mem") <= max_group)
     return (
         grouped.where(F.size("mem") >= 2)
         .select("mem", F.posexplode("mem").alias("i", "x"))
