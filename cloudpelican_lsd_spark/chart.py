@@ -46,10 +46,12 @@ def render_chart(
     span = max(vmax - vmin, 1)
 
     def level(v: int) -> int:
-        # 0..height cells; any nonzero count shows at least one cell
+        # 0..height cells; any nonzero count shows at least one cell.
+        # Half-up (int(x + 0.5)), not Python's banker's round(): adjacent
+        # half-boundary values must snap in one direction consistently.
         if v <= 0:
             return 0
-        return max(1, round((v - vmin) * height / span))
+        return max(1, int((v - vmin) * height / span + 0.5))
 
     grid = [[" "] * len(buckets) for _ in range(height)]
     for x, b in enumerate(buckets):

@@ -263,7 +263,7 @@ class CloudPelicanEngine:
 
     # -- stats ------------------------------------------------------------------
 
-    def _stats_command(self, cmd: str) -> DataFrame:
+    def _parse_stats_args(self, cmd: str) -> tuple[str, int, int, int | None]:
         """`stats f [window W] [rollup R] [-regular|-error]`
         (cloudpelican-lsd.go:761-833; defaults window=86400 rollup=60 :795-798)."""
         parts = cmd.split()
@@ -285,7 +285,10 @@ class CloudPelicanEngine:
                 metric = stats_ops.METRIC_ERROR; i += 1
             else:
                 raise ValueError(f"stats: unexpected token {parts[i]!r}")
-        return self.stats(name, window, rollup, metric)
+        return name, window, rollup, metric
+
+    def _stats_command(self, cmd: str) -> DataFrame:
+        return self.stats(*self._parse_stats_args(cmd))
 
     def stats(
         self,
@@ -440,17 +443,25 @@ def slack_command(engine: CloudPelicanEngine, text: str, max_bytes: int = 12 * 1
     """
     try:
         if text.strip().lower().startswith("stats "):
-            parts = text.split()
-            body = engine.stats_chart(parts[1])
+            from cloudpelican_lsd_spark.chart import chart_from_df
+
+            # full stats grammar (window/rollup/metric flags), not just
+            # the filter name — same parse as the CLI path
+            name, window, rollup, metric = engine._parse_stats_args(text.strip())
+            body = chart_from_df(engine.stats(name, window, rollup, metric))
         else:
             out = engine.execute(text)
             if isinstance(out, DataFrame):
-                rows = out.limit(1000).collect()
+                rows = out.limit(1001).collect()
+                clipped = len(rows) > 1000
                 body = "\n".join(
-                    "\t".join("" if v is None else str(v) for v in r) for r in rows
+                    "\t".join("" if v is None else str(v) for v in r)
+                    for r in rows[:1000]
                 ) or "(empty)"
-            elif isinstance(out, (list, dict)):
-                body = str(out)
+                if clipped:
+                    body += "\n... (truncated at 1000 rows)"
+            elif isinstance(out, list):
+                body = "\n".join(str(x) for x in out) or "(empty)"
             else:
                 body = str(out)
     except Exception as ex:  # noqa: BLE001 — bot answers, never crashes

@@ -183,11 +183,19 @@ def train_and_classify(
     # (fc_err, fc_reg) ARE (n_err, n_reg).  Saves a whole scan+label pass —
     # cat and fcnt below both read the one shuffle (ReuseExchange).
     sentinel = "\x00__cat__"
+    # coalesce before append: split(NULL) is NULL and array_append(NULL, s)
+    # is NULL, which would silently drop NULL-raw messages from the priors
     toks_s = labeled.select(
         id_col,
         "label",
         F.explode(
-            F.array_append(F.split(F.col("_nb_raw"), r"\s+"), F.lit(sentinel))
+            F.array_append(
+                F.coalesce(
+                    F.split(F.col("_nb_raw"), r"\s+"),
+                    F.array().cast("array<string>"),
+                ),
+                F.lit(sentinel),
+            )
         ).alias("tok"),
     )
     fcnt_all = toks_s.groupBy("tok").agg(

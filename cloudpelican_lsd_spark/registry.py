@@ -2603,16 +2603,16 @@ def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+    # broadcast the PAIR side (tiny) against the corpus-sized split map —
+    # broadcasting splits would ship a per-document table to every executor
+    with_a = (
+        splits.withColumnRenamed("split", "split_a")
+        .join(F.broadcast(pairs), F.col("doc_id") == F.col("doc_a"))
+        .select("doc_a", "doc_b", "split_a")
+    )
     return (
-        pairs.join(
-            F.broadcast(splits.withColumnRenamed("split", "split_a")),
-            pairs["doc_a"] == splits["doc_id"],
-        )
-        .drop("doc_id")
-        .join(
-            F.broadcast(splits.withColumnRenamed("split", "split_b")),
-            pairs["doc_b"] == splits["doc_id"],
-        )
+        splits.withColumnRenamed("split", "split_b")
+        .join(F.broadcast(with_a), F.col("doc_id") == F.col("doc_b"))
         .where(F.col("split_a") != F.col("split_b"))
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -105,6 +105,17 @@ def read_csv_logs(
 
 def jsonl_stream_source(spark: SparkSession, path: str) -> DataFrame:
     """Streaming JSON-lines file source → engine log schema (same contract
-    as streaming/pipeline.file_source; plug into parse/fan-out as-is)."""
-    df = spark.readStream.schema(LOG_JSON_SCHEMA).json(path)
-    return _normalize(df)
+    as streaming/pipeline.file_source; plug into parse/fan-out as-is).
+    Malformed lines are dropped like the batch twin — otherwise they'd
+    enter the stream as empty-_raw rows with fabricated now() timestamps
+    and skew the max-ts window anchoring."""
+    schema = T.StructType(
+        LOG_JSON_SCHEMA.fields + [T.StructField("_corrupt", T.StringType(), True)]
+    )
+    df = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return _normalize(df.where(F.col("_corrupt").isNull()))

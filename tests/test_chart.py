@@ -59,3 +59,12 @@ def test_engine_stats_chart(spark, sf_dir):
     lines = out.split("\n")
     assert lines[0].startswith("max ")
     assert "o" in out  # regular series present
+
+
+def test_half_boundary_rounds_up_consistently():
+    # height=4, max=8: counts 5 (2.5 cells) and 7 (3.5 cells) must both
+    # round half-up -> 3 and 4 cells
+    out = render_chart({1: {0: 5, 60: 7, 120: 8}}, height=4)
+    grid = out.split("\n")[1:-2]
+    heights = [sum(1 for row in grid if row[x] != " ") for x in range(3)]
+    assert heights == [3, 4, 4]

@@ -129,3 +129,17 @@ def test_outlier_minutely_grid_not_collapsed(spark):
     assert len(out) == 1
     assert out[0].bucket == base + 30 * 60 and out[0].actual == 1000.0
     assert out[0].score > 0.5
+
+
+def test_classifier_null_raw_counts_toward_priors(spark):
+    from cloudpelican_lsd_spark.operators.classifier import train_and_classify
+
+    df = spark.createDataFrame(
+        [(1, "fatal error here"), (2, "all fine"), (3, None), (4, None)],
+        "event_id long, _raw string",
+    )
+    rows = train_and_classify(df).collect()
+    # NULL-raw messages carry no tokens (never classified) but must not
+    # crash and must not distort the labeled counts of real messages
+    total = sum(r.cnt for r in rows)
+    assert total == 2

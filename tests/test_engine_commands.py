@@ -332,3 +332,28 @@ def test_help_lists_every_command(engine):
     out = engine.execute("help")
     for cmd in ("create filter", "tail", "search", "stats", "grep"):
         assert cmd in out
+
+
+def test_slack_stats_honors_args(engine):
+    from cloudpelican_lsd_spark.engine import slack_command
+
+    engine.execute("create filter slackargs as 'value='")
+    wide = slack_command(engine, "stats slackargs window 40d rollup 1d")
+    narrow = slack_command(engine, "stats slackargs window 40d rollup 1d -error")
+    assert wide.startswith("max ")
+    # metric flag filters the series: the regular 'o' marks disappear
+    assert "o" in wide and "o" not in narrow
+    # bad args -> error text, not a default chart
+    assert slack_command(engine, "stats slackargs frobnicate").startswith("error:")
+
+
+def test_slack_row_truncation_marker(engine):
+    from cloudpelican_lsd_spark.engine import slack_command
+
+    out = slack_command(
+        engine,
+        "search SELECT event_id FROM logs "
+        "UNION ALL SELECT event_id + 100000 FROM logs ORDER BY event_id",
+    )
+    assert out.endswith("... (truncated at 1000 rows)")
+    assert len(out.split("\n")) == 1001

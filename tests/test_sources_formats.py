@@ -87,3 +87,22 @@ def test_jsonl_streaming_source(spark, tmp_path):
     got = spark.sql("SELECT * FROM jsonl_mem").collect()
     assert len(got) == 3
     assert {c for c in spark.table("jsonl_mem").columns} == {"_raw", "ts", "ts_epoch"}
+
+
+def test_jsonl_streaming_drops_corrupt(spark, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as fh:
+        for r in ROWS:
+            fh.write(json.dumps(r) + "\n")
+        fh.write("{definitely not json\n")
+    stream = jsonl_stream_source(spark, str(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_mem2")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT * FROM jsonl_mem2").count() == 3
