@@ -97,6 +97,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "corpus_split_neardup_leakage",
     "events_transition_matrix",
+    "events_burst_windows",
 ]
 
 

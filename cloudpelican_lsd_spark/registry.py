@@ -2652,3 +2652,39 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "events_burst_windows",
+    """WITH counted AS (
+  SELECT user_id, ts_epoch,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts_epoch
+           RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min
+  FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+        FROM events) t
+)
+SELECT user_id,
+       MAX(n_10min)::BIGINT AS peak_burst,
+       SUM(CASE WHEN n_10min >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_bursty
+FROM counted GROUP BY user_id""",
+)
+def q_events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-minute burst detection per user: a RANGE frame over
+    event-time seconds (value-based, so simultaneous events share one
+    window — a ROWS frame would undercount ties), then per-user peak and
+    bursty-row counts.  One shuffle on user_id; frame state is the
+    trailing 600 s of one user's events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts_epoch")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    counted = ev.withColumn("n_10min", F.count(F.lit(1)).over(w))
+    return counted.groupBy("user_id").agg(
+        F.max("n_10min").alias("peak_burst"),
+        F.sum((F.col("n_10min") >= 5).cast("long")).alias("n_bursty"),
+    )

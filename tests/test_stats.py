@@ -275,3 +275,23 @@ def test_transition_matrix_conserves_transitions(spark, sf_dir):
     types = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
     assert {r.prev_type for r in rows} <= types
     assert {r.next_type for r in rows} <= types
+
+
+def test_burst_windows_range_frame_counts_ties(spark):
+    from cloudpelican_lsd_spark import registry
+    # synthetic: user 1 fires 5 events inside 600s (burst), user 2 spread out
+    rows = [(1, t) for t in (0, 100, 200, 300, 400)] + [
+        (2, t) for t in (0, 1000, 2000, 3000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_epoch long")
+    orig = registry.load_table
+    try:
+        registry.load_table = lambda s, n, d: df  # route the query to the fixture
+        out = {
+            r.user_id: r
+            for r in registry.QUERIES["events_burst_windows"](spark, "x").collect()
+        }
+    finally:
+        registry.load_table = orig
+    assert out[1].peak_burst == 5 and out[1].n_bursty == 1
+    assert out[2].peak_burst == 1 and out[2].n_bursty == 0
