@@ -105,3 +105,56 @@ def test_bucket_math_invariants(epochs, rollup):
         assert b % rollup == 0
         assert 0 <= e - b < rollup
         assert (b - b % rollup) == b
+
+
+# ---------------------------------------------------------------------------
+# PII redaction dialect parity: the Spark (Java regex) implementation must
+# agree with a pure-Python re reference on arbitrary text, including the
+# newline/unicode edges the sf-data parity gate never exercises.
+# ---------------------------------------------------------------------------
+
+_PII_ALPHABET = st.sampled_from(
+    list("abzAZ09._%+-@ \t\né世!?:/") + ["123", "4567", "@ex.co", "10.0.0.1"]
+)
+_PII_TEXT = st.lists(_PII_ALPHABET, min_size=0, max_size=12).map("".join)
+
+
+def _pii_reference(text: str) -> tuple[str, int, int, int]:
+    import re as _re
+
+    from cloudpelican_lsd_spark.operators.textstats import (
+        PII_DIGITS_RE,
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+    )
+
+    n_email = len(_re.findall(PII_EMAIL_RE, text))
+    r1 = _re.sub(PII_EMAIL_RE, "<EMAIL>", text)
+    n_ip = len(_re.findall(PII_IPV4_RE, r1))
+    r2 = _re.sub(PII_IPV4_RE, "<IP>", r1)
+    n_num = len(_re.findall(PII_DIGITS_RE, r2))
+    r3 = _re.sub(PII_DIGITS_RE, "<NUM>", r2)
+    return r3, n_email, n_ip, n_num
+
+
+@given(st.lists(_PII_TEXT, min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None)
+def test_pii_redact_matches_python_reference(texts):
+    """One Spark job per example batch; every string must match the pure
+    re reference bit-for-bit (masking AND audit counts)."""
+    from cloudpelican_lsd_spark.operators.textstats import pii_redact
+    from cloudpelican_lsd_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    for i, t in enumerate(texts):
+        exp = _pii_reference(t)
+        assert (
+            got[i].redacted,
+            got[i].n_email,
+            got[i].n_ip,
+            got[i].n_num,
+        ) == exp, repr(t)
