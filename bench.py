@@ -98,6 +98,7 @@ HEADLINE = [
     "corpus_split_neardup_leakage",
     "events_transition_matrix",
     "events_burst_windows",
+    "parse_sniff_types",
 ]
 
 

@@ -97,3 +97,21 @@ def is_likely_error(raw: Column) -> Column:
 def is_likely_error_sql(col: str = "_raw") -> str:
     """DuckDB-equivalent predicate for the oracle side."""
     return "(" + " OR ".join(f"lower({col}) LIKE '%{w}%'" for w in ERROR_WORDS) + ")"
+
+
+#: the sniffer's detection regex (LogTypeSniffer.java:21): ISO-8601 with
+#: millis + numeric offset anywhere in the line
+SNIFF_ISO_RE = (
+    r"[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}"
+    r"\.[0-9]{3}[0-9]*(\+|-)[0-9]{2}:[0-9]{2}"
+)
+
+
+def sniff_log_type(raw: Column) -> Column:
+    """'rsyslog' | 'unknown' — the reference's log-type sniffer
+    (LogTypeSniffer.java:24-51, LogTypes.java:6-9): a line is RSYSLOG iff
+    it carries an embedded ISO-8601 timestamp with millis and offset;
+    everything else is UNKNOWN (and falls back to processing time)."""
+    return F.when(raw.rlike(SNIFF_ISO_RE), F.lit("rsyslog")).otherwise(
+        F.lit("unknown")
+    )

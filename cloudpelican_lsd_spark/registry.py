@@ -2688,3 +2688,49 @@ def q_events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_10min").alias("peak_burst"),
         F.sum((F.col("n_10min") >= 5).cast("long")).alias("n_bursty"),
     )
+
+
+@register(
+    "parse_sniff_types",
+    """SELECT CASE WHEN regexp_matches(_raw,
+         '[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}\\.[0-9]{3}[0-9]*(\\+|-)[0-9]{2}:[0-9]{2}')
+       THEN 'rsyslog' ELSE 'unknown' END AS log_type,
+       COUNT(*)::BIGINT AS n
+FROM (
+  SELECT _raw FROM (
+    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' host' || user_id || ' app: '
+             || event_type AS _raw FROM events
+    UNION ALL
+    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.123+00:00') || ' syslog line '
+             || event_type FROM events
+  ) u
+) lines
+GROUP BY 1""",
+)
+def q_parse_sniff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogTypeSniffer semantics (LogTypeSniffer.java:24-51): classify a
+    mixed stream — second-precision lines (no millis+offset → unknown)
+    vs full ISO-8601 lines (→ rsyslog) — and count per type."""
+    from cloudpelican_lsd_spark.functions.parse import sniff_log_type
+
+    ev = load_table(spark, "events", sf_dir)
+    plain = ev.select(
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit(" host"),
+            F.col("user_id"),
+            F.lit(" app: "),
+            F.col("event_type"),
+        ).alias("_raw")
+    )
+    iso = ev.select(
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit(".123+00:00 syslog line "),
+            F.col("event_type"),
+        ).alias("_raw")
+    )
+    lines = plain.unionAll(iso)
+    return lines.groupBy(
+        sniff_log_type(F.col("_raw")).alias("log_type")
+    ).agg(F.count(F.lit(1)).alias("n"))

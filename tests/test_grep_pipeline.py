@@ -96,3 +96,21 @@ def test_extract_event_time_tolerates_any_fraction_width(spark):
     assert vals[2] == "2026-08-13 12:00:00.123000"
     assert vals[3] == "2026-08-13 12:00:00"
     assert got[4].ts is None
+
+
+def test_sniff_log_type_reference_semantics(spark):
+    from cloudpelican_lsd_spark.functions.parse import sniff_log_type
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "x 2001-07-04T12:08:56.235-07:00 rsyslog line"),
+            (2, "sub-ms ok 2001-07-04T12:08:56.23599+02:00 y"),
+            (3, "2001-07-04T12:08:56 no millis -> unknown"),
+            (4, "no timestamp at all"),
+            (5, "2001-07-04T12:08:56.235Z zulu offset unsupported by sniffer"),
+        ],
+        "i long, _raw string",
+    )
+    got = {r.i: r.t for r in df.select("i", sniff_log_type(F.col("_raw")).alias("t")).collect()}
+    assert got == {1: "rsyslog", 2: "rsyslog", 3: "unknown", 4: "unknown", 5: "unknown"}
