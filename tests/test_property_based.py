@@ -158,3 +158,30 @@ def test_pii_redact_matches_python_reference(texts):
             got[i].n_ip,
             got[i].n_num,
         ) == exp, repr(t)
+
+
+_KNOWN_PREFIXES = (
+    "ping", "auth ", "connect ", "history", "clearhistory", "save",
+    "clearsession", "configure supervisor ", "show filters",
+    "describe filter ", "create filter ", "drop filter ", "select ",
+    "tail ", "stats ", "search ", "cat ", "help",
+)
+
+
+@given(st.text(min_size=1, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_engine_rejects_junk_with_value_error(cmd):
+    """Unknown commands fail with a clear ValueError, never a crash or a
+    silent pass-through to Spark."""
+    from cloudpelican_lsd_spark.engine import CloudPelicanEngine
+    from cloudpelican_lsd_spark.session import get_spark
+
+    low = cmd.strip().lower()
+    if low.startswith(_KNOWN_PREFIXES) or "|" in cmd:
+        return  # may be a legal command; covered by the grammar tests
+    eng = CloudPelicanEngine(get_spark(), logs=None)
+    try:
+        eng.execute(cmd)
+        raise AssertionError(f"junk accepted: {cmd!r}")
+    except ValueError:
+        pass
