@@ -37,6 +37,15 @@ from cloudpelican_lsd_spark.operators.grep_pipeline import GrepPipeline
 from cloudpelican_lsd_spark.operators.tail import tail_last_n
 from cloudpelican_lsd_spark.sources.tables import TABLES, load_tables
 
+#: every dispatcher prefix execute() recognizes (single source of truth —
+#: the junk-command fuzz test imports this)
+COMMAND_PREFIXES = (
+    "ping", "auth ", "connect ", "history", "clearhistory", "save",
+    "clearsession", "configure supervisor ", "show filters",
+    "describe filter ", "create filter ", "drop filter ", "select ",
+    "tail ", "stats ", "search ", "cat ", "help",
+)
+
 _CREATE_RE = re.compile(r"^create filter ([a-z0-9_]+) as '(.+)'$")
 _SELECT_RE = re.compile(
     r"^select \* from ([a-z0-9_:]+)(?: where '(.+?)')?(?: limit (\d+))?$"

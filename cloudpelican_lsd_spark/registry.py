@@ -2675,8 +2675,6 @@ def q_events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — a ROWS frame would undercount ties), then per-user peak and
     bursty-row counts.  One shuffle on user_id; frame state is the
     trailing 600 s of one user's events."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, "events", sf_dir).select("user_id", "ts_epoch")
     w = (
         Window.partitionBy("user_id")
@@ -2710,27 +2708,25 @@ GROUP BY 1""",
 def q_parse_sniff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LogTypeSniffer semantics (LogTypeSniffer.java:24-51): classify a
     mixed stream — second-precision lines (no millis+offset → unknown)
-    vs full ISO-8601 lines (→ rsyslog) — and count per type."""
+    vs full ISO-8601 lines (→ rsyslog) — and count per type.  Both
+    synthesized lines come off ONE events scan (explode of a 2-element
+    array), not a union of two scans."""
     from cloudpelican_lsd_spark.functions.parse import sniff_log_type
 
     ev = load_table(spark, "events", sf_dir)
-    plain = ev.select(
-        F.concat(
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
-            F.lit(" host"),
-            F.col("user_id"),
-            F.lit(" app: "),
-            F.col("event_type"),
-        ).alias("_raw")
+    plain = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(" host"),
+        F.col("user_id"),
+        F.lit(" app: "),
+        F.col("event_type"),
     )
-    iso = ev.select(
-        F.concat(
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
-            F.lit(".123+00:00 syslog line "),
-            F.col("event_type"),
-        ).alias("_raw")
+    iso = F.concat(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        F.lit(".123+00:00 syslog line "),
+        F.col("event_type"),
     )
-    lines = plain.unionAll(iso)
+    lines = ev.select(F.explode(F.array(plain, iso)).alias("_raw"))
     return lines.groupBy(
         sniff_log_type(F.col("_raw")).alias("log_type")
     ).agg(F.count(F.lit(1)).alias("n"))

@@ -160,12 +160,7 @@ def test_pii_redact_matches_python_reference(texts):
         ) == exp, repr(t)
 
 
-_KNOWN_PREFIXES = (
-    "ping", "auth ", "connect ", "history", "clearhistory", "save",
-    "clearsession", "configure supervisor ", "show filters",
-    "describe filter ", "create filter ", "drop filter ", "select ",
-    "tail ", "stats ", "search ", "cat ", "help",
-)
+from cloudpelican_lsd_spark.engine import COMMAND_PREFIXES as _KNOWN_PREFIXES
 
 
 @given(st.text(min_size=1, max_size=40))

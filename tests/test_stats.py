@@ -279,10 +279,14 @@ def test_transition_matrix_conserves_transitions(spark, sf_dir):
 
 def test_burst_windows_range_frame_counts_ties(spark):
     from cloudpelican_lsd_spark import registry
-    # synthetic: user 1 fires 5 events inside 600s (burst), user 2 spread out
-    rows = [(1, t) for t in (0, 100, 200, 300, 400)] + [
-        (2, t) for t in (0, 1000, 2000, 3000)
-    ]
+    # user 1: 5 events inside 600s (burst); user 2: spread out;
+    # user 3: 5 SIMULTANEOUS events — the RANGE-frame tie case where a
+    # ROWS frame would undercount (each row must see all 5)
+    rows = (
+        [(1, t) for t in (0, 100, 200, 300, 400)]
+        + [(2, t) for t in (0, 1000, 2000, 3000)]
+        + [(3, 50)] * 5
+    )
     df = spark.createDataFrame(rows, "user_id long, ts_epoch long")
     orig = registry.load_table
     try:
@@ -295,3 +299,5 @@ def test_burst_windows_range_frame_counts_ties(spark):
         registry.load_table = orig
     assert out[1].peak_burst == 5 and out[1].n_bursty == 1
     assert out[2].peak_burst == 1 and out[2].n_bursty == 0
+    # every tied row sees the full group of 5 under a value-based frame
+    assert out[3].peak_burst == 5 and out[3].n_bursty == 5
