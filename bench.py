@@ -99,6 +99,7 @@ HEADLINE = [
     "events_transition_matrix",
     "events_burst_windows",
     "parse_sniff_types",
+    "search_returned_revenue",
 ]
 
 

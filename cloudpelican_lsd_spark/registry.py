@@ -2730,3 +2730,59 @@ def q_parse_sniff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.groupBy(
         sniff_log_type(F.col("_raw")).alias("log_type")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "search_returned_revenue",
+    """WITH rev AS (
+  SELECT c.c_custkey AS custkey, c.c_name AS cust_name, n.n_name AS nation,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT custkey, cust_name, nation, ROUND(revenue, 4) AS revenue
+FROM rev ORDER BY revenue DESC, custkey ASC LIMIT 20""",
+)
+def q_search_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top
+    20.  Broadcast nation; the lineitem-orders join shuffles on orderkey
+    (AQE-replannable); TakeOrderedAndProject caps the driver transfer at
+    20 rows.  Revenue sums ride DECIMAL(25,6) in both engines and the
+    displayed value rounds to 4 decimals so the ORDER BY tie-break
+    (custkey) is hash-stable."""
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = (
+        l.where(F.col("l_returnflag") == "R")
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(25,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        rev.select(
+            "custkey", "cust_name", "nation", F.round("revenue", 4).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )

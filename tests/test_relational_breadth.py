@@ -346,3 +346,11 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_returned_revenue_top20(spark, sf_dir):
+    out = registry.QUERIES["search_returned_revenue"](spark, sf_dir).collect()
+    assert len(out) <= 20
+    revs = [r.revenue for r in out]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r.revenue > 0 for r in out)
