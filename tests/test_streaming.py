@@ -436,3 +436,66 @@ def test_ingest_observed_metrics_reported(spark, tmp_path):
     assert sum(m["n_lines"] for m in obs) == 3
     assert sum(m["n_likely_errors"] for m in obs) == 1
     assert max(m["max_event_ts"] for m in obs).startswith("2024-02-01 10:00:02")
+
+
+def test_windowed_stats_watermark_drops_too_late_rows(spark, tmp_path):
+    """Late-data contract (the documented divergence from the reference's
+    unbounded lateness): rows within the lateness horizon land in their
+    event-time bucket; rows older than watermark-horizon behind the
+    stream's max event time are dropped from the aggregation.  One
+    continuously-running query; the watermark advances between
+    micro-batches."""
+    import time as _time
+
+    from cloudpelican_lsd_spark.operators.fanout import match_filters_compiled
+
+    src = str(tmp_path / "in_late")
+    cat = FilterCatalog()
+    cat.create("all_req", "req=")
+
+    _write_lines(src, ["2024-02-01T12:00:30.000+00:00 web1 app: ok req=1"])
+    matched = match_filters_compiled(
+        sp.parse_stream(sp.file_source(spark, src)),
+        cat.list(include_temp=True),
+    )
+    q = (
+        sp.windowed_stats_stream(matched, lateness="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_stats")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def wait_rows(n, timeout=90):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            done = sum(
+                __import__("json").loads(p.json)["numInputRows"]
+                for p in q.recentProgress
+            )
+            if done >= n:
+                return
+            _time.sleep(0.5)
+        raise AssertionError(f"stream never reached {n} input rows")
+
+    try:
+        wait_rows(1)
+        # second file: one row 5 min late (inside horizon) + one 2 h late
+        with open(f"{src}/late.log", "w") as fh:
+            fh.write("2024-02-01T11:55:10.000+00:00 web1 app: ok req=2\n")
+            fh.write("2024-02-01T10:00:00.000+00:00 web1 app: ok req=3\n")
+        wait_rows(3)
+        _time.sleep(2)  # let the update land in the sink
+    finally:
+        q.stop()
+    got = {
+        r.bucket: r.cnt
+        for r in spark.sql(
+            "SELECT bucket, cnt FROM late_stats WHERE metric = 1"
+        ).collect()
+    }
+    ts_1200 = 1706788800  # 2024-02-01T12:00:00Z
+    assert got.get(ts_1200) == 1            # 12:00 bucket
+    assert got.get(ts_1200 - 300) == 1      # 11:55 bucket accepted
+    assert ts_1200 - 7200 not in got        # 10:00 bucket dropped
