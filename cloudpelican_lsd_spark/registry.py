@@ -1631,6 +1631,7 @@ def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
          CAST(floor(epoch(ts)) AS BIGINT)
            - (CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS day_bucket
   FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
 ),
 w1 AS (
   SELECT *, MIN(CASE WHEN event_type = 'view' THEN tse END)
@@ -1678,10 +1679,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     same (partition, order), so Spark plans ONE shuffle + ONE sort for
     the whole chain; the day-level re-aggregation then shuffles only
     user-day rows.  No self-joins: a join-per-hop formulation would
-    re-shuffle the fact table once per funnel stage."""
+    re-shuffle the fact table once per funnel stage.  Non-stage events
+    can never advance the funnel, so the stage-type filter is applied
+    up front — it reaches the parquet scan (PushedFilters) and shrinks
+    the window input; (user, day) groups with no stage events
+    contribute nothing to the counts either way."""
     from cloudpelican_lsd_spark.operators import funnel as funnel_ops
 
-    ev = load_table(spark, "events", sf_dir)
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
     e = ev.select(
         "user_id",
         "event_type",
