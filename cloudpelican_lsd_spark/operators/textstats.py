@@ -561,7 +561,16 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # `tf >= 1` is always true, but it REFERENCES tf: without it, column
+    # pruning drops the count from this branch's copy of the aggregation,
+    # the two subtrees stop being canonically equal, and ReuseExchange
+    # cannot dedup them — the wide token shuffle would run twice
+    # (verified in the physical plan).  With it: one shuffle, reused.
+    df_tbl = (
+        tf.where(F.col("tf") >= 1)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_tbl, "term")
