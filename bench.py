@@ -100,6 +100,7 @@ HEADLINE = [
     "events_burst_windows",
     "parse_sniff_types",
     "search_returned_revenue",
+    "corpus_clean_yield",
 ]
 
 

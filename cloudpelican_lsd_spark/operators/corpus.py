@@ -213,3 +213,91 @@ SELECT doc_id, shard,
        CAST((cum - n_tokens) % {capacity} AS BIGINT) AS start_offset,
        n_tokens::BIGINT AS n_tokens
 FROM c"""
+
+
+def corpus_clean_yield(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """One-row pipeline report card: `(n_raw, n_gated, n_exact_kept,
+    n_final, tokens_final)` — document counts surviving each cleanup
+    stage plus the final token yield.  The observability twin of
+    :func:`corpus_clean`: a 100 TB run needs per-stage yields (how much
+    did the language gate cost? how aggressive was near-dup removal?)
+    before anyone trusts the output.  Same stage definitions by
+    construction; four scalar aggregates cross-joined (each side is a
+    single row, so every join broadcasts)."""
+    stop_cnt = stop_count_expr()
+    n_tok = F.size(F.split(F.col("text"), " "))
+    gated = docs.where(
+        (n_tok >= min_tokens) & (stop_cnt * lang_den >= n_tok * lang_num)
+    ).select("doc_id", "text")
+    deduped = (
+        gated.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("keeper"))
+        .select(
+            F.col("keeper.doc_id").alias("doc_id"),
+            F.col("keeper.text").alias("text"),
+        )
+    )
+    drops = (
+        ngram_jaccard_pairs(
+            deduped, n=n, threshold_num=jac_num, threshold_den=jac_den,
+            max_df=max_df,
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = deduped.join(F.broadcast(drops), "doc_id", "left_anti")
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_raw"))
+        .crossJoin(gated.agg(F.count(F.lit(1)).alias("n_gated")))
+        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_exact_kept")))
+        .crossJoin(
+            final.agg(
+                F.count(F.lit(1)).alias("n_final"),
+                F.sum(F.size(F.split(F.col("text"), " ")))
+                .cast("long")
+                .alias("tokens_final"),
+            )
+        )
+    )
+
+
+def corpus_clean_yield_oracle(
+    base_cte: str,
+    base_table: str,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin: reuses corpus_clean_oracle's CTE chain and collapses
+    the final relation into the stage-count report."""
+    inner = corpus_clean_oracle(
+        base_cte, base_table, min_tokens, lang_num, lang_den, n,
+        jac_num, jac_den, max_df,
+    )
+    head, _, _tail = inner.rpartition("SELECT d.doc_id")
+    return (
+        head.rstrip().rstrip(",") + ",\n"
+        + f"""final AS (
+  SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens
+  FROM ded d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+)
+SELECT (SELECT COUNT(*) FROM {base_table})::BIGINT AS n_raw,
+       (SELECT COUNT(*) FROM gated)::BIGINT AS n_gated,
+       (SELECT COUNT(*) FROM ded)::BIGINT AS n_exact_kept,
+       (SELECT COUNT(*) FROM final)::BIGINT AS n_final,
+       (SELECT SUM(n_tokens) FROM final)::BIGINT AS tokens_final"""
+    )

@@ -2793,3 +2793,14 @@ def q_search_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "corpus_clean_yield",
+    corpus_ops.corpus_clean_yield_oracle(_CORPUS_CTE, "docs_corpus"),
+)
+def q_corpus_clean_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline report card: documents surviving each cleanup stage
+    (raw -> quality/lang gate -> exact dedup -> near-dup removal) plus
+    final token yield, one row (corpus.corpus_clean_yield)."""
+    return corpus_ops.corpus_clean_yield(_corpus_base(spark, sf_dir))

@@ -393,3 +393,13 @@ def test_split_neardup_leakage_detects_id_hash_leaks(spark, sf_dir):
     # must leak at least one pair across boundaries at this sf
     assert sum(r.n_pairs for r in rows) > 0
     assert all(r.split_a != r.split_b for r in rows)
+
+
+def test_corpus_yield_monotone(spark, sf_dir):
+    from cloudpelican_lsd_spark import registry
+
+    row = registry.QUERIES["corpus_clean_yield"](spark, sf_dir).collect()[0]
+    assert row.n_raw >= row.n_gated >= row.n_exact_kept >= row.n_final > 0
+    # planted exact dupes guarantee the dedup stage actually removed some
+    assert row.n_exact_kept < row.n_gated
+    assert row.tokens_final > 0
