@@ -101,6 +101,8 @@ HEADLINE = [
     "parse_sniff_types",
     "search_returned_revenue",
     "corpus_clean_yield",
+    "emb_dim_health",
+    "text_len_correlation",
 ]
 
 

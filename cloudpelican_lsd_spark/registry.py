@@ -2804,3 +2804,96 @@ def q_corpus_clean_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     (raw -> quality/lang gate -> exact dedup -> near-dup removal) plus
     final token yield, one row (corpus.corpus_clean_yield)."""
     return corpus_ops.corpus_clean_yield(_corpus_base(spark, sf_dir))
+
+
+@register(
+    "emb_dim_health",
+    """WITH q AS (
+  SELECT pos, CAST(floor(CAST(v AS DOUBLE) * 10000000) AS BIGINT) AS qv
+  FROM (SELECT unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings) t
+)
+SELECT pos,
+       COUNT(*)::BIGINT AS n,
+       ROUND(CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1e7, 6) AS mean_v,
+       ROUND((CAST(SUM(qv * qv) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(qv) AS DOUBLE) / COUNT(*))
+                * (CAST(SUM(qv) AS DOUBLE) / COUNT(*))) / 1e14, 6)
+         AS var_v,
+       SUM(CASE WHEN qv = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+FROM q GROUP BY pos""",
+)
+def q_emb_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health: mean, variance, and zero counts
+    for each vector position — the pre-training feature audit that
+    catches dead or saturated dimensions.  Fixed-point BIGINT sums (sum,
+    sum-of-squares) so the reduce order never leaks into the hash; one
+    posexplode scan, one (pos)-keyed agg bounded by dimensionality."""
+    e = load_table(spark, "embeddings", sf_dir)
+    ex = e.select(F.posexplode("embedding").alias("pos0", "v"))
+    qv = F.floor(F.col("v").cast("double") * 10000000).cast("long")
+    mean_q = F.sum(qv).cast("double") / F.count(F.lit(1))
+    return (
+        ex.select((F.col("pos0") + 1).cast("long").alias("pos"), qv.alias("qv"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e7), 6).alias("mean_v"),
+            F.round(
+                (
+                    F.sum(F.col("qv") * F.col("qv")).cast("double")
+                    / F.count(F.lit(1))
+                    - (F.sum("qv").cast("double") / F.count(F.lit(1)))
+                    * (F.sum("qv").cast("double") / F.count(F.lit(1)))
+                )
+                / F.lit(1e14),
+                6,
+            ).alias("var_v"),
+            F.sum((F.col("qv") == 0).cast("long")).alias("n_zero"),
+        )
+    )
+
+
+@register(
+    "text_len_correlation",
+    """WITH x AS (
+  SELECT len(string_split(text, ' '))::BIGINT AS xt,
+         length(text)::BIGINT AS yc
+  FROM documents
+)
+SELECT COUNT(*)::BIGINT AS n,
+       ROUND((COUNT(*) * CAST(SUM(xt * yc) AS DOUBLE)
+              - CAST(SUM(xt) AS DOUBLE) * CAST(SUM(yc) AS DOUBLE))
+             / sqrt((COUNT(*) * CAST(SUM(xt * xt) AS DOUBLE)
+                     - CAST(SUM(xt) AS DOUBLE) * CAST(SUM(xt) AS DOUBLE))
+                    * (COUNT(*) * CAST(SUM(yc * yc) AS DOUBLE)
+                       - CAST(SUM(yc) AS DOUBLE) * CAST(SUM(yc) AS DOUBLE))),
+             6) AS pearson_r
+FROM x""",
+)
+def q_text_len_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation between token count and char count: all
+    five moments are BIGINT sums of integer columns (associative, reduce-
+    order independent); only the final closed-form division touches
+    floats, rounded to 6 — a hash-stable corr() the built-in (which sums
+    doubles) cannot give across engines."""
+    d = load_table(spark, "documents", sf_dir)
+    x = d.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("xt"),
+        F.length("text").cast("long").alias("yc"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("xt").cast("double")
+    sy = F.sum("yc").cast("double")
+    sxy = F.sum(F.col("xt") * F.col("yc")).cast("double")
+    sxx = F.sum(F.col("xt") * F.col("xt")).cast("double")
+    syy = F.sum(F.col("yc") * F.col("yc")).cast("double")
+    return x.agg(
+        n.alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    )

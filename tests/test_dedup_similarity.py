@@ -309,3 +309,25 @@ def test_rank_fusion_bounds_and_membership(spark, sf_dir):
         per_q.setdefault(r.qid, []).append(r.rrf)
     for scores in per_q.values():
         assert len(scores) <= 5
+
+
+def test_emb_dim_health_shape(spark, sf_dir):
+    from cloudpelican_lsd_spark import registry
+
+    rows = registry.QUERIES["emb_dim_health"](spark, sf_dir).collect()
+    import duckdb
+
+    dim = duckdb.sql(
+        f"select max(len(embedding)) from '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == dim
+    assert all(r.var_v >= 0 for r in rows)
+    assert all(0 <= r.n_zero <= r.n for r in rows)
+
+
+def test_text_len_correlation_bounds(spark, sf_dir):
+    from cloudpelican_lsd_spark import registry
+
+    r = registry.QUERIES["text_len_correlation"](spark, sf_dir).collect()[0]
+    # token count and char count must be strongly positively correlated
+    assert 0.8 < r.pearson_r <= 1.0
