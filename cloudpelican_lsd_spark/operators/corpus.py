@@ -35,27 +35,19 @@ from cloudpelican_lsd_spark.operators.textstats import (
 )
 
 
-def corpus_clean(
+def _clean_stages(
     docs: DataFrame,
-    min_tokens: int = 5,
-    lang_num: int = 1,
-    lang_den: int = 20,
-    n: int = 3,
-    jac_num: int = 4,
-    jac_den: int = 5,
-    max_df: int | None = None,
-) -> DataFrame:
-    """`(doc_id, n_tokens)` — documents surviving the full cleanup.
-
-    ``max_df`` passes through to the Jaccard stage's document-frequency
-    pruning (the 100 TB skew guard; see dedup.ngram_jaccard_pairs).
-
-    Stages: (1) keep docs with >= min_tokens whitespace tokens AND English
-    stopword density >= lang_num/lang_den (integer-exact, same heuristic as
-    textstats.lang_id); (2) exact dedup keeping the lowest doc_id per
-    byte-identical text; (3) drop every doc that is the higher-id member of
-    an n-gram Jaccard pair >= jac_num/jac_den among survivors.
-    """
+    min_tokens: int,
+    lang_num: int,
+    lang_den: int,
+    n: int,
+    jac_num: int,
+    jac_den: int,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared stage chain: `(gated, deduped, final)` — single source
+    of truth for corpus_clean and its yield report, so the report card
+    can never desynchronize from the pipeline it audits."""
     stop_cnt = stop_count_expr()
     n_tok = F.size(F.split(F.col("text"), " "))
     gated = docs.where(
@@ -81,18 +73,12 @@ def corpus_clean(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return (
-        deduped.join(F.broadcast(drops), "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        )
-    )
+    final = deduped.join(F.broadcast(drops), "doc_id", "left_anti")
+    return gated, deduped, final
 
 
-def corpus_clean_oracle(
-    base_cte: str,
-    base_table: str,
+def corpus_clean(
+    docs: DataFrame,
     min_tokens: int = 5,
     lang_num: int = 1,
     lang_den: int = 20,
@@ -100,9 +86,41 @@ def corpus_clean_oracle(
     jac_num: int = 4,
     jac_den: int = 5,
     max_df: int | None = None,
+) -> DataFrame:
+    """`(doc_id, n_tokens)` — documents surviving the full cleanup.
+
+    ``max_df`` passes through to the Jaccard stage's document-frequency
+    pruning (the 100 TB skew guard; see dedup.ngram_jaccard_pairs).
+
+    Stages (_clean_stages): (1) keep docs with >= min_tokens whitespace
+    tokens AND English stopword density >= lang_num/lang_den
+    (integer-exact, same heuristic as textstats.lang_id); (2) exact dedup
+    keeping the lowest doc_id per byte-identical text; (3) drop every doc
+    that is the higher-id member of an n-gram Jaccard pair >=
+    jac_num/jac_den among survivors.
+    """
+    _, _, final = _clean_stages(
+        docs, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
+    )
+    return final.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+
+
+def _clean_cte_chain(
+    base_cte: str,
+    base_table: str,
+    min_tokens: int,
+    lang_num: int,
+    lang_den: int,
+    n: int,
+    jac_num: int,
+    jac_den: int,
+    max_df: int | None,
 ) -> str:
-    """DuckDB twin of :func:`corpus_clean` over ``base_table`` (provided by
-    ``base_cte``, which must yield columns ``doc_id, text``)."""
+    """Shared DuckDB CTE chain (gated -> ded -> drops -> final) — single
+    source of truth for the clean-pipeline oracle and its yield report."""
     sh_cte = shingles_oracle_cte(n).replace("FROM documents", "FROM ded")
     df_filter = (
         f"""
@@ -111,7 +129,7 @@ def corpus_clean_oracle(
         if max_df is not None
         else ""
     )
-    return f"""WITH {base_cte},
+    return f"""{base_cte},
 gated AS (
   SELECT doc_id, text FROM {base_table}
   WHERE len(string_split(text, ' ')) >= {min_tokens}
@@ -135,10 +153,34 @@ drops AS (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE inter_cnt * {jac_den} >= (sa.sz + sb.sz - inter_cnt) * {jac_num}
-)
-SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens
-FROM ded d
-WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)"""
+),
+final AS (
+  SELECT d.doc_id, d.text
+  FROM ded d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+)"""
+
+
+def corpus_clean_oracle(
+    base_cte: str,
+    base_table: str,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`corpus_clean` over ``base_table`` (provided by
+    ``base_cte``, which must yield columns ``doc_id, text``)."""
+    chain = _clean_cte_chain(
+        base_cte, base_table, min_tokens, lang_num, lang_den, n,
+        jac_num, jac_den, max_df,
+    )
+    return f"""WITH {chain}
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+FROM final"""
 
 
 # ---------------------------------------------------------------------------
@@ -230,35 +272,29 @@ def corpus_clean_yield(
     stage plus the final token yield.  The observability twin of
     :func:`corpus_clean`: a 100 TB run needs per-stage yields (how much
     did the language gate cost? how aggressive was near-dup removal?)
-    before anyone trusts the output.  Same stage definitions by
-    construction; four scalar aggregates cross-joined (each side is a
-    single row, so every join broadcasts)."""
-    stop_cnt = stop_count_expr()
-    n_tok = F.size(F.split(F.col("text"), " "))
-    gated = docs.where(
-        (n_tok >= min_tokens) & (stop_cnt * lang_den >= n_tok * lang_num)
-    ).select("doc_id", "text")
-    deduped = (
-        gated.groupBy(F.md5(F.col("text")).alias("text_hash"))
-        .agg(F.min(F.struct("doc_id", "text")).alias("keeper"))
-        .select(
-            F.col("keeper.doc_id").alias("doc_id"),
-            F.col("keeper.text").alias("text"),
-        )
+    before anyone trusts the output.
+
+    Stage definitions come from the SAME `_clean_stages` call corpus_clean
+    uses, so the report can never desynchronize from the pipeline.  The
+    count branches keep a column reference to `text` (length >= 0 —
+    always true) so column pruning cannot specialize their copies of the
+    gate/dedup subtrees away from the full-width final branch: the
+    subtrees stay canonically equal and AQE reuses the materialized
+    stages instead of recomputing them (same fragility-and-fix as
+    textstats.tfidf_topk's df branch)."""
+    gated, deduped, final = _clean_stages(
+        docs, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
     )
-    drops = (
-        ngram_jaccard_pairs(
-            deduped, n=n, threshold_num=jac_num, threshold_den=jac_den,
-            max_df=max_df,
+
+    def count_keeping_width(df, alias):
+        return df.where(F.length("text") >= 0).agg(
+            F.count(F.lit(1)).alias(alias)
         )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    final = deduped.join(F.broadcast(drops), "doc_id", "left_anti")
+
     return (
         docs.agg(F.count(F.lit(1)).alias("n_raw"))
-        .crossJoin(gated.agg(F.count(F.lit(1)).alias("n_gated")))
-        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_exact_kept")))
+        .crossJoin(count_keeping_width(gated, "n_gated"))
+        .crossJoin(count_keeping_width(deduped, "n_exact_kept"))
         .crossJoin(
             final.agg(
                 F.count(F.lit(1)).alias("n_final"),
@@ -281,23 +317,16 @@ def corpus_clean_yield_oracle(
     jac_den: int = 5,
     max_df: int | None = None,
 ) -> str:
-    """DuckDB twin: reuses corpus_clean_oracle's CTE chain and collapses
-    the final relation into the stage-count report."""
-    inner = corpus_clean_oracle(
+    """DuckDB twin: the same shared CTE chain, collapsed into the
+    stage-count report."""
+    chain = _clean_cte_chain(
         base_cte, base_table, min_tokens, lang_num, lang_den, n,
         jac_num, jac_den, max_df,
     )
-    head, _, _tail = inner.rpartition("SELECT d.doc_id")
-    return (
-        head.rstrip().rstrip(",") + ",\n"
-        + f"""final AS (
-  SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens
-  FROM ded d
-  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
-)
+    return f"""WITH {chain}
 SELECT (SELECT COUNT(*) FROM {base_table})::BIGINT AS n_raw,
        (SELECT COUNT(*) FROM gated)::BIGINT AS n_gated,
        (SELECT COUNT(*) FROM ded)::BIGINT AS n_exact_kept,
        (SELECT COUNT(*) FROM final)::BIGINT AS n_final,
-       (SELECT SUM(n_tokens) FROM final)::BIGINT AS tokens_final"""
-    )
+       (SELECT SUM(len(string_split(text, ' ')))
+        FROM final)::BIGINT AS tokens_final"""

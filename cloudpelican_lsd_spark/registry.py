@@ -1682,8 +1682,9 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffle the fact table once per funnel stage.  Non-stage events
     can never advance the funnel, so the stage-type filter is applied
     up front — it reaches the parquet scan (PushedFilters) and shrinks
-    the window input; (user, day) groups with no stage events
-    contribute nothing to the counts either way."""
+    the window input.  Contract: the result has one row per day WITH
+    stage activity; a day whose events are all non-stage types is absent
+    rather than reported as zeros (the oracle encodes the same)."""
     from cloudpelican_lsd_spark.operators import funnel as funnel_ops
 
     ev = load_table(spark, "events", sf_dir).where(
@@ -2817,7 +2818,7 @@ def q_corpus_clean_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT pos,
        COUNT(*)::BIGINT AS n,
        ROUND(CAST(SUM(qv) AS DOUBLE) / COUNT(*) / 1e7, 6) AS mean_v,
-       ROUND((CAST(SUM(qv * qv) AS DOUBLE) / COUNT(*)
+       ROUND((CAST(SUM(CAST(qv AS HUGEINT) * qv) AS DOUBLE) / COUNT(*)
               - (CAST(SUM(qv) AS DOUBLE) / COUNT(*))
                 * (CAST(SUM(qv) AS DOUBLE) / COUNT(*))) / 1e14, 6)
          AS var_v,
@@ -2827,9 +2828,12 @@ FROM q GROUP BY pos""",
 def q_emb_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding health: mean, variance, and zero counts
     for each vector position — the pre-training feature audit that
-    catches dead or saturated dimensions.  Fixed-point BIGINT sums (sum,
-    sum-of-squares) so the reduce order never leaks into the hash; one
-    posexplode scan, one (pos)-keyed agg bounded by dimensionality."""
+    catches dead or saturated dimensions.  Fixed-point exact sums so the
+    reduce order never leaks into the hash; the sum of squares
+    accumulates in DECIMAL(38,0) (DuckDB: HUGEINT), since qv**2 reaches
+    1e14 per row and a BIGINT accumulator would wrap past ~9e4 rows per
+    dimension.  One posexplode scan, one (pos)-keyed agg bounded by
+    dimensionality."""
     e = load_table(spark, "embeddings", sf_dir)
     ex = e.select(F.posexplode("embedding").alias("pos0", "v"))
     qv = F.floor(F.col("v").cast("double") * 10000000).cast("long")
@@ -2842,7 +2846,9 @@ def q_emb_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e7), 6).alias("mean_v"),
             F.round(
                 (
-                    F.sum(F.col("qv") * F.col("qv")).cast("double")
+                    F.sum(
+                        (F.col("qv") * F.col("qv")).cast("decimal(38,0)")
+                    ).cast("double")
                     / F.count(F.lit(1))
                     - (F.sum("qv").cast("double") / F.count(F.lit(1)))
                     * (F.sum("qv").cast("double") / F.count(F.lit(1)))

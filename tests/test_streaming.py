@@ -481,10 +481,17 @@ def test_windowed_stats_watermark_drops_too_late_rows(spark, tmp_path):
 
     try:
         wait_rows(1)
-        # second file: one row 5 min late (inside horizon) + one 2 h late
-        with open(f"{src}/late.log", "w") as fh:
+        # second file: one row 5 min late (inside horizon) + one 2 h late.
+        # Written OUTSIDE the watched dir and renamed in: the file source
+        # lists every 500 ms and a partially-flushed file would be read
+        # once, marked done, and never re-read.
+        import os as _os
+
+        tmp_file = str(tmp_path / "late.log.tmp")
+        with open(tmp_file, "w") as fh:
             fh.write("2024-02-01T11:55:10.000+00:00 web1 app: ok req=2\n")
             fh.write("2024-02-01T10:00:00.000+00:00 web1 app: ok req=3\n")
+        _os.rename(tmp_file, f"{src}/late.log")
         wait_rows(3)
         _time.sleep(2)  # let the update land in the sink
     finally:

@@ -56,7 +56,10 @@ def main() -> None:
         eng = StreamingEngine(spark, cat, base_dir=os.path.join(td, "state"))
         t0 = time.time()
         q = eng.start(file_source(spark, src), trigger={"availableNow": True})
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
+        if not finished:
+            q.stop()
+            raise SystemExit("stream did not drain within 600s; bench invalid")
         wall = time.time() - t0
         batches = [
             {"rows": p["numInputRows"], "ms": p["batchDuration"]}
