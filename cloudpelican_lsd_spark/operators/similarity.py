@@ -407,7 +407,7 @@ def kmeans_assign_confusion(emb: DataFrame) -> DataFrame:
         ex.groupBy(F.col("label").alias("clabel"), "pos")
         .agg(
             (
-                F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e7)
+                F.sum(F.col("qv").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1)) / F.lit(1e7)
             ).alias("c")
         )
         .select(
@@ -524,7 +524,7 @@ def kmeans_step_shift(emb: DataFrame) -> DataFrame:
         ex.groupBy(F.col("label").alias("clabel"), "pos")
         .agg(
             (
-                F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e7)
+                F.sum(F.col("qv").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1)) / F.lit(1e7)
             ).alias("c")
         )
         .select(
@@ -569,7 +569,7 @@ def kmeans_step_shift(emb: DataFrame) -> DataFrame:
         .groupBy(F.col("cluster"), "pos")
         .agg(
             (
-                F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e7)
+                F.sum(F.col("qv").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1)) / F.lit(1e7)
             ).alias("nc"),
             F.count(F.lit(1)).alias("n_rows"),
         )

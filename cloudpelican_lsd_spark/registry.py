@@ -1508,7 +1508,12 @@ def q_emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                F.sum(qv).cast("double") / F.count(F.lit(1)) / F.lit(10000000)
+                # DECIMAL accumulator: sum(long) wraps past ~9e10 rows per
+                # (label, pos) at this quantization; DuckDB's SUM(BIGINT)
+                # is HUGEINT-exact already
+                F.sum(qv.cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(10000000)
             ).alias("centroid")
         )
     )
@@ -2837,13 +2842,17 @@ def q_emb_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     ex = e.select(F.posexplode("embedding").alias("pos0", "v"))
     qv = F.floor(F.col("v").cast("double") * 10000000).cast("long")
-    mean_q = F.sum(qv).cast("double") / F.count(F.lit(1))
     return (
         ex.select((F.col("pos0") + 1).cast("long").alias("pos"), qv.alias("qv"))
         .groupBy("pos")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("qv").cast("double") / F.count(F.lit(1)) / F.lit(1e7), 6).alias("mean_v"),
+            F.round(
+                F.sum(F.col("qv").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e7),
+                6,
+            ).alias("mean_v"),
             F.round(
                 (
                     F.sum(
