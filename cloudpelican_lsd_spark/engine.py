@@ -43,7 +43,7 @@ COMMAND_PREFIXES = (
     "ping", "auth ", "connect ", "history", "clearhistory", "save",
     "clearsession", "configure supervisor ", "show filters",
     "describe filter ", "create filter ", "drop filter ", "select ",
-    "tail ", "stats ", "search ", "cat ", "help",
+    "tail ", "stats ", "search ", "cat ", "help", "explain ",
 )
 
 _CREATE_RE = re.compile(r"^create filter ([a-z0-9_]+) as '(.+)'$")
@@ -96,6 +96,7 @@ class CloudPelicanEngine:
                     "cat <f> | grep [-v|-i|-e] <p> | sort [- r] | head | limit N",
                     "search <sql>",
                     "stats <f> [window W] [rollup R] [-regular|-error]",
+                    "explain <query-producing command>",
                     "configure supervisor <key>=<value>",
                 ]
             )
@@ -161,6 +162,17 @@ class CloudPelicanEngine:
             return self._stats_command(cmd)
         if low.startswith("search "):
             return self.search(cmd[len("search "):])
+        if low.startswith("explain "):
+            # plan visibility the reference never had (its planner was a
+            # string builder shipped to BigQuery): any query-producing
+            # command prefixed with `explain` returns Catalyst's formatted
+            # physical plan instead of rows
+            inner = self.execute(cmd[len("explain "):])
+            if not isinstance(inner, DataFrame):
+                raise ValueError("explain: command does not produce a query")
+            return inner._sc._jvm.PythonSQLUtils.explainString(
+                inner._jdf.queryExecution(), "formatted"
+            )
         if low.startswith("cat ") or "|" in cmd:
             return self.cat(cmd)
         raise ValueError(f"unknown command: {command!r}")

@@ -357,3 +357,13 @@ def test_slack_row_truncation_marker(engine):
     )
     assert out.endswith("... (truncated at 1000 rows)")
     assert len(out.split("\n")) == 1001
+
+
+def test_explain_command(engine):
+    engine.execute("create filter expf as 'error'")
+    plan = engine.execute("explain cat expf | grep -v 404 | limit 5")
+    assert "Scan parquet" in plan and "GlobalLimit" in plan or "Limit" in plan
+    plan2 = engine.execute("explain search SELECT count(*) AS n FROM lineitem")
+    assert "HashAggregate" in plan2 or "Aggregate" in plan2
+    with pytest.raises(ValueError):
+        engine.execute("explain ping")
