@@ -641,3 +641,33 @@ def template_stream(
             "cnt",
         )
     )
+
+
+def windowed_distinct_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    width: str = "1 minute",
+    lateness: str = "1 hour",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """`(bucket, approx_distinct)` — HyperLogLog++ distinct keys per
+    tumbling window, maintained incrementally by the streaming state
+    store.  The streaming twin of the batch `distinct_users_sketch`
+    query: exact streaming distinct would hold every key seen per window
+    in state (unbounded for high-cardinality keys); the sketch bounds
+    state at ~1.5KB per window regardless of cardinality, with the same
+    rsd error contract as batch HLL++."""
+    return (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", lateness)
+        .groupBy(F.window("ts", width).alias("win"))
+        .agg(F.approx_count_distinct("k", rsd=rsd).alias("approx_distinct"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("bucket"),
+            "approx_distinct",
+        )
+    )

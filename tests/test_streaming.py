@@ -506,3 +506,35 @@ def test_windowed_stats_watermark_drops_too_late_rows(spark, tmp_path):
     assert got.get(ts_1200) == 1            # 12:00 bucket
     assert got.get(ts_1200 - 300) == 1      # 11:55 bucket accepted
     assert ts_1200 - 7200 not in got        # 10:00 bucket dropped
+
+
+def test_windowed_distinct_stream_tracks_exact_at_low_cardinality(spark, tmp_path):
+    """HLL++ windowed distinct over a file stream: at tiny cardinality the
+    sketch is exact, so the counts must match a batch groupBy distinct."""
+    src = str(tmp_path / "in_hll")
+    lines = []
+    for m in range(3):
+        for u in range(4 * (m + 1)):  # 4, 8, 12 distinct hosts per minute
+            lines.append(
+                f"2024-02-01T09:0{m}:05.000+00:00 host{u} app: ok req={m}{u}"
+            )
+    _write_lines(src, lines)
+    parsed = sp.parse_stream(sp.file_source(spark, src)).withColumn(
+        "host", sp.F.regexp_extract("_raw", r"(host\d+)", 1)
+    )
+    q = (
+        sp.windowed_distinct_stream(parsed, key_col="host")
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.bucket: r.approx_distinct
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    base = 1706778000  # 2024-02-01T09:00:00Z
+    assert got == {base: 4, base + 60: 8, base + 120: 12}
