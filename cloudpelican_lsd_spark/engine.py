@@ -164,12 +164,24 @@ class CloudPelicanEngine:
             return self.search(cmd[len("search "):])
         if low.startswith("explain "):
             # plan visibility the reference never had (its planner was a
-            # string builder shipped to BigQuery): any query-producing
+            # string builder shipped to BigQuery): a query-producing
             # command prefixed with `explain` returns Catalyst's formatted
-            # physical plan instead of rows
-            inner = self.execute(cmd[len("explain "):])
-            if not isinstance(inner, DataFrame):
+            # physical plan instead of rows.  The whitelist is checked
+            # BEFORE dispatching so a side-effecting command (drop filter,
+            # clearsession, ...) is rejected without being executed.
+            inner_cmd = cmd[len("explain "):].strip()
+            inner_low = inner_cmd.lower()
+            if not (
+                inner_low.startswith(("select ", "tail ", "stats ", "search ", "cat "))
+                or inner_low == "show filters"
+                or "|" in inner_cmd
+            ):
                 raise ValueError("explain: command does not produce a query")
+            inner = self.execute(inner_cmd)
+            # the recursive execute() recorded the inner command; one user
+            # keystroke = one history entry
+            if self.session["history"] and self.session["history"][-1] == inner_cmd:
+                self.session["history"].pop()
             return inner._sc._jvm.PythonSQLUtils.explainString(
                 inner._jdf.queryExecution(), "formatted"
             )

@@ -2859,8 +2859,14 @@ def q_emb_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (F.col("qv") * F.col("qv")).cast("decimal(38,0)")
                     ).cast("double")
                     / F.count(F.lit(1))
-                    - (F.sum("qv").cast("double") / F.count(F.lit(1)))
-                    * (F.sum("qv").cast("double") / F.count(F.lit(1)))
+                    - (
+                        F.sum(F.col("qv").cast("decimal(38,0)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    * (
+                        F.sum(F.col("qv").cast("decimal(38,0)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
                 )
                 / F.lit(1e14),
                 6,

@@ -362,8 +362,17 @@ def test_slack_row_truncation_marker(engine):
 def test_explain_command(engine):
     engine.execute("create filter expf as 'error'")
     plan = engine.execute("explain cat expf | grep -v 404 | limit 5")
-    assert "Scan parquet" in plan and "GlobalLimit" in plan or "Limit" in plan
+    assert "Scan parquet" in plan and ("GlobalLimit" in plan or "Limit" in plan)
     plan2 = engine.execute("explain search SELECT count(*) AS n FROM lineitem")
     assert "HashAggregate" in plan2 or "Aggregate" in plan2
     with pytest.raises(ValueError):
         engine.execute("explain ping")
+    # side-effecting commands are rejected WITHOUT being executed
+    engine.execute("create filter keepme as 'x'")
+    with pytest.raises(ValueError):
+        engine.execute("explain drop filter keepme")
+    assert any(f.name == "keepme" for f in engine.catalog.list())
+    # one user keystroke = one history entry
+    n0 = len(engine.session["history"])
+    engine.execute("explain search SELECT 1 AS one")
+    assert len(engine.session["history"]) == n0 + 1
