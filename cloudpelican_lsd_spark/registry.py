@@ -73,6 +73,7 @@ for _name, _pipe in PIPELINES.items():
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             return GrepPipeline.parse(pipe).apply(logs_view(spark, sf_dir))
 
+        run.__doc__ = f"Grep pipeline `{pipe}` as one DataFrame plan (grepsql.go grammar)."
         return run
 
     register(
@@ -98,6 +99,7 @@ FROM logs l JOIN filters f ON {MATCH_COND_DUCKDB}
 GROUP BY 1, 2""",
 )
 def q_filter_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-filter fan-out match counts: the MatchBolt hot path as one compiled scan."""
     return match_counts_compiled(
         logs_view(spark, sf_dir), _CAT.list(include_temp=True)
     )
@@ -109,6 +111,7 @@ def q_filter_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT id, name, regex FROM filters WHERE name NOT LIKE '\\_\\_tmp\\_\\_%' ESCAPE '\\'""",
 )
 def q_show_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter catalog listing (BoltDB CRUD analog)."""
     # `show filters` hides temp filters (cli/cloudpelican-lsd.go:448-450)
     return (
         _CAT.to_df(spark, include_temp=False).select("id", "name", "regex")
@@ -157,6 +160,7 @@ s AS (
     f"WITH {_STATS_CTE.format(rollup=60)}\nSELECT metric, bucket, cnt FROM s",
 )
 def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minutely match/error counters per filter (A3)."""
     return stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=60)
 
 
@@ -173,6 +177,7 @@ SELECT grid.metric, grid.bucket, COALESCE(s.cnt, 0)::BIGINT AS cnt
 FROM grid LEFT JOIN s ON s.metric = grid.metric AND s.bucket = grid.bucket""",
 )
 def q_stats_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window+rollup with zero gap-fill via sequence-explode join (A5)."""
     mc = stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=300)
     return stats_ops.gap_fill(mc, rollup_sec=300)
 
@@ -211,6 +216,7 @@ SELECT bucket,
 FROM s GROUP BY bucket""",
 )
 def q_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-metric overlay: regular vs error series pivoted by bucket."""
     mc = stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=300)
     return stats_ops.pivot_dual_series(mc)
 
@@ -236,6 +242,7 @@ def q_stats_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT min(cnt)::BIGINT AS min_cnt, max(cnt)::BIGINT AS max_cnt FROM s""",
 )
 def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max scan for chart y-scaling (A6)."""
     mc = stats_ops.metric_counts(logs_view(spark, sf_dir), rollup_sec=60)
     return stats_ops.minmax_scale(mc)
 
@@ -253,6 +260,7 @@ WHERE contains(_raw, 'error')
 ORDER BY ts_epoch DESC, event_id DESC LIMIT 100""",
 )
 def q_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tail last-N: TakeOrderedAndProject, re-sorted ascending (O3)."""
     logs = logs_view(spark, sf_dir).where(F.col("_raw").contains("error"))
     return tail_last_n(logs.select("_raw", "ts_epoch", "event_id"), 100)
 
@@ -287,6 +295,7 @@ SELECT event_id, regexp_extract(_raw, '{ISO8601_RE}', 0) AS event_ts_str
 FROM logs""",
 )
 def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 event-time extraction with sub-ms strip (F1)."""
     logs = logs_view(spark, sf_dir)
     return logs.select(
         "event_id",
@@ -338,6 +347,7 @@ SELECT event_type, {is_likely_error_sql('_raw')} AS is_err,
 FROM logs GROUP BY 1, 2""",
 )
 def q_classifier_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25-keyword error labeler as a column expression (F7)."""
     logs = logs_view(spark, sf_dir)
     return (
         logs.select(
@@ -367,6 +377,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
 )
 def q_search_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pricing summary over lineitem."""
     li = load_table(spark, "lineitem", sf_dir)
     dec = "decimal(25,6)"
     return (
@@ -396,6 +407,7 @@ WHERE o.o_orderstatus <> 'F'
 GROUP BY r.r_name""",
 )
 def q_search_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by region through broadcast dims."""
     o = load_table(spark, "orders", sf_dir)
     c = load_table(spark, "customer", sf_dir)
     n = load_table(spark, "nation", sf_dir)
@@ -529,6 +541,7 @@ SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keeper_id,
 FROM docs_planted GROUP BY md5(text)""",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5(text) with keeper selection."""
     return dedup_ops.exact_duplicates(_docs_with_dupes(spark, sf_dir))
 
 
@@ -541,6 +554,7 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (band-bucket join)."""
     return dedup_ops.lsh_candidate_pairs(
         _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
     )
@@ -587,6 +601,7 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter_cnt * 5 >= (sa.sz + sb.sz - inter_cnt) * 1""",
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs over an inverted shingle index."""
     return dedup_ops.ngram_jaccard_pairs(
         _docs_with_dupes(spark, sf_dir), n=3, threshold_num=1, threshold_den=5
     )
@@ -611,11 +626,13 @@ def q_dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_fingerprints", dedup_ops.SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document."""
     return dedup_ops.simhash(load_table(spark, "documents", sf_dir))
 
 
 @register("simhash_near_pairs", dedup_ops.simhash_pairs_oracle(6))
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via fingerprint-prefix bucketing."""
     return dedup_ops.simhash_near_pairs(
         load_table(spark, "documents", sf_dir), max_hamming=6
     )
@@ -632,6 +649,7 @@ def q_simhash_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding_cosine", dedup_ops.embedding_near_dups_oracle(4, 3, 10))
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold."""
     return dedup_ops.embedding_near_dups(
         load_table(spark, "embeddings", sf_dir),
         bits=4,
@@ -688,6 +706,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("emb_cosine_topk", sim_ops.cosine_topk_oracle(10, 10))
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the ANN correctness baseline."""
     return sim_ops.cosine_topk(
         load_table(spark, "embeddings", sf_dir), num_queries=10, k=10
     )
@@ -695,6 +714,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("emb_lsh_near_pairs", sim_ops.lsh_near_pairs_oracle(8, 4, 10))
 def q_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-neighbor pairs (the ANN scale path)."""
     return sim_ops.lsh_near_pairs(
         load_table(spark, "embeddings", sf_dir),
         bits=8,
@@ -705,6 +725,7 @@ def q_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("emb_ivf_topk", sim_ops.ivf_topk_oracle(8, 2, 10, 10))
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search: nearest-centroid lists only."""
     return sim_ops.ivf_topk(
         load_table(spark, "embeddings", sf_dir),
         n_centroids=8,
@@ -721,21 +742,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_token_count", text_ops.TOKEN_COUNT_ORACLE)
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token + char counts per document."""
     return text_ops.token_count(load_table(spark, "documents", sf_dir))
 
 
 @register("text_bpe_token_count", text_ops.BPE_TOKEN_COUNT_ORACLE)
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenizer counts per document."""
     return text_ops.bpe_token_count(load_table(spark, "documents", sf_dir))
 
 
 @register("text_quality_score", text_ops.quality_score_oracle())
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punctuation/stopword quality signals per document."""
     return text_ops.quality_score(load_table(spark, "documents", sf_dir))
 
 
 @register("text_lang_id", text_ops.lang_id_oracle(1, 20))
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language gate (en vs other)."""
     return text_ops.lang_id(
         load_table(spark, "documents", sf_dir), threshold_num=1, threshold_den=20
     )
@@ -753,6 +778,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_fingerprint", text_ops.fingerprint_oracle(3))
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (n-gram min-hash family)."""
     return text_ops.fingerprint(load_table(spark, "documents", sf_dir), n=3)
 
 
@@ -782,12 +808,14 @@ def q_mm_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_features")  # rows-only: float feature vectors
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas feature extraction over binary media (decode stubbed)."""
     media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
     return mm_ops.extract_features(media)
 
 
 @register("multimodal_frame_sample")  # rows-only: per-frame decode plan
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plan over video-typed binary rows."""
     media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
     return mm_ops.frame_sample(media, every_ms=500)
 
@@ -866,6 +894,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM events GROUP BY event_type""",
 )
 def q_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation over events.props."""
     ev = load_table(spark, "events", sf_dir)
     return ev.groupBy("event_type").agg(
         F.sum(F.expr(_JSON_K)).cast("long").alias("sum_k"),
@@ -888,6 +917,7 @@ _TOPK3_ORACLE = """SELECT event_type, event_id, value FROM (
     _TOPK3_ORACLE,
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (few-group variant)."""
     ev = load_table(spark, "events", sf_dir)
     w = (
         Window.partitionBy("event_type")
