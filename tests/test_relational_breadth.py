@@ -354,3 +354,25 @@ def test_returned_revenue_top20(spark, sf_dir):
     revs = [r.revenue for r in out]
     assert revs == sorted(revs, reverse=True)
     assert all(r.revenue > 0 for r in out)
+
+
+def test_concurrent_query_submission(spark, sf_dir):
+    """Four different operator families submitted concurrently from four
+    driver threads against one session — the multi-user pattern a shared
+    engine serves; all must return correct, independent results."""
+    import concurrent.futures as cf
+
+    names = [
+        "search_pricing_summary",
+        "text_token_count",
+        "stats_rollup_minutely",
+        "distinct_users_per_type",
+    ]
+    expected = {n: registry.QUERIES[n](spark, sf_dir).count() for n in names}
+
+    def run(n):
+        return n, registry.QUERIES[n](spark, sf_dir).count()
+
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        got = dict(ex.map(run, names))
+    assert got == expected
