@@ -376,3 +376,17 @@ def test_explain_command(engine):
     n0 = len(engine.session["history"])
     engine.execute("explain search SELECT 1 AS one")
     assert len(engine.session["history"]) == n0 + 1
+
+
+def test_reference_e2e_pipeline_verbatim(engine):
+    """The reference's own e2e smoke (cli/resources/tests/grep_sql.sh)
+    runs verbatim through the engine grammar."""
+    engine.execute("create filter errors as 'error'")
+    df = engine.execute(
+        "cat errors | grep -v 404 | grep -i checkout | grep -e \"(100|200)\""
+        " | grep -v -i -e '404'"
+    )
+    # the synthesized corpus has no 'checkout' lines; the pipeline must
+    # still plan and execute cleanly to an empty result
+    assert df.columns == ["_raw"]
+    assert df.count() == 0
