@@ -75,6 +75,39 @@ class CloudPelicanEngine:
 
     # -- command dispatcher (cloudpelican-lsd.go:200-303) --------------------
 
+    def _routes_to_query(self, command: str) -> bool:
+        """True iff :meth:`execute` would dispatch ``command`` to a
+        DataFrame-producing handler.  Mirrors the dispatcher's branch
+        PRECEDENCE exactly: the bare-pipe → ``cat`` fallback is reachable
+        only when no earlier (possibly side-effecting) branch matches
+        first, so ``create filter f as 'err|warn'`` is NOT a query even
+        though it contains a pipe."""
+        cmd = command.strip()
+        low = cmd.lower()
+        if low == "show filters":
+            return True
+        if low in ("help", "ping", "history", "clearhistory", "save", "clearsession"):
+            return False
+        if low.startswith(
+            (
+                "auth ",
+                "connect ",
+                "history ",
+                "configure supervisor ",
+                "describe filter ",
+                "drop filter ",
+                "explain ",
+            )
+        ):
+            return False
+        if _CREATE_RE.match(cmd):
+            return False
+        if _SELECT_RE.match(cmd):
+            return True
+        if low.startswith(("tail ", "stats ", "search ", "cat ")):
+            return True
+        return "|" in cmd  # dispatcher's last resort: bare pipeline → cat()
+
     def execute(self, command: str):
         cmd = command.strip()
         low = cmd.lower()
@@ -168,16 +201,18 @@ class CloudPelicanEngine:
             # command prefixed with `explain` returns Catalyst's formatted
             # physical plan instead of rows.  The whitelist is checked
             # BEFORE dispatching so a side-effecting command (drop filter,
-            # clearsession, ...) is rejected without being executed.
+            # clearsession, ...) is rejected without being executed —
+            # including commands whose ARGUMENTS contain a pipe (regex
+            # alternation is the normal case: `create filter f as
+            # 'err|warn'` must not slip through via the bare-pipe branch,
+            # which only fires when the dispatcher itself would route the
+            # text to cat()).
             inner_cmd = cmd[len("explain "):].strip()
-            inner_low = inner_cmd.lower()
-            if not (
-                inner_low.startswith(("select ", "tail ", "stats ", "search ", "cat "))
-                or inner_low == "show filters"
-                or "|" in inner_cmd
-            ):
+            if not self._routes_to_query(inner_cmd):
                 raise ValueError("explain: command does not produce a query")
             inner = self.execute(inner_cmd)
+            if not isinstance(inner, DataFrame):
+                raise ValueError("explain: command does not produce a query")
             # the recursive execute() recorded the inner command; one user
             # keystroke = one history entry
             if self.session["history"] and self.session["history"][-1] == inner_cmd:
@@ -478,10 +513,11 @@ def slack_command(engine: CloudPelicanEngine, text: str, max_bytes: int = 12 * 1
         if text.strip().lower().startswith("stats "):
             from cloudpelican_lsd_spark.chart import chart_from_df
 
-            # full stats grammar (window/rollup/metric flags), not just
-            # the filter name — same parse as the CLI path
-            name, window, rollup, metric = engine._parse_stats_args(text.strip())
-            body = chart_from_df(engine.stats(name, window, rollup, metric))
+            # ONE dispatch path: the full stats grammar goes through
+            # execute() like every other Slack command, so the invocation
+            # lands in session history and inherits any dispatcher-level
+            # checks; only the rendering differs (ASCII chart, not TSV)
+            body = chart_from_df(engine.execute(text.strip()))
         else:
             out = engine.execute(text)
             if isinstance(out, DataFrame):

@@ -28,19 +28,33 @@ md5 hex strings is the "random permutation" of classic MinHash.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ahead of heavy per-row compute.
+    """Round-robin repartition ahead of heavy per-row compute — GATED.
 
     Small inputs (one parquet file) give Spark one partition, serializing
-    CPU-bound per-row hashing onto one core; at 100 TB the scan has
-    thousands of splits and this is a (cheap) no-op-in-spirit.  The data
-    shuffled is the raw rows — tiny relative to the hash work saved.
+    CPU-bound per-row hashing onto one core.  At 100 TB the scan already
+    has thousands of splits, so the repartition is skipped entirely: it
+    is a no-op (returns ``df`` unchanged, no Exchange in the plan) when
+    the input plan already carries >= ``defaultParallelism`` partitions,
+    and can be forced off with ``CPL_SPREAD=off`` (e.g. when an upstream
+    stage guarantees the layout).  Shuffling the full raw corpus
+    round-robin before shingling would otherwise be the single largest
+    exchange on the 100 TB read path.
     """
+    if os.environ.get("CPL_SPREAD", "auto").lower() in ("off", "0", "false"):
+        return df
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    # getNumPartitions inspects the physical plan only (no job runs); a
+    # multi-split scan passes through with zero added Exchange
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------

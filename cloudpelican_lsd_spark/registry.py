@@ -2935,11 +2935,15 @@ def q_text_len_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("yc"),
     )
     n = F.count(F.lit(1))
-    sx = F.sum("xt").cast("double")
-    sy = F.sum("yc").cast("double")
-    sxy = F.sum(F.col("xt") * F.col("yc")).cast("double")
-    sxx = F.sum(F.col("xt") * F.col("xt")).cast("double")
-    syy = F.sum(F.col("yc") * F.col("yc")).cast("double")
+    # moment sums accumulate in DECIMAL(38,0) (matching DuckDB's
+    # HUGEINT-exact SUM(BIGINT)): the per-row products are bounded, but at
+    # 100 TB the row-summed squares blow past int64 and ANSI Spark would
+    # throw where the oracle succeeds — same wrap class as q_emb_dim_health
+    sx = F.sum(F.col("xt").cast("decimal(38,0)")).cast("double")
+    sy = F.sum(F.col("yc").cast("decimal(38,0)")).cast("double")
+    sxy = F.sum((F.col("xt") * F.col("yc")).cast("decimal(38,0)")).cast("double")
+    sxx = F.sum((F.col("xt") * F.col("xt")).cast("decimal(38,0)")).cast("double")
+    syy = F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)")).cast("double")
     return x.agg(
         n.alias("n"),
         F.round(

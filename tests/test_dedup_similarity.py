@@ -331,3 +331,31 @@ def test_text_len_correlation_bounds(spark, sf_dir):
     r = registry.QUERIES["text_len_correlation"](spark, sf_dir).collect()[0]
     # token count and char count must be strongly positively correlated
     assert 0.8 < r.pearson_r <= 1.0
+
+
+def test_spread_is_gated(spark, sf_dir):
+    """SCALING.md contract: `_spread` adds NO Exchange when the input is
+    already wide enough (the multi-split-scan case at 100 TB), and
+    CPL_SPREAD=off disables it entirely."""
+    import os
+
+    d = _docs(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    # pre-partitioned input (>= defaultParallelism): must pass through
+    # IDENTICALLY — same plan object, no round-robin Exchange appended
+    wide = d.repartition(target)
+    out = dedup_ops._spread(wide)
+    assert out is wide
+    # narrow input: spread does repartition (the local single-file case)
+    narrow = d.coalesce(1)
+    out2 = dedup_ops._spread(narrow)
+    assert out2 is not narrow
+    assert "RoundRobinPartitioning" in out2._jdf.queryExecution().logical().toString() or (
+        out2.rdd.getNumPartitions() == target
+    )
+    # config kill-switch
+    os.environ["CPL_SPREAD"] = "off"
+    try:
+        assert dedup_ops._spread(narrow) is narrow
+    finally:
+        del os.environ["CPL_SPREAD"]

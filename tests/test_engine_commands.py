@@ -378,6 +378,24 @@ def test_explain_command(engine):
     assert len(engine.session["history"]) == n0 + 1
 
 
+def test_explain_rejects_piped_side_effects(engine):
+    """A pipe inside a side-effecting command's ARGUMENTS must not smuggle
+    it past the explain whitelist (regex alternation is the normal case):
+    the command is rejected with ValueError and never executed."""
+    with pytest.raises(ValueError, match="does not produce a query"):
+        engine.execute("explain create filter sneaky as 'err|warn'")
+    assert not any(f.name == "sneaky" for f in engine.catalog.list(include_temp=True))
+    cfg0 = dict(engine.session["config"])
+    with pytest.raises(ValueError, match="does not produce a query"):
+        engine.execute("explain configure supervisor k=a|b")
+    assert engine.session["config"] == cfg0
+    # a bare pipeline (no `cat ` prefix) is still explainable — that is
+    # the dispatcher branch the pipe shorthand exists for
+    engine.execute("create filter expp as 'error'")
+    plan = engine.execute("explain expp | grep -v 404 | limit 5")
+    assert "Scan parquet" in plan
+
+
 def test_reference_e2e_pipeline_verbatim(engine):
     """The reference's own e2e smoke (cli/resources/tests/grep_sql.sh)
     runs verbatim through the engine grammar."""
