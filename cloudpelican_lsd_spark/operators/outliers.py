@@ -307,3 +307,202 @@ def event_series(logs: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational analyzer twins (oracle-checkable, integer-exact)
+#
+# Three of the reference's analyzers (OutlierDetectionBolt.java:123-182 via
+# nl.us2.timeseriesoutlierdetection) have SQL-expressible math: MovingAverage,
+# NormalDistribution (z-score), SimpleRegression.  These builders recompute
+# the SAME decision the numpy analyzers make — same series prep (drop newest
+# observed bucket, 24h lookback, zero gap-fill, >=10 points) — but as pure
+# DataFrame algebra with CROSS-MULTIPLIED INTEGER comparisons, so the flag is
+# bit-reproducible in DuckDB and hash-gateable (floats never enter the
+# predicate; products accumulate in DECIMAL(38,0) = DuckDB HUGEINT).
+# Consistency with the numpy path is pinned in tests.
+# ---------------------------------------------------------------------------
+
+
+def analyzer_grid(
+    series: DataFrame,
+    bucket_sec: int = BUCKET_SEC,
+    lookback: int = LOOKBACK_SEC,
+    min_points: int = MIN_POINTS,
+) -> DataFrame:
+    """Relational twin of detect_outliers' per-series prep: drop the newest
+    (still-filling) observed bucket, trim to the lookback ending at the new
+    ceiling, zero gap-fill the 5-min grid, and keep series with >= 
+    min_points+1 grid slots.  Returns (series_key, start, ceiling, bucket,
+    cnt); the target row is bucket == ceiling.
+
+    Every join here is keyed and broadcast: the per-series bound relations
+    have one row per series, so at 100 TB the heavy input is reduced ONCE
+    by the (series, bucket) count agg and everything after is
+    series-cardinality work."""
+    mx = series.groupBy("series_key").agg(F.max("bucket").alias("maxb"))
+    obs = series.join(F.broadcast(mx), "series_key").where(
+        F.col("bucket") < F.col("maxb")
+    )
+    bnd = obs.groupBy("series_key").agg(F.max("bucket").alias("ceiling"))
+    obs2 = obs.join(F.broadcast(bnd), "series_key").where(
+        F.col("bucket") >= F.col("ceiling") - F.lit(lookback)
+    )
+    span = obs2.groupBy("series_key", "ceiling").agg(F.min("bucket").alias("start"))
+    grid = span.select(
+        "series_key",
+        "start",
+        "ceiling",
+        F.explode(F.expr(f"sequence(start, ceiling, {int(bucket_sec)})")).alias(
+            "bucket"
+        ),
+    )
+    filled = grid.join(
+        obs2.select("series_key", "bucket", "cnt"), ["series_key", "bucket"], "left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
+    ok = (
+        filled.groupBy("series_key")
+        .agg(F.count(F.lit(1)).alias("n_grid"))
+        .where(F.col("n_grid") >= min_points + 1)
+        .select("series_key")
+    )
+    return filled.join(F.broadcast(ok), "series_key")
+
+
+def _target(filled: DataFrame) -> DataFrame:
+    return filled.where(F.col("bucket") == F.col("ceiling")).select(
+        "series_key", "bucket", F.col("cnt").alias("actual")
+    )
+
+
+def moving_average_check(filled: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
+    """MovingAverage analyzer, exact: expected = mean of the last-hour
+    window (12 buckets), tolerance = 3 * mean(|consecutive diff|); flag via
+    |actual*n12 - sum12| * (n12-1) > 3 * n12 * sum_absdiff — pure BIGINT."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_key").orderBy("bucket")
+    win12 = filled.where(
+        (F.col("bucket") < F.col("ceiling"))
+        & (F.col("bucket") >= F.col("ceiling") - F.lit(12 * bucket_sec))
+    )
+    diffs = win12.withColumn("d", F.col("cnt") - F.lag("cnt").over(w))
+    ma = diffs.groupBy("series_key").agg(
+        F.count(F.lit(1)).alias("n12"),
+        F.sum("cnt").alias("sum12"),
+        F.coalesce(F.sum(F.abs(F.col("d"))), F.lit(0)).cast("long").alias("sum_ad"),
+    )
+    t = _target(filled)
+    return t.join(ma, "series_key").select(
+        "series_key",
+        "bucket",
+        "actual",
+        "n12",
+        "sum12",
+        "sum_ad",
+        F.when(
+            (F.col("n12") == 1) | (F.col("sum_ad") == 0),
+            F.col("actual") * F.col("n12") != F.col("sum12"),
+        )
+        .otherwise(
+            F.abs(F.col("actual") * F.col("n12") - F.col("sum12"))
+            * (F.col("n12") - 1)
+            > 3 * F.col("n12") * F.col("sum_ad")
+        )
+        .alias("is_outlier"),
+    )
+
+
+def zscore_check(filled: DataFrame) -> DataFrame:
+    """NormalDistribution analyzer, exact: |actual - mean| > 3*sd(pop)
+    squared and cross-multiplied — (n*actual - sum)^2 > 9*(n*sumsq - sum^2)
+    in DECIMAL(38,0) (DuckDB HUGEINT)."""
+    d38 = "decimal(38,0)"
+    hist = filled.where(F.col("bucket") < F.col("ceiling"))
+    z = hist.groupBy("series_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sum_cnt"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast(d38)).alias("sxx"),
+    )
+    t = _target(filled)
+    dd = (F.col("n") * F.col("actual") - F.col("sum_cnt")).cast(d38)
+    var9 = 9 * (
+        F.col("n").cast(d38) * F.col("sxx")
+        - F.col("sum_cnt").cast(d38) * F.col("sum_cnt").cast(d38)
+    )
+    return t.join(z, "series_key").select(
+        "series_key",
+        "bucket",
+        "actual",
+        "n",
+        "sum_cnt",
+        F.when(var9 == 0, F.col("n") * F.col("actual") != F.col("sum_cnt"))
+        .otherwise(dd * dd > var9)
+        .alias("is_outlier"),
+    )
+
+
+def regression_check(filled: DataFrame) -> DataFrame:
+    """SimpleRegression analyzer, exact: least-squares line over the
+    gap-filled history (x = bucket index), forecast at x = n, tolerance =
+    3 * std(|residual|).  Everything is cleared of the rational
+    denominator D = n*Sxx - Sx^2, so the flag compares DECIMAL(38,0)
+    integers: n^2*(D*actual - A - B*n)^2 > 9*(n*S2 - S1^2) with
+    S1 = sum|D*r_i|, S2 = sum (D*r_i)^2."""
+    d38 = "decimal(38,0)"
+    hist = filled.where(F.col("bucket") < F.col("ceiling")).withColumn(
+        "x", ((F.col("bucket") - F.col("start")) / F.lit(BUCKET_SEC)).cast("long")
+    )
+    g1 = hist.groupBy("series_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cnt").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("cnt")).cast(d38)).alias("sxy"),
+    )
+    n = F.col("n").cast(d38)
+    sx = (F.col("n") * (F.col("n") - 1) / 2).cast(d38)
+    sxx = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") - 1) / 6).cast(d38)
+    co = g1.select(
+        "series_key",
+        "n",
+        (n * sxx - sx * sx).alias("dd"),
+        (F.col("sy") * sxx - sx * F.col("sxy")).alias("aa"),
+        (n * F.col("sxy") - sx * F.col("sy")).alias("bb"),
+    )
+    r = hist.join(F.broadcast(co), "series_key").withColumn(
+        "dr",
+        F.col("dd") * F.col("cnt").cast(d38)
+        - (F.col("aa") + F.col("bb") * F.col("x").cast(d38)),
+    )
+    g2 = r.groupBy("series_key").agg(
+        F.sum(F.abs(F.col("dr"))).alias("s1"),
+        F.sum(F.col("dr") * F.col("dr")).alias("s2"),
+    )
+    t = _target(filled)
+    j = (
+        t.join(co, "series_key")
+        .join(g2, "series_key")
+        .withColumn(
+            "delta",
+            F.col("dd") * F.col("actual").cast(d38)
+            - (F.col("aa") + F.col("bb") * F.col("n").cast(d38)),
+        )
+        .withColumn(
+            "sigma2",
+            F.col("n").cast(d38) * F.col("s2") - F.col("s1") * F.col("s1"),
+        )
+    )
+    return j.select(
+        "series_key",
+        "bucket",
+        "actual",
+        "n",
+        F.when(F.col("sigma2") == 0, F.col("delta") != 0)
+        .otherwise(
+            F.col("n").cast(d38)
+            * F.col("n").cast(d38)
+            * F.col("delta")
+            * F.col("delta")
+            > 9 * F.col("sigma2")
+        )
+        .alias("is_outlier"),
+    )

@@ -806,18 +806,68 @@ def q_mm_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: float feature vectors
+from cloudpelican_lsd_spark.multimodal import codecs as mm_codecs  # noqa: E402
+
+#: the synthetic media generator writes value (media_id + i) % 256 at unit
+#: index i, so decoded statistics have the closed form
+#: sum_{i<n} (s+i)%256 = T(s+n) - T(s), T(m) = (m//256)*32640 + r(r-1)/2.
+#: The oracle therefore verifies the REAL parsers (BMP stride/bottom-up,
+#: RIFF chunk walk, FVID seek) without decoding a single byte itself.
+_MM_REAL_CTE = """m AS (
+  SELECT doc_id AS media_id, doc_id % 3 AS kind,
+         CAST(16 + (doc_id % 40) * 4 AS BIGINT) AS w,
+         CAST(16 + (doc_id % 23) * 4 AS BIGINT) AS h,
+         CAST(length(text) * 10 AS BIGINT) AS dur
+  FROM documents
+)"""
+
+
+@register(
+    "multimodal_features",
+    f"""WITH {_MM_REAL_CTE},
+p AS (
+  SELECT media_id,
+         CASE kind WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'fvid' END AS fmt,
+         CASE WHEN kind = 0 THEN w * h ELSE dur END AS n_units,
+         media_id % 256 AS s,
+         CASE WHEN kind = 0 THEN h ELSE dur END AS cnt,
+         CASE WHEN kind = 0 THEN 3 * w ELSE 1 END AS mult
+  FROM m
+)
+SELECT media_id, modality, fmt, CAST(n_units AS BIGINT) AS n_units,
+  CAST(mult * ( ((s+cnt)//256)*32640 + ((s+cnt)%256)*(((s+cnt)%256)-1)//2
+                - s*(s-1)//2 ) AS BIGINT) AS unit_sum,
+  CAST(CASE WHEN cnt = 0 THEN NULL WHEN s + cnt <= 256 THEN s ELSE 0 END AS BIGINT) AS unit_min,
+  CAST(CASE WHEN cnt = 0 THEN NULL WHEN s + cnt <= 256 THEN s + cnt - 1 ELSE 255 END AS BIGINT) AS unit_max
+FROM p""",
+)
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow mapInPandas feature extraction over binary media (decode stubbed)."""
-    media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
-    return mm_ops.extract_features(media)
+    """REAL media decode through Arrow mapInPandas: BMP (stride +
+    bottom-up row order), WAV (RIFF chunk walk), FVID frame stream —
+    gate-checked on integer decode statistics whose closed form the
+    oracle computes from the generator parameters (multimodal/codecs.py).
+    The float feature vector stays API-side (driver-hashable columns
+    only)."""
+    media = mm_codecs.synthesize_real_media(load_table(spark, "documents", sf_dir))
+    return mm_codecs.decode_features(media).select(
+        "media_id", "modality", "fmt", "n_units", "unit_sum", "unit_min", "unit_max"
+    )
 
 
-@register("multimodal_frame_sample")  # rows-only: per-frame decode plan
+@register(
+    "multimodal_frame_sample",
+    f"""WITH {_MM_REAL_CTE}
+SELECT media_id, CAST(f AS BIGINT) AS frame_ms,
+       CAST(CASE WHEN f < dur THEN (media_id + f) % 256 END AS BIGINT) AS frame_val
+FROM m, unnest(generate_series(0, CAST(greatest(dur - 1, 0) AS BIGINT), 500)) AS t(f)
+WHERE kind = 2""",
+)
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling plan over video-typed binary rows."""
-    media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
-    return mm_ops.frame_sample(media, every_ms=500)
+    """Frame sampling by REAL seek into the decoded video stream (offsets
+    from pure column math; only video rows cross the Arrow boundary)."""
+    media = mm_codecs.synthesize_real_media(load_table(spark, "documents", sf_dir))
+    return mm_codecs.frame_sample_real(media, every_ms=500)
 
 
 @register(
@@ -851,12 +901,45 @@ def q_mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize")  # rows-only: stubbed pixel resample
+@register(
+    "multimodal_resize",
+    f"""WITH {_MM_REAL_CTE},
+d AS (
+  SELECT media_id, w, h,
+    CASE WHEN w <= 64 AND h <= 48 THEN w
+         WHEN w * 48 >= h * 64 THEN 64
+         ELSE w * 48 // h END AS new_w,
+    CASE WHEN w <= 64 AND h <= 48 THEN h
+         WHEN w * 48 >= h * 64 THEN h * 64 // w
+         ELSE 48 END AS new_h
+  FROM m WHERE kind = 0
+),
+shr AS (SELECT * FROM d WHERE new_w < w OR new_h < h),
+sums AS (
+  SELECT media_id, SUM((media_id + (y * h // new_h)) % 256) AS rowsum
+  FROM shr, unnest(generate_series(0, new_h - 1)) AS t(y)
+  GROUP BY media_id
+)
+SELECT s.media_id, 'image' AS modality, CAST(s.new_w AS INT) AS width,
+       CAST(s.new_h AS INT) AS height, TRUE AS resized,
+       CAST(3 * s.new_w * su.rowsum AS BIGINT) AS px_sum
+FROM shr s JOIN sums su USING (media_id)
+UNION ALL
+SELECT media_id, 'image', CAST(w AS INT), CAST(h AS INT), FALSE, NULL
+FROM d WHERE NOT (new_w < w OR new_h < h)
+UNION ALL
+SELECT media_id, CASE kind WHEN 1 THEN 'audio' ELSE 'video' END,
+       NULL, NULL, FALSE, NULL
+FROM m WHERE kind <> 0""",
+)
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full resize op: within-bounds rows bypass Python entirely; only
-    shrinking rows ship blobs through the Arrow mapInPandas boundary."""
-    media = mm_ops.synthesize_media(load_table(spark, "documents", sf_dir))
-    return mm_ops.resize(media, max_w=256, max_h=192).drop("content")
+    """REAL image resize: decode BMP → nearest-neighbor resample →
+    re-encode → decode the artifact back for the gate statistic, so the
+    oracle pins the whole round-trip.  Within-bounds images and all
+    audio/video rows bypass Python entirely (their blob never crosses
+    Arrow — px_sum NULL for exactly those rows)."""
+    media = mm_codecs.synthesize_real_media(load_table(spark, "documents", sf_dir))
+    return mm_codecs.resize_real(media, max_w=64, max_h=48).drop("content")
 
 
 # ===========================================================================

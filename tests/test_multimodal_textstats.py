@@ -403,3 +403,71 @@ def test_corpus_yield_monotone(spark, sf_dir):
     # planted exact dupes guarantee the dedup stage actually removed some
     assert row.n_exact_kept < row.n_gated
     assert row.tokens_final > 0
+
+
+# --- real codecs (multimodal/codecs.py) ------------------------------------
+
+
+def test_bmp_codec_is_pixel_true():
+    """decode honors stride padding and bottom-up row order: top-down row
+    y of the synthetic image must read back as (media_id + y) % 256."""
+    from cloudpelican_lsd_spark.multimodal import codecs as C
+    import numpy as np
+
+    b = C.encode_bmp(300, 21, 300)  # odd width -> nonzero stride padding
+    d = C.decode_bmp(b)
+    assert (d["width"], d["height"]) == (21, 300)
+    for y in (0, 1, 44, 299):
+        assert int(d["pixels"][y, 0, 0]) == (300 + y) % 256
+    # wrap past 256 exercises the min/max branches
+    assert d["unit_min"] == 0 and d["unit_max"] == 255
+    if C._HAVE_PIL:  # cross-check the stdlib parser against PIL
+        p = C.decode_bmp_pil(b)
+        assert np.array_equal(p["pixels"], d["pixels"])
+
+
+def test_wav_codec_walks_chunks():
+    """the RIFF parser must walk the chunk list, not assume a 44-byte
+    header: an extra LIST chunk before fmt/data still decodes."""
+    from cloudpelican_lsd_spark.multimodal import codecs as C
+    import struct
+
+    wav = C.encode_wav(5, 7)  # odd data size -> word-alignment pad byte
+    body = wav[12:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = b"RIFF" + struct.pack("<I", 4 + len(extra) + len(body)) + b"WAVE" + extra + body
+    d = C.decode_wav(patched)
+    assert d["n_units"] == 7 and d["sample_rate"] == 1000
+    assert d["unit_sum"] == sum((5 + i) % 256 for i in range(7))
+
+
+def test_codec_rejects_garbage():
+    from cloudpelican_lsd_spark.multimodal import codecs as C
+    import pytest
+
+    for fn in (C.decode_bmp, C.decode_wav, C.decode_fvid):
+        with pytest.raises(ValueError):
+            fn(b"\x00" * 64)
+
+
+def test_resize_real_matches_numpy_reference(spark, sf_dir):
+    """decode->nearest-neighbor->re-encode round-trip equals a direct
+    numpy resample of the decoded pixels, and non-shrinking rows carry
+    NULL px_sum (their blob never entered Python)."""
+    from cloudpelican_lsd_spark.multimodal import codecs as C
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    import numpy as np
+
+    docs = load_table(spark, "documents", sf_dir).limit(60)
+    media = C.synthesize_real_media(docs)
+    out = {r.media_id: r for r in C.resize_real(media, 64, 48).collect()}
+    for r in media.where("modality = 'image'").collect():
+        d = C.decode_bmp(bytes(r.content))
+        got = out[r.media_id]
+        if d["width"] <= 64 and d["height"] <= 48:
+            assert got.resized is False and got.px_sum is None
+            continue
+        ys = (np.arange(got.height) * d["height"]) // got.height
+        xs = (np.arange(got.width) * d["width"]) // got.width
+        ref = d["pixels"][ys][:, xs]
+        assert got.px_sum == int(ref.sum(dtype=np.int64))
