@@ -509,6 +509,130 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_ops.detect_outliers(series, min_score=0.0)
 
 
+#: shared series prep for the SQL-expressible analyzer twins — the same
+#: drop-newest / 24h-lookback / zero-gap-fill / >=10-points pipeline
+#: detect_outliers applies inside applyInPandas (OutlierDetectionBolt
+#: :137-161), as DuckDB CTEs.
+_OUTLIER_GRID_CTE = """series AS (
+  SELECT event_type AS series_key,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 300 AS bucket,
+         COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT series_key, MAX(bucket) AS maxb FROM series GROUP BY 1),
+obs AS (SELECT s.* FROM series s JOIN mx USING (series_key)
+        WHERE s.bucket < mx.maxb),
+bnd AS (SELECT series_key, MAX(bucket) AS ceiling FROM obs GROUP BY 1),
+obs2 AS (SELECT o.*, b.ceiling FROM obs o JOIN bnd b USING (series_key)
+         WHERE o.bucket >= b.ceiling - 86400),
+sp AS (SELECT series_key, ceiling, MIN(bucket) AS start
+       FROM obs2 GROUP BY 1, 2),
+grid AS (SELECT series_key, start, ceiling,
+                unnest(generate_series(start, ceiling, 300)) AS bucket
+         FROM sp),
+filled AS (
+  SELECT g.series_key, g.start, g.ceiling, g.bucket,
+         CAST(COALESCE(o.cnt, 0) AS BIGINT) AS cnt
+  FROM grid g LEFT JOIN obs2 o
+    ON o.series_key = g.series_key AND o.bucket = g.bucket
+),
+ok AS (SELECT series_key FROM filled GROUP BY 1 HAVING COUNT(*) >= 11),
+f2 AS (SELECT f.* FROM filled f JOIN ok USING (series_key)),
+tgt AS (SELECT series_key, bucket, cnt AS actual FROM f2
+        WHERE bucket = ceiling)"""
+
+
+def _analyzer_grid(spark: SparkSession, sf_dir: str):
+    series = outlier_ops.event_series(logs_view(spark, sf_dir))
+    return outlier_ops.analyzer_grid(series)
+
+
+@register(
+    "outlier_moving_avg",
+    f"""WITH {_OUTLIER_GRID_CTE},
+w12 AS (SELECT series_key, bucket, cnt,
+               cnt - lag(cnt) OVER (PARTITION BY series_key ORDER BY bucket) AS d
+        FROM f2 WHERE bucket < ceiling AND bucket >= ceiling - 3600),
+ma AS (SELECT series_key, COUNT(*)::BIGINT AS n12,
+              CAST(SUM(cnt) AS BIGINT) AS sum12,
+              CAST(COALESCE(SUM(ABS(d)), 0) AS BIGINT) AS sum_ad
+       FROM w12 GROUP BY 1)
+SELECT t.series_key, t.bucket, t.actual, m.n12, m.sum12, m.sum_ad,
+       CASE WHEN m.n12 = 1 OR m.sum_ad = 0 THEN t.actual * m.n12 <> m.sum12
+            ELSE ABS(t.actual * m.n12 - m.sum12) * (m.n12 - 1)
+                 > 3 * m.n12 * m.sum_ad END AS is_outlier
+FROM tgt t JOIN ma m USING (series_key)""",
+)
+def q_outlier_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MovingAverage analyzer as exact relational algebra: last-hour mean
+    forecast, 3x mean-|diff| tolerance, decided by cross-multiplied BIGINT
+    comparison (outliers.moving_average_check; numpy-consistency pinned in
+    tests)."""
+    return outlier_ops.moving_average_check(_analyzer_grid(spark, sf_dir))
+
+
+@register(
+    "outlier_zscore",
+    f"""WITH {_OUTLIER_GRID_CTE},
+z AS (SELECT series_key, COUNT(*)::BIGINT AS n,
+             CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+             SUM(CAST(cnt AS HUGEINT) * cnt) AS sxx
+      FROM f2 WHERE bucket < ceiling GROUP BY 1)
+SELECT t.series_key, t.bucket, t.actual, z.n, z.sum_cnt,
+       CASE WHEN z.n * z.sxx - CAST(z.sum_cnt AS HUGEINT) * z.sum_cnt = 0
+            THEN z.n * t.actual <> z.sum_cnt
+            ELSE CAST(z.n * t.actual - z.sum_cnt AS HUGEINT)
+                   * CAST(z.n * t.actual - z.sum_cnt AS HUGEINT)
+                 > 9 * (z.n * z.sxx
+                        - CAST(z.sum_cnt AS HUGEINT) * z.sum_cnt)
+       END AS is_outlier
+FROM tgt t JOIN z USING (series_key)""",
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NormalDistribution (3-sigma) analyzer, exact: squared + cross-
+    multiplied in DECIMAL(38,0)/HUGEINT so no float enters the decision
+    (outliers.zscore_check)."""
+    return outlier_ops.zscore_check(_analyzer_grid(spark, sf_dir))
+
+
+@register(
+    "outlier_regression",
+    f"""WITH {_OUTLIER_GRID_CTE},
+h AS (SELECT series_key, (bucket - start) // 300 AS x, cnt
+      FROM f2 WHERE bucket < ceiling),
+g1 AS (SELECT series_key, COUNT(*)::BIGINT AS n,
+              SUM(CAST(cnt AS HUGEINT)) AS sy,
+              SUM(CAST(x * cnt AS HUGEINT)) AS sxy
+       FROM h GROUP BY 1),
+co AS (SELECT series_key, n,
+              CAST(n AS HUGEINT) * (n*(n-1)*(2*n-1)//6)
+                - CAST(n*(n-1)//2 AS HUGEINT) * (n*(n-1)//2) AS dd,
+              sy * (n*(n-1)*(2*n-1)//6) - CAST(n*(n-1)//2 AS HUGEINT) * sxy AS aa,
+              CAST(n AS HUGEINT) * sxy - CAST(n*(n-1)//2 AS HUGEINT) * sy AS bb
+       FROM g1),
+r AS (SELECT h.series_key,
+             co.dd * h.cnt - (co.aa + co.bb * h.x) AS dr
+      FROM h JOIN co USING (series_key)),
+g2 AS (SELECT series_key, SUM(ABS(dr)) AS s1, SUM(dr * dr) AS s2
+       FROM r GROUP BY 1)
+SELECT t.series_key, t.bucket, t.actual, co.n,
+       CASE WHEN CAST(co.n AS HUGEINT) * g2.s2 - g2.s1 * g2.s1 = 0
+            THEN co.dd * t.actual - (co.aa + co.bb * co.n) <> 0
+            ELSE CAST(co.n AS HUGEINT) * co.n
+                   * (co.dd * t.actual - (co.aa + co.bb * co.n))
+                   * (co.dd * t.actual - (co.aa + co.bb * co.n))
+                 > 9 * (CAST(co.n AS HUGEINT) * g2.s2 - g2.s1 * g2.s1)
+       END AS is_outlier
+FROM tgt t JOIN co USING (series_key) JOIN g2 USING (series_key)""",
+)
+def q_outlier_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleRegression analyzer, exact: least-squares forecast at x=n with
+    3x std(|residual|) tolerance, denominator-cleared to DECIMAL(38,0)
+    integer comparisons (outliers.regression_check)."""
+    return outlier_ops.regression_check(_analyzer_grid(spark, sf_dir))
+
+
 # ===========================================================================
 # north-star: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
 # ===========================================================================

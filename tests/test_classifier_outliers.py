@@ -143,3 +143,42 @@ def test_classifier_null_raw_counts_toward_priors(spark):
     # crash and must not distort the labeled counts of real messages
     total = sum(r.cnt for r in rows)
     assert total == 2
+
+
+def test_relational_analyzer_twins_match_numpy(spark, sf_dir):
+    """The SQL-expressible analyzer twins (moving-average, z-score,
+    simple-regression) must reach the SAME outlier decision as the numpy
+    analyzers they mirror, on the same gap-filled series."""
+    import numpy as np
+
+    from cloudpelican_lsd_spark.operators import outliers as O
+    from cloudpelican_lsd_spark.sources.tables import logs_view
+
+    grid = O.analyzer_grid(O.event_series(logs_view(spark, sf_dir)))
+    rows = grid.orderBy("series_key", "bucket").collect()
+    by_series: dict = {}
+    for r in rows:
+        by_series.setdefault(r.series_key, []).append((r.bucket, r.cnt))
+
+    rel = {
+        name: {r.series_key: r for r in fn(grid).collect()}
+        for name, fn in (
+            ("ma", O.moving_average_check),
+            ("z", O.zscore_check),
+            ("reg", O.regression_check),
+        )
+    }
+    assert set(rel["ma"]) == set(by_series) and len(by_series) >= 2
+    for sk, pts in by_series.items():
+        counts = np.array([c for _, c in pts], dtype=float)
+        hist, target = counts[:-1], float(counts[-1])
+
+        def numpy_flag(expected, tol):
+            return abs(target - expected) > max(tol, 1e-9)
+
+        assert rel["ma"][sk].is_outlier == numpy_flag(*O._moving_average(hist))
+        assert rel["z"][sk].is_outlier == numpy_flag(*O._normal_dist(hist))
+        assert rel["reg"][sk].is_outlier == numpy_flag(*O._simple_regression(hist))
+        # and the relational target row is the grid's newest bucket
+        assert rel["ma"][sk].bucket == pts[-1][0]
+        assert rel["ma"][sk].actual == pts[-1][1]
