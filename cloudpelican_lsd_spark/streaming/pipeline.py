@@ -43,6 +43,36 @@ from cloudpelican_lsd_spark.operators.stats import bucket_col, METRIC_MATCH, MET
 from cloudpelican_lsd_spark.functions.parse import is_likely_error
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 18000,
+) -> dict[str, str]:
+    """The exact reader options the reference spout pins (Main.java:97-103):
+    subscribe-by-topic, EarliestTime start offset, and the backpressure
+    bound — the reference caps in-flight tuples at maxSpoutPending =
+    6x1000xpartitions = 18,000 (Main.java:102,164); Spark's equivalent
+    caps rows per micro-batch.  Exposed as a dict so the contract test
+    can pin every option without a broker."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_wire_projection(records: DataFrame) -> DataFrame:
+    """Kafka wire record -> raw line: CAST(value AS STRING), the
+    StringScheme of the reference spout (Main.java:100).  Factored out so
+    the fake-wire injection test runs the IDENTICAL projection the live
+    kafka reader uses."""
+    return records.selectExpr("CAST(value AS STRING) AS _raw")
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -51,20 +81,13 @@ def kafka_source(
     max_offsets_per_trigger: int | None = 18000,
 ) -> DataFrame:
     """Production source — consume raw lines from Kafka starting at the
-    earliest offset like the reference spout (Main.java:97-103).
-
-    `max_offsets_per_trigger` is the backpressure bound: the reference
-    caps in-flight tuples at maxSpoutPending = 6x1000xpartitions = 18,000
-    (Main.java:102,164); Spark's equivalent caps rows per micro-batch."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    earliest offset like the reference spout (Main.java:97-103)."""
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(
+            bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+        )
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load().selectExpr("CAST(value AS STRING) AS _raw")
+    return kafka_wire_projection(reader.load())
 
 
 def file_source(spark: SparkSession, path: str) -> DataFrame:

@@ -538,3 +538,73 @@ def test_windowed_distinct_stream_tracks_exact_at_low_cardinality(spark, tmp_pat
     }
     base = 1706778000  # 2024-02-01T09:00:00Z
     assert got == {base: 4, base + 60: 8, base + 120: 12}
+
+
+def test_kafka_reader_contract(spark):
+    """Pin every reader option the reference spout sets (Main.java:97-103)
+    without needing a broker: the options dict is exact, and building the
+    source either yields a streaming DF with the _raw projection (kafka
+    connector on the classpath) or fails with Spark's data-source lookup
+    error — never a silent misconfiguration."""
+    opts = sp.kafka_reader_options("kafka1:9092,kafka2:9092", "logs")
+    assert opts == {
+        "kafka.bootstrap.servers": "kafka1:9092,kafka2:9092",
+        "subscribe": "logs",
+        "startingOffsets": "earliest",  # OffsetRequest.EarliestTime()
+        "maxOffsetsPerTrigger": "18000",  # maxSpoutPending 6*1000*3
+    }
+    assert "maxOffsetsPerTrigger" not in sp.kafka_reader_options(
+        "b:9092", "t", max_offsets_per_trigger=None
+    )
+    try:
+        df = sp.kafka_source(spark, "kafka1:9092", "logs")
+    except Exception as ex:  # no kafka connector jar in this container
+        assert "kafka" in str(ex).lower() and (
+            "source" in str(ex).lower() or "find" in str(ex).lower()
+        ), f"unexpected failure mode: {ex}"
+    else:  # connector present: full streaming contract
+        assert df.isStreaming
+        assert df.columns == ["_raw"]
+        assert dict(df.dtypes)["_raw"] == "string"
+
+
+def test_kafka_wire_injection_through_pipeline(spark, tmp_path):
+    """Fake-wire e2e: records with the EXACT Kafka source schema (binary
+    key/value, topic/partition/offset/timestamp) run through the identical
+    value projection, then parse_stream -> fanout -> process_batch, and
+    land in the results/stats tables."""
+    import datetime
+
+    base = str(tmp_path / "kwire")
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, base)
+
+    lines = [
+        f"2024-02-01T10:00:{i:02d}.000+00:00 h app: error n={i}" for i in range(6)
+    ] + ["2024-02-01T10:01:00.000+00:00 h app: ok n=6"]
+    wire = spark.createDataFrame(
+        [
+            (
+                None,
+                line.encode(),
+                "logs",
+                i % 3,
+                i,
+                datetime.datetime(2024, 2, 1, 10, 0, i),
+                0,
+            )
+            for i, line in enumerate(lines)
+        ],
+        "key BINARY, value BINARY, topic STRING, partition INT, offset LONG, "
+        "timestamp TIMESTAMP, timestampType INT",
+    )
+    raw = sp.kafka_wire_projection(wire)
+    assert raw.columns == ["_raw"]
+    eng.process_batch(sp.parse_stream(raw), epoch_id=0)
+    res = eng.results().collect()
+    errors_id = cat.get("errors").id
+    assert len(res) == 6 and all(r.filter_id == errors_id for r in res)
+    assert all("error" in r._raw for r in res)
+    st = {(r.metric, r.bucket): r.cnt for r in eng.stats().collect()}
+    assert sum(c for (m, _), c in st.items() if m == 1) == 6
