@@ -131,6 +131,38 @@ def run_one(spark, name: str, sf_dir: str) -> float:
     return min(times[1:])
 
 
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+
+
+def _compare_with_last(sf: float, timings: dict[str, float]) -> None:
+    """Round-over-round tracking: diff against the newest prior history
+    entry at the same sf and flag per-query regressions on STDERR (stdout
+    stays the one-JSON-line driver contract).  >=1.5x AND >=0.3s absolute
+    — single-JVM noise sits well under both bounds (see BENCH notes)."""
+    try:
+        with open(HISTORY_PATH) as fh:
+            prior = [json.loads(line) for line in fh if line.strip()]
+    except FileNotFoundError:
+        return
+    prior = [p for p in prior if p.get("sf") == sf]
+    if not prior:
+        return
+    last = prior[-1]["queries"]
+    regressed = {
+        n: (last[n], t)
+        for n, t in timings.items()
+        if n in last and t > 1.5 * last[n] and t - last[n] > 0.3
+    }
+    improved = sum(1 for n, t in timings.items() if n in last and t < last[n])
+    print(
+        f"bench history: {len(last)} prior timings at sf={sf}; "
+        f"{improved} faster, {len(regressed)} regressed (>=1.5x & >=0.3s)",
+        file=sys.stderr,
+    )
+    for n, (old, new) in sorted(regressed.items(), key=lambda kv: -kv[1][1]):
+        print(f"  REGRESSED {n}: {old:.3f}s -> {new:.3f}s", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -145,6 +177,25 @@ def main() -> None:
     for name in names:
         timings[name] = round(run_one(spark, name, sf_dir), 4)
     total = round(sum(timings.values()), 4)
+    # every registered query beyond the headline set ("no regressions" is
+    # provable only if the whole surface is measured every round)
+    extras: dict[str, float] = {}
+    for name in registry.QUERIES:
+        if name not in timings:
+            extras[name] = round(run_one(spark, name, sf_dir), 4)
+    _compare_with_last(sf, {**timings, **extras})
+    with open(HISTORY_PATH, "a") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "ts": int(time.time()),
+                    "sf": sf,
+                    "value": total,
+                    "queries": {**timings, **extras},
+                }
+            )
+            + "\n"
+        )
     print(
         json.dumps(
             {
@@ -152,6 +203,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extras,
                 "sf": sf,
             }
         )

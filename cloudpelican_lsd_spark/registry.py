@@ -3159,3 +3159,160 @@ def q_text_len_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pearson_r"),
     )
+
+
+# ===========================================================================
+# Driver evaluation order
+#
+# The round driver hash-gates the FIRST 50 registry entries (insertion
+# order).  Round 1 consumed entries in definition order, leaving the whole
+# search_*/join/setops/window/text-analytics breadth unchecked, so the
+# registry is re-keyed here into an explicit priority order:
+#   slots 1-50:  one representative per operator family that was green in
+#                round 1, plus every highest-value query that had NO
+#                correctness row yet (TPC-H-shape search_*, asof/range
+#                joins, sessionize/funnel/retention, window family, set
+#                ops, text/corpus analytics, the new analyzer twins and
+#                the re-oracled real-decode multimodal queries);
+#   slots 51+:   remaining previously-unchecked queries first (benefits
+#                immediately if the driver ever widens its window), then
+#                round-1-green variants, rows-only entries last.
+# The reorder test asserts DRIVER_ORDER and the registry stay in lockstep.
+# ===========================================================================
+
+DRIVER_ORDER = [
+    # -- family representatives + new/changed oracles (slots 1-50) ---------
+    "grep_pipeline",
+    "filter_fanout_counts",
+    "show_filters",
+    "select_where_limit",
+    "stats_rollup_minutely",
+    "stats_gapfill",
+    "tail_last_n",
+    "parse_normalize",
+    "naive_bayes_confusion",
+    "search_pricing_summary",
+    "search_order_priority",
+    "search_stalled_orders",
+    "search_promo_revenue",
+    "search_supplier_rank",
+    "search_small_qty_revenue",
+    "search_disjunctive_revenue",
+    "search_custdist",
+    "search_returned_revenue",
+    "events_asof_attribution",
+    "events_range_join",
+    "events_sessionize",
+    "events_funnel_daily",
+    "events_retention_cohorts",
+    "events_user_top3",
+    "events_rolling_wau",
+    "events_first_last_touch",
+    "events_value_percentiles",
+    "topk_per_group",
+    "distinct_users_per_type",
+    "user_day_setops",
+    "outlier_moving_avg",
+    "outlier_zscore",
+    "outlier_regression",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "corpus_clean_pipeline",
+    "corpus_split_neardup_leakage",
+    "emb_cosine_topk",
+    "text_quality_score",
+    "text_tfidf_topk",
+    "text_bigram_topk",
+    "text_unigram_logprob",
+    "logs_pii_redact",
+    "logs_template_mining",
+    "parse_sniff_types",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "json_props_extract",
+    # -- previously-unchecked remainder (slots 51+) ------------------------
+    "events_cube_day_type",
+    "events_grouping_sets",
+    "events_rollup_day_type",
+    "events_stratified_sample",
+    "events_transition_matrix",
+    "events_burst_windows",
+    "topk_per_group_salted",
+    "stats_moving_zscore",
+    "stats_rate_of_change",
+    "user_day_setops_all",
+    "corpus_split_assign",
+    "corpus_lang_drift",
+    "corpus_pack_sequences",
+    "corpus_source_mixture",
+    "corpus_token_budget_sample",
+    "corpus_shingle_contamination",
+    "corpus_clean_yield",
+    "emb_centroid_per_label",
+    "emb_ivf_recall",
+    "emb_kmeans_assign",
+    "emb_kmeans_step_shift",
+    "emb_quantize_audit",
+    "emb_rank_fusion",
+    "emb_dim_health",
+    "dedup_cluster_keepers",
+    "dedup_minhash_est_vs_true",
+    "dedup_pair_edit_distance",
+    "text_repetition_ratio",
+    "text_length_quartiles",
+    "text_length_histogram",
+    "text_len_correlation",
+    # -- round-1-green variants --------------------------------------------
+    "search_region_revenue",
+    "search_shipping_priority",
+    "grep_word",
+    "grep_invert_icase",
+    "grep_regex",
+    "grep_icase_regex",
+    "stats_window_rollup",
+    "stats_pivot_dual",
+    "stats_chart_series",
+    "stats_minmax",
+    "cursor_read",
+    "parse_extract_ts",
+    "classifier_heuristic",
+    "dedup_clusters",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_jaccard_df_pruned",
+    "simhash_fingerprints",
+    "simhash_pairs_complete",
+    "dedup_embedding_cosine",
+    "emb_lsh_near_pairs",
+    "emb_ivf_topk",
+    "text_token_count",
+    "text_bpe_token_count",
+    "text_lang_id",
+    "text_cdc_chunks",
+    "text_fingerprint",
+    "multimodal_content_hash",
+    "multimodal_resize_dims",
+    "json_props_agg",
+    # -- rows-only (no oracle by design) -----------------------------------
+    "outlier_consensus",
+    "distinct_users_sketch",
+]
+
+
+def _apply_driver_order() -> None:
+    missing = set(QUERIES) - set(DRIVER_ORDER)
+    extra = set(DRIVER_ORDER) - set(QUERIES)
+    if missing or extra:
+        raise AssertionError(
+            f"DRIVER_ORDER out of sync: missing={sorted(missing)} extra={sorted(extra)}"
+        )
+    q = {n: QUERIES[n] for n in DRIVER_ORDER}
+    QUERIES.clear()
+    QUERIES.update(q)
+    o = {n: ORACLES[n] for n in DRIVER_ORDER if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(o)
+
+
+_apply_driver_order()

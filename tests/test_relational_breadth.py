@@ -376,3 +376,27 @@ def test_concurrent_query_submission(spark, sf_dir):
     with cf.ThreadPoolExecutor(max_workers=4) as ex:
         got = dict(ex.map(run, names))
     assert got == expected
+
+
+def test_driver_order_lockstep():
+    """DRIVER_ORDER and the registry must stay in lockstep, the driver's
+    50-entry correctness window must be fully oracle-gated and cover one
+    representative of every operator family."""
+    from cloudpelican_lsd_spark import registry
+
+    names = list(registry.QUERIES)
+    assert names == registry.DRIVER_ORDER
+    first50 = names[:50]
+    assert all(n in registry.ORACLES for n in first50)
+    families = {
+        "grep_": "grep", "filter_fanout": "fanout", "show_filters": "catalog",
+        "select_where": "select", "stats_": "stats", "tail_": "tail",
+        "parse_": "parse", "naive_bayes": "classifier", "search_": "search",
+        "events_": "events", "topk_": "window", "distinct_users": "distinct",
+        "user_day_setops": "setops", "outlier_": "outliers", "dedup_": "dedup",
+        "simhash_": "simhash", "corpus_": "corpus", "emb_": "similarity",
+        "text_": "text", "logs_": "logs", "multimodal_": "multimodal",
+        "json_": "json",
+    }
+    covered = {fam for n in first50 for p, fam in families.items() if n.startswith(p)}
+    assert covered == set(families.values()), set(families.values()) - covered
