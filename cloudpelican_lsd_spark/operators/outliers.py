@@ -336,37 +336,50 @@ def analyzer_grid(
     min_points+1 grid slots.  Returns (series_key, start, ceiling, bucket,
     cnt); the target row is bucket == ceiling.
 
-    Every join here is keyed and broadcast: the per-series bound relations
-    have one row per series, so at 100 TB the heavy input is reduced ONCE
-    by the (series, bucket) count agg and everything after is
-    series-cardinality work."""
-    mx = series.groupBy("series_key").agg(F.max("bucket").alias("maxb"))
-    obs = series.join(F.broadcast(mx), "series_key").where(
-        F.col("bucket") < F.col("maxb")
+    100 TB plan shape — ONE scan, TWO shuffles, ZERO joins: the heavy
+    input is reduced once by the (series, bucket) count agg (shuffle 1,
+    map-side combinable), re-keyed once to series (shuffle 2) for the
+    window chain, and the gap-fill is a per-series map lookup over an
+    exploded sequence instead of a grid join — per-series state is
+    bounded at lookback/bucket_sec + 1 (= 289) entries, so the
+    collect_list is safe regardless of raw volume."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_key")
+    obs = (
+        series.withColumn("maxb", F.max("bucket").over(w))
+        # newest observed bucket is still filling → excluded (ref :140-141)
+        .where(F.col("bucket") < F.col("maxb"))
+        .withColumn("ceiling", F.max("bucket").over(w))
+        .where(F.col("bucket") >= F.col("ceiling") - F.lit(lookback))
     )
-    bnd = obs.groupBy("series_key").agg(F.max("bucket").alias("ceiling"))
-    obs2 = obs.join(F.broadcast(bnd), "series_key").where(
-        F.col("bucket") >= F.col("ceiling") - F.lit(lookback)
+    # one row per series: ≤289 (bucket,cnt) points + bounds; partitioning
+    # from the window chain is reused — no third exchange
+    span = obs.groupBy("series_key").agg(
+        F.min("bucket").alias("start"),
+        F.first("ceiling").alias("ceiling"),
+        F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("pts"),
     )
-    span = obs2.groupBy("series_key", "ceiling").agg(F.min("bucket").alias("start"))
-    grid = span.select(
+    span = span.where(
+        (F.col("ceiling") - F.col("start")) / bucket_sec + 1 >= min_points + 1
+    )
+    return span.select(
         "series_key",
         "start",
         "ceiling",
         F.explode(F.expr(f"sequence(start, ceiling, {int(bucket_sec)})")).alias(
             "bucket"
         ),
+        "pts",
+    ).select(
+        "series_key",
+        "start",
+        "ceiling",
+        "bucket",
+        F.coalesce(F.element_at(F.col("pts"), F.col("bucket")), F.lit(0))
+        .cast("long")
+        .alias("cnt"),
     )
-    filled = grid.join(
-        obs2.select("series_key", "bucket", "cnt"), ["series_key", "bucket"], "left"
-    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
-    ok = (
-        filled.groupBy("series_key")
-        .agg(F.count(F.lit(1)).alias("n_grid"))
-        .where(F.col("n_grid") >= min_points + 1)
-        .select("series_key")
-    )
-    return filled.join(F.broadcast(ok), "series_key")
 
 
 def _target(filled: DataFrame) -> DataFrame:
