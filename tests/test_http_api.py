@@ -1,0 +1,189 @@
+"""Supervisor HTTP control plane (http_api.py vs supervisor.go:78-95).
+
+A live ThreadingHTTPServer on an ephemeral port, driven with urllib —
+covers the route table, the jresp envelope, the reference's exact
+basic-auth failure modes, gzip ingest, the stats merge grammar, admin
+auth, the TSV (not JSON) BigQuery passthrough, and the Slack endpoint.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from cloudpelican_lsd_spark.engine import CloudPelicanEngine
+from cloudpelican_lsd_spark.http_api import SupervisorHTTP
+from cloudpelican_lsd_spark.sources.tables import logs_view
+
+AUTH = "Basic " + base64.b64encode(b"usr:pwd").decode()
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    eng = CloudPelicanEngine(spark, logs_view(spark, sf_dir), sf_dir=sf_dir)
+    sup = SupervisorHTTP(
+        eng,
+        username="usr",
+        password="pwd",
+        admin_password="adm",
+        slack_token="slacktok",
+    )
+    url = sup.start()
+    yield sup, url
+    sup.stop()
+
+
+def call(
+    url: str,
+    method: str = "GET",
+    body: bytes | None = None,
+    auth: str | None = AUTH,
+    headers: dict | None = None,
+):
+    req = urllib.request.Request(url, data=body, method=method)
+    if auth:
+        req.add_header("Authorization", auth)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as ex:
+        return ex.code, ex.read().decode()
+
+
+def jcall(*args, **kw):
+    code, text = call(*args, **kw)
+    assert code == 200, text
+    return json.loads(text)
+
+
+def test_auth_failure_modes(server):
+    _, url = server
+    # supervisor.go:822-843 exact texts
+    code, text = call(f"{url}/ping", auth=None)
+    assert (code, text) == (400, "bad syntax a")
+    code, text = call(f"{url}/ping", auth="Bearer xyz")
+    assert (code, text) == (400, "bad syntax b")
+    bad = "Basic " + base64.b64encode(b"usr:wrong").decode()
+    code, text = call(f"{url}/ping", auth=bad)
+    assert (code, text) == (401, "authorization failed")
+
+
+def test_home_and_ping(server):
+    _, url = server
+    assert jcall(f"{url}/")["hello"] == "This is the CloudPelican supervisor"
+    assert jcall(f"{url}/ping") == {"status": True, "pong": True}
+
+
+def test_filter_crud_and_results_cursor(server):
+    sup, url = server
+    # validation errors use the jresp envelope (status=false, HTTP 200)
+    r = jcall(f"{url}/filter?name=nore", "POST")
+    assert r["status"] is False and "regex" in r["errors"][0]
+    r = jcall(f"{url}/filter?name=web&regex=error", "POST")
+    fid = r["filter_id"]
+    assert r["status"] is True and fid
+
+    listed = jcall(f"{url}/filter")["filters"]
+    assert listed[fid]["name"] == "web" and listed[fid]["regex"] == "error"
+
+    # results ingest: plain + gzip, then cursor reads (supervisor.go:450-514)
+    lines = b"line one error\nline two ok\n"
+    r = jcall(f"{url}/filter/{fid}/result", "PUT", body=lines)
+    assert r["ack"] is True and r["lines"] == 2
+    gz = gzip.compress(b"line three gz\n")
+    r = jcall(
+        f"{url}/filter/{fid}/result",
+        "PUT",
+        body=gz,
+        headers={"Content-Encoding": "gzip"},
+    )
+    assert r["lines"] == 1
+
+    r = jcall(f"{url}/filter/{fid}/result?result_offset=0")
+    assert r["results"] == ["line one error", "line two ok", "line three gz"]
+    cursor = r["result_offset"]
+    assert cursor >= 3
+    r2 = jcall(f"{url}/filter/{fid}/result?result_offset={cursor}")
+    assert r2["results"] == [] and r2["result_offset"] == 0
+    # missing/invalid offset
+    assert jcall(f"{url}/filter/{fid}/result")["status"] is False
+    # unknown filter
+    assert jcall(f"{url}/filter/zz/result?result_offset=0")["status"] is False
+
+    # delete: True then False (supervisor.go:795-810)
+    assert jcall(f"{url}/filter/{fid}", "DELETE")["deleted"] is True
+    assert jcall(f"{url}/filter/{fid}", "DELETE")["deleted"] is False
+
+
+def test_stats_merge_and_outliers_and_admin(server):
+    sup, url = server
+    fid = jcall(f"{url}/filter?name=st&regex=x", "POST")["filter_id"]
+    # PutStatsFilters grammar: f=<id>_m=<metric>_b=<bucket> -> count;
+    # unknown-filter and malformed keys are skipped, not errors
+    body = json.dumps({f"f={fid}_m=1_b=600": 4, f"f={fid}_m=2_b=600": 1,
+                       "f=missing_m=1_b=0": 9, "garbage": 5}).encode()
+    r = jcall(f"{url}/stats/filters", "PUT", body=body)
+    assert r["updates"] == 2
+    # merge-on-put: second PUT increments
+    jcall(f"{url}/stats/filters", "PUT",
+          body=json.dumps({f"f={fid}_m=1_b=600": 3}).encode())
+    stats = jcall(f"{url}/filter/{fid}/stats")["stats"]
+    assert stats == {"1": {"600": 7}, "2": {"600": 1}}
+
+    # outliers: validation + store
+    assert jcall(f"{url}/filter/{fid}/outlier", "POST")["status"] is False
+    r = jcall(f"{url}/filter/{fid}/outlier?timestamp=1700000000&score=0.8", "POST")
+    assert r["stored"] is True and len(sup.state.outliers) == 1
+
+    # admin routes need admin_password (adminAuth :812-819)
+    code, text = call(f"{url}/admin/truncate/outliers", "DELETE")
+    assert (code, text) == (401, "authorization failed")
+    r = jcall(f"{url}/admin/truncate/outliers?admin_password=adm", "DELETE")
+    assert r["truncated"] == 1 and sup.state.outliers == []
+    r = jcall(f"{url}/admin/truncate/stats?admin_password=adm", "DELETE")
+    assert r["truncated"] >= 1
+    assert jcall(f"{url}/filter/{fid}/stats")["stats"] == {}
+
+    # admin config lands in engine session config via execute()
+    r = jcall(f"{url}/admin/config?admin_password=adm&key=k1&value=v1", "PUT")
+    assert r["config"]["k1"] == "v1"
+    assert sup.engine.session["config"]["k1"] == "v1"
+
+
+def test_bigquery_query_tsv(server):
+    _, url = server
+    code, text = call(
+        f"{url}/bigquery/query",
+        "POST",
+        body=b"SELECT r_name FROM region ORDER BY r_name LIMIT 2",
+    )
+    assert code == 200
+    assert text.splitlines() == ["AFRICA", "AMERICA"]  # TSV, not JSON (:276)
+    code, text = call(f"{url}/bigquery/query", "POST", body=b"")
+    assert code == 400
+
+
+def test_slack_endpoint(server):
+    _, url = server
+    body = "token=slacktok&text=" + urllib.parse.quote("show filters")
+    code, text = call(f"{url}/slack", "POST", body=body.encode(), auth=None)
+    assert code == 200  # its own auth model: form token, no basic auth
+    code, _ = call(
+        f"{url}/slack", "POST", body=b"token=wrong&text=ping", auth=None
+    )
+    assert code == 401
+    # command errors come back as chat text, never 5xx
+    code, text = call(
+        f"{url}/slack",
+        "POST",
+        body=b"token=slacktok&text=definitely not a command",
+        auth=None,
+    )
+    assert code == 200 and text.startswith("error:")
