@@ -324,25 +324,25 @@ def event_series(logs: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def analyzer_grid(
+def analyzer_span(
     series: DataFrame,
     bucket_sec: int = BUCKET_SEC,
     lookback: int = LOOKBACK_SEC,
     min_points: int = MIN_POINTS,
 ) -> DataFrame:
-    """Relational twin of detect_outliers' per-series prep: drop the newest
-    (still-filling) observed bucket, trim to the lookback ending at the new
-    ceiling, zero gap-fill the 5-min grid, and keep series with >= 
-    min_points+1 grid slots.  Returns (series_key, start, ceiling, bucket,
-    cnt); the target row is bucket == ceiling.
+    """Relational twin of detect_outliers' per-series prep — ONE ROW PER
+    SERIES: drop the newest (still-filling) observed bucket, trim to the
+    lookback ending at the new ceiling, and zero gap-fill into an ordered
+    history array.  Columns: (series_key, start, ceiling, n, actual,
+    cnts) with ``cnts[i]`` the count at ``start + i*bucket_sec`` and
+    ``actual`` the count at the target bucket (= ceiling).
 
-    100 TB plan shape — ONE scan, TWO shuffles, ZERO joins: the heavy
-    input is reduced once by the (series, bucket) count agg (shuffle 1,
-    map-side combinable), re-keyed once to series (shuffle 2) for the
-    window chain, and the gap-fill is a per-series map lookup over an
-    exploded sequence instead of a grid join — per-series state is
-    bounded at lookback/bucket_sec + 1 (= 289) entries, so the
-    collect_list is safe regardless of raw volume."""
+    100 TB plan shape — ONE scan, TWO shuffles, ZERO joins, and every
+    analyzer check below is a per-row projection on this single pipeline
+    (no fan-out that would re-evaluate the scan).  Per-series state is
+    bounded at lookback/bucket_sec (= 288) array slots regardless of raw
+    volume, so the collect_list and the interpreted higher-order
+    functions downstream cost O(series), not O(data)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("series_key")
@@ -363,50 +363,69 @@ def analyzer_grid(
     span = span.where(
         (F.col("ceiling") - F.col("start")) / bucket_sec + 1 >= min_points + 1
     )
+    b = int(bucket_sec)
     return span.select(
         "series_key",
         "start",
         "ceiling",
-        F.explode(F.expr(f"sequence(start, ceiling, {int(bucket_sec)})")).alias(
-            "bucket"
-        ),
-        "pts",
+        F.expr(
+            f"transform(sequence(start, ceiling - {b}, {b}),"
+            " b -> coalesce(element_at(pts, b), 0L))"
+        ).alias("cnts"),
+        F.expr("coalesce(element_at(pts, ceiling), 0L)").alias("actual"),
+    ).withColumn("n", F.size("cnts").cast("long"))
+
+
+def analyzer_grid(
+    series: DataFrame,
+    bucket_sec: int = BUCKET_SEC,
+    lookback: int = LOOKBACK_SEC,
+    min_points: int = MIN_POINTS,
+) -> DataFrame:
+    """Exploded (series_key, start, ceiling, bucket, cnt) view of
+    `analyzer_span` — the gap-filled grid, for tests and ad-hoc SQL."""
+    b = int(bucket_sec)
+    span = analyzer_span(series, bucket_sec, lookback, min_points)
+    return span.select(
+        "series_key",
+        "start",
+        "ceiling",
+        F.posexplode(
+            F.expr(f"array_append(cnts, actual)")
+        ).alias("i", "cnt"),
     ).select(
         "series_key",
         "start",
         "ceiling",
-        "bucket",
-        F.coalesce(F.element_at(F.col("pts"), F.col("bucket")), F.lit(0))
-        .cast("long")
-        .alias("cnt"),
+        (F.col("start") + F.col("i") * b).cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
     )
 
 
-def _target(filled: DataFrame) -> DataFrame:
-    return filled.where(F.col("bucket") == F.col("ceiling")).select(
-        "series_key", "bucket", F.col("cnt").alias("actual")
-    )
-
-
-def moving_average_check(filled: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
+def moving_average_check(span: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
     """MovingAverage analyzer, exact: expected = mean of the last-hour
     window (12 buckets), tolerance = 3 * mean(|consecutive diff|); flag via
-    |actual*n12 - sum12| * (n12-1) > 3 * n12 * sum_absdiff — pure BIGINT."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("series_key").orderBy("bucket")
-    win12 = filled.where(
-        (F.col("bucket") < F.col("ceiling"))
-        & (F.col("bucket") >= F.col("ceiling") - F.lit(12 * bucket_sec))
+    |actual*n12 - sum12| * (n12-1) > 3 * n12 * sum_absdiff — pure BIGINT,
+    computed per series row from the history array (no joins, no second
+    pass)."""
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        F.expr("slice(cnts, greatest(size(cnts) - 11, 1), 12)").alias("w12"),
+    ).select(
+        "series_key",
+        "bucket",
+        "actual",
+        F.size("w12").cast("long").alias("n12"),
+        F.expr("aggregate(w12, 0L, (a, x) -> a + x)").alias("sum12"),
+        F.expr(
+            "aggregate(w12, named_struct('p', CAST(NULL AS BIGINT), 's', 0L),"
+            " (a, x) -> named_struct('p', x, 's',"
+            "   a.s + CASE WHEN a.p IS NULL THEN 0L ELSE abs(x - a.p) END)).s"
+        ).alias("sum_ad"),
     )
-    diffs = win12.withColumn("d", F.col("cnt") - F.lag("cnt").over(w))
-    ma = diffs.groupBy("series_key").agg(
-        F.count(F.lit(1)).alias("n12"),
-        F.sum("cnt").alias("sum12"),
-        F.coalesce(F.sum(F.abs(F.col("d"))), F.lit(0)).cast("long").alias("sum_ad"),
-    )
-    t = _target(filled)
-    return t.join(ma, "series_key").select(
+    return s.select(
         "series_key",
         "bucket",
         "actual",
@@ -426,24 +445,28 @@ def moving_average_check(filled: DataFrame, bucket_sec: int = BUCKET_SEC) -> Dat
     )
 
 
-def zscore_check(filled: DataFrame) -> DataFrame:
+def zscore_check(span: DataFrame) -> DataFrame:
     """NormalDistribution analyzer, exact: |actual - mean| > 3*sd(pop)
     squared and cross-multiplied — (n*actual - sum)^2 > 9*(n*sumsq - sum^2)
-    in DECIMAL(38,0) (DuckDB HUGEINT)."""
+    in DECIMAL(38,0) (DuckDB HUGEINT); one projection per series row."""
     d38 = "decimal(38,0)"
-    hist = filled.where(F.col("bucket") < F.col("ceiling"))
-    z = hist.groupBy("series_key").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cnt").alias("sum_cnt"),
-        F.sum((F.col("cnt") * F.col("cnt")).cast(d38)).alias("sxx"),
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        "n",
+        F.expr("aggregate(cnts, 0L, (a, x) -> a + x)").alias("sum_cnt"),
+        F.expr(
+            "aggregate(cnts, CAST(0 AS DECIMAL(38,0)),"
+            " (a, x) -> CAST(a + CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0)))"
+        ).alias("sxx"),
     )
-    t = _target(filled)
     dd = (F.col("n") * F.col("actual") - F.col("sum_cnt")).cast(d38)
     var9 = 9 * (
         F.col("n").cast(d38) * F.col("sxx")
         - F.col("sum_cnt").cast(d38) * F.col("sum_cnt").cast(d38)
     )
-    return t.join(z, "series_key").select(
+    return s.select(
         "series_key",
         "bucket",
         "actual",
@@ -455,67 +478,72 @@ def zscore_check(filled: DataFrame) -> DataFrame:
     )
 
 
-def regression_check(filled: DataFrame) -> DataFrame:
+def regression_check(span: DataFrame) -> DataFrame:
     """SimpleRegression analyzer, exact: least-squares line over the
     gap-filled history (x = bucket index), forecast at x = n, tolerance =
     3 * std(|residual|).  Everything is cleared of the rational
     denominator D = n*Sxx - Sx^2, so the flag compares DECIMAL(38,0)
     integers: n^2*(D*actual - A - B*n)^2 > 9*(n*S2 - S1^2) with
-    S1 = sum|D*r_i|, S2 = sum (D*r_i)^2."""
+    S1 = sum|D*r_i|, S2 = sum (D*r_i)^2.  The moment sums AND the
+    residual folds all run over the per-row history array, so the whole
+    check stays one linear plan — no join, no second pass over the
+    data."""
     d38 = "decimal(38,0)"
-    hist = filled.where(F.col("bucket") < F.col("ceiling")).withColumn(
-        "x", ((F.col("bucket") - F.col("start")) / F.lit(BUCKET_SEC)).cast("long")
-    )
-    g1 = hist.groupBy("series_key").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("cnt").cast(d38)).alias("sy"),
-        F.sum((F.col("x") * F.col("cnt")).cast(d38)).alias("sxy"),
+    g = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        "n",
+        "cnts",
+        F.expr(
+            "aggregate(cnts, CAST(0 AS DECIMAL(38,0)),"
+            " (a, x) -> CAST(a + x AS DECIMAL(38,0)))"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(cnts,"
+            " named_struct('i', 0L, 's', CAST(0 AS DECIMAL(38,0))),"
+            " (a, x) -> named_struct('i', a.i + 1L,"
+            "   's', CAST(a.s + CAST(a.i AS DECIMAL(38,0)) * x AS DECIMAL(38,0)))).s"
+        ).alias("sxy"),
     )
     n = F.col("n").cast(d38)
-    sx = (F.col("n") * (F.col("n") - 1) / 2).cast(d38)
-    sxx = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") - 1) / 6).cast(d38)
-    co = g1.select(
-        "series_key",
-        "n",
-        (n * sxx - sx * sx).alias("dd"),
-        (F.col("sy") * sxx - sx * F.col("sxy")).alias("aa"),
-        (n * F.col("sxy") - sx * F.col("sy")).alias("bb"),
+    sx = F.expr("CAST(n * (n - 1) DIV 2 AS DECIMAL(38,0))")
+    sxx = F.expr("CAST(n * (n - 1) * (2 * n - 1) DIV 6 AS DECIMAL(38,0))")
+    co = (
+        g.withColumn("dd", n * sxx - sx * sx)
+        .withColumn("aa", F.col("sy") * sxx - sx * F.col("sxy"))
+        .withColumn("bb", n * F.col("sxy") - sx * F.col("sy"))
     )
-    r = hist.join(F.broadcast(co), "series_key").withColumn(
-        "dr",
-        F.col("dd") * F.col("cnt").cast(d38)
-        - (F.col("aa") + F.col("bb") * F.col("x").cast(d38)),
+    # fold |D*r| and (D*r)^2 over the history in one pass; dd/aa/bb are
+    # outer columns, legal inside the lambda
+    folded = co.withColumn(
+        "rsum",
+        F.expr(
+            "aggregate(cnts,"
+            " named_struct('i', CAST(0 AS DECIMAL(38,0)),"
+            "              's1', CAST(0 AS DECIMAL(38,0)),"
+            "              's2', CAST(0 AS DECIMAL(38,0))),"
+            " (a, x) -> named_struct("
+            "   'i', CAST(a.i + 1 AS DECIMAL(38,0)),"
+            "   's1', CAST(a.s1 + abs(dd * CAST(x AS DECIMAL(38,0))"
+            "                         - (aa + bb * a.i)) AS DECIMAL(38,0)),"
+            "   's2', CAST(a.s2 + (dd * CAST(x AS DECIMAL(38,0))"
+            "                      - (aa + bb * a.i))"
+            "                   * (dd * CAST(x AS DECIMAL(38,0))"
+            "                      - (aa + bb * a.i)) AS DECIMAL(38,0))))"
+        ),
     )
-    g2 = r.groupBy("series_key").agg(
-        F.sum(F.abs(F.col("dr"))).alias("s1"),
-        F.sum(F.col("dr") * F.col("dr")).alias("s2"),
+    nn = F.col("n").cast(d38)
+    delta = F.col("dd") * F.col("actual").cast(d38) - (
+        F.col("aa") + F.col("bb") * nn
     )
-    t = _target(filled)
-    j = (
-        t.join(co, "series_key")
-        .join(g2, "series_key")
-        .withColumn(
-            "delta",
-            F.col("dd") * F.col("actual").cast(d38)
-            - (F.col("aa") + F.col("bb") * F.col("n").cast(d38)),
-        )
-        .withColumn(
-            "sigma2",
-            F.col("n").cast(d38) * F.col("s2") - F.col("s1") * F.col("s1"),
-        )
-    )
-    return j.select(
+    sigma2 = nn * F.col("rsum.s2") - F.col("rsum.s1") * F.col("rsum.s1")
+    return folded.select(
         "series_key",
         "bucket",
         "actual",
         "n",
-        F.when(F.col("sigma2") == 0, F.col("delta") != 0)
-        .otherwise(
-            F.col("n").cast(d38)
-            * F.col("n").cast(d38)
-            * F.col("delta")
-            * F.col("delta")
-            > 9 * F.col("sigma2")
-        )
+        F.when(sigma2 == 0, delta != 0)
+        .otherwise(nn * nn * delta * delta > 9 * sigma2)
         .alias("is_outlier"),
     )

@@ -543,9 +543,9 @@ tgt AS (SELECT series_key, bucket, cnt AS actual FROM f2
         WHERE bucket = ceiling)"""
 
 
-def _analyzer_grid(spark: SparkSession, sf_dir: str):
+def _analyzer_span(spark: SparkSession, sf_dir: str):
     series = outlier_ops.event_series(logs_view(spark, sf_dir))
-    return outlier_ops.analyzer_grid(series)
+    return outlier_ops.analyzer_span(series)
 
 
 @register(
@@ -569,7 +569,7 @@ def q_outlier_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecast, 3x mean-|diff| tolerance, decided by cross-multiplied BIGINT
     comparison (outliers.moving_average_check; numpy-consistency pinned in
     tests)."""
-    return outlier_ops.moving_average_check(_analyzer_grid(spark, sf_dir))
+    return outlier_ops.moving_average_check(_analyzer_span(spark, sf_dir))
 
 
 @register(
@@ -593,7 +593,7 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NormalDistribution (3-sigma) analyzer, exact: squared + cross-
     multiplied in DECIMAL(38,0)/HUGEINT so no float enters the decision
     (outliers.zscore_check)."""
-    return outlier_ops.zscore_check(_analyzer_grid(spark, sf_dir))
+    return outlier_ops.zscore_check(_analyzer_span(spark, sf_dir))
 
 
 @register(
@@ -630,7 +630,7 @@ def q_outlier_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimpleRegression analyzer, exact: least-squares forecast at x=n with
     3x std(|residual|) tolerance, denominator-cleared to DECIMAL(38,0)
     integer comparisons (outliers.regression_check)."""
-    return outlier_ops.regression_check(_analyzer_grid(spark, sf_dir))
+    return outlier_ops.regression_check(_analyzer_span(spark, sf_dir))
 
 
 # ===========================================================================

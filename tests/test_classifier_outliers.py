@@ -154,14 +154,16 @@ def test_relational_analyzer_twins_match_numpy(spark, sf_dir):
     from cloudpelican_lsd_spark.operators import outliers as O
     from cloudpelican_lsd_spark.sources.tables import logs_view
 
-    grid = O.analyzer_grid(O.event_series(logs_view(spark, sf_dir)))
+    series = O.event_series(logs_view(spark, sf_dir))
+    grid = O.analyzer_grid(series)
     rows = grid.orderBy("series_key", "bucket").collect()
     by_series: dict = {}
     for r in rows:
         by_series.setdefault(r.series_key, []).append((r.bucket, r.cnt))
 
+    span = O.analyzer_span(series)
     rel = {
-        name: {r.series_key: r for r in fn(grid).collect()}
+        name: {r.series_key: r for r in fn(span).collect()}
         for name, fn in (
             ("ma", O.moving_average_check),
             ("z", O.zscore_check),
