@@ -684,3 +684,73 @@ SELECT t.doc_id,
        ROUND(SUM(c.micro_nll) / COUNT(*) / 1e6, 6) AS mean_nll
 FROM toks t JOIN costs c USING (term)
 GROUP BY t.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (RefinedWeb/CCNet-style line-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> DataFrame:
+    """Remove every occurrence of a line that appears >= ``min_df`` times
+    across the corpus (boilerplate policy of the public RefinedWeb/CCNet
+    pipelines: navigation chrome, cookie banners, repeated headers).
+
+    Output: `(doc_id, clean_text, n_kept, n_dropped)` — lines rejoined in
+    original order; documents whose every line is boilerplate drop out.
+
+    100 TB shape: ONE equi-join on the md5 of the line (fixed-width key;
+    the corpus-wide frequency table shuffles hashes + counts, never raw
+    text twice) and ONE doc-keyed reassembly agg whose state is bounded
+    by document size.  md5 collisions could in principle conflate two
+    distinct lines' counts — at 2^64 lines the raw-text groupBy is the
+    fallback.
+    """
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    freq = ex.groupBy("lh").agg(F.count(F.lit(1)).alias("df"))
+    flagged = ex.join(freq, "lh").withColumn("keep", F.col("df") < min_df)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+        .where(F.col("n_kept") >= 1)
+    )
+
+
+def line_dedup_oracle(min_df: int = 3, words_per_line: int = 10) -> str:
+    """Oracle over the 10-word-line view of `documents` (the corpus has
+    no newlines, so the fixture derives deterministic lines)."""
+    return f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+ex AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[i*{words_per_line}+1 : i*{words_per_line}+{words_per_line}], ' ') AS line
+  FROM d, unnest(generate_series(0,
+         CAST(ceil(len(words) / {words_per_line}.0) AS BIGINT) - 1)) AS t(i)
+),
+freq AS (SELECT line, COUNT(*)::BIGINT AS df FROM ex GROUP BY line)
+SELECT e.doc_id,
+       string_agg(e.line, chr(10) ORDER BY e.pos)
+         FILTER (WHERE f.df < {min_df}) AS clean_text,
+       CAST(COUNT(*) FILTER (WHERE f.df < {min_df}) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE f.df >= {min_df}) AS BIGINT) AS n_dropped
+FROM ex e JOIN freq f USING (line)
+GROUP BY e.doc_id
+HAVING COUNT(*) FILTER (WHERE f.df < {min_df}) >= 1"""

@@ -2803,6 +2803,27 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.tfidf_topk(load_table(spark, "documents", sf_dir), k=5)
 
 
+@register("text_line_dedup", text_ops.line_dedup_oracle(3, 10))
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal (RefinedWeb/CCNet-style): drop every
+    occurrence of a line appearing >= 3 times corpus-wide, rejoin the
+    survivors in order (textstats.line_dedup).  The corpus has no
+    newlines, so the fixture derives deterministic 10-word lines first —
+    the operator itself is the production '\\n' path."""
+    d = load_table(spark, "documents", sf_dir)
+    wpl = 10
+    lined = d.select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform(sequence(0,"
+            f" CAST(ceil(size(split(text, ' ')) / {wpl}.0) AS INT) - 1),"
+            f" i -> array_join(slice(split(text, ' '), i * {wpl} + 1, {wpl}), ' ')),"
+            " '\\n')"
+        ).alias("text"),
+    )
+    return text_ops.line_dedup(lined, min_df=3)
+
+
 @register("text_unigram_logprob", text_ops.UNIGRAM_LOGPROB_ORACLE)
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: mean per-token negative log-likelihood
@@ -3224,7 +3245,7 @@ DRIVER_ORDER = [
     "text_quality_score",
     "text_tfidf_topk",
     "text_bigram_topk",
-    "text_unigram_logprob",
+    "text_line_dedup",
     "logs_pii_redact",
     "logs_template_mining",
     "parse_sniff_types",
@@ -3264,6 +3285,7 @@ DRIVER_ORDER = [
     "text_length_quartiles",
     "text_length_histogram",
     "text_len_correlation",
+    "text_unigram_logprob",
     # -- round-1-green variants --------------------------------------------
     "search_region_revenue",
     "search_shipping_priority",

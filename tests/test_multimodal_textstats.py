@@ -471,3 +471,29 @@ def test_resize_real_matches_numpy_reference(spark, sf_dir):
         xs = (np.arange(got.width) * d["width"]) // got.width
         ref = d["pixels"][ys][:, xs]
         assert got.px_sum == int(ref.sum(dtype=np.int64))
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """Corpus-wide boilerplate lines (df >= min_df) vanish from every doc,
+    survivors keep original order, all-boilerplate docs drop out."""
+    from cloudpelican_lsd_spark.operators.textstats import line_dedup
+
+    BP = "accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{BP}\nunique alpha\n{BP}\nunique beta"),
+            (2, f"{BP}\nunique gamma"),
+            (3, f"{BP}"),            # all boilerplate -> dropped entirely
+            (4, "solo line"),        # untouched
+            (5, f"twice seen\nunique delta"),
+            (6, "twice seen"),       # df=2 < 3 -> kept
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, min_df=3).collect()}
+    assert 3 not in out
+    assert out[1].clean_text == "unique alpha\nunique beta"
+    assert (out[1].n_kept, out[1].n_dropped) == (2, 2)
+    assert out[2].clean_text == "unique gamma"
+    assert out[4].clean_text == "solo line" and out[4].n_dropped == 0
+    assert out[6].clean_text == "twice seen"
