@@ -325,6 +325,49 @@ class StreamingEngine:
         # counts silently vanish into collapsed slots
         return detect_outliers(series, min_score=min_score, bucket_sec=60)
 
+    def analyzer_flags(self, min_points: int | None = None) -> DataFrame:
+        """The three oracle-gated analyzer twins (moving-average, z-score,
+        simple-regression; operators/outliers.py) over the SAME maintained
+        minutely stats series the consensus pass reads — one row per
+        (series, analyzer) with the exact integer-math outlier decision.
+        ``min_points`` loosens the >=10-point history requirement for
+        short test streams."""
+        from cloudpelican_lsd_spark.operators.outliers import (
+            MIN_POINTS,
+            analyzer_span,
+            moving_average_check,
+            regression_check,
+            zscore_check,
+        )
+
+        series = (
+            self.stats()
+            .withColumn(
+                "series_key",
+                F.concat_ws(":", F.col("filter_id"), F.col("metric").cast("string")),
+            )
+            .select("series_key", "bucket", "cnt")
+        )
+        span = analyzer_span(
+            series,
+            bucket_sec=60,
+            min_points=MIN_POINTS if min_points is None else min_points,
+        )
+        cols = ["series_key", "bucket", "actual", "is_outlier"]
+        parts = [
+            moving_average_check(span, bucket_sec=60)
+            .select(*cols)
+            .withColumn("analyzer", F.lit("moving_average")),
+            zscore_check(span).select(*cols).withColumn("analyzer", F.lit("zscore")),
+            regression_check(span)
+            .select(*cols)
+            .withColumn("analyzer", F.lit("regression")),
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # -- classifier state (batch-incremental, SURVEY §7 risk-register path) ----
 
     def update_classifier_state(self, batch_df: DataFrame, epoch: int = 0) -> None:

@@ -400,3 +400,25 @@ def test_driver_order_lockstep():
     }
     covered = {fam for n in first50 for p, fam in families.items() if n.startswith(p)}
     assert covered == set(families.values()), set(families.values()) - covered
+
+
+def test_driver_window_outputs_are_hashable(spark, sf_dir):
+    """Round-1 regression guard: the driver canonicalizer sorts result
+    columns with pandas and dies on unhashable cells (arrays/maps/structs
+    — multimodal_features' float vector crashed the round-1 gate).  No
+    query in the 50-entry correctness window may emit a complex type."""
+    from pyspark.sql import types as T
+
+    from cloudpelican_lsd_spark import registry
+
+    bad = {}
+    for name in list(registry.QUERIES)[:50]:
+        df = registry.QUERIES[name](spark, sf_dir)
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"driver-unhashable columns in gate window: {bad}"

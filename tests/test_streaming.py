@@ -608,3 +608,33 @@ def test_kafka_wire_injection_through_pipeline(spark, tmp_path):
     assert all("error" in r._raw for r in res)
     st = {(r.metric, r.bucket): r.cnt for r in eng.stats().collect()}
     assert sum(c for (m, _), c in st.items() if m == 1) == 6
+
+
+def test_analyzer_flags_over_streaming_stats(spark, tmp_path):
+    """The relational analyzer twins read the SAME maintained stats table
+    as the consensus pass: a flat 1/min series with a final surge bucket
+    must flag on every analyzer; the still-filling newest bucket is the
+    target's successor and stays excluded."""
+    base = str(tmp_path / "aflag")
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, base)
+
+    lines = []
+    for m in range(14):  # minutes 0..13: steady 1 error/min
+        lines.append(f"2024-02-01T10:{m:02d}:01.000+00:00 h app: error n={m}")
+    lines += [  # minute 14: surge of 30
+        f"2024-02-01T10:14:{s:02d}.000+00:00 h app: error surge{s}" for s in range(30)
+    ]
+    lines.append("2024-02-01T10:15:00.000+00:00 h app: error trailing")  # still-filling
+    raw = spark.createDataFrame([(l,) for l in lines], "_raw STRING")
+    eng.process_batch(sp.parse_stream(raw), epoch_id=0)
+
+    fid = cat.get("errors").id
+    rows = eng.analyzer_flags(min_points=5).collect()
+    match_series = [r for r in rows if r.series_key == f"{fid}:1"]
+    assert {r.analyzer for r in match_series} == {
+        "moving_average", "zscore", "regression",
+    }
+    for r in match_series:
+        assert r.actual == 30 and bool(r.is_outlier) is True, r

@@ -46,12 +46,30 @@ def main() -> None:
     big_logs = replicate(logs, "event_id", factor, n_logs)
     big_docs.count(), big_logs.count()
 
+    def lined(d):
+        return d.select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(0,"
+                " CAST(ceil(size(split(text, ' ')) / 10.0) AS INT) - 1),"
+                " i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' ')),"
+                " '\\n')"
+            ).alias("text"),
+        )
+
+    from cloudpelican_lsd_spark.multimodal import codecs
+    from cloudpelican_lsd_spark.operators import outliers
+
     ops = {
         "minhash_lsh": lambda d: dedup.lsh_candidate_pairs(d),
         "ngram_jaccard(max_df=50)": lambda d: dedup.ngram_jaccard_pairs(
             d, n=3, threshold_num=1, threshold_den=5, max_df=50
         ),
         "tfidf_topk": lambda d: textstats.tfidf_topk(d, k=5),
+        "line_dedup(min_df=3)": lambda d: textstats.line_dedup(lined(d), min_df=3),
+        "media_decode(real)": lambda d: codecs.decode_features(
+            codecs.synthesize_real_media(d)
+        ).drop("feature"),
     }
     for name, fn in ops.items():
         t = {}
@@ -69,6 +87,11 @@ def main() -> None:
         "overwrite"
     ).save()
     print(f"{'naive_bayes(' + str(factor) + 'x)':28s} {time.time()-t0:6.2f}s")
+    t0 = time.time()
+    outliers.regression_check(
+        outliers.analyzer_span(outliers.event_series(big_logs))
+    ).write.format("noop").mode("overwrite").save()
+    print(f"{'analyzer_regression(' + str(factor) + 'x)':28s} {time.time()-t0:6.2f}s")
     spark.stop()
 
 
