@@ -699,19 +699,24 @@ def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> Data
     Output: `(doc_id, clean_text, n_kept, n_dropped)` — lines rejoined in
     original order; documents whose every line is boilerplate drop out.
 
-    100 TB shape: ONE equi-join on the md5 of the line (fixed-width key;
-    the corpus-wide frequency table shuffles hashes + counts, never raw
-    text twice) and ONE doc-keyed reassembly agg whose state is bounded
-    by document size.  md5 collisions could in principle conflate two
-    distinct lines' counts — at 2^64 lines the raw-text groupBy is the
-    fallback.
+    100 TB shape: ONE scan, TWO shuffles, ZERO joins — the corpus-wide
+    frequency is a COUNT window over hash(line) (a groupBy+join back
+    would re-evaluate the explode subtree on both sides), then the
+    doc-keyed reassembly agg whose state is bounded by document size.
+    The line-keyed exchange carries each line once; md5 collisions could
+    in principle conflate two distinct lines' counts — at 2^64 lines the
+    raw-text partition key is the fallback.
     """
+    from pyspark.sql import Window
+
     ex = docs.select(
         "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("lh", F.md5("line"))
-    freq = ex.groupBy("lh").agg(F.count(F.lit(1)).alias("df"))
-    flagged = ex.join(freq, "lh").withColumn("keep", F.col("df") < min_df)
+    flagged = ex.withColumn(
+        "keep",
+        F.count(F.lit(1)).over(Window.partitionBy("lh")) < min_df,
+    )
     return (
         flagged.groupBy("doc_id")
         .agg(

@@ -388,3 +388,45 @@ def test_shingle_contamination_matches_python_reference(spark):
         r = got[doc_id]
         assert r.n_shingles == len(mine)
         assert r.n_contaminated == dup
+
+
+def _py_line_dedup(docs, min_df=3):
+    from collections import Counter
+
+    freq = Counter(
+        line for _, text in docs for line in text.split("\n")
+    )
+    out = {}
+    for d, text in docs:
+        lines = text.split("\n")
+        kept = [l for l in lines if freq[l] < min_df]
+        if kept:
+            out[d] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    return out
+
+
+def test_line_dedup_matches_python_reference(spark):
+    """Randomized corpora with heavy shared boilerplate: line_dedup's
+    window-count plan must match the naive occurrence-count semantics,
+    including all-boilerplate document elimination and order retention."""
+    from cloudpelican_lsd_spark.operators.textstats import line_dedup
+
+    rng = random.Random(77)
+    for trial in range(3):
+        docs = []
+        boiler = [" ".join(rng.choices(VOCAB, k=3)) for _ in range(3)]
+        for i in range(40):
+            lines = []
+            for _ in range(rng.randint(1, 6)):
+                if rng.random() < 0.4:
+                    lines.append(rng.choice(boiler))
+                else:
+                    lines.append(" ".join(rng.choices(VOCAB, k=rng.randint(1, 5))))
+            docs.append((i, "\n".join(lines)))
+        expected = _py_line_dedup(docs, min_df=3)
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        got = {
+            r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+            for r in line_dedup(df, min_df=3).collect()
+        }
+        assert got == expected, f"trial {trial}"
