@@ -2655,6 +2655,104 @@ def q_search_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_large_volume_customers",
+    """WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 250
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(CAST(o.o_totalprice AS DECIMAL(25,6)) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY total_qty DESC, o.o_orderkey LIMIT 20""",
+)
+def q_search_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: the HAVING subquery
+    reduces lineitem to qualifying order keys FIRST (semi-join input is
+    keys only, shuffled once on l_orderkey), then the detail re-join
+    reuses the same key.  Quantity sums ride in DECIMAL(25,6) so the
+    HAVING threshold and the output are float-exact against the oracle;
+    deterministic LIMIT via the (total_qty, o_orderkey) tie-break."""
+    dec = "decimal(25,6)"
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(dec)).alias("qty"))
+        .where(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast(dec).cast("double").alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "search_idle_rich_customers",
+    """WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS s, COUNT(*)::BIGINT AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, COUNT(*)::BIGINT AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(25,6)) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-05-01 00:00:00')
+GROUP BY c.c_nationkey""",
+)
+def q_search_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey standing in for the phone country
+    code): customers with above-average positive balance and NO orders.
+    The average threshold is decorrelated into a broadcast (sum, count)
+    singleton and compared CROSS-MULTIPLIED in DECIMAL — no float
+    boundary for a balance sitting exactly on the mean; "idle" = no
+    order since 2001-05-01 (the testdata has orders for every customer,
+    so a recency window is what makes the anti join discriminate), a
+    LEFT ANTI join whose date predicate is pushed to the orders scan."""
+    dec = "decimal(25,6)"
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast(dec)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .where(F.col("c_acctbal").cast(dec) * F.col("n") > F.col("s"))
+        .join(
+            o.where(F.col("o_orderdate") >= F.lit("2001-05-01 00:00:00")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(dec)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "user_day_setops_all",
     """WITH d AS (
   SELECT event_type, user_id,
@@ -3254,6 +3352,8 @@ DRIVER_ORDER = [
     "multimodal_resize",
     "json_props_extract",
     # -- previously-unchecked remainder (slots 51+) ------------------------
+    "search_large_volume_customers",
+    "search_idle_rich_customers",
     "events_cube_day_type",
     "events_grouping_sets",
     "events_rollup_day_type",
