@@ -32,7 +32,10 @@ def pipelines(draw):
         flags = draw(
             st.lists(st.sampled_from(["-v", "-i", "-e"]), max_size=3, unique=True)
         )
-        word = draw(_WORD)
+        # a pattern starting with '-' is lexically a flag — the parser
+        # rightly rejects a flags-only grep, so keep generated patterns
+        # out of the flag namespace
+        word = draw(_WORD.filter(lambda w: not w.startswith("-")))
         stages.append("grep " + " ".join([*flags, word]))
     if draw(st.booleans()):
         stages.append("sort - r" if draw(st.booleans()) else "sort")

@@ -422,3 +422,22 @@ def test_driver_window_outputs_are_hashable(spark, sf_dir):
         if complex_cols:
             bad[name] = complex_cols
     assert not bad, f"driver-unhashable columns in gate window: {bad}"
+
+
+def test_new_operator_plan_shapes(spark, sf_dir):
+    """Plan-shape pins for the operators added this round: the analyzer
+    pipeline and line_dedup must stay join-free single-pipeline plans
+    (a groupBy+join-back regression would re-evaluate the scan)."""
+    from cloudpelican_lsd_spark.operators import outliers as O
+    from cloudpelican_lsd_spark.operators.textstats import line_dedup
+    from cloudpelican_lsd_spark.sources.tables import load_table, logs_view
+
+    span = O.analyzer_span(O.event_series(logs_view(spark, sf_dir)))
+    for check in (O.moving_average_check, O.zscore_check, O.regression_check):
+        plan = check(span)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan, f"{check.__name__} grew a join:\n{plan}"
+
+    lined = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    plan = line_dedup(lined)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Relation") == 1  # single scan of the corpus
