@@ -881,3 +881,71 @@ def pair_edit_distance(
             ).alias("sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (fragment) dedup via shared content-defined chunks
+# ---------------------------------------------------------------------------
+
+
+def cdc_overlap_pairs(
+    docs: DataFrame,
+    window: int = 16,
+    divisor: int = 64,
+    min_shared: int = 2,
+    max_df: int = 10,
+) -> DataFrame:
+    """`(doc_a, doc_b, shared_chunks)` — document pairs sharing >=
+    ``min_shared`` distinct content-defined chunks (textstats.cdc_chunks).
+
+    This is SUBSTRING-level dedup: a document that embeds a long passage
+    of another (quotes, mirrored sections, partial scrapes) shares the
+    chunks of that passage even though whole-document MinHash similarity
+    is low — CDC boundaries survive insert/delete edits around the
+    copied region.  ``max_df`` drops ubiquitous chunks (boilerplate)
+    before pair generation, exactly the n-gram inverted-index guard.
+
+    100 TB shape: chunking is per-row codegen; the pair generation is the
+    same one-shuffle collect-set-per-bucket used by every candidate
+    family here (`_group_pairs`) keyed on the 32-char chunk hash — no
+    self-join, no raw text in the shuffle."""
+    from cloudpelican_lsd_spark.operators.textstats import cdc_chunks
+
+    ch = (
+        cdc_chunks(docs, window=window, divisor=divisor)
+        .select("doc_id", "chunk_md5")
+        .distinct()
+    )
+    pairs = _group_pairs(ch, ["chunk_md5"], ["doc_id"], max_group=max_df)
+    return (
+        pairs.groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .where(F.col("shared_chunks") >= min_shared)
+    )
+
+
+def cdc_overlap_oracle(
+    planted_cte: str,
+    window: int = 16,
+    divisor: int = 64,
+    min_shared: int = 2,
+    max_df: int = 10,
+) -> str:
+    """DuckDB twin over the planted-duplicates corpus: the chunk CTE is
+    textstats.cdc_chunks_oracle retargeted at docs_planted."""
+    from cloudpelican_lsd_spark.operators.textstats import cdc_chunks_oracle
+
+    chunks_sql = cdc_chunks_oracle(window, divisor).replace(
+        "FROM documents", "FROM docs_planted"
+    )
+    return f"""WITH {planted_cte},
+chunked AS ({chunks_sql}),
+ch AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunked),
+ok AS (SELECT chunk_md5 FROM ch GROUP BY chunk_md5
+       HAVING COUNT(*) <= {max_df}),
+chf AS (SELECT ch.doc_id, ch.chunk_md5 FROM ch JOIN ok USING (chunk_md5))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared_chunks
+FROM chf a JOIN chf b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"""

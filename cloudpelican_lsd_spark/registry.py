@@ -748,6 +748,21 @@ def q_dedup_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cdc_overlap",
+    dedup_ops.cdc_overlap_oracle(_PLANTED_CTE, 16, 64, 2, 10),
+)
+def q_dedup_cdc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level dedup: document pairs sharing >= 2 distinct
+    content-defined chunks (df-pruned at 10) — catches partial copies and
+    embedded passages that whole-document MinHash misses
+    (dedup.cdc_overlap_pairs over the planted-duplicates corpus)."""
+    return dedup_ops.cdc_overlap_pairs(
+        _docs_with_dupes(spark, sf_dir), window=16, divisor=64,
+        min_shared=2, max_df=10,
+    )
+
+
 @register("simhash_fingerprints", dedup_ops.SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints per document."""
@@ -3354,6 +3369,7 @@ DRIVER_ORDER = [
     # -- previously-unchecked remainder (slots 51+) ------------------------
     "search_large_volume_customers",
     "search_idle_rich_customers",
+    "dedup_cdc_overlap",
     "events_cube_day_type",
     "events_grouping_sets",
     "events_rollup_day_type",

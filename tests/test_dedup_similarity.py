@@ -359,3 +359,27 @@ def test_spread_is_gated(spark, sf_dir):
         assert dedup_ops._spread(narrow) is narrow
     finally:
         del os.environ["CPL_SPREAD"]
+
+
+def test_cdc_overlap_catches_partial_copies(spark):
+    """A document embedding a long passage of another shares that
+    passage's CDC chunks even when whole-document similarity is low —
+    the substring-level dedup signal (dedup.cdc_overlap_pairs)."""
+    import random
+
+    rng = random.Random(5)
+    words = [f"w{rng.randint(0, 9999)}" for _ in range(400)]
+    donor = " ".join(words)                      # ~2.4k chars, ~35 chunks
+    passage = " ".join(words[:200])              # first half
+    noise = " ".join(f"n{rng.randint(0, 9999)}" for _ in range(150))
+    corpus = spark.createDataFrame(
+        [(1, donor), (2, noise + " " + passage), (3, noise + " tail")],
+        "doc_id LONG, text STRING",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_chunks
+        for r in dedup_ops.cdc_overlap_pairs(corpus, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs, pairs
+    assert pairs[(1, 2)] >= 3          # a real passage, not one accident
+    assert (1, 3) not in pairs         # noise-only doc shares nothing with donor
