@@ -729,3 +729,226 @@ ranked AS (
   FROM fused
 )
 SELECT qid, cid, rrf FROM ranked WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+
+def _pq_d2(emb: DataFrame, m: int, n_codes: int, dim: int) -> DataFrame:
+    """`(vec_id, s, code, d2)` — exact fixed-point squared distance from
+    every vector's subvector *s* to codebook entry *code* (the first
+    ``n_codes`` vectors' subvectors, deterministic like ivf_topk's
+    centroids).  Elements quantize to floor(v·1e7) BIGINTs, so d2 is an
+    exact integer — PQ assignment and ADC sums are hash-reproducible
+    across engines with NO float rounding anywhere."""
+    sub_dim = dim // m
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / sub_dim).cast("int").alias("s"),
+        F.floor(F.col("v") * 10000000).cast("long").alias("qv"),
+    )
+    cb = ex.where(F.col("vec_id") < n_codes).select(
+        F.col("vec_id").alias("code"), "pos", F.col("qv").alias("qcb")
+    )
+    return (
+        ex.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "s", "code")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("qcb")) * (F.col("qv") - F.col("qcb"))
+            ).alias("d2")
+        )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    num_queries: int = 10,
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization approximate top-k by L2: `(qid, cid, adc)`.
+
+    Split the vector into `m` subspaces; encode each database vector as
+    its nearest codebook entry per subspace (8 bytes per vector at
+    m=8/n_codes<=256 — the memory-bound ANN regime IVF can't reach); a
+    query's distance is the ASYMMETRIC sum of its precomputed
+    per-subspace lookup-table entries for the vector's codes.
+
+    100 TB shape: encoding is one broadcast join + one (vec,s,code)-keyed
+    agg over the posexploded scan; the search joins the COMPACT code
+    table (m rows per vector, no raw vectors) against a broadcast LUT of
+    num_queries×m×n_codes rows and sums — the corpus-sized shuffle
+    carries only (qid, vec_id, partial-ADC) longs.  All arithmetic is
+    exact fixed-point BIGINT: assignment argmins and ADC distances are
+    bit-identical in the DuckDB oracle with no rounding.
+    """
+    d2 = _pq_d2(emb, m, n_codes, dim)
+    w_enc = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    assign = (
+        d2.withColumn("rn", F.row_number().over(w_enc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    lut = d2.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("qid"), "s", "code", F.col("d2").alias("qd2")
+    )
+    dist = (
+        assign.join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        dist.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("cid"), "adc")
+    )
+
+
+def _PQ_D2_CTE(m: int, n_codes: int, dim: int) -> str:
+    sub_dim = dim // m
+    return f"""ex AS (
+  SELECT vec_id, i AS pos, CAST((i - 1) // {sub_dim} AS INT) AS s,
+         floor(embedding[i]::DOUBLE * 10000000)::BIGINT AS qv
+  FROM embeddings, generate_series(1, {dim}) t(i)
+),
+cb AS (SELECT vec_id AS code, pos, qv AS qcb FROM ex WHERE vec_id < {n_codes}),
+d2 AS (
+  SELECT e.vec_id, e.s, c.code,
+         CAST(SUM((e.qv - c.qcb) * (e.qv - c.qcb)) AS BIGINT) AS d2
+  FROM ex e JOIN cb c ON c.pos = e.pos
+  GROUP BY e.vec_id, e.s, c.code
+),
+assign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM d2) WHERE rn = 1
+),
+pq AS (
+  SELECT l.vec_id AS qid, a.vec_id AS cid,
+         CAST(SUM(l.d2) AS BIGINT) AS adc,
+         row_number() OVER (PARTITION BY l.vec_id
+                            ORDER BY CAST(SUM(l.d2) AS BIGINT) ASC,
+                                     a.vec_id ASC) AS rn
+  FROM assign a
+  JOIN d2 l ON l.s = a.s AND l.code = a.code
+  WHERE l.vec_id < {{num_queries}} AND l.vec_id <> a.vec_id
+  GROUP BY l.vec_id, a.vec_id
+)"""
+
+
+def pq_topk_oracle(
+    m: int = 8, n_codes: int = 16, num_queries: int = 10, k: int = 10, dim: int = 64
+) -> str:
+    cte = _PQ_D2_CTE(m, n_codes, dim).format(num_queries=num_queries)
+    return f"""WITH {cte}
+SELECT qid, cid, adc FROM pq WHERE rn <= {k}"""
+
+
+def pq_recall(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    num_queries: int = 10,
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """`(qid, hits, recall)` — PQ top-k audited against the EXACT
+    fixed-point L2 top-k under identical tie rules.  Same audit role as
+    ivf_recall: quantifies what the compression costs on this corpus.
+    (On the near-random testdata embeddings recall plateaus around 0.3
+    regardless of codebook size — measured 16/32/64 codes — which is the
+    point of shipping the audit: PQ's loss is a data property the
+    pipeline must surface, not assume.)"""
+    pq = pq_topk(emb, m, n_codes, num_queries, k, dim)
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v") * 10000000).cast("long").alias("qv"),
+    )
+    q = ex.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("qv").alias("qqv")
+    )
+    d2 = (
+        ex.join(F.broadcast(q), "pos")
+        .where(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("qqv")) * (F.col("qv") - F.col("qqv"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+    hits = (
+        pq.select("qid", "cid")
+        .join(exact, ["qid", "cid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact")).join(
+        hits, "qid", "left"
+    ).select(
+        "qid",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact"), 4
+        ).alias("recall"),
+    )
+
+
+def pq_recall_oracle(
+    m: int = 8, n_codes: int = 16, num_queries: int = 10, k: int = 10, dim: int = 64
+) -> str:
+    cte = _PQ_D2_CTE(m, n_codes, dim).format(num_queries=num_queries)
+    return f"""WITH {cte},
+qex AS (
+  SELECT vec_id AS qid, pos, qv AS qqv FROM ex WHERE vec_id < {num_queries}
+),
+fd AS (
+  SELECT q.qid, e.vec_id,
+         CAST(SUM((e.qv - q.qqv) * (e.qv - q.qqv)) AS BIGINT) AS d2
+  FROM ex e JOIN qex q ON q.pos = e.pos
+  WHERE q.qid <> e.vec_id
+  GROUP BY q.qid, e.vec_id
+),
+exact AS (
+  SELECT qid, vec_id AS cid FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, vec_id ASC) AS rn
+    FROM fd) WHERE rn <= {k}
+),
+hits AS (
+  SELECT p.qid, COUNT(*)::BIGINT AS hits
+  FROM pq p JOIN exact x ON x.qid = p.qid AND x.cid = p.cid
+  WHERE p.rn <= {k}
+  GROUP BY p.qid
+)
+SELECT e.qid, COALESCE(h.hits, 0)::BIGINT AS hits,
+       ROUND(COALESCE(h.hits, 0) / COUNT(*), 4) AS recall
+FROM exact e LEFT JOIN hits h USING (qid)
+GROUP BY e.qid, h.hits"""

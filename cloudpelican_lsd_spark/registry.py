@@ -2003,6 +2003,22 @@ def q_shingle_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_pq_topk", sim_ops.pq_topk_oracle(8, 16, 10, 10, 64))
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (similarity.pq_topk): m=8 subspace
+    codebooks from the first 16 vectors, asymmetric-distance search over
+    the compact code table — the memory-bound scale path beyond IVF.
+    All arithmetic exact fixed-point BIGINT (hash-identical oracle)."""
+    return sim_ops.pq_topk(load_table(spark, "embeddings", sf_dir))
+
+
+@register("emb_pq_recall", sim_ops.pq_recall_oracle(8, 16, 10, 10, 64))
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall@k audit against the exact fixed-point L2 top-k under
+    identical tie rules (similarity.pq_recall)."""
+    return sim_ops.pq_recall(load_table(spark, "embeddings", sf_dir))
+
+
 @register("emb_kmeans_assign", sim_ops.kmeans_assign_oracle(64))
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means assignment step in exact fixed-point arithmetic:
@@ -3370,6 +3386,8 @@ DRIVER_ORDER = [
     "search_large_volume_customers",
     "search_idle_rich_customers",
     "dedup_cdc_overlap",
+    "emb_pq_topk",
+    "emb_pq_recall",
     "events_cube_day_type",
     "events_grouping_sets",
     "events_rollup_day_type",

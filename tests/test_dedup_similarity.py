@@ -383,3 +383,24 @@ def test_cdc_overlap_catches_partial_copies(spark):
     assert (1, 2) in pairs, pairs
     assert pairs[(1, 2)] >= 3          # a real passage, not one accident
     assert (1, 3) not in pairs         # noise-only doc shares nothing with donor
+
+
+def test_pq_topk_and_recall_contract(spark, sf_dir):
+    """PQ search: k results per query, self excluded, ADC ascending with
+    deterministic ties; the recall audit is consistent with the top-k."""
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    top = sim_ops.pq_topk(emb, num_queries=5, k=8).collect()
+    by_q: dict = {}
+    for r in top:
+        assert r.qid != r.cid
+        by_q.setdefault(r.qid, []).append((r.adc, r.cid))
+    assert set(by_q) == set(range(5))
+    for qid, rows in by_q.items():
+        assert len(rows) == 8
+        assert rows == sorted(rows)  # adc asc, cid tie-break
+    rec = {r.qid: r for r in sim_ops.pq_recall(emb, num_queries=5, k=8).collect()}
+    assert set(rec) == set(range(5))
+    for r in rec.values():
+        assert 0 <= r.hits <= 8 and abs(r.recall - r.hits / 8) < 1e-9
