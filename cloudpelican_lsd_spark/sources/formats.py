@@ -119,3 +119,19 @@ def jsonl_stream_source(spark: SparkSession, path: str) -> DataFrame:
         .json(path)
     )
     return _normalize(df.where(F.col("_corrupt").isNull()))
+
+
+def read_orc_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Batch ORC ingest (columns message,ts,host,level) → engine schema.
+
+    ORC is Spark-native (no extra package) and the common hand-off format
+    from Hive-era log pipelines; the column contract and the normalize
+    chain are identical to the JSONL/CSV twins, so a corpus can arrive in
+    any of the three and hit the same fan-out."""
+    return _normalize(spark.read.schema(LOG_CSV_SCHEMA).orc(path))
+
+
+def write_orc_logs(df: DataFrame, path: str) -> None:
+    """Structured-log writer twin: persist (message,ts,host,level) rows as
+    ORC for `read_orc_logs` (round-trip pinned in tests)."""
+    df.select("message", "ts", "host", "level").write.mode("overwrite").orc(path)

@@ -106,3 +106,32 @@ def test_jsonl_streaming_drops_corrupt(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert spark.sql("SELECT * FROM jsonl_mem2").count() == 3
+
+
+def test_orc_roundtrip_matches_jsonl_twin(spark, tmp_path):
+    """The same records ingested via ORC and via JSONL produce identical
+    engine-schema rows (one normalize chain, three wire formats)."""
+    import json
+
+    from cloudpelican_lsd_spark.sources import formats as fm
+
+    recs = [
+        {"message": "error failed x", "ts": "2024-03-01T10:00:01", "host": "h1", "level": "ERROR"},
+        {"message": "ok served", "ts": "2024-03-01T10:00:02", "host": "h2", "level": "INFO"},
+        {"message": None, "ts": "2024-03-01T10:00:03", "host": "h3", "level": "WARN"},
+    ]
+    jdir = str(tmp_path / "j")
+    (tmp_path / "j").mkdir()
+    with open(f"{jdir}/a.jsonl", "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    src = spark.createDataFrame(
+        [(r["message"], r["ts"], r["host"], r["level"]) for r in recs],
+        "message STRING, ts STRING, host STRING, level STRING",
+    )
+    odir = str(tmp_path / "o")
+    fm.write_orc_logs(src, odir)
+
+    via_orc = {(r._raw, r.ts_epoch) for r in fm.read_orc_logs(spark, odir).collect()}
+    via_json = {(r._raw, r.ts_epoch) for r in fm.read_jsonl_logs(spark, jdir).collect()}
+    assert via_orc == via_json and len(via_orc) == 3
