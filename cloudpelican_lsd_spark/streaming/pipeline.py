@@ -737,3 +737,46 @@ def windowed_distinct_stream(
             "approx_distinct",
         )
     )
+
+
+def windowed_topk_counts_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    width: str = "1 minute",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """`(bucket, key, cnt)` — per-key counts per tumbling event-time
+    window, maintained incrementally by the streaming state store.
+
+    Heavy-hitters building block: ranking is NOT applied here because
+    window functions cannot run on an open streaming aggregate — the
+    counts stream appends once the watermark closes a window, and
+    `topk_per_bucket` ranks at read time (the same merge-on-read idiom
+    as the stats table).  State per window is bounded by key cardinality
+    (event types / filters), not event volume."""
+    return (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", lateness)
+        .groupBy(F.window("ts", width).alias("win"), "key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("bucket"), "key", "cnt"
+        )
+    )
+
+
+def topk_per_bucket(counts: DataFrame, k: int = 3) -> DataFrame:
+    """`(bucket, key, cnt, rank)` — deterministic heavy hitters per
+    window from the maintained counts table (cnt DESC, key ASC ties)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("bucket").orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("bucket", "key", "cnt", "rank")
+    )

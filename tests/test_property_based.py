@@ -183,3 +183,42 @@ def test_engine_rejects_junk_with_value_error(cmd):
         raise AssertionError(f"junk accepted: {cmd!r}")
     except ValueError:
         pass
+
+
+# --- real media codecs: roundtrip + closed-form invariants (no Spark) ------
+
+_T = lambda m: (m // 256) * 32640 + (m % 256) * ((m % 256) - 1) // 2  # noqa: E731
+
+
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(1, 40),
+    st.integers(1, 300),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_closed_form(mid, w, h):
+    from cloudpelican_lsd_spark.multimodal import codecs as C
+
+    d = C.decode_bmp(C.encode_bmp(mid, w, h))
+    s = mid % 256
+    assert (d["width"], d["height"], d["n_units"]) == (w, h, w * h)
+    assert d["unit_sum"] == 3 * w * (_T(s + h) - _T(s))
+    assert d["unit_min"] == (s if s + h <= 256 else 0)
+    assert d["unit_max"] == (s + h - 1 if s + h <= 256 else 255)
+    # pixel-true spot check: top-down row h-1
+    assert int(d["pixels"][h - 1, w - 1, 2]) == (mid + h - 1) % 256
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(0, 5000))
+@settings(max_examples=60, deadline=None)
+def test_wav_fvid_roundtrip_closed_form(mid, n):
+    from cloudpelican_lsd_spark.multimodal import codecs as C
+
+    s = mid % 256
+    for enc, dec in ((C.encode_wav, C.decode_wav), (C.encode_fvid, C.decode_fvid)):
+        d = dec(enc(mid, n))
+        assert d["n_units"] == n
+        assert d["unit_sum"] == _T(s + n) - _T(s)
+        if n:
+            assert d["unit_min"] == (s if s + n <= 256 else 0)
+            assert d["unit_max"] == (s + n - 1 if s + n <= 256 else 255)

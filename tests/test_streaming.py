@@ -638,3 +638,39 @@ def test_analyzer_flags_over_streaming_stats(spark, tmp_path):
     }
     for r in match_series:
         assert r.actual == 30 and bool(r.is_outlier) is True, r
+
+
+def test_windowed_topk_stream_heavy_hitters(spark, tmp_path):
+    """Streaming per-window key counts + read-time ranking equal the
+    batch groupBy top-k on the same data (heavy-hitters contract)."""
+    src = str(tmp_path / "hhin")
+    lines = []
+    # minute 0: a dominates; minute 1: b dominates
+    for i in range(9):
+        lines.append(f"2024-02-01T10:00:{i:02d}.000+00:00 h app: alpha n={i}")
+    for i in range(4):
+        lines.append(f"2024-02-01T10:00:{40+i:02d}.000+00:00 h app: beta n={i}")
+    for i in range(7):
+        lines.append(f"2024-02-01T10:01:{i:02d}.000+00:00 h app: beta n={i}")
+    lines.append("2024-02-01T10:01:30.000+00:00 h app: gamma n=0")
+    _write_lines(src, lines)
+
+    raw = sp.parse_stream(sp.file_source(spark, src)).withColumn(
+        "key", F.split(F.col("_raw"), " ").getItem(3)
+    )
+    counts = sp.windowed_topk_counts_stream(raw, key_col="key")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("hh_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    top = {
+        (r.bucket, r.rank): (r.key, r.cnt)
+        for r in sp.topk_per_bucket(spark.table("hh_counts"), k=2).collect()
+    }
+    b0 = 1706781600  # 2024-02-01T10:00:00Z
+    assert top[(b0, 1)] == ("alpha", 9) and top[(b0, 2)] == ("beta", 4)
+    assert top[(b0 + 60, 1)] == ("beta", 7) and top[(b0 + 60, 2)] == ("gamma", 1)
