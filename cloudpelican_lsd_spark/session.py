@@ -29,6 +29,51 @@ RUNTIME_CONFS = {
 }
 
 
+def _ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    The Arrow boundaries (mapInPandas decode, applyInPandas analyzers)
+    are module-level functions, so cloudpickle serializes them BY
+    REFERENCE — the worker must be able to ``import
+    cloudpelican_lsd_spark``.  That held accidentally whenever the
+    driver's cwd was the repo root (Python workers inherit it on
+    sys.path); a driver launched from anywhere else failed with
+    ModuleNotFoundError.  Zipping the package once per session and
+    ``addPyFile``-ing it makes the engine self-sufficient on any driver
+    and is exactly the ``--py-files`` deployment story a real cluster
+    uses.
+    """
+    sc = spark.sparkContext
+    key = "cloudpelican_pyfiles_added"
+    try:
+        if sc.getLocalProperty(key) == "1":
+            return
+    except Exception:
+        pass
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"cloudpelican_lsd_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zpath)
+        sc.setLocalProperty(key, "1")
+    except Exception:
+        pass  # e.g. Connect sessions without addPyFile; cwd fallback applies
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply engine confs to an externally-created session (driver contract:
     ``entry(spark)`` / ``queries()`` receive a session we didn't build)."""
@@ -37,6 +82,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this session; proceed with its defaults
+    _ensure_package_on_workers(spark)
     return spark
 
 

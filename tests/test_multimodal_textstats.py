@@ -497,3 +497,34 @@ def test_line_dedup_boilerplate_removal(spark):
     assert out[2].clean_text == "unique gamma"
     assert out[4].clean_text == "solo line" and out[4].n_dropped == 0
     assert out[6].clean_text == "twice seen"
+
+
+def test_python_boundary_queries_survive_foreign_cwd():
+    """Driver-environment regression guard: a bare SparkSession launched
+    from OUTSIDE the repo (cwd=/tmp, no PYTHONPATH) must still run the
+    mapInPandas/applyInPandas queries — apply_runtime_confs ships the
+    package to Python workers via addPyFile, so cloudpickle's by-reference
+    functions resolve.  (Without it: ModuleNotFoundError in every worker,
+    the round-1 driver-crash class.)"""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as e\n"
+        "from pyspark.sql import SparkSession\n"
+        "s = (SparkSession.builder.master('local[4]')\n"
+        "     .config('spark.ui.enabled','false').getOrCreate())\n"
+        "n = e.queries()['multimodal_features'](s, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('FOREIGN_CWD_OK', n)\n"
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code],
+        cwd="/tmp",
+        env={k: v for k, v in __import__("os").environ.items() if k != "PYTHONPATH"},
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "FOREIGN_CWD_OK" in out.stdout, out.stderr[-2000:]
