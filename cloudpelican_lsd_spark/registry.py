@@ -3337,11 +3337,11 @@ DRIVER_ORDER = [
     "show_filters",
     "select_where_limit",
     "stats_rollup_minutely",
-    "stats_gapfill",
+    "dedup_cdc_overlap",
     "tail_last_n",
     "parse_normalize",
     "naive_bayes_confusion",
-    "search_pricing_summary",
+    "emb_pq_topk",
     "search_order_priority",
     "search_stalled_orders",
     "search_promo_revenue",
@@ -3385,9 +3385,9 @@ DRIVER_ORDER = [
     # -- previously-unchecked remainder (slots 51+) ------------------------
     "search_large_volume_customers",
     "search_idle_rich_customers",
-    "dedup_cdc_overlap",
-    "emb_pq_topk",
     "emb_pq_recall",
+    "search_pricing_summary",
+    "stats_gapfill",
     "events_cube_day_type",
     "events_grouping_sets",
     "events_rollup_day_type",
