@@ -498,6 +498,22 @@ class CloudPelicanEngine:
         return self.spark.sql(sql)
 
 
+def df_to_tsv(df: DataFrame, max_rows: int = 1000) -> str:
+    """Render a DataFrame as TSV text, capped at ``max_rows`` with a
+    truncation marker — the one rows-to-text path shared by the Slack
+    adapter and the HTTP query passthrough (divergent copies of this
+    idiom would drift on NULL/encoding handling)."""
+    rows = df.limit(max_rows + 1).collect()
+    clipped = len(rows) > max_rows
+    body = "\n".join(
+        "\t".join("" if v is None else str(v) for v in r)
+        for r in rows[:max_rows]
+    ) or "(empty)"
+    if clipped:
+        body += f"\n... (truncated at {max_rows} rows)"
+    return body
+
+
 def slack_command(engine: CloudPelicanEngine, text: str, max_bytes: int = 12 * 1024) -> str:
     """The supervisor's Slack slash-command adapter as a pure function
     (reference: supervisor.go:97-273 shells the CLI binary and caps the
@@ -521,14 +537,7 @@ def slack_command(engine: CloudPelicanEngine, text: str, max_bytes: int = 12 * 1
         else:
             out = engine.execute(text)
             if isinstance(out, DataFrame):
-                rows = out.limit(1001).collect()
-                clipped = len(rows) > 1000
-                body = "\n".join(
-                    "\t".join("" if v is None else str(v) for v in r)
-                    for r in rows[:1000]
-                ) or "(empty)"
-                if clipped:
-                    body += "\n... (truncated at 1000 rows)"
+                body = df_to_tsv(out, max_rows=1000)
             elif isinstance(out, list):
                 body = "\n".join(str(x) for x in out) or "(empty)"
             else:

@@ -360,8 +360,15 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
         except Exception as ex:
             return self._jresp_err(f"Invalid request JSON: {ex}")
         updates = 0
-        # keys are "f=<id>_m=<metric>_b=<bucket>" (supervisor.go:733-771)
+        # keys are "f=<id>_m=<metric>_b=<bucket>" (supervisor.go:733-771);
+        # malformed keys AND malformed count values are skipped, not
+        # errors — the reference logs-and-continues per entry, and a
+        # half-processed batch must still ack the valid rows
         for k, count in data.items():
+            try:
+                count_i = int(count)
+            except (TypeError, ValueError):
+                continue
             fid, metric, bucket = "", 0, 0
             for pair in str(k).split("_"):
                 kk, _, vv = pair.partition("=")
@@ -373,33 +380,32 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
                     bucket = int(vv)
             if not fid or self.sup.find_filter(fid) is None:
                 continue
-            if self.sup.state.add_stats(fid, metric, bucket, int(count)):
+            if self.sup.state.add_stats(fid, metric, bucket, count_i):
                 updates += 1
         return self._jresp_ok(updates=updates)
 
     def _post_query(self):
         """BigQuery passthrough: SQL in the body, TSV out (NOT JSON,
         supervisor.go:276) — executes on Spark via engine.search."""
+        from cloudpelican_lsd_spark.engine import df_to_tsv
+
         sql = self._body().decode("utf-8").strip()
         if not sql:
             return self._send("empty query", 400, "text/plain")
         try:
-            rows = self.sup.engine.search(sql).limit(10001).collect()
+            body = df_to_tsv(self.sup.engine.search(sql), max_rows=10000)
         except Exception as ex:
             return self._send(f"error: {ex}", 400, "text/plain")
-        clipped = len(rows) > 10000
-        body = "\n".join(
-            "\t".join("" if v is None else str(v) for v in r)
-            for r in rows[:10000]
-        )
-        if clipped:
-            body += "\n... (truncated at 10000 rows)"
         return self._send(body, 200, "text/tab-separated-values")
 
     def _post_slack(self):
         body = self._body().decode("utf-8")
         form = {k: v[0] for k, v in parse_qs(body).items()}
-        if self.sup.slack_token and form.get("token") != self.sup.slack_token:
+        # secure default: with no token CONFIGURED the endpoint is closed —
+        # the reference reads slack_token via GetNotEmpty (config required);
+        # an unset token must not mean "accept anything" on the one route
+        # that bypasses basic auth
+        if not self.sup.slack_token or form.get("token") != self.sup.slack_token:
             return self._send("invalid token", 401, "text/plain")
         text = form.get("text", "")
         out = slack_command(self.sup.engine, text)  # 12 KB cap inside

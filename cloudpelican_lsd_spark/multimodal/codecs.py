@@ -58,9 +58,12 @@ except Exception:  # pragma: no cover - container has no PIL
 # ---------------------------------------------------------------------------
 
 
-def encode_bmp(media_id: int, w: int, h: int) -> bytes:
-    """24-bit BI_RGB bottom-up BMP; every channel byte of top-down row *y*
-    is ``(media_id + y) % 256``."""
+def encode_bmp_pixels(px) -> bytes:
+    """Encode a top-down (h, w, 3) uint8 array as 24-bit BI_RGB BMP —
+    THE one place that knows the header layout, 4-byte scanline stride,
+    and bottom-up row order (shared by the generator and the resize
+    re-encoder so a format fix can never fork)."""
+    h, w = int(px.shape[0]), int(px.shape[1])
     stride = (3 * w + 3) & ~3
     pix_size = stride * h
     header = struct.pack(
@@ -70,11 +73,16 @@ def encode_bmp(media_id: int, w: int, h: int) -> bytes:
     )
     pad = b"\x00" * (stride - 3 * w)
     # file stores rows bottom-up: last top-down row first
-    rows = [
-        bytes([(media_id + y) % 256]) * (3 * w) + pad
-        for y in range(h - 1, -1, -1)
-    ]
-    return header + b"".join(rows)
+    body = b"".join(px[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    return header + body
+
+
+def encode_bmp(media_id: int, w: int, h: int) -> bytes:
+    """24-bit BI_RGB bottom-up BMP; every channel byte of top-down row *y*
+    is ``(media_id + y) % 256``."""
+    row_vals = ((media_id + np.arange(h)) % 256).astype(np.uint8)
+    px = np.repeat(row_vals, w * 3).reshape(h, w, 3)
+    return encode_bmp_pixels(px)
 
 
 def _ramp(media_id: int, n: int) -> bytes:
@@ -393,21 +401,10 @@ def resize_real(media: DataFrame, max_w: int = 64, max_h: int = 48) -> DataFrame
                 px = d["pixels"]
                 ys = (np.arange(nh) * d["height"]) // nh
                 xs = (np.arange(nw) * d["width"]) // nw
-                out_px = px[ys][:, xs]
-                # re-encode: rows of the resampled image are constant by
-                # construction here, but encode the general way — rebuild
-                # the BMP from the actual out_px bytes
-                stride = (3 * nw + 3) & ~3
-                pad = b"\x00" * (stride - 3 * nw)
-                body = b"".join(
-                    out_px[y].tobytes() + pad for y in range(nh - 1, -1, -1)
-                )
-                header = struct.pack(
-                    "<2sIHHI", b"BM", 14 + 40 + stride * nh, 0, 0, 14 + 40
-                ) + struct.pack(
-                    "<IiiHHIIiiII", 40, nw, nh, 1, 24, 0, stride * nh, 2835, 2835, 0, 0
-                )
-                blob2 = header + body
+                out_px = np.ascontiguousarray(px[ys][:, xs])
+                # re-encode through the shared encoder — same header,
+                # stride, and bottom-up layout as the generator
+                blob2 = encode_bmp_pixels(out_px)
                 # decode the re-encoded artifact for the gate statistic
                 check = decode_bmp(blob2)
                 rows.append(

@@ -487,11 +487,31 @@ def regression_check(span: DataFrame) -> DataFrame:
     S1 = sum|D*r_i|, S2 = sum (D*r_i)^2.  The moment sums AND the
     residual folds all run over the per-row history array, so the whole
     check stays one linear plan — no join, no second pass over the
-    data."""
+    data.
+
+    Numeric domain: clearing the denominator scales residuals by
+    D ≈ n^4/12 ≈ 5.7e8 at the 288-slot grid, so the DECIMAL(38,0)
+    accumulators are exact for per-bucket counts up to ~5e7.  Beyond
+    that the check FAILS LOUDLY (assert_true) instead of silently
+    nulling the flag — matching the oracle, whose HUGEINT errors rather
+    than wraps; series hotter than 5e7 events per 5-minute bucket should
+    be pre-aggregated to coarser buckets or count-scaled upstream."""
     d38 = "decimal(38,0)"
+    # the assert must live INSIDE a consumed expression (a dropped column
+    # gets pruned before it ever evaluates): assert_true yields NULL on
+    # success, so the WHEN wrapper passes `ceiling` through unchanged on
+    # every legal row and aborts loudly on the first out-of-domain one
+    domain_ok = F.assert_true(
+        F.expr("aggregate(cnts, actual, (a, x) -> greatest(a, x)) < 50000000"),
+        F.lit(
+            "regression_check: per-bucket count >= 5e7 exceeds the exact"
+            " DECIMAL(38,0) domain; pre-aggregate or scale the series"
+        ),
+    )
     g = span.select(
         "series_key",
-        F.col("ceiling").alias("bucket"),
+        (F.col("ceiling") + F.coalesce(domain_ok.cast("long"), F.lit(0)))
+        .alias("bucket"),
         "actual",
         "n",
         "cnts",

@@ -29,6 +29,10 @@ RUNTIME_CONFS = {
 }
 
 
+#: SparkContexts already provisioned this process (applicationId-keyed)
+_PYFILES_ADDED: set = set()
+
+
 def _ensure_package_on_workers(spark: SparkSession) -> None:
     """Ship this package to Python workers via ``addPyFile``.
 
@@ -44,32 +48,48 @@ def _ensure_package_on_workers(spark: SparkSession) -> None:
     uses.
     """
     sc = spark.sparkContext
-    key = "cloudpelican_pyfiles_added"
     try:
-        if sc.getLocalProperty(key) == "1":
-            return
+        ctx_key = sc.applicationId
     except Exception:
-        pass
+        ctx_key = id(sc)
+    if ctx_key in _PYFILES_ADDED:  # process-global, NOT thread-local
+        return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                entries.append(
+                    (full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+                )
+    entries.sort(key=lambda e: e[1])
+    # content-addressed name: a stale zip from a previous (or foreign)
+    # process can never ship wrong code — different content, different path
+    digest = hashlib.sha256()
+    for full, rel in entries:
+        digest.update(rel.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"cloudpelican_lsd_spark_pyfiles_{os.getpid()}.zip"
+        tempfile.gettempdir(),
+        f"cloudpelican_lsd_spark_{digest.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full, rel in entries:
+                zf.write(full, rel)
+        os.replace(tmp, zpath)  # atomic: concurrent builders converge
     try:
         sc.addPyFile(zpath)
-        sc.setLocalProperty(key, "1")
+        _PYFILES_ADDED.add(ctx_key)
     except Exception:
         pass  # e.g. Connect sessions without addPyFile; cwd fallback applies
 

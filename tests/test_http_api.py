@@ -187,3 +187,31 @@ def test_slack_endpoint(server):
         auth=None,
     )
     assert code == 200 and text.startswith("error:")
+
+
+def test_stats_put_skips_malformed_counts(server):
+    """A non-integer count value is skipped per-entry (never a dropped
+    connection), and valid entries in the same batch still ack."""
+    _, url = server
+    fid = jcall(f"{url}/filter?name=mixed&regex=y", "POST")["filter_id"]
+    body = json.dumps(
+        {f"f={fid}_m=1_b=0": "abc", f"f={fid}_m=1_b=60": [1], f"f={fid}_m=1_b=120": 2}
+    ).encode()
+    r = jcall(f"{url}/stats/filters", "PUT", body=body)
+    assert r["status"] is True and r["updates"] == 1
+    assert jcall(f"{url}/filter/{fid}/stats")["stats"] == {"1": {"120": 2}}
+
+
+def test_slack_closed_without_configured_token(spark, sf_dir):
+    """Secure default: no slack_token configured -> the endpoint rejects
+    everything (it is the one route that bypasses basic auth)."""
+    eng = CloudPelicanEngine(spark, logs_view(spark, sf_dir), sf_dir=sf_dir)
+    sup = SupervisorHTTP(eng, username="u", password="p")  # token unset
+    url = sup.start()
+    try:
+        code, _ = call(f"{url}/slack", "POST", body=b"text=ping", auth=None)
+        assert code == 401
+        code, _ = call(f"{url}/slack", "POST", body=b"token=&text=ping", auth=None)
+        assert code == 401
+    finally:
+        sup.stop()
