@@ -51,7 +51,12 @@ def _spread(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     # getNumPartitions inspects the physical plan only (no job runs); a
-    # multi-split scan passes through with zero added Exchange
+    # multi-split scan passes through with zero added Exchange.  Caveats:
+    # the probe reads the PRE-AQE static count, so a post-shuffle input
+    # would report spark.sql.shuffle.partitions even if AQE later
+    # coalesces it (every current caller feeds scan-stage inputs, where
+    # the count is real), and .rdd pays one physical-plan compile — cheap
+    # next to the hashing work being spread, but not free.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
