@@ -330,3 +330,127 @@ SELECT (SELECT COUNT(*) FROM {base_table})::BIGINT AS n_raw,
        (SELECT COUNT(*) FROM final)::BIGINT AS n_final,
        (SELECT SUM(len(string_split(text, ' ')))
         FROM final)::BIGINT AS tokens_final"""
+
+
+# ---------------------------------------------------------------------------
+# v2 capstone: boilerplate line dedup -> gates -> dedup chain -> eval
+# decontamination (the full modern pre-training pipeline)
+# ---------------------------------------------------------------------------
+
+
+def corpus_clean_v2(
+    docs_lined: DataFrame,
+    line_min_df: int = 3,
+    eval_mod: int = 97,
+    gram_n: int = 8,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """`(doc_id, n_tokens)` — the v2 pipeline over LINE-STRUCTURED docs:
+
+    (0) corpus-wide boilerplate line removal (textstats.line_dedup;
+        survivors rejoin with spaces so downstream tokenization never
+        sees the line separator);
+    (1-3) the v1 chain: quality gate → lang-ID gate → exact dedup →
+        near-dup removal (_clean_stages — single source of truth);
+    (4) EVAL DECONTAMINATION: docs with ``doc_id % eval_mod == 0`` play
+        the held-out benchmark; any surviving training doc sharing a
+        word ``gram_n``-gram with the eval slice is dropped, and eval
+        docs themselves never enter the training output.
+
+    Scale shape: stage 0 is the window-count line plan (1 scan /
+    2 shuffles); stage 4 joins the training grams against the eval-gram
+    set on md5 keys — eval is a tiny slice, so AQE broadcasts it."""
+    from cloudpelican_lsd_spark.operators.dedup import shingles
+    from cloudpelican_lsd_spark.operators.textstats import line_dedup
+
+    docs2 = line_dedup(docs_lined, min_df=line_min_df).select(
+        "doc_id",
+        F.regexp_replace(F.col("clean_text"), "\n", " ").alias("text"),
+    )
+    _, _, final = _clean_stages(
+        docs2, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
+    )
+    ev = docs2.where(F.col("doc_id") % eval_mod == 0)
+    evg = (
+        shingles(ev, gram_n)
+        .select(F.md5(F.col("shingle")).alias("gh"))
+        .distinct()
+    )
+    train = final.where(F.col("doc_id") % eval_mod != 0)
+    trg = shingles(train, gram_n).select("doc_id", F.md5(F.col("shingle")).alias("gh"))
+    bad = trg.join(evg, "gh", "left_semi").select("doc_id").distinct()
+    return (
+        train.join(bad, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def corpus_clean_v2_oracle(
+    base_cte: str,
+    base_table: str,
+    words_per_line: int = 10,
+    line_min_df: int = 3,
+    eval_mod: int = 97,
+    gram_n: int = 8,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin: the line-dedup CTEs feed docs2 (lines rejoined with
+    spaces), then the shared v1 chain, then the gram-overlap drop."""
+    w = words_per_line
+    lines_cte = f"""{base_cte},
+ld_d AS (SELECT doc_id, string_split(text, ' ') AS words FROM {base_table}),
+ld_ex AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ') AS line
+  FROM ld_d, unnest(generate_series(0,
+         CAST(ceil(len(words) / {w}.0) AS BIGINT) - 1)) AS t(i)
+),
+ld_f AS (SELECT line, COUNT(*)::BIGINT AS df FROM ld_ex GROUP BY line),
+docs2 AS (
+  SELECT e.doc_id,
+         string_agg(e.line, ' ' ORDER BY e.pos)
+           FILTER (WHERE f.df < {line_min_df}) AS text
+  FROM ld_ex e JOIN ld_f f USING (line)
+  GROUP BY e.doc_id
+  HAVING COUNT(*) FILTER (WHERE f.df < {line_min_df}) >= 1
+)"""
+    chain = _clean_cte_chain(
+        lines_cte, "docs2", min_tokens, lang_num, lang_den, n,
+        jac_num, jac_den, max_df,
+    )
+    g = gram_n - 1
+    return f"""WITH {chain},
+evtok AS (SELECT string_split(lower(text), ' ') AS toks
+          FROM docs2 WHERE doc_id % {eval_mod} = 0),
+evpos AS (SELECT toks, unnest(generate_series(1, greatest(len(toks) - {g}, 0))) AS i
+          FROM evtok),
+evg AS (SELECT DISTINCT md5(array_to_string(toks[i : i + {g}], ' ')) AS gh
+        FROM evpos),
+trtok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM final WHERE doc_id % {eval_mod} <> 0),
+trpos AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - {g}, 0))) AS i
+          FROM trtok),
+trg AS (SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[i : i + {g}], ' ')) AS gh
+        FROM trpos),
+bad AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (gh))
+SELECT f.doc_id, len(string_split(f.text, ' '))::BIGINT AS n_tokens
+FROM final f
+WHERE f.doc_id % {eval_mod} <> 0
+  AND f.doc_id NOT IN (SELECT doc_id FROM bad)"""

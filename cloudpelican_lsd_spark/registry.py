@@ -829,6 +829,31 @@ def _corpus_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean_v2",
+    corpus_ops.corpus_clean_v2_oracle(_CORPUS_CTE, "docs_corpus"),
+)
+def q_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 capstone — the full modern pre-training pipeline: boilerplate
+    line dedup -> quality gate -> lang-ID gate -> exact dedup -> near-dup
+    removal -> EVAL DECONTAMINATION (docs sharing a word 8-gram with the
+    doc_id%97 held-out slice are dropped, and eval docs never enter the
+    training output).  corpus.corpus_clean_v2 over the 10-word-line view
+    of the planted corpus."""
+    base = _corpus_base(spark, sf_dir)
+    wpl = 10
+    lined = base.select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform(sequence(0,"
+            f" CAST(ceil(size(split(text, ' ')) / {wpl}.0) AS INT) - 1),"
+            f" i -> array_join(slice(split(text, ' '), i * {wpl} + 1, {wpl}), ' ')),"
+            " '\\n')"
+        ).alias("text"),
+    )
+    return corpus_ops.corpus_clean_v2(lined)
+
+
+@register(
     "corpus_clean_pipeline",
     corpus_ops.corpus_clean_oracle(_CORPUS_CTE, "docs_corpus"),
 )
@@ -3386,6 +3411,7 @@ DRIVER_ORDER = [
     "search_large_volume_customers",
     "search_idle_rich_customers",
     "emb_pq_recall",
+    "corpus_clean_v2",
     "search_pricing_summary",
     "stats_gapfill",
     "events_cube_day_type",

@@ -528,3 +528,25 @@ def test_python_boundary_queries_survive_foreign_cwd():
         timeout=300,
     )
     assert "FOREIGN_CWD_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_corpus_clean_v2_decontaminates_eval_overlap(spark):
+    """v2 capstone semantics: eval-slice docs (doc_id % 97 == 0) never
+    enter the output, training docs sharing an 8-gram with them are
+    dropped, clean docs survive with post-line-dedup token counts."""
+    from cloudpelican_lsd_spark.operators.corpus import corpus_clean_v2
+
+    stop = "the a of and to in is it"       # passes the stopword lang gate
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 distinct words
+    docs = spark.createDataFrame(
+        [
+            (0, f"{stop} {passage}"),                      # eval doc (0 % 97 == 0)
+            (5, f"{stop} {passage} extra tail words here"),  # contaminated -> dropped
+            (7, "it is a and the of to in totally unrelated clean content words"),  # kept (different stop order -> no shared 8-gram)
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.n_tokens for r in corpus_clean_v2(docs).collect()}
+    assert 0 not in out          # eval never in training output
+    assert 5 not in out          # 8-gram overlap with eval -> decontaminated
+    assert 7 in out and out[7] == 13
