@@ -3393,7 +3393,7 @@ DRIVER_ORDER = [
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
     "simhash_near_pairs",
-    "corpus_clean_pipeline",
+    "corpus_clean_v2",
     "corpus_split_neardup_leakage",
     "emb_cosine_topk",
     "text_quality_score",
@@ -3411,7 +3411,7 @@ DRIVER_ORDER = [
     "search_large_volume_customers",
     "search_idle_rich_customers",
     "emb_pq_recall",
-    "corpus_clean_v2",
+    "corpus_clean_pipeline",
     "search_pricing_summary",
     "stats_gapfill",
     "events_cube_day_type",
