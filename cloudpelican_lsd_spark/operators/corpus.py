@@ -121,7 +121,7 @@ def _clean_cte_chain(
 ) -> str:
     """Shared DuckDB CTE chain (gated -> ded -> drops -> final) — single
     source of truth for the clean-pipeline oracle and its yield report."""
-    sh_cte = shingles_oracle_cte(n).replace("FROM documents", "FROM ded")
+    sh_cte = shingles_oracle_cte(n, base_table="ded")
     df_filter = (
         f"""
   JOIN (SELECT shingle FROM sh GROUP BY shingle
@@ -409,17 +409,15 @@ def corpus_clean_v2_oracle(
     jac_den: int = 5,
     max_df: int | None = None,
 ) -> str:
-    """DuckDB twin: the line-dedup CTEs feed docs2 (lines rejoined with
-    spaces), then the shared v1 chain, then the gram-overlap drop."""
-    w = words_per_line
+    """DuckDB twin: the shared lined-view CTE feeds docs2 (lines rejoined
+    with spaces), then the shared v1 chain, then the gram-overlap drop —
+    every n-gram and line-chunking arithmetic composes the single-source
+    builders (textstats.lined_view_cte, dedup.shingles_oracle_cte)."""
+    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
+    from cloudpelican_lsd_spark.operators.textstats import lined_view_cte
+
     lines_cte = f"""{base_cte},
-ld_d AS (SELECT doc_id, string_split(text, ' ') AS words FROM {base_table}),
-ld_ex AS (
-  SELECT doc_id, i AS pos,
-         array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ') AS line
-  FROM ld_d, unnest(generate_series(0,
-         CAST(ceil(len(words) / {w}.0) AS BIGINT) - 1)) AS t(i)
-),
+{lined_view_cte(base_table, words_per_line, prefix="ld_")},
 ld_f AS (SELECT line, COUNT(*)::BIGINT AS df FROM ld_ex GROUP BY line),
 docs2 AS (
   SELECT e.doc_id,
@@ -433,23 +431,15 @@ docs2 AS (
         lines_cte, "docs2", min_tokens, lang_num, lang_den, n,
         jac_num, jac_den, max_df,
     )
-    g = gram_n - 1
+    ev_grams = shingles_oracle_cte(gram_n, "ev_src", prefix="ev")
+    tr_grams = shingles_oracle_cte(gram_n, "tr_src", prefix="tr")
     return f"""WITH {chain},
-evtok AS (SELECT string_split(lower(text), ' ') AS toks
-          FROM docs2 WHERE doc_id % {eval_mod} = 0),
-evpos AS (SELECT toks, unnest(generate_series(1, greatest(len(toks) - {g}, 0))) AS i
-          FROM evtok),
-evg AS (SELECT DISTINCT md5(array_to_string(toks[i : i + {g}], ' ')) AS gh
-        FROM evpos),
-trtok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-          FROM final WHERE doc_id % {eval_mod} <> 0),
-trpos AS (SELECT doc_id, toks,
-                 unnest(generate_series(1, greatest(len(toks) - {g}, 0))) AS i
-          FROM trtok),
-trg AS (SELECT DISTINCT doc_id,
-               md5(array_to_string(toks[i : i + {g}], ' ')) AS gh
-        FROM trpos),
-bad AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (gh))
+ev_src AS (SELECT doc_id, text FROM docs2 WHERE doc_id % {eval_mod} = 0),
+{ev_grams},
+evg AS (SELECT DISTINCT md5(shingle) AS gh FROM evsh),
+tr_src AS (SELECT doc_id, text FROM final WHERE doc_id % {eval_mod} <> 0),
+{tr_grams},
+bad AS (SELECT DISTINCT t.doc_id FROM trsh t JOIN evg ON evg.gh = md5(t.shingle))
 SELECT f.doc_id, len(string_split(f.text, ' '))::BIGINT AS n_tokens
 FROM final f
 WHERE f.doc_id % {eval_mod} <> 0

@@ -130,20 +130,26 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 SHINGLES_ORACLE_CTE = """\
-tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-pos AS (
+{p}tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM {t}),
+{p}pos AS (
   SELECT doc_id, toks,
          unnest(generate_series(1, greatest(len(toks) - {nm1}, 0))) AS i
-  FROM tok
+  FROM {p}tok
 ),
-sh AS (
+{p}sh AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i : i + {nm2}], ' ') AS shingle
-  FROM pos
+  FROM {p}pos
 )"""
 
 
-def shingles_oracle_cte(n: int = 3) -> str:
-    return SHINGLES_ORACLE_CTE.format(nm1=n - 1, nm2=n - 1)
+def shingles_oracle_cte(
+    n: int = 3, base_table: str = "documents", prefix: str = ""
+) -> str:
+    """DuckDB CTE chain yielding ``{prefix}sh (doc_id, shingle)`` — THE
+    one place that owns the word-n-gram slice arithmetic (the off-by-one
+    `generate_series(1, len-n+1)` + inclusive `toks[i : i+n-1]` pair);
+    parameterized so every oracle composes it instead of re-deriving it."""
+    return SHINGLES_ORACLE_CTE.format(nm1=n - 1, nm2=n - 1, t=base_table, p=prefix)
 
 
 # ---------------------------------------------------------------------------

@@ -741,15 +741,7 @@ def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> Data
 def line_dedup_oracle(min_df: int = 3, words_per_line: int = 10) -> str:
     """Oracle over the 10-word-line view of `documents` (the corpus has
     no newlines, so the fixture derives deterministic lines)."""
-    return f"""WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-),
-ex AS (
-  SELECT doc_id, i AS pos,
-         array_to_string(words[i*{words_per_line}+1 : i*{words_per_line}+{words_per_line}], ' ') AS line
-  FROM d, unnest(generate_series(0,
-         CAST(ceil(len(words) / {words_per_line}.0) AS BIGINT) - 1)) AS t(i)
-),
+    return f"""WITH {lined_view_cte('documents', words_per_line)},
 freq AS (SELECT line, COUNT(*)::BIGINT AS df FROM ex GROUP BY line)
 SELECT e.doc_id,
        string_agg(e.line, chr(10) ORDER BY e.pos)
@@ -759,3 +751,39 @@ SELECT e.doc_id,
 FROM ex e JOIN freq f USING (line)
 GROUP BY e.doc_id
 HAVING COUNT(*) FILTER (WHERE f.df < {min_df}) >= 1"""
+
+
+def split_into_lines(
+    docs: DataFrame, words_per_line: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Fixture view: derive a '\\n'-line-structured `text` by fixed word
+    windows — for corpora without natural line structure (the testdata).
+    THE one definition of the chunking both line-dedup consumers and
+    their DuckDB twins (``lined_view_cte``) must agree on."""
+    w = int(words_per_line)
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform(sequence(0,"
+            f" CAST(ceil(size(split({text_col}, ' ')) / {w}.0) AS INT) - 1),"
+            f" i -> array_join(slice(split({text_col}, ' '), i * {w} + 1, {w}), ' ')),"
+            " '\\n')"
+        ).alias("text"),
+    )
+
+
+def lined_view_cte(
+    base_table: str = "documents", words_per_line: int = 10, prefix: str = ""
+) -> str:
+    """DuckDB twin of :func:`split_into_lines`, exploded: CTEs
+    ``{prefix}d`` and ``{prefix}ex (doc_id, pos, line)``."""
+    w, p = int(words_per_line), prefix
+    return f"""{p}d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM {base_table}
+),
+{p}ex AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[i*{w}+1 : i*{w}+{w}], ' ') AS line
+  FROM {p}d, unnest(generate_series(0,
+         CAST(ceil(len(words) / {w}.0) AS BIGINT) - 1)) AS t(i)
+)"""

@@ -710,7 +710,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard_pairs",
     f"""WITH {_PLANTED_CTE},
-{dedup_ops.shingles_oracle_cte(3).replace('FROM documents', 'FROM docs_planted')},
+{dedup_ops.shingles_oracle_cte(3, base_table='docs_planted')},
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter_cnt
