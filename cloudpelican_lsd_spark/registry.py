@@ -3340,80 +3340,26 @@ def q_text_len_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver evaluation order
 #
 # The round driver hash-gates the FIRST 50 registry entries (insertion
-# order).  Round 1 consumed entries in definition order, leaving the whole
-# search_*/join/setops/window/text-analytics breadth unchecked, so the
-# registry is re-keyed here into an explicit priority order:
-#   slots 1-50:  one representative per operator family that was green in
-#                round 1, plus every highest-value query that had NO
-#                correctness row yet (TPC-H-shape search_*, asof/range
-#                joins, sessionize/funnel/retention, window family, set
-#                ops, text/corpus analytics, the new analyzer twins and
-#                the re-oracled real-decode multimodal queries);
-#   slots 51+:   remaining previously-unchecked queries first (benefits
-#                immediately if the driver ever widens its window), then
-#                round-1-green variants, rows-only entries last.
+# order).  Rounds 1+2 together put 83 of the 119 queries on the hard
+# signal (CORRECTNESS_r01/r02: every checked row green).  Round 3 rotates
+# the remaining 36 never-checked queries into the window:
+#   slots 1-50:  all 36 queries with no correctness row yet (the slot-51+
+#                remainder of round 2: Q18/Q22 search shapes, the
+#                cube/rollup/grouping-sets family, salted top-k, moving
+#                z-score, corpus/text/emb audits, plus the rows-only HLL
+#                sketch so it at least gets the driver's row-count check)
+#                + 12 already-green family representatives so every
+#                operator family keeps a fresh row + round-3 additions;
+#   slots 51+:   green-in-r01/r02 entries (rotate back if window widens),
+#                rows-only outlier_consensus last.
 # The reorder test asserts DRIVER_ORDER and the registry stay in lockstep.
 # ===========================================================================
 
 DRIVER_ORDER = [
-    # -- family representatives + new/changed oracles (slots 1-50) ---------
-    "grep_pipeline",
-    "filter_fanout_counts",
-    "show_filters",
-    "select_where_limit",
-    "stats_rollup_minutely",
-    "dedup_cdc_overlap",
-    "tail_last_n",
-    "parse_normalize",
-    "naive_bayes_confusion",
-    "emb_pq_topk",
-    "search_order_priority",
-    "search_stalled_orders",
-    "search_promo_revenue",
-    "search_supplier_rank",
-    "search_small_qty_revenue",
-    "search_disjunctive_revenue",
-    "search_custdist",
-    "search_returned_revenue",
-    "events_asof_attribution",
-    "events_range_join",
-    "events_sessionize",
-    "events_funnel_daily",
-    "events_retention_cohorts",
-    "events_user_top3",
-    "events_rolling_wau",
-    "events_first_last_touch",
-    "events_value_percentiles",
-    "topk_per_group",
-    "distinct_users_per_type",
-    "user_day_setops",
-    "outlier_moving_avg",
-    "outlier_zscore",
-    "outlier_regression",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "corpus_clean_v2",
-    "corpus_split_neardup_leakage",
-    "emb_cosine_topk",
-    "text_quality_score",
-    "text_tfidf_topk",
-    "text_bigram_topk",
-    "text_line_dedup",
-    "logs_pii_redact",
-    "logs_template_mining",
-    "parse_sniff_types",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "json_props_extract",
-    # -- previously-unchecked remainder (slots 51+) ------------------------
+    # -- never-checked after rounds 1+2 (slots 1-50 priority) --------------
     "search_large_volume_customers",
     "search_idle_rich_customers",
     "emb_pq_recall",
-    "corpus_clean_pipeline",
-    "search_pricing_summary",
-    "stats_gapfill",
     "events_cube_day_type",
     "events_grouping_sets",
     "events_rollup_day_type",
@@ -3446,7 +3392,63 @@ DRIVER_ORDER = [
     "text_length_histogram",
     "text_len_correlation",
     "text_unigram_logprob",
-    # -- round-1-green variants --------------------------------------------
+    "distinct_users_sketch",
+    # -- green family representatives (keep one fresh row per family) ------
+    "grep_pipeline",
+    "filter_fanout_counts",
+    "show_filters",
+    "select_where_limit",
+    "tail_last_n",
+    "parse_normalize",
+    "naive_bayes_confusion",
+    "outlier_zscore",
+    "simhash_near_pairs",
+    "logs_pii_redact",
+    "multimodal_features",
+    "json_props_extract",
+    # -- round-3 additions land here (2 slots) -----------------------------
+    "stats_rollup_minutely",
+    "corpus_clean_v2",
+    # -- green in r01/r02 (slots 51+; rotate back if the window widens) ----
+    "emb_pq_topk",
+    "dedup_cdc_overlap",
+    "search_order_priority",
+    "search_stalled_orders",
+    "search_promo_revenue",
+    "search_supplier_rank",
+    "search_small_qty_revenue",
+    "search_disjunctive_revenue",
+    "search_custdist",
+    "search_returned_revenue",
+    "events_asof_attribution",
+    "events_range_join",
+    "events_sessionize",
+    "events_funnel_daily",
+    "events_retention_cohorts",
+    "events_user_top3",
+    "events_rolling_wau",
+    "events_first_last_touch",
+    "events_value_percentiles",
+    "topk_per_group",
+    "distinct_users_per_type",
+    "user_day_setops",
+    "outlier_moving_avg",
+    "outlier_regression",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "corpus_split_neardup_leakage",
+    "emb_cosine_topk",
+    "text_quality_score",
+    "text_tfidf_topk",
+    "text_bigram_topk",
+    "text_line_dedup",
+    "logs_template_mining",
+    "parse_sniff_types",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "corpus_clean_pipeline",
+    "search_pricing_summary",
+    "stats_gapfill",
     "search_region_revenue",
     "search_shipping_priority",
     "grep_word",
@@ -3478,7 +3480,6 @@ DRIVER_ORDER = [
     "json_props_agg",
     # -- rows-only (no oracle by design) -----------------------------------
     "outlier_consensus",
-    "distinct_users_sketch",
 ]
 
 
