@@ -51,6 +51,54 @@ _SELECT_RE = re.compile(
     r"^select \* from ([a-z0-9_:]+)(?: where '(.+?)')?(?: limit (\d+))?$"
 )
 
+# ---------------------------------------------------------------------------
+# Command dispatch table (cloudpelican-lsd.go:200-303)
+#
+# ONE ordered rule list shared by execute() AND _routes_to_query so their
+# precedence cannot fork (round-2 review: a hand-duplicated precedence
+# meant a future side-effecting command misclassified as a query would be
+# EXECUTED by explain's recursive call before the DataFrame backstop).
+# Each rule: (kind, predicate(cmd, low) -> truthy match, produces_query).
+# The bare-pipe → cat fallback is LAST, exactly like the reference
+# dispatcher's final branch, so `create filter f as 'err|warn'` routes to
+# create, never to cat.
+# ---------------------------------------------------------------------------
+
+_DISPATCH_RULES: list[tuple[str, object, bool]] = [
+    ("help", lambda c, l: l == "help", False),
+    ("ping", lambda c, l: l == "ping", False),
+    ("auth", lambda c, l: l.startswith("auth "), False),
+    ("connect", lambda c, l: l.startswith("connect "), False),
+    ("history", lambda c, l: l == "history", False),
+    ("history_n", lambda c, l: l.startswith("history "), False),
+    ("clearhistory", lambda c, l: l == "clearhistory", False),
+    ("save", lambda c, l: l == "save", False),
+    ("clearsession", lambda c, l: l == "clearsession", False),
+    ("configure", lambda c, l: l.startswith("configure supervisor "), False),
+    ("show_filters", lambda c, l: l == "show filters", True),
+    ("describe_filter", lambda c, l: l.startswith("describe filter "), False),
+    ("create_filter", lambda c, l: _CREATE_RE.match(c), False),
+    ("drop_filter", lambda c, l: l.startswith("drop filter "), False),
+    ("select", lambda c, l: _SELECT_RE.match(c), True),
+    ("tail", lambda c, l: l.startswith("tail "), True),
+    ("stats", lambda c, l: l.startswith("stats "), True),
+    ("search", lambda c, l: l.startswith("search "), True),
+    ("explain", lambda c, l: l.startswith("explain "), False),
+    ("cat", lambda c, l: l.startswith("cat ") or "|" in c, True),
+]
+
+_QUERY_KINDS = frozenset(k for k, _, q in _DISPATCH_RULES if q)
+
+
+def _classify(cmd: str) -> tuple[str, object]:
+    """First matching rule wins — the single statement of precedence."""
+    low = cmd.lower()
+    for kind, pred, _ in _DISPATCH_RULES:
+        m = pred(cmd, low)
+        if m:
+            return kind, m
+    return "unknown", None
+
 
 class CloudPelicanEngine:
     """Batch command engine over a log DataFrame + filter catalog."""
@@ -77,152 +125,154 @@ class CloudPelicanEngine:
 
     def _routes_to_query(self, command: str) -> bool:
         """True iff :meth:`execute` would dispatch ``command`` to a
-        DataFrame-producing handler.  Mirrors the dispatcher's branch
-        PRECEDENCE exactly: the bare-pipe → ``cat`` fallback is reachable
-        only when no earlier (possibly side-effecting) branch matches
+        DataFrame-producing handler.  Derived from the SAME ordered rule
+        table execute() dispatches through (``_DISPATCH_RULES``), so the
+        two cannot drift: the bare-pipe → ``cat`` fallback is reachable
+        only when no earlier (possibly side-effecting) rule matches
         first, so ``create filter f as 'err|warn'`` is NOT a query even
         though it contains a pipe."""
-        cmd = command.strip()
-        low = cmd.lower()
-        if low == "show filters":
-            return True
-        if low in ("help", "ping", "history", "clearhistory", "save", "clearsession"):
-            return False
-        if low.startswith(
-            (
-                "auth ",
-                "connect ",
-                "history ",
-                "configure supervisor ",
-                "describe filter ",
-                "drop filter ",
-                "explain ",
-            )
-        ):
-            return False
-        if _CREATE_RE.match(cmd):
-            return False
-        if _SELECT_RE.match(cmd):
-            return True
-        if low.startswith(("tail ", "stats ", "search ", "cat ")):
-            return True
-        return "|" in cmd  # dispatcher's last resort: bare pipeline → cat()
+        kind, _ = _classify(command.strip())
+        return kind in _QUERY_KINDS
 
     def execute(self, command: str):
         cmd = command.strip()
         low = cmd.lower()
         if not low.startswith(("history", "clearhistory")):
             self.session["history"].append(cmd)
-        if low == "help":
-            # reference help text (cloudpelican-lsd.go:860-882) — same
-            # command inventory, engine-native wording
-            return "\n".join(
-                [
-                    "auth <user> <password>",
-                    "connect <uri>",
-                    "ping",
-                    "save | clearsession | history [id] | clearhistory",
-                    "show filters | describe filter <f>",
-                    "create filter <f> as '<regex>' | drop filter <f>",
-                    "select * from <f> [where '<regex>'] [limit N]",
-                    "tail <f> [limit N]",
-                    "cat <f> | grep [-v|-i|-e] <p> | sort [- r] | head | limit N",
-                    "search <sql>",
-                    "stats <f> [window W] [rollup R] [-regular|-error]",
-                    "explain <query-producing command>",
-                    "configure supervisor <key>=<value>",
-                ]
-            )
-        if low == "ping":
-            # reference pings the supervisor; here: one trivial Catalyst
-            # round-trip proves the session is live
-            self.spark.sql("SELECT 1").collect()
-            return "pong"
-        if low.startswith("auth "):
-            parts = cmd.split(maxsplit=2)
-            if len(parts) != 3:
-                raise ValueError("usage: auth <user> <password>")
-            self.session["user"] = parts[1]
-            return f"authenticated as {parts[1]}"
-        if low.startswith("connect "):
-            self.session["uri"] = cmd.split(maxsplit=1)[1]
-            return f"connected to {self.session['uri']}"
-        if low == "history":
-            return list(self.session["history"])
-        if low.startswith("history "):
-            arg = cmd.split()[1]
-            if not arg.lstrip("-").isdigit():
-                raise ValueError("usage: history <index>")
-            idx = int(arg)
-            if not -len(self.session["history"]) <= idx < len(self.session["history"]):
-                raise ValueError(f"history: no entry {idx}")
-            return self.execute(self.session["history"][idx])
-        if low == "clearhistory":
-            self.session["history"].clear()
-            return "history cleared"
-        if low == "save":
-            return self.save_session()
-        if low == "clearsession":
-            self.session = {"history": [], "config": {}}
-            return "session cleared"
-        if low.startswith("configure supervisor "):
-            body = cmd[len("configure supervisor "):]
-            if "=" not in body:
-                raise ValueError("usage: configure supervisor <key>=<value>")
-            k, v = body.split("=", 1)
-            self.session["config"][k.strip()] = v.strip()
-            return dict(self.session["config"])
-        if low == "show filters":
-            return self.show_filters()
-        if low.startswith("describe filter "):
-            return self.describe_filter(cmd.split()[-1])
-        if m := _CREATE_RE.match(cmd):
-            return self.create_filter(m.group(1), m.group(2))
-        if low.startswith("drop filter "):
-            return self.drop_filter(cmd.split()[-1])
-        if m := _SELECT_RE.match(cmd):
-            return self.select(m.group(1), m.group(2), m.group(3))
-        if low.startswith("tail "):
-            parts = cmd.split()
-            n = 100
-            if "limit" in parts:
-                li = parts.index("limit")
-                if li + 1 >= len(parts) or not parts[li + 1].isdigit():
-                    raise ValueError("usage: tail <filter> [limit N]")
-                n = int(parts[li + 1])
-            return self.tail(parts[1], n)
-        if low.startswith("stats "):
-            return self._stats_command(cmd)
-        if low.startswith("search "):
-            return self.search(cmd[len("search "):])
-        if low.startswith("explain "):
-            # plan visibility the reference never had (its planner was a
-            # string builder shipped to BigQuery): a query-producing
-            # command prefixed with `explain` returns Catalyst's formatted
-            # physical plan instead of rows.  The whitelist is checked
-            # BEFORE dispatching so a side-effecting command (drop filter,
-            # clearsession, ...) is rejected without being executed —
-            # including commands whose ARGUMENTS contain a pipe (regex
-            # alternation is the normal case: `create filter f as
-            # 'err|warn'` must not slip through via the bare-pipe branch,
-            # which only fires when the dispatcher itself would route the
-            # text to cat()).
-            inner_cmd = cmd[len("explain "):].strip()
-            if not self._routes_to_query(inner_cmd):
-                raise ValueError("explain: command does not produce a query")
-            inner = self.execute(inner_cmd)
-            if not isinstance(inner, DataFrame):
-                raise ValueError("explain: command does not produce a query")
-            # the recursive execute() recorded the inner command; one user
-            # keystroke = one history entry
-            if self.session["history"] and self.session["history"][-1] == inner_cmd:
-                self.session["history"].pop()
-            return inner._sc._jvm.PythonSQLUtils.explainString(
-                inner._jdf.queryExecution(), "formatted"
-            )
-        if low.startswith("cat ") or "|" in cmd:
-            return self.cat(cmd)
-        raise ValueError(f"unknown command: {command!r}")
+        kind, m = _classify(cmd)
+        if kind == "unknown":
+            raise ValueError(f"unknown command: {command!r}")
+        return getattr(self, "_cmd_" + kind)(cmd, low, m)
+
+    # -- per-kind handlers (bodies unchanged from the round-1 dispatcher) ----
+
+    def _cmd_help(self, cmd, low, m):
+        # reference help text (cloudpelican-lsd.go:860-882) — same
+        # command inventory, engine-native wording
+        return "\n".join(
+            [
+                "auth <user> <password>",
+                "connect <uri>",
+                "ping",
+                "save | clearsession | history [id] | clearhistory",
+                "show filters | describe filter <f>",
+                "create filter <f> as '<regex>' | drop filter <f>",
+                "select * from <f> [where '<regex>'] [limit N]",
+                "tail <f> [limit N]",
+                "cat <f> | grep [-v|-i|-e] <p> | sort [- r] | head | limit N",
+                "search <sql>",
+                "stats <f> [window W] [rollup R] [-regular|-error]",
+                "explain <query-producing command>",
+                "configure supervisor <key>=<value>",
+            ]
+        )
+
+    def _cmd_ping(self, cmd, low, m):
+        # reference pings the supervisor; here: one trivial Catalyst
+        # round-trip proves the session is live
+        self.spark.sql("SELECT 1").collect()
+        return "pong"
+
+    def _cmd_auth(self, cmd, low, m):
+        parts = cmd.split(maxsplit=2)
+        if len(parts) != 3:
+            raise ValueError("usage: auth <user> <password>")
+        self.session["user"] = parts[1]
+        return f"authenticated as {parts[1]}"
+
+    def _cmd_connect(self, cmd, low, m):
+        self.session["uri"] = cmd.split(maxsplit=1)[1]
+        return f"connected to {self.session['uri']}"
+
+    def _cmd_history(self, cmd, low, m):
+        return list(self.session["history"])
+
+    def _cmd_history_n(self, cmd, low, m):
+        arg = cmd.split()[1]
+        if not arg.lstrip("-").isdigit():
+            raise ValueError("usage: history <index>")
+        idx = int(arg)
+        if not -len(self.session["history"]) <= idx < len(self.session["history"]):
+            raise ValueError(f"history: no entry {idx}")
+        return self.execute(self.session["history"][idx])
+
+    def _cmd_clearhistory(self, cmd, low, m):
+        self.session["history"].clear()
+        return "history cleared"
+
+    def _cmd_save(self, cmd, low, m):
+        return self.save_session()
+
+    def _cmd_clearsession(self, cmd, low, m):
+        self.session = {"history": [], "config": {}}
+        return "session cleared"
+
+    def _cmd_configure(self, cmd, low, m):
+        body = cmd[len("configure supervisor "):]
+        if "=" not in body:
+            raise ValueError("usage: configure supervisor <key>=<value>")
+        k, v = body.split("=", 1)
+        self.session["config"][k.strip()] = v.strip()
+        return dict(self.session["config"])
+
+    def _cmd_show_filters(self, cmd, low, m):
+        return self.show_filters()
+
+    def _cmd_describe_filter(self, cmd, low, m):
+        return self.describe_filter(cmd.split()[-1])
+
+    def _cmd_create_filter(self, cmd, low, m):
+        return self.create_filter(m.group(1), m.group(2))
+
+    def _cmd_drop_filter(self, cmd, low, m):
+        return self.drop_filter(cmd.split()[-1])
+
+    def _cmd_select(self, cmd, low, m):
+        return self.select(m.group(1), m.group(2), m.group(3))
+
+    def _cmd_tail(self, cmd, low, m):
+        parts = cmd.split()
+        n = 100
+        if "limit" in parts:
+            li = parts.index("limit")
+            if li + 1 >= len(parts) or not parts[li + 1].isdigit():
+                raise ValueError("usage: tail <filter> [limit N]")
+            n = int(parts[li + 1])
+        return self.tail(parts[1], n)
+
+    def _cmd_stats(self, cmd, low, m):
+        return self._stats_command(cmd)
+
+    def _cmd_search(self, cmd, low, m):
+        return self.search(cmd[len("search "):])
+
+    def _cmd_explain(self, cmd, low, m):
+        # plan visibility the reference never had (its planner was a
+        # string builder shipped to BigQuery): a query-producing
+        # command prefixed with `explain` returns Catalyst's formatted
+        # physical plan instead of rows.  The rule table is consulted
+        # BEFORE dispatching so a side-effecting command (drop filter,
+        # clearsession, ...) is rejected without being executed —
+        # including commands whose ARGUMENTS contain a pipe (regex
+        # alternation is the normal case: `create filter f as
+        # 'err|warn'` must not slip through via the bare-pipe branch,
+        # which only fires when no earlier rule matches).
+        inner_cmd = cmd[len("explain "):].strip()
+        if not self._routes_to_query(inner_cmd):
+            raise ValueError("explain: command does not produce a query")
+        inner = self.execute(inner_cmd)
+        if not isinstance(inner, DataFrame):
+            raise ValueError("explain: command does not produce a query")
+        # the recursive execute() recorded the inner command; one user
+        # keystroke = one history entry
+        if self.session["history"] and self.session["history"][-1] == inner_cmd:
+            self.session["history"].pop()
+        return inner._sc._jvm.PythonSQLUtils.explainString(
+            inner._jdf.queryExecution(), "formatted"
+        )
+
+    def _cmd_cat(self, cmd, low, m):
+        return self.cat(cmd)
 
     # -- session persistence (cli `save`, session file analog) ----------------
 

@@ -46,14 +46,21 @@ from __future__ import annotations
 
 import base64
 import gzip
+import hmac
 import io
 import json
 import threading
+import zlib
 from collections import OrderedDict, deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from cloudpelican_lsd_spark.engine import CloudPelicanEngine, slack_command
+
+
+class _BodyError(Exception):
+    """Malformed request body (bad Content-Length, corrupt/oversized gzip);
+    answered with the jresp error envelope, never a dropped connection."""
 
 
 class SupervisorState:
@@ -105,6 +112,7 @@ class SupervisorHTTP:
         slack_token: str | None = None,
         max_msg_memory: int = 10000,
         max_msg_batch: int = 10000,
+        max_body_bytes: int = 32 * 1024 * 1024,
     ) -> None:
         self.engine = engine
         self.username = username
@@ -112,20 +120,32 @@ class SupervisorHTTP:
         self.admin_password = admin_password
         self.slack_token = slack_token
         self.max_msg_batch = max_msg_batch
+        self.max_body_bytes = max_body_bytes
         self.state = SupervisorState(max_msg_memory)
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
     # -- lifecycle ----------------------------------------------------------
 
-    def start(self, port: int = 0) -> str:
-        """Serve on a daemon thread; returns the base URL (port 0 = any)."""
+    def start(self, port: int = 0, host: str = "127.0.0.1") -> str:
+        """Serve on a daemon thread; returns the base URL (port 0 = any).
+
+        Binding beyond loopback requires non-default credentials — the
+        reference ships cloudpelican/cloudpelican defaults, but exposing
+        those on a routable interface is an open door."""
+        if host not in ("127.0.0.1", "localhost", "::1") and (
+            self.username, self.password
+        ) == ("cloudpelican", "cloudpelican"):
+            raise ValueError(
+                "refusing to bind non-loopback with default credentials; "
+                "pass explicit username/password"
+            )
         api = self
 
         class Handler(_SupervisorHandler):
             sup = api
 
-        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
         )
@@ -184,7 +204,16 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
             user, _, pwd = base64.b64decode(parts[1]).decode().partition(":")
         except Exception:
             user, pwd = "", ""
-        if user != self.sup.username or pwd != self.sup.password:
+        # constant-time compare (round-2 review: `!=` is a timing side
+        # channel on a network-facing supervisor); single non-short-circuit
+        # AND so user and password checks always both run
+        ok_user = hmac.compare_digest(
+            user.encode(), self.sup.username.encode()
+        )
+        ok_pwd = hmac.compare_digest(
+            pwd.encode(), self.sup.password.encode()
+        )
+        if not (ok_user & ok_pwd):
             self._send("authorization failed", 401, "text/plain")
             return False
         return True
@@ -196,10 +225,37 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
         return q.get("admin_password", [""])[0] == self.sup.admin_password
 
     def _body(self) -> bytes:
-        n = int(self.headers.get("Content-Length") or 0)
-        raw = self.rfile.read(n)
+        """Read (and maybe gunzip) the request body.
+
+        Hardened per round-2 review: a malformed Content-Length or a
+        corrupt gzip stream returns the reference's jresp error envelope
+        (supervisor.go answers 'Invalid GZIP' via jresp) instead of
+        aborting the connection, and decompression is chunked with a hard
+        output cap so a gzip bomb cannot buffer unbounded memory before
+        the line-batch cap is applied (the reference's streaming scanner
+        stops at maxMsgBatch lines)."""
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+        except ValueError as ex:
+            raise _BodyError(f"Invalid Content-Length: {ex}") from ex
+        raw = self.rfile.read(min(n, self.sup.max_body_bytes + 1))
+        if len(raw) > self.sup.max_body_bytes:
+            raise _BodyError("Request body too large")
         if self.headers.get("Content-Encoding") == "gzip":
-            raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
+            gz = gzip.GzipFile(fileobj=io.BytesIO(raw))
+            chunks, total = [], 0
+            try:
+                while True:
+                    chunk = gz.read(65536)
+                    if not chunk:
+                        break
+                    total += len(chunk)
+                    if total > self.sup.max_body_bytes:
+                        raise _BodyError("Invalid GZIP: decompressed too large")
+                    chunks.append(chunk)
+            except (OSError, EOFError, zlib.error) as ex:
+                raise _BodyError(f"Invalid GZIP: {ex}") from ex
+            raw = b"".join(chunks)
         return raw
 
     # -- routing ------------------------------------------------------------
@@ -413,14 +469,21 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
 
     # -- verb dispatch ------------------------------------------------------
 
+    def _dispatch(self, method: str):
+        try:
+            self._route(method)
+        except _BodyError as ex:
+            # malformed body → jresp error envelope, connection stays up
+            self._jresp_err(str(ex))
+
     def do_GET(self):
-        self._route("GET")
+        self._dispatch("GET")
 
     def do_POST(self):
-        self._route("POST")
+        self._dispatch("POST")
 
     def do_PUT(self):
-        self._route("PUT")
+        self._dispatch("PUT")
 
     def do_DELETE(self):
-        self._route("DELETE")
+        self._dispatch("DELETE")

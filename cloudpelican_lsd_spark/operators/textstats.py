@@ -700,12 +700,14 @@ def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> Data
     original order; documents whose every line is boilerplate drop out.
 
     100 TB shape: ONE scan, TWO shuffles, ZERO joins — the corpus-wide
-    frequency is a COUNT window over hash(line) (a groupBy+join back
-    would re-evaluate the explode subtree on both sides), then the
+    frequency is a COUNT window over ``(md5(line), line)`` (a groupBy+join
+    back would re-evaluate the explode subtree on both sides), then the
     doc-keyed reassembly agg whose state is bounded by document size.
-    The line-keyed exchange carries each line once; md5 collisions could
-    in principle conflate two distinct lines' counts — at 2^64 lines the
-    raw-text partition key is the fallback.
+    Partitioning by the raw line alongside its md5 makes an adversarial
+    md5 collision (feasible on scraped web text) unable to merge two
+    distinct lines' counts: colliding lines hash to the same shuffle
+    partition but form separate window groups.  The md5 stays first in
+    the key so the exchange hashes a fixed-width prefix.
     """
     from pyspark.sql import Window
 
@@ -715,7 +717,7 @@ def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> Data
     ).withColumn("lh", F.md5("line"))
     flagged = ex.withColumn(
         "keep",
-        F.count(F.lit(1)).over(Window.partitionBy("lh")) < min_df,
+        F.count(F.lit(1)).over(Window.partitionBy("lh", "line")) < min_df,
     )
     return (
         flagged.groupBy("doc_id")

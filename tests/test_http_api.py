@@ -215,3 +215,73 @@ def test_slack_closed_without_configured_token(spark, sf_dir):
         assert code == 401
     finally:
         sup.stop()
+
+
+def test_malformed_body_returns_jresp_not_dropped_connection(server):
+    """Round-2 review: a corrupt gzip body or bad Content-Length must
+    answer with the jresp error envelope (reference: 'Invalid GZIP' via
+    jresp), not abort the connection mid-request."""
+    sup, url = server
+    r = jcall(f"{url}/filter?name=bodyhard&regex=x", "POST")
+    fid = r["filter_id"]
+    try:
+        # corrupt gzip: header says gzip, payload is not
+        r = jcall(
+            f"{url}/filter/{fid}/result",
+            "PUT",
+            body=b"this is not gzip",
+            headers={"Content-Encoding": "gzip"},
+        )
+        assert r["status"] is False and "Invalid GZIP" in r["errors"][0]
+        # truncated gzip stream (valid magic, cut mid-deflate)
+        gz = gzip.compress(b"x" * 4096)[:20]
+        r = jcall(
+            f"{url}/filter/{fid}/result",
+            "PUT",
+            body=gz,
+            headers={"Content-Encoding": "gzip"},
+        )
+        assert r["status"] is False and "Invalid GZIP" in r["errors"][0]
+        # the connection/server survives: a normal request still works
+        r = jcall(f"{url}/filter/{fid}/result", "PUT", body=b"still alive\n")
+        assert r["ack"] is True and r["lines"] == 1
+    finally:
+        jcall(f"{url}/filter/{fid}", "DELETE")
+
+
+def test_gzip_bomb_capped_before_buffering(server):
+    """Decompression stops at max_body_bytes — a tiny gzip body that
+    inflates past the cap is rejected without materializing it."""
+    sup, url = server
+    r = jcall(f"{url}/filter?name=bomb&regex=x", "POST")
+    fid = r["filter_id"]
+    old = sup.max_body_bytes
+    sup.max_body_bytes = 1 << 16  # 64 KiB cap for the test
+    try:
+        bomb = gzip.compress(b"\0" * (1 << 22))  # 4 MiB of zeros, ~4 KiB wire
+        assert len(bomb) < (1 << 16)
+        r = jcall(
+            f"{url}/filter/{fid}/result",
+            "PUT",
+            body=bomb,
+            headers={"Content-Encoding": "gzip"},
+        )
+        assert r["status"] is False and "too large" in r["errors"][0]
+    finally:
+        sup.max_body_bytes = old
+        jcall(f"{url}/filter/{fid}", "DELETE")
+
+
+def test_nonloopback_bind_requires_explicit_credentials(spark, sf_dir):
+    """Default cloudpelican/cloudpelican creds are loopback-only."""
+    eng = CloudPelicanEngine(spark, logs_view(spark, sf_dir), sf_dir=sf_dir)
+    sup = SupervisorHTTP(eng)  # default credentials
+    with pytest.raises(ValueError, match="default credentials"):
+        sup.start(host="0.0.0.0")
+    # loopback with defaults still fine
+    url = sup.start()
+    try:
+        code, _ = call(f"{url}/ping", auth="Basic " + base64.b64encode(b"cloudpelican:cloudpelican").decode())
+        assert code == 200
+    finally:
+        sup.stop()
