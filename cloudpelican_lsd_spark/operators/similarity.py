@@ -388,6 +388,18 @@ def kmeans_assign_confusion(emb: DataFrame) -> DataFrame:
     sums.  At 100 TB with k centroids this is the standard brute-force
     assign — swap in ivf_topk's bucketing when k is large.
     """
+    assigned = nearest_centroid_assign(emb)
+    return assigned.groupBy(
+        "label", F.col("clabel").alias("assigned_label")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
+    """`(vec_id, label, clabel)` — each vector's nearest per-label-mean
+    centroid by cosine, in the exact fixed-point arithmetic documented on
+    :func:`kmeans_assign_confusion` (which is now a groupBy over this).
+    Shared by the confusion audit and the SemDeDup-style semantic prune,
+    so the two can never disagree on cluster membership."""
     ex = (
         emb.select(
             "vec_id",
@@ -447,9 +459,161 @@ def kmeans_assign_confusion(emb: DataFrame) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .groupBy("label", F.col("clabel").alias("assigned_label"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("vec_id", "label", "clabel")
     )
+
+
+def semantic_prune(
+    emb: DataFrame, tau_num: int = 3, tau_den: int = 10
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space, then prune near-duplicate vectors WITHIN
+    each cluster — the all-pairs cosine search collapses to per-cluster
+    pair joins, which is what makes embedding dedup tractable at corpus
+    scale.
+
+    Policy (deterministic, one pass): a vector is DROPPED iff some
+    lower-id vector in the same cluster has cosine >= tau_num/tau_den
+    with it (greedy keep-first; the transitive-closure variant is
+    dedup_clusters' connected components).  Output: per-cluster
+    `(cluster, n_members, n_dropped, n_kept)`.
+
+    Exactness: the threshold decision never touches floats —
+    `den² · dot² >= num² · |a|² · |b|²` with the quantized BIGINT dot
+    (floor(v·1e7) elements, |dot| <= 64·1e14) squared in DECIMAL(38,0)
+    (max ~4e33, exact; DuckDB's HUGEINT twin is 128-bit).  `dot > 0`
+    guards the sign since both sides are squared.
+
+    100 TB shape: cluster assignment is the broadcast-centroid argmax
+    (one data shuffle), the pair join is equi-keyed on `clabel` — no
+    all-pairs anywhere; per-pair dot is a JVM zip_with fold over the two
+    64-element arrays, so pair rows never explode into element rows.
+    """
+    assigned = nearest_centroid_assign(emb).select("vec_id", "clabel")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda v: F.floor(v * 10000000).cast("long"),
+        ).alias("qa"),
+    ).withColumn(
+        "vn",
+        F.aggregate(
+            F.zip_with(F.col("qa"), F.col("qa"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    members = q.join(assigned, "vec_id")
+    a, b = members.alias("a"), members.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.clabel") == F.col("b.clabel"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.clabel").alias("clabel"),
+        F.col("b.vec_id").alias("hi_id"),
+        F.aggregate(
+            F.zip_with(F.col("a.qa"), F.col("b.qa"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+        F.col("a.vn").alias("vna"),
+        F.col("b.vn").alias("vnb"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dup = pairs.where(
+        (F.col("dot") > 0)
+        & (
+            dec("dot") * dec("dot") * F.lit(tau_den * tau_den)
+            >= dec("vna") * dec("vnb") * F.lit(tau_num * tau_num)
+        )
+    )
+    dropped = dup.groupBy("clabel").agg(
+        F.count_distinct(F.col("hi_id")).alias("n_dropped")
+    )
+    sizes = members.groupBy("clabel").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        sizes.join(dropped, "clabel", "left")
+        .select(
+            F.col("clabel").alias("cluster"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            (
+                F.col("n_members") - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def semantic_prune_oracle(
+    tau_num: int = 3, tau_den: int = 10, dim: int = 64
+) -> str:
+    """DuckDB twin: identical assignment chain + HUGEINT pair decision."""
+    return f"""WITH ex AS (
+  SELECT vec_id, label, i AS pos,
+         floor(embedding[i]::DOUBLE * 10000000)::BIGINT AS qv
+  FROM embeddings, generate_series(1, {dim}) t(i)
+),
+cent AS (
+  SELECT label AS clabel, pos,
+         floor((SUM(qv)::DOUBLE / COUNT(*) / 1e7) * 10000)::BIGINT AS qc
+  FROM ex GROUP BY label, pos
+),
+cnorm AS (SELECT clabel, SUM(qc * qc) AS cn FROM cent GROUP BY clabel),
+vnorm AS (SELECT vec_id, SUM(qv * qv) AS vn FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT e.vec_id, c.clabel, SUM(e.qv * c.qc) AS dot
+  FROM ex e JOIN cent c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.clabel
+),
+scored AS (
+  SELECT d.vec_id, d.clabel,
+         ROUND(d.dot::DOUBLE / (sqrt(v.vn::DOUBLE) * sqrt(n.cn::DOUBLE)), 6)
+           AS cos
+  FROM dots d
+  JOIN vnorm v ON v.vec_id = d.vec_id
+  JOIN cnorm n ON n.clabel = d.clabel
+  WHERE v.vn > 0 AND n.cn > 0
+),
+assigned AS (
+  SELECT vec_id, clabel
+  FROM (SELECT vec_id, clabel,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, clabel ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+members AS (
+  SELECT a.vec_id, a.clabel, v.vn
+  FROM assigned a JOIN vnorm v ON v.vec_id = a.vec_id
+),
+pair_dots AS (
+  SELECT ma.clabel, mb.vec_id AS hi_id,
+         SUM(ea.qv * eb.qv) AS dot,
+         ANY_VALUE(ma.vn) AS vna, ANY_VALUE(mb.vn) AS vnb
+  FROM members ma
+  JOIN members mb ON mb.clabel = ma.clabel AND ma.vec_id < mb.vec_id
+  JOIN ex ea ON ea.vec_id = ma.vec_id
+  JOIN ex eb ON eb.vec_id = mb.vec_id AND eb.pos = ea.pos
+  GROUP BY ma.clabel, ma.vec_id, mb.vec_id
+),
+dropped AS (
+  SELECT clabel, COUNT(DISTINCT hi_id) AS n_dropped
+  FROM pair_dots
+  WHERE dot > 0
+    AND dot::HUGEINT * dot * {tau_den * tau_den}
+        >= vna::HUGEINT * vnb * {tau_num * tau_num}
+  GROUP BY clabel
+)
+SELECT m.clabel AS cluster,
+       COUNT(*)::BIGINT AS n_members,
+       COALESCE(ANY_VALUE(d.n_dropped), 0)::BIGINT AS n_dropped,
+       (COUNT(*) - COALESCE(ANY_VALUE(d.n_dropped), 0))::BIGINT AS n_kept
+FROM members m LEFT JOIN dropped d ON d.clabel = m.clabel
+GROUP BY m.clabel"""
 
 
 def kmeans_assign_oracle(dim: int = 64) -> str:

@@ -2044,6 +2044,16 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.pq_recall(load_table(spark, "embeddings", sf_dir))
 
 
+@register("dedup_semantic_prune", sim_ops.semantic_prune_oracle(3, 10, 64))
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_prune): assign
+    vectors to nearest per-label-mean centroid, prune near-duplicates
+    within each cluster at cosine >= 3/10 (greedy keep-lowest-id), report
+    per-cluster members/dropped/kept.  Threshold decision is exact
+    integer arithmetic (DECIMAL(38,0) vs DuckDB HUGEINT)."""
+    return sim_ops.semantic_prune(load_table(spark, "embeddings", sf_dir))
+
+
 @register("emb_kmeans_assign", sim_ops.kmeans_assign_oracle(64))
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means assignment step in exact fixed-point arithmetic:
@@ -3407,9 +3417,10 @@ DRIVER_ORDER = [
     "multimodal_features",
     "json_props_extract",
     # -- round-3 additions land here (2 slots) -----------------------------
-    "stats_rollup_minutely",
+    "dedup_semantic_prune",
     "corpus_clean_v2",
     # -- green in r01/r02 (slots 51+; rotate back if the window widens) ----
+    "stats_rollup_minutely",
     "emb_pq_topk",
     "dedup_cdc_overlap",
     "search_order_priority",

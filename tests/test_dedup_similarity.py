@@ -404,3 +404,56 @@ def test_pq_topk_and_recall_contract(spark, sf_dir):
     assert set(rec) == set(range(5))
     for r in rec.values():
         assert 0 <= r.hits <= 8 and abs(r.recall - r.hits / 8) < 1e-9
+
+
+def test_semantic_prune_contract(spark, sf_dir):
+    """SemDeDup prune: partitions every assigned vector, never drops the
+    lowest-id member of a cluster, and a planted exact duplicate of an
+    existing vector is always dropped (cos = 1 >= tau)."""
+    from pyspark.sql import functions as F
+
+    from cloudpelican_lsd_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = S.semantic_prune(emb).collect()
+    assigned_n = S.nearest_centroid_assign(emb).count()
+    assert sum(r.n_members for r in out) == assigned_n
+    assert all(r.n_kept + r.n_dropped == r.n_members for r in out)
+    assert all(r.n_kept >= 1 for r in out)  # keep-first never empties a cluster
+
+    # hand-computed synthetic case (planting a dup into the real corpus
+    # shifts the label-mean centroids and re-clusters borderline vectors,
+    # so only a fully controlled input has a closed-form expectation):
+    #   label 0: v1=v2=e_x (dup pair), v3=e_y  → centroid (2/3,1/3,0,0)
+    #   label 1: v4=v5=v6=e_z                  → centroid (0,0,1,0)
+    # All of label 0 assigns to cluster 0 (cos .894/.447 vs 0), label 1
+    # to cluster 1.  Keep-first: drop v2 (dup of v1), drop v5,v6.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0, 0.0], 1),
+        (6, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    tiny = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r.cluster: (r.n_members, r.n_dropped, r.n_kept)
+        for r in S.semantic_prune(tiny).collect()
+    }
+    assert got == {0: (3, 1, 2), 1: (3, 2, 1)}
+
+
+def test_semantic_prune_plan_shape(spark, sf_dir):
+    """Scale pin: the pair join is equi-keyed on the cluster id (sort-merge
+    or shuffled-hash, never a cartesian/BNLJ), and per-pair dots are HOF
+    folds — no element-level explode on the pair side."""
+    from cloudpelican_lsd_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = S.semantic_prune(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
