@@ -444,3 +444,99 @@ SELECT f.doc_id, len(string_split(f.text, ' '))::BIGINT AS n_tokens
 FROM final f
 WHERE f.doc_id % {eval_mod} <> 0
   AND f.doc_id NOT IN (SELECT doc_id FROM bad)"""
+
+
+# ---------------------------------------------------------------------------
+# C4/Gopher-style rule-panel audit
+# ---------------------------------------------------------------------------
+
+#: (rule name, fail share on the synthetic corpus is mixed unless noted)
+C4_RULES = (
+    "too_few_tokens",        # n_tokens < 25
+    "low_stopword_density",  # stopwords/tokens < 1/20
+    "low_type_token_ratio",  # distinct/tokens < 2/5 (Gopher-style TTR)
+    "short_mean_token_len",  # mean token length < 4.5
+    "no_terminal_punct",     # doc does not end in . ! ?  (C4 line rule)
+    "long_word",             # any token longer than 15 chars (C4: 1000)
+)
+
+
+def c4_audit(docs: DataFrame) -> DataFrame:
+    """Per-rule audit of the public C4 (Raffel et al. 2020) / Gopher
+    (Rae et al. 2021) document-quality heuristics: for each rule,
+    `(rule, n_docs, n_fail, fail_pct)`, plus an `any_rule` summary row —
+    the report a data curator reads BEFORE committing to a filter config
+    (the filtering itself is corpus_clean's gate stage).
+
+    Every decision is integer-exact (cross-multiplied thresholds, no
+    float compares); `fail_pct` is the only float and is a single
+    round(exact/exact, 6).
+
+    100 TB shape: ONE scan computing all rule flags in fused per-row
+    column math (whole-stage codegen, no UDFs), a 7-row stack unpivot,
+    and ONE tiny aggregation keyed by rule name — no joins, and the
+    map-side partial agg reduces each partition to <= 7 rows before the
+    shuffle.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    flags = docs.select(
+        (n < 25).cast("int").alias("too_few_tokens"),
+        (stop_count_expr() * 20 < n).cast("int").alias("low_stopword_density"),
+        (F.size(F.array_distinct(toks)) * 5 < n * 2)
+        .cast("int")
+        .alias("low_type_token_ratio"),
+        ((F.length("text") - n + 1) * 2 < n * 9)
+        .cast("int")
+        .alias("short_mean_token_len"),
+        (~F.substring(F.col("text"), -1, 1).isin(".", "!", "?"))
+        .cast("int")
+        .alias("no_terminal_punct"),
+        (
+            F.array_max(F.transform(toks, lambda w: F.length(w))) > 15
+        ).cast("int").alias("long_word"),
+    ).withColumn("any_rule", F.greatest(*[F.col(r) for r in C4_RULES]))
+    names = list(C4_RULES) + ["any_rule"]
+    stack = ", ".join(f"'{r}', {r}" for r in names)
+    unp = flags.select(
+        F.expr(f"stack({len(names)}, {stack}) as (rule, fail)")
+    )
+    return unp.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fail").cast("long").alias("n_fail"),
+        F.round(F.sum("fail") / F.count(F.lit(1)), 6).alias("fail_pct"),
+    )
+
+
+def c4_audit_oracle() -> str:
+    """DuckDB twin of :func:`c4_audit` (same integer-exact decisions)."""
+    flag_sql = {
+        "too_few_tokens": "(n < 25)",
+        "low_stopword_density": f"({stop_count_sql()} * 20 < n)",
+        "low_type_token_ratio":
+            "(len(list_distinct(string_split(text, ' '))) * 5 < n * 2)",
+        "short_mean_token_len": "((length(text) - n + 1) * 2 < n * 9)",
+        "no_terminal_punct": "(right(text, 1) NOT IN ('.', '!', '?'))",
+        "long_word":
+            "(list_max(list_transform(string_split(text, ' '),"
+            " w -> length(w))) > 15)",
+    }
+    cols = ",\n         ".join(
+        f"{expr}::INT AS {r}" for r, expr in flag_sql.items()
+    )
+    any_rule = "GREATEST(" + ", ".join(C4_RULES) + ")"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, COUNT(*)::BIGINT AS n_docs,"
+        f" CAST(SUM({r}) AS BIGINT) AS n_fail,"
+        f" ROUND(SUM({r})::DOUBLE / COUNT(*), 6) AS fail_pct FROM flags"
+        for r in list(C4_RULES) + ["any_rule"]
+    )
+    return f"""WITH base AS (
+  SELECT text, len(string_split(text, ' ')) AS n FROM documents
+),
+flags AS (
+  SELECT {cols},
+         {any_rule}::INT AS any_rule
+  FROM base
+)
+{arms}"""

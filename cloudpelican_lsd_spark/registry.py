@@ -828,6 +828,16 @@ def _corpus_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+@register("corpus_c4_audit", corpus_ops.c4_audit_oracle())
+def q_corpus_c4_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule audit of the public C4/Gopher quality heuristics
+    (corpus.c4_audit): token floor, stopword density, type-token ratio,
+    mean token length, terminal punctuation, max word length — fail
+    counts + rates per rule plus the any-rule summary, all integer-exact
+    decisions, one scan / one tiny agg / zero joins."""
+    return corpus_ops.c4_audit(load_table(spark, "documents", sf_dir))
+
+
 @register(
     "corpus_clean_v2",
     corpus_ops.corpus_clean_v2_oracle(_CORPUS_CTE, "docs_corpus"),
@@ -3418,8 +3428,9 @@ DRIVER_ORDER = [
     "json_props_extract",
     # -- round-3 additions land here (2 slots) -----------------------------
     "dedup_semantic_prune",
-    "corpus_clean_v2",
+    "corpus_c4_audit",
     # -- green in r01/r02 (slots 51+; rotate back if the window widens) ----
+    "corpus_clean_v2",
     "stats_rollup_minutely",
     "emb_pq_topk",
     "dedup_cdc_overlap",

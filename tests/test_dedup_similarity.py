@@ -457,3 +457,46 @@ def test_semantic_prune_plan_shape(spark, sf_dir):
     plan = S.semantic_prune(emb)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c4_audit_rules_and_plan(spark, sf_dir):
+    """C4/Gopher rule panel: every rule reports over the full corpus, the
+    any_rule row dominates each individual rule, a hand-built fixture
+    hits closed-form counts, and the plan is join-free with one scan."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cloudpelican_lsd_spark.operators import corpus as C
+
+    out = {r.rule: r for r in C.c4_audit(
+        load_table(spark, "documents", sf_dir)).collect()}
+    assert set(out) == set(C.C4_RULES) | {"any_rule"}
+    n_docs = out["any_rule"].n_docs
+    for r in C.C4_RULES:
+        assert out[r].n_docs == n_docs
+        assert out[r].n_fail <= out["any_rule"].n_fail
+        assert abs(out[r].fail_pct - out[r].n_fail / n_docs) < 1e-9
+
+    # closed-form fixture: doc1 fails only too_few_tokens(+punct),
+    # doc2 passes everything, doc3 fails TTR + stopword density (+punct)
+    fix = spark.createDataFrame(
+        [
+            (1, "the cat sat."),                                   # 3 tokens
+            (2, "the full quick brown foxes jumped over their "
+                "lazy dogs while the other animals watched from "
+                "their warm burrows under those ancient trees "
+                "during an autumn evening festival celebration."),
+            (3, " ".join(["zap"] * 40) + "."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.rule: r.n_fail for r in C.c4_audit(fix).collect()}
+    assert got["too_few_tokens"] == 1          # doc1 (3 tokens); doc2=29, doc3=40
+    assert got["no_terminal_punct"] == 0
+    assert got["low_type_token_ratio"] == 1    # doc3: 1 distinct / 40
+    assert got["long_word"] == 0
+
+    plan = C.c4_audit(
+        load_table(spark, "documents", sf_dir)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Relation") == 1
