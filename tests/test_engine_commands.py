@@ -408,3 +408,33 @@ def test_reference_e2e_pipeline_verbatim(engine):
     # still plan and execute cleanly to an empty result
     assert df.columns == ["_raw"]
     assert df.count() == 0
+
+
+def test_cli_module_pipe_and_exit_codes(sf_dir):
+    """`python -m cloudpelican_lsd_spark`: -e command chains and piped
+    stdin both drive the full engine grammar (reference CLI parity:
+    cloudpelican-lsd.go -e flag, semicolon-separated), errors print as
+    text and set exit code 1 without killing the console."""
+    import subprocess
+    import sys
+
+    env = {**__import__("os").environ, "SPARK_GRAFT_SF_DIR": sf_dir}
+    r = subprocess.run(
+        [sys.executable, "-m", "cloudpelican_lsd_spark", "-e",
+         "create filter cliweb as 'error'; cat cliweb | limit 2; help"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = r.stdout
+    assert "error" in out           # matched log lines
+    assert "show filters" in out    # help text
+    # piped stdin: one good command, one bad → output for both, rc=1
+    r = subprocess.run(
+        [sys.executable, "-m", "cloudpelican_lsd_spark"],
+        input="show filters\nnot a command at all\n",
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 1
+    assert "error: unknown command" in r.stdout
