@@ -82,6 +82,39 @@ def main() -> None:
             f"{name:28s} 1x={t['1x']:6.2f}s {factor}x={t[f'{factor}x']:6.2f}s"
             f"  ratio={ratio:5.2f} (linear={factor})"
         )
+    from cloudpelican_lsd_spark.operators import corpus, similarity
+
+    # c4_audit is constant-network (<=7 rows shuffled): expect ~linear scan cost
+    t = {}
+    for label, dset in (("1x", docs), (f"{factor}x", big_docs)):
+        t0 = time.time()
+        corpus.c4_audit(dset).write.format("noop").mode("overwrite").save()
+        t[label] = time.time() - t0
+    print(
+        f"{'c4_audit':28s} 1x={t['1x']:6.2f}s {factor}x={t[f'{factor}x']:6.2f}s"
+        f"  ratio={t[f'{factor}x'] / max(t['1x'], 1e-9):5.2f} (linear={factor})"
+    )
+
+    # semantic_prune: replicas are exact duplicates, so within-cluster pair
+    # volume grows with the SQUARE of the replication factor by design (the
+    # fixed per-label k cannot grow with n here; real deployments scale k
+    # with corpus size, which is SemDeDup's own knob).  Probe at 3x and
+    # expect ~9x pair work, not linear.
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n_emb = emb.count()
+    big_emb = replicate(emb, "vec_id", 3, n_emb)
+    t = {}
+    for label, dset in (("1x", emb), ("3x", big_emb)):
+        t0 = time.time()
+        similarity.semantic_prune(dset).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t[label] = time.time() - t0
+    print(
+        f"{'semantic_prune':28s} 1x={t['1x']:6.2f}s 3x={t['3x']:6.2f}s"
+        f"  ratio={t['3x'] / max(t['1x'], 1e-9):5.2f} (pairs~quadratic: 9)"
+    )
+
     t0 = time.time()
     classifier.train_and_classify(big_logs).write.format("noop").mode(
         "overwrite"
