@@ -430,3 +430,130 @@ def test_line_dedup_matches_python_reference(spark):
             for r in line_dedup(df, min_df=3).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def _py_semantic_prune(vecs: list[tuple[int, list[float], int]],
+                       tau_num: int = 3, tau_den: int = 10):
+    """Pure-Python reference for similarity.semantic_prune: identical
+    fixed-point quantization, centroid math, argmax tie rules, and the
+    integer cross-multiplied threshold decision."""
+    import math
+
+    q = {vid: [math.floor(x * 10_000_000) for x in v] for vid, v, _ in vecs}
+    by_label: dict[int, list[list[float]]] = {}
+    for vid, v, lab in vecs:
+        by_label.setdefault(lab, []).append(v)
+    cent = {}
+    for lab, vs in by_label.items():
+        n = len(vs)
+        cent[lab] = [
+            math.floor((sum(math.floor(x * 10_000_000) for x in col) / n / 1e7) * 10_000)
+            for col in zip(*vs)
+        ]
+    cnorm = {lab: sum(c * c for c in cs) for lab, cs in cent.items()}
+    vnorm = {vid: sum(x * x for x in qs) for vid, qs in q.items()}
+    assigned = {}
+    for vid, v, lab in vecs:
+        if vnorm[vid] <= 0:
+            continue
+        best = None
+        for clab in sorted(cent):
+            if cnorm[clab] <= 0:
+                continue
+            dot = sum(a * b for a, b in zip(q[vid], cent[clab]))
+            cos = round(dot / (math.sqrt(vnorm[vid]) * math.sqrt(cnorm[clab])), 6)
+            if best is None or cos > best[0] or (cos == best[0] and clab < best[1]):
+                best = (cos, clab)
+        assigned[vid] = best[1]
+    out = {}
+    clusters: dict[int, list[int]] = {}
+    for vid in sorted(assigned):
+        clusters.setdefault(assigned[vid], []).append(vid)
+    for clab, ids in clusters.items():
+        dropped = 0
+        for j, hi in enumerate(ids):
+            for lo in ids[:j]:
+                dot = sum(a * b for a, b in zip(q[lo], q[hi]))
+                if dot > 0 and (
+                    dot * dot * tau_den * tau_den
+                    >= vnorm[lo] * vnorm[hi] * tau_num * tau_num
+                ):
+                    dropped += 1
+                    break
+        out[clab] = (len(ids), dropped, len(ids) - dropped)
+    return out
+
+
+def test_semantic_prune_matches_python_reference(spark):
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        vecs = []
+        for vid in range(40):
+            lab = rng.randrange(3)
+            base = [rng.uniform(-1, 1) for _ in range(8)]
+            vecs.append((vid, base, lab))
+            if rng.random() < 0.25:  # planted near-dup of this vector
+                vecs.append(
+                    (1000 + vid,
+                     [x + rng.uniform(-0.01, 0.01) for x in base], lab)
+                )
+        from cloudpelican_lsd_spark.operators import similarity as S
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v], l) for i, v, l in vecs],
+            "vec_id long, embedding array<float>, label int",
+        )
+        # float32 storage: quantize the reference from the float32 values
+        stored = {
+            r.vec_id: list(r.embedding)
+            for r in df.select("vec_id", "embedding").collect()
+        }
+        ref_vecs = [(i, stored[i], l) for i, _, l in vecs]
+        got = {
+            r.cluster: (r.n_members, r.n_dropped, r.n_kept)
+            for r in S.semantic_prune(df).collect()
+        }
+        assert got == _py_semantic_prune(ref_vecs), f"seed={seed}"
+
+
+def _py_c4_audit(docs: list[tuple[int, str]]):
+    from cloudpelican_lsd_spark.operators.textstats import EN_STOPWORDS
+
+    flags = {r: 0 for r in (
+        "too_few_tokens", "low_stopword_density", "low_type_token_ratio",
+        "short_mean_token_len", "no_terminal_punct", "long_word", "any_rule",
+    )}
+    for _, text in docs:
+        toks = text.split(" ")
+        n = len(toks)
+        f = {
+            "too_few_tokens": n < 25,
+            "low_stopword_density":
+                sum(t in EN_STOPWORDS for t in text.lower().split(" ")) * 20 < n,
+            "low_type_token_ratio": len(set(toks)) * 5 < n * 2,
+            "short_mean_token_len": (len(text) - n + 1) * 2 < n * 9,
+            "no_terminal_punct": (text[-1:] not in (".", "!", "?")),
+            "long_word": max(len(t) for t in toks) > 15,
+        }
+        f["any_rule"] = any(f.values())
+        for r, v in f.items():
+            flags[r] += int(v)
+    return {r: (len(docs), c) for r, c in flags.items()}
+
+
+def test_c4_audit_matches_python_reference(spark):
+    rng = random.Random(23)
+    words = ["the", "cat", "extraordinarily", "of", "zz", "run", "a",
+             "supercalifragilisticexpialidocious", "to", "x"]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(1, 60)
+        body = " ".join(rng.choice(words) for _ in range(n))
+        if rng.random() < 0.5:
+            body += "."
+        docs.append((i, body))
+    from cloudpelican_lsd_spark.operators import corpus as C
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.rule: (r.n_docs, r.n_fail) for r in C.c4_audit(df).collect()}
+    assert got == _py_c4_audit(docs)
