@@ -780,3 +780,158 @@ def topk_per_bucket(counts: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("bucket", "key", "cnt", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate suppression (the streaming face of MinHash/LSH)
+# ---------------------------------------------------------------------------
+
+
+class NearDupSuppressor:
+    """Suppress near-duplicate documents arriving on a stream.
+
+    The streaming face of the batch MinHash/LSH dedup family
+    (operators/dedup.py): each micro-batch's documents are banded
+    (minhash_band_signatures), compared against (a) every signature
+    accumulated from prior epochs and (b) lower-id documents in the same
+    batch, and only NOVEL documents pass through; their signatures join
+    the store.  Cross-key state (a doc is a dup if ANY of its bands
+    matches) cannot live in a per-key state store, so this is a
+    ``foreachBatch`` operator over a signature table — the standard Spark
+    shape for cross-key streaming dedup.
+
+    Policy (documented greedy): a document is suppressed when any band
+    signature matches the store or a lower-id same-batch document —
+    including one that was itself suppressed (the LSH
+    keep-one-per-candidate-cluster behavior; exact per-pair verification
+    is the batch family's job).
+
+    Exactly-once: both sinks are epoch-partitioned and each epoch's
+    directory is dropped before its write, so a replayed micro-batch
+    (at-least-once redelivery after a crash between write and checkpoint
+    commit) replaces exactly its own epoch — same contract as
+    StreamingEngine.process_batch.
+
+    100 TB shape: the store is only `(band, sig)` — 12/3 = 4 rows of a
+    few bytes per kept document, NOT the text; the batch-vs-store check
+    is an equi semi-join on (band, sig); in-batch suppression is one
+    window MIN over the same key.  Store growth is bounded by novel-doc
+    rate; `expire(before_epoch)` drops old epochs wholesale (retention =
+    dedup horizon, the same trade dropDuplicatesWithinWatermark makes).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        out_path: str,
+        num_hashes: int = 12,
+        rows_per_band: int = 3,
+        n: int = 3,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.store_path = store_path
+        self.out_path = out_path
+        self.num_hashes = num_hashes
+        self.rows_per_band = rows_per_band
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _read_store(self) -> DataFrame | None:
+        if not os.path.isdir(self.store_path):
+            return None
+        try:
+            return self.spark.read.parquet(self.store_path)
+        except AnalysisException:
+            return None  # directory exists but holds no parquet yet
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import shutil
+
+        from pyspark.sql.window import Window
+
+        from cloudpelican_lsd_spark.operators.dedup import (
+            minhash_band_signatures,
+        )
+
+        epoch = int(epoch_id)
+        for root in (self.store_path, self.out_path):
+            d = os.path.join(root, f"epoch={epoch}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
+        docs = batch_df.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.col(self.text_col).alias("text"),
+        )
+        sigs = minhash_band_signatures(
+            docs, self.num_hashes, self.rows_per_band, self.n
+        )
+        sigs.persist()
+        try:
+            # in-batch: any band shared with a lower-id doc suppresses
+            w = Window.partitionBy("band", "sig")
+            in_batch_dup = (
+                sigs.withColumn("min_id", F.min("doc_id").over(w))
+                .where(F.col("doc_id") > F.col("min_id"))
+                .select("doc_id")
+            )
+            store = self._read_store()
+            if store is not None:
+                vs_store = (
+                    sigs.join(
+                        store.select("band", "sig"), ["band", "sig"], "left_semi"
+                    ).select("doc_id")
+                )
+                dup_ids = in_batch_dup.unionByName(vs_store)
+            else:
+                dup_ids = in_batch_dup
+            novel = docs.join(dup_ids.distinct(), "doc_id", "left_anti")
+            (
+                novel.withColumn("epoch", F.lit(epoch))
+                .write.partitionBy("epoch")
+                .mode("append")
+                .parquet(self.out_path)
+            )
+            (
+                sigs.join(novel.select("doc_id"), "doc_id", "left_semi")
+                .select("band", "sig", "doc_id")
+                .withColumn("epoch", F.lit(epoch))
+                .write.partitionBy("epoch")
+                .mode("append")
+                .parquet(self.store_path)
+            )
+        finally:
+            sigs.unpersist()
+
+    def attach(self, doc_stream: DataFrame, checkpoint: str, trigger: dict | None = None):
+        """Wire onto a streaming DataFrame of documents via foreachBatch."""
+        writer = (
+            doc_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    def kept(self) -> DataFrame:
+        """All documents that passed suppression so far."""
+        return self.spark.read.parquet(self.out_path)
+
+    def expire(self, before_epoch: int) -> None:
+        """Retention: drop store epochs older than the dedup horizon."""
+        import shutil
+
+        if not os.path.isdir(self.store_path):
+            return
+        for name in os.listdir(self.store_path):
+            if name.startswith("epoch="):
+                try:
+                    e = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if e < before_epoch:
+                    shutil.rmtree(os.path.join(self.store_path, name))

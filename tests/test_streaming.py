@@ -674,3 +674,91 @@ def test_windowed_topk_stream_heavy_hitters(spark, tmp_path):
     b0 = 1706781600  # 2024-02-01T10:00:00Z
     assert top[(b0, 1)] == ("alpha", 9) and top[(b0, 2)] == ("beta", 4)
     assert top[(b0 + 60, 1)] == ("beta", 7) and top[(b0 + 60, 2)] == ("gamma", 1)
+
+
+def test_near_dup_suppressor_batches_and_replay(spark, tmp_path):
+    """Streaming near-dup suppression: novel docs pass, near/exact dups
+    of stored docs are suppressed, in-batch dups keep the lowest id, and
+    replaying an epoch is idempotent (same output, no double-write)."""
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    sup = sp.NearDupSuppressor(
+        spark, str(tmp_path / "store"), str(tmp_path / "out")
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    sup.process_batch(b1, 0)
+    assert {r.doc_id for r in sup.kept().collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [
+            # exact copy of doc 1 → every band matches the store
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            (4, "totally fresh words nobody wrote before today ok"),
+            # in-batch exact dup of doc 4 → suppressed (lowest id kept)
+            (5, "totally fresh words nobody wrote before today ok"),
+        ],
+        "doc_id long, text string",
+    )
+    sup.process_batch(b2, 1)
+    assert {r.doc_id for r in sup.kept().collect()} == {1, 2, 4}
+
+    # replay epoch 1 (crash-between-write-and-commit redelivery)
+    sup.process_batch(b2, 1)
+    kept = sup.kept().collect()
+    assert {r.doc_id for r in kept} == {1, 2, 4}
+    assert len(kept) == 3  # no duplicate rows from the replay
+
+    # retention: expire epoch 0 signatures → doc-1 copies pass again
+    sup.expire(before_epoch=1)
+    b3 = spark.createDataFrame(
+        [(6, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    sup.process_batch(b3, 2)
+    assert 6 in {r.doc_id for r in sup.kept().collect()}
+
+
+def test_near_dup_suppressor_streaming_e2e(spark, tmp_path):
+    """Wired onto a real readStream via foreachBatch + checkpoint: the
+    second availableNow run processes only the new file and dedups
+    against the first run's store."""
+    import json as _json
+    import os
+
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, text string"
+
+    def write_file(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    write_file("a.jsonl", [
+        {"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 11, "text": "pack my box with five dozen liquor jugs"},
+    ])
+    sup = sp.NearDupSuppressor(
+        spark, str(tmp_path / "store"), str(tmp_path / "out")
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = sup.attach(stream, str(tmp_path / "ckpt"), trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert {r.doc_id for r in sup.kept().collect()} == {10, 11}
+
+    write_file("b.jsonl", [
+        {"doc_id": 12, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 13, "text": "sphinx of black quartz judge my vow tonight"},
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = sup.attach(stream, str(tmp_path / "ckpt"), trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert {r.doc_id for r in sup.kept().collect()} == {10, 11, 13}
