@@ -446,6 +446,131 @@ WHERE f.doc_id % {eval_mod} <> 0
   AND f.doc_id NOT IN (SELECT doc_id FROM bad)"""
 
 
+#: the C4 rules the v3 pipeline GATES on — exactly the two quality axes
+#: the v1 chain lacks (it already has a token floor and stopword-density
+#: language gate): type-token ratio (repetition) and mean token length
+V3_GATE_RULES = ("low_type_token_ratio", "short_mean_token_len")
+
+
+def corpus_clean_v3(
+    docs_lined: DataFrame,
+    line_min_df: int = 3,
+    eval_mod: int = 97,
+    gram_n: int = 8,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """`(doc_id, n_tokens)` — v3 = v2 with a C4/Gopher rule gate between
+    the boilerplate line removal and the v1 chain:
+
+    (0) corpus-wide line dedup (shared with v2);
+    (0.5) C4 GATE: drop docs failing ``V3_GATE_RULES`` — the repetition
+        (type-token ratio) and mean-token-length axes the v1 chain's own
+        gates don't cover; predicates come from :func:`c4_flag_exprs`,
+        the same single source the audit panel reports on, so the panel
+        IS the dry-run of this gate;
+    (1-4) the v2 stages unchanged: quality gate → lang gate → exact
+        dedup → near-dup removal → eval decontamination.
+
+    Scale shape: the gate is per-row column math fused into stage 0's
+    output projection — zero added shuffles over v2.
+    """
+    from cloudpelican_lsd_spark.operators.dedup import shingles
+    from cloudpelican_lsd_spark.operators.textstats import line_dedup
+
+    flags = c4_flag_exprs()
+    keep = ~flags[V3_GATE_RULES[0]]
+    for r in V3_GATE_RULES[1:]:
+        keep &= ~flags[r]
+    docs3 = (
+        line_dedup(docs_lined, min_df=line_min_df)
+        .select(
+            "doc_id",
+            F.regexp_replace(F.col("clean_text"), "\n", " ").alias("text"),
+        )
+        .where(keep)
+    )
+    _, _, final = _clean_stages(
+        docs3, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
+    )
+    ev = docs3.where(F.col("doc_id") % eval_mod == 0)
+    evg = (
+        shingles(ev, gram_n)
+        .select(F.md5(F.col("shingle")).alias("gh"))
+        .distinct()
+    )
+    train = final.where(F.col("doc_id") % eval_mod != 0)
+    trg = shingles(train, gram_n).select(
+        "doc_id", F.md5(F.col("shingle")).alias("gh")
+    )
+    bad = trg.join(evg, "gh", "left_semi").select("doc_id").distinct()
+    return (
+        train.join(bad, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def corpus_clean_v3_oracle(
+    base_cte: str,
+    base_table: str,
+    words_per_line: int = 10,
+    line_min_df: int = 3,
+    eval_mod: int = 97,
+    gram_n: int = 8,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin: v2's CTE chain with the shared-SQL C4 gate spliced
+    between docs2 and the v1 chain."""
+    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
+    from cloudpelican_lsd_spark.operators.textstats import lined_view_cte
+
+    fsql = c4_flag_sql()
+    keep = " AND ".join(f"NOT {fsql[r]}" for r in V3_GATE_RULES)
+    lines_cte = f"""{base_cte},
+{lined_view_cte(base_table, words_per_line, prefix="ld_")},
+ld_f AS (SELECT line, COUNT(*)::BIGINT AS df FROM ld_ex GROUP BY line),
+docs2 AS (
+  SELECT e.doc_id,
+         string_agg(e.line, ' ' ORDER BY e.pos)
+           FILTER (WHERE f.df < {line_min_df}) AS text
+  FROM ld_ex e JOIN ld_f f USING (line)
+  GROUP BY e.doc_id
+  HAVING COUNT(*) FILTER (WHERE f.df < {line_min_df}) >= 1
+),
+docs3 AS (SELECT doc_id, text FROM docs2 WHERE {keep})"""
+    chain = _clean_cte_chain(
+        lines_cte, "docs3", min_tokens, lang_num, lang_den, n,
+        jac_num, jac_den, max_df,
+    )
+    ev_grams = shingles_oracle_cte(gram_n, "ev_src", prefix="ev")
+    tr_grams = shingles_oracle_cte(gram_n, "tr_src", prefix="tr")
+    return f"""WITH {chain},
+ev_src AS (SELECT doc_id, text FROM docs3 WHERE doc_id % {eval_mod} = 0),
+{ev_grams},
+evg AS (SELECT DISTINCT md5(shingle) AS gh FROM evsh),
+tr_src AS (SELECT doc_id, text FROM final WHERE doc_id % {eval_mod} <> 0),
+{tr_grams},
+bad AS (SELECT DISTINCT t.doc_id FROM trsh t JOIN evg ON evg.gh = md5(t.shingle))
+SELECT f.doc_id, len(string_split(f.text, ' '))::BIGINT AS n_tokens
+FROM final f
+WHERE f.doc_id % {eval_mod} <> 0
+  AND f.doc_id NOT IN (SELECT doc_id FROM bad)"""
+
+
 # ---------------------------------------------------------------------------
 # C4/Gopher-style rule-panel audit
 # ---------------------------------------------------------------------------
@@ -459,6 +584,41 @@ C4_RULES = (
     "no_terminal_punct",     # doc does not end in . ! ?  (C4 line rule)
     "long_word",             # any token longer than 15 chars (C4: 1000)
 )
+
+
+def c4_flag_exprs() -> dict:
+    """rule -> boolean Column over a `text` column — the single source of
+    the C4/Gopher predicates, shared by the audit panel and the v3
+    pipeline's gate stage (one definition, one SQL twin below)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return {
+        "too_few_tokens": n < 25,
+        "low_stopword_density": stop_count_expr() * 20 < n,
+        "low_type_token_ratio": F.size(F.array_distinct(toks)) * 5 < n * 2,
+        "short_mean_token_len": (F.length("text") - n + 1) * 2 < n * 9,
+        "no_terminal_punct": ~F.substring(F.col("text"), -1, 1).isin(
+            ".", "!", "?"
+        ),
+        "long_word": F.array_max(F.transform(toks, lambda w: F.length(w)))
+        > 15,
+    }
+
+
+def c4_flag_sql(n_expr: str = "len(string_split(text, ' '))") -> dict:
+    """DuckDB twins of :func:`c4_flag_exprs` (``n_expr`` = token count)."""
+    return {
+        "too_few_tokens": f"({n_expr} < 25)",
+        "low_stopword_density": f"({stop_count_sql()} * 20 < {n_expr})",
+        "low_type_token_ratio":
+            f"(len(list_distinct(string_split(text, ' '))) * 5 < {n_expr} * 2)",
+        "short_mean_token_len":
+            f"((length(text) - {n_expr} + 1) * 2 < {n_expr} * 9)",
+        "no_terminal_punct": "(right(text, 1) NOT IN ('.', '!', '?'))",
+        "long_word":
+            "(list_max(list_transform(string_split(text, ' '),"
+            " w -> length(w))) > 15)",
+    }
 
 
 def c4_audit(docs: DataFrame) -> DataFrame:
@@ -478,23 +638,11 @@ def c4_audit(docs: DataFrame) -> DataFrame:
     map-side partial agg reduces each partition to <= 7 rows before the
     shuffle.
     """
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
     flags = docs.select(
-        (n < 25).cast("int").alias("too_few_tokens"),
-        (stop_count_expr() * 20 < n).cast("int").alias("low_stopword_density"),
-        (F.size(F.array_distinct(toks)) * 5 < n * 2)
-        .cast("int")
-        .alias("low_type_token_ratio"),
-        ((F.length("text") - n + 1) * 2 < n * 9)
-        .cast("int")
-        .alias("short_mean_token_len"),
-        (~F.substring(F.col("text"), -1, 1).isin(".", "!", "?"))
-        .cast("int")
-        .alias("no_terminal_punct"),
-        (
-            F.array_max(F.transform(toks, lambda w: F.length(w))) > 15
-        ).cast("int").alias("long_word"),
+        *[
+            expr.cast("int").alias(rule)
+            for rule, expr in c4_flag_exprs().items()
+        ]
     ).withColumn("any_rule", F.greatest(*[F.col(r) for r in C4_RULES]))
     names = list(C4_RULES) + ["any_rule"]
     stack = ", ".join(f"'{r}', {r}" for r in names)
@@ -510,17 +658,7 @@ def c4_audit(docs: DataFrame) -> DataFrame:
 
 def c4_audit_oracle() -> str:
     """DuckDB twin of :func:`c4_audit` (same integer-exact decisions)."""
-    flag_sql = {
-        "too_few_tokens": "(n < 25)",
-        "low_stopword_density": f"({stop_count_sql()} * 20 < n)",
-        "low_type_token_ratio":
-            "(len(list_distinct(string_split(text, ' '))) * 5 < n * 2)",
-        "short_mean_token_len": "((length(text) - n + 1) * 2 < n * 9)",
-        "no_terminal_punct": "(right(text, 1) NOT IN ('.', '!', '?'))",
-        "long_word":
-            "(list_max(list_transform(string_split(text, ' '),"
-            " w -> length(w))) > 15)",
-    }
+    flag_sql = c4_flag_sql("n")
     cols = ",\n         ".join(
         f"{expr}::INT AS {r}" for r, expr in flag_sql.items()
     )

@@ -849,9 +849,13 @@ def q_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%97 held-out slice are dropped, and eval docs never enter the
     training output).  corpus.corpus_clean_v2 over the 10-word-line view
     of the planted corpus."""
+    return corpus_ops.corpus_clean_v2(_lined_corpus(spark, sf_dir))
+
+
+def _lined_corpus(spark: SparkSession, sf_dir: str, wpl: int = 10) -> DataFrame:
+    """The planted corpus in 10-word-line view (shared by v2/v3)."""
     base = _corpus_base(spark, sf_dir)
-    wpl = 10
-    lined = base.select(
+    return base.select(
         "doc_id",
         F.expr(
             f"array_join(transform(sequence(0,"
@@ -860,7 +864,19 @@ def q_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             " '\\n')"
         ).alias("text"),
     )
-    return corpus_ops.corpus_clean_v2(lined)
+
+
+@register(
+    "corpus_clean_v3",
+    corpus_ops.corpus_clean_v3_oracle(_CORPUS_CTE, "docs_corpus"),
+)
+def q_corpus_clean_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 capstone — v2 plus a C4/Gopher rule gate (type-token ratio +
+    mean token length, the axes v1's gates lack) spliced between the
+    boilerplate line dedup and the v1 chain; predicates shared with the
+    corpus_c4_audit panel (corpus.c4_flag_exprs), so the audit is this
+    gate's dry-run.  Zero added shuffles over v2."""
+    return corpus_ops.corpus_clean_v3(_lined_corpus(spark, sf_dir))
 
 
 @register(
@@ -3430,6 +3446,7 @@ DRIVER_ORDER = [
     "dedup_semantic_prune",
     "corpus_c4_audit",
     # -- green in r01/r02 (slots 51+; rotate back if the window widens) ----
+    "corpus_clean_v3",
     "corpus_clean_v2",
     "stats_rollup_minutely",
     "emb_pq_topk",
