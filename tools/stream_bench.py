@@ -67,6 +67,45 @@ def main() -> None:
             if p["numInputRows"]
         ]
         n_results = eng.results().count()
+
+        # near-dup suppression throughput: synthetic docs, 30% of them
+        # near-copies of earlier docs, drained through the foreachBatch
+        # band-store pipeline (NearDupSuppressor)
+        from cloudpelican_lsd_spark.streaming.pipeline import NearDupSuppressor
+
+        dsrc = os.path.join(td, "docs")
+        os.makedirs(dsrc)
+        n_docs = max(2_000, n_lines // 25)
+        import random as _random
+
+        def doc_body(i):
+            rng = _random.Random(i)
+            return " ".join(f"w{rng.randrange(1000)}" for _ in range(30))
+
+        with open(os.path.join(dsrc, "docs.jsonl"), "w") as fh:
+            for i in range(n_docs):
+                if i % 10 < 3 and i >= 10:
+                    # near-copy of an earlier ORIGINAL doc (decade-end
+                    # docs are never near-copies themselves): 2/30 words
+                    toks = doc_body(i - (i % 10) - 1).split(" ")
+                    toks[3], toks[17] = "changed", "tokens"
+                    body = " ".join(toks)
+                else:
+                    body = doc_body(i)
+                fh.write(json.dumps({"doc_id": i, "text": body}) + "\n")
+        sup = NearDupSuppressor(
+            spark, os.path.join(td, "ndd_store"), os.path.join(td, "ndd_out")
+        )
+        stream = spark.readStream.schema("doc_id long, text string").json(dsrc)
+        t1 = time.time()
+        q2 = sup.attach(stream, os.path.join(td, "ndd_ckpt"),
+                        trigger={"availableNow": True})
+        if not q2.awaitTermination(600):
+            q2.stop()
+            raise SystemExit("near-dup stream did not drain; bench invalid")
+        ndd_wall = time.time() - t1
+        kept = sup.kept().count()
+
         print(
             json.dumps(
                 {
@@ -76,6 +115,10 @@ def main() -> None:
                     "lines_per_sec": round(8 * per / wall),
                     "matched_results": n_results,
                     "batches": batches,
+                    "neardup_docs": n_docs,
+                    "neardup_wall_sec": round(ndd_wall, 2),
+                    "neardup_docs_per_sec": round(n_docs / ndd_wall),
+                    "neardup_kept": kept,
                 }
             )
         )
