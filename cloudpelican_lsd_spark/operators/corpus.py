@@ -678,3 +678,80 @@ flags AS (
   FROM base
 )
 {arms}"""
+
+
+# ---------------------------------------------------------------------------
+# Stage-materialized capstone runner (the 100 TB execution mode)
+# ---------------------------------------------------------------------------
+
+
+def corpus_clean_v2_staged(
+    spark,
+    docs_lined: DataFrame,
+    workdir: str,
+    line_min_df: int = 3,
+    eval_mod: int = 97,
+    gram_n: int = 8,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """corpus_clean_v2 with STAGE MATERIALIZATION — identical output
+    (equivalence-tested), different execution contract.
+
+    The fused one-plan capstone is the right default at test scale, but
+    its DAG reads the raw corpus 3x and re-runs the line-dedup shuffles
+    inside every consumer branch (PLANS.md: 10 shuffles / 3 scans).  At
+    100 TB a production run materializes the two natural stage
+    boundaries instead — each multi-consumer intermediate is computed
+    ONCE and every consumer reads compact parquet:
+
+      stage0  docs2 = boilerplate-line-deduped corpus   (3 consumers)
+      stage1  final = v1 chain survivors                (2 consumers)
+
+    This is the checkpoint-between-stages pattern every large cleaning
+    pipeline (C4, RefinedWeb, CCNet) runs in practice; it also gives
+    per-stage restartability — rerunning stage k does not recompute
+    stages < k.  The fused variant stays the oracle-gated twin.
+    """
+    import os
+
+    from cloudpelican_lsd_spark.operators.dedup import shingles
+    from cloudpelican_lsd_spark.operators.textstats import line_dedup
+
+    d2_path = os.path.join(workdir, "stage0_docs2")
+    line_dedup(docs_lined, min_df=line_min_df).select(
+        "doc_id",
+        F.regexp_replace(F.col("clean_text"), "\n", " ").alias("text"),
+    ).write.mode("overwrite").parquet(d2_path)
+    docs2 = spark.read.parquet(d2_path)
+
+    final_path = os.path.join(workdir, "stage1_final")
+    _, _, final = _clean_stages(
+        docs2, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
+    )
+    final.write.mode("overwrite").parquet(final_path)
+    final = spark.read.parquet(final_path)
+
+    ev = docs2.where(F.col("doc_id") % eval_mod == 0)
+    evg = (
+        shingles(ev, gram_n)
+        .select(F.md5(F.col("shingle")).alias("gh"))
+        .distinct()
+    )
+    train = final.where(F.col("doc_id") % eval_mod != 0)
+    trg = shingles(train, gram_n).select(
+        "doc_id", F.md5(F.col("shingle")).alias("gh")
+    )
+    bad = trg.join(evg, "gh", "left_semi").select("doc_id").distinct()
+    return (
+        train.join(bad, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )

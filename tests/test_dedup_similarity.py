@@ -539,3 +539,27 @@ def test_corpus_clean_v3_is_gated_v2(spark, sf_dir):
     assert len(gained) <= len(v2 - v3)
     for d in gained:
         assert d not in failing  # gained docs still pass the gate
+
+
+def test_corpus_clean_v2_staged_equivalence(spark, sf_dir, tmp_path):
+    """The stage-materialized runner produces EXACTLY the fused
+    capstone's output, and the stage parquet artifacts exist (per-stage
+    restartability)."""
+    import os
+
+    from cloudpelican_lsd_spark.operators import corpus as C
+    from cloudpelican_lsd_spark.registry import QUERIES, _lined_corpus
+
+    fused = {
+        (r.doc_id, r.n_tokens)
+        for r in QUERIES["corpus_clean_v2"](spark, sf_dir).collect()
+    }
+    staged = {
+        (r.doc_id, r.n_tokens)
+        for r in C.corpus_clean_v2_staged(
+            spark, _lined_corpus(spark, sf_dir), str(tmp_path)
+        ).collect()
+    }
+    assert staged == fused
+    assert os.path.isdir(tmp_path / "stage0_docs2")
+    assert os.path.isdir(tmp_path / "stage1_final")
