@@ -567,3 +567,125 @@ def regression_check(span: DataFrame) -> DataFrame:
         .otherwise(nn * nn * delta * delta > 9 * sigma2)
         .alias("is_outlier"),
     )
+
+
+def random_walk_check(span: DataFrame) -> DataFrame:
+    """RandomWalk analyzer, exact: expected = last history value,
+    tolerance = 3 * std(consecutive diffs, population).  With m = n-1
+    diffs, sd² = (m·Σd² − (Σd)²)/m² and Σd telescopes to last − first,
+    so the flag is Δ²·m² > 9·(m·Σd² − (Σd)²) in DECIMAL(38,0) — only the
+    Σd² fold walks the array; everything else is endpoint arithmetic."""
+    d38 = "decimal(38,0)"
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        "n",
+        F.element_at("cnts", -1).alias("last_cnt"),
+        (F.element_at("cnts", -1) - F.element_at("cnts", 1)).alias("sum_d"),
+        F.expr(
+            "aggregate(cnts,"
+            " named_struct('p', CAST(NULL AS BIGINT),"
+            "              's', CAST(0 AS DECIMAL(38,0))),"
+            " (a, x) -> named_struct('p', x,"
+            "   's', CAST(a.s + CASE WHEN a.p IS NULL"
+            "     THEN CAST(0 AS DECIMAL(38,0))"
+            "     ELSE CAST(x - a.p AS DECIMAL(38,0)) * (x - a.p) END"
+            "   AS DECIMAL(38,0)))).s"
+        ).alias("sum_d2"),
+    )
+    m = (F.col("n") - 1).cast(d38)
+    var_m = m * F.col("sum_d2") - F.col("sum_d").cast(d38) * F.col("sum_d").cast(d38)
+    delta = (F.col("actual") - F.col("last_cnt")).cast(d38)
+    return s.select(
+        "series_key",
+        "bucket",
+        "actual",
+        "last_cnt",
+        F.when(
+            (F.col("n") == 1) | (var_m == 0),
+            F.col("actual") != F.col("last_cnt"),
+        )
+        .otherwise(delta * delta * m * m > 9 * var_m)
+        .alias("is_outlier"),
+    )
+
+
+def interval_check(span: DataFrame) -> DataFrame:
+    """IntervalInterceptor analyzer, exact: expected = midpoint of the
+    history's [min, max] envelope, tolerance = half-range + ½·max(range,
+    1).  Doubling clears every fraction: flag iff |2·actual − lo − hi| >
+    (hi − lo) + max(hi − lo, 1) — pure BIGINT endpoint arithmetic, and
+    the range-0 case degrades to `actual != lo` with no special branch."""
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        F.array_min("cnts").alias("lo"),
+        F.array_max("cnts").alias("hi"),
+    )
+    return s.select(
+        "series_key",
+        "bucket",
+        "actual",
+        "lo",
+        "hi",
+        (
+            F.abs(2 * F.col("actual") - F.col("lo") - F.col("hi"))
+            > (F.col("hi") - F.col("lo"))
+            + F.greatest(F.col("hi") - F.col("lo"), F.lit(1).cast("long"))
+        ).alias("is_outlier"),
+    )
+
+
+def time_bucket_check(span: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
+    """TimeBucketSimpleRegression analyzer, exact: 3-sigma z-score over
+    the SAME-HOUR-OF-DAY subset of the history (the seasonal mask; full
+    history when the target hour never appears).  One indexed fold
+    accumulates the masked count/sum/sumsq and the full sumsq; the flag
+    is the cross-multiplied z-score decision over whichever subset
+    applies — DECIMAL(38,0) throughout, no float."""
+    b = int(bucket_sec)
+    d38 = "decimal(38,0)"
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        "n",
+        F.expr("aggregate(cnts, 0L, (a, x) -> a + x)").alias("sf"),
+        F.expr(
+            "aggregate(cnts, CAST(0 AS DECIMAL(38,0)),"
+            " (a, x) -> CAST(a + CAST(x AS DECIMAL(38,0)) * x"
+            " AS DECIMAL(38,0)))"
+        ).alias("sf2"),
+        F.expr(
+            f"aggregate(cnts,"
+            f" named_struct('i', 0L, 'nm', 0L, 'sm', 0L,"
+            f"              'sm2', CAST(0 AS DECIMAL(38,0))),"
+            f" (a, x) -> named_struct("
+            f"   'i', a.i + 1L,"
+            f"   'nm', a.nm + IF(((start + a.i * {b}) DIV 3600) % 24"
+            f"                   = (ceiling DIV 3600) % 24, 1L, 0L),"
+            f"   'sm', a.sm + IF(((start + a.i * {b}) DIV 3600) % 24"
+            f"                   = (ceiling DIV 3600) % 24, x, 0L),"
+            f"   'sm2', CAST(a.sm2 + IF(((start + a.i * {b}) DIV 3600) % 24"
+            f"                          = (ceiling DIV 3600) % 24,"
+            f"     CAST(x AS DECIMAL(38,0)) * x, CAST(0 AS DECIMAL(38,0)))"
+            f"   AS DECIMAL(38,0))))"
+        ).alias("tb"),
+    )
+    use_masked = F.col("tb.nm") > 0
+    n_s = F.when(use_masked, F.col("tb.nm")).otherwise(F.col("n")).cast(d38)
+    s_s = F.when(use_masked, F.col("tb.sm")).otherwise(F.col("sf")).cast(d38)
+    s2_s = F.when(use_masked, F.col("tb.sm2")).otherwise(F.col("sf2"))
+    delta = n_s * F.col("actual").cast(d38) - s_s
+    var9 = 9 * (n_s * s2_s - s_s * s_s)
+    return s.select(
+        "series_key",
+        "bucket",
+        "actual",
+        F.col("tb.nm").cast("long").alias("n_match"),
+        F.when(var9 == 0, delta != 0)
+        .otherwise(delta * delta > var9)
+        .alias("is_outlier"),
+    )

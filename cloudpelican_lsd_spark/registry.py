@@ -633,6 +633,91 @@ def q_outlier_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_ops.regression_check(_analyzer_span(spark, sf_dir))
 
 
+@register(
+    "outlier_random_walk",
+    f"""WITH {_OUTLIER_GRID_CTE},
+hist AS (SELECT series_key, bucket, cnt,
+                cnt - lag(cnt) OVER (PARTITION BY series_key
+                                     ORDER BY bucket) AS d
+         FROM f2 WHERE bucket < ceiling),
+rw AS (SELECT series_key, COUNT(*)::BIGINT AS n,
+              arg_max(cnt, bucket)::BIGINT AS last_cnt,
+              CAST(COALESCE(SUM(d), 0) AS HUGEINT) AS sum_d,
+              COALESCE(SUM(CAST(d AS HUGEINT) * d), 0) AS sum_d2,
+              (COUNT(*) - 1)::HUGEINT AS m
+       FROM hist GROUP BY 1)
+SELECT t.series_key, t.bucket, t.actual, r.last_cnt,
+       CASE WHEN r.n = 1 OR r.m * r.sum_d2 - r.sum_d * r.sum_d = 0
+            THEN t.actual <> r.last_cnt
+            ELSE CAST(t.actual - r.last_cnt AS HUGEINT)
+                   * (t.actual - r.last_cnt) * r.m * r.m
+                 > 9 * (r.m * r.sum_d2 - r.sum_d * r.sum_d)
+       END AS is_outlier
+FROM tgt t JOIN rw r USING (series_key)""",
+)
+def q_outlier_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomWalk analyzer, exact: last-value forecast with 3x std of
+    consecutive diffs; sum(d) telescopes to last-first and the decision
+    is DECIMAL(38,0)/HUGEINT (outliers.random_walk_check)."""
+    return outlier_ops.random_walk_check(_analyzer_span(spark, sf_dir))
+
+
+@register(
+    "outlier_interval",
+    f"""WITH {_OUTLIER_GRID_CTE},
+iv AS (SELECT series_key, MIN(cnt)::BIGINT AS lo, MAX(cnt)::BIGINT AS hi
+       FROM f2 WHERE bucket < ceiling GROUP BY 1)
+SELECT t.series_key, t.bucket, t.actual, i.lo, i.hi,
+       ABS(2 * t.actual - i.lo - i.hi)
+         > (i.hi - i.lo) + GREATEST(i.hi - i.lo, 1) AS is_outlier
+FROM tgt t JOIN iv i USING (series_key)""",
+)
+def q_outlier_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IntervalInterceptor analyzer, exact: [min, max] envelope midpoint
+    with half-range + half-unit tolerance; doubling clears all fractions
+    so the decision is pure BIGINT (outliers.interval_check)."""
+    return outlier_ops.interval_check(_analyzer_span(spark, sf_dir))
+
+
+@register(
+    "outlier_time_bucket",
+    f"""WITH {_OUTLIER_GRID_CTE},
+tb AS (SELECT f.series_key,
+              COUNT(*) FILTER (WHERE (f.bucket // 3600) % 24
+                                     = (f.ceiling // 3600) % 24)::BIGINT AS nm,
+              CAST(COALESCE(SUM(f.cnt) FILTER (WHERE (f.bucket // 3600) % 24
+                                     = (f.ceiling // 3600) % 24), 0)
+                   AS BIGINT) AS sm,
+              COALESCE(SUM(CAST(f.cnt AS HUGEINT) * f.cnt)
+                       FILTER (WHERE (f.bucket // 3600) % 24
+                                     = (f.ceiling // 3600) % 24),
+                       0) AS sm2,
+              COUNT(*)::BIGINT AS nf,
+              CAST(SUM(f.cnt) AS BIGINT) AS sf,
+              SUM(CAST(f.cnt AS HUGEINT) * f.cnt) AS sf2
+       FROM f2 f WHERE f.bucket < f.ceiling GROUP BY 1),
+pick AS (SELECT series_key, nm,
+                CASE WHEN nm > 0 THEN nm ELSE nf END AS n_s,
+                CASE WHEN nm > 0 THEN sm ELSE sf END AS s_s,
+                CASE WHEN nm > 0 THEN sm2 ELSE sf2 END AS s2_s
+         FROM tb)
+SELECT t.series_key, t.bucket, t.actual, p.nm AS n_match,
+       CASE WHEN p.n_s::HUGEINT * p.s2_s - p.s_s::HUGEINT * p.s_s = 0
+            THEN p.n_s * t.actual <> p.s_s
+            ELSE (p.n_s::HUGEINT * t.actual - p.s_s)
+                   * (p.n_s::HUGEINT * t.actual - p.s_s)
+                 > 9 * (p.n_s::HUGEINT * p.s2_s - p.s_s::HUGEINT * p.s_s)
+       END AS is_outlier
+FROM tgt t JOIN pick p USING (series_key)""",
+)
+def q_outlier_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeBucketSimpleRegression analyzer, exact: 3-sigma z over the
+    same-hour-of-day history subset (full history when the hour never
+    recurs), cross-multiplied DECIMAL(38,0)/HUGEINT
+    (outliers.time_bucket_check)."""
+    return outlier_ops.time_bucket_check(_analyzer_span(spark, sf_dir))
+
+
 # ===========================================================================
 # north-star: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard)
 # ===========================================================================
@@ -3437,7 +3522,7 @@ DRIVER_ORDER = [
     "tail_last_n",
     "parse_normalize",
     "naive_bayes_confusion",
-    "outlier_zscore",
+    "outlier_random_walk",
     "simhash_near_pairs",
     "logs_pii_redact",
     "multimodal_features",
@@ -3445,7 +3530,10 @@ DRIVER_ORDER = [
     # -- round-3 additions land here (2 slots) -----------------------------
     "dedup_semantic_prune",
     "corpus_c4_audit",
-    # -- green in r01/r02 (slots 51+; rotate back if the window widens) ----
+    # -- green in r01/r02 + round-3 overflow (slots 51+; next window) ------
+    "outlier_interval",
+    "outlier_time_bucket",
+    "outlier_zscore",
     "corpus_clean_v3",
     "corpus_clean_v2",
     "stats_rollup_minutely",

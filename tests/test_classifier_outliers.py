@@ -168,6 +168,9 @@ def test_relational_analyzer_twins_match_numpy(spark, sf_dir):
             ("ma", O.moving_average_check),
             ("z", O.zscore_check),
             ("reg", O.regression_check),
+            ("rw", O.random_walk_check),
+            ("iv", O.interval_check),
+            ("tb", O.time_bucket_check),
         )
     }
     assert set(rel["ma"]) == set(by_series) and len(by_series) >= 2
@@ -181,6 +184,12 @@ def test_relational_analyzer_twins_match_numpy(spark, sf_dir):
         assert rel["ma"][sk].is_outlier == numpy_flag(*O._moving_average(hist))
         assert rel["z"][sk].is_outlier == numpy_flag(*O._normal_dist(hist))
         assert rel["reg"][sk].is_outlier == numpy_flag(*O._simple_regression(hist))
+        assert rel["rw"][sk].is_outlier == numpy_flag(*O._random_walk(hist))
+        assert rel["iv"][sk].is_outlier == numpy_flag(*O._interval_interceptor(hist))
+        hist_buckets = np.array([b for b, _ in pts[:-1]], dtype=np.int64)
+        assert rel["tb"][sk].is_outlier == numpy_flag(
+            *O._time_bucket_regression(hist, hist_buckets, pts[-1][0])
+        )
         # and the relational target row is the grid's newest bucket
         assert rel["ma"][sk].bucket == pts[-1][0]
         assert rel["ma"][sk].actual == pts[-1][1]
