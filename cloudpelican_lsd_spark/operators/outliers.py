@@ -638,6 +638,59 @@ def interval_check(span: DataFrame) -> DataFrame:
     )
 
 
+def iqr_check(span: DataFrame) -> DataFrame:
+    """IQR-envelope analyzer, exact: median forecast with tolerance
+    1.5·IQR + (Q3 − median) over the history's order statistics.
+
+    numpy's linear-interpolated percentiles at q ∈ {¼, ½, ¾} land on
+    quarter positions, so 4·percentile is an integer:
+    ``val4(m) = 4·s[m div 4] + (m mod 4)·(s[m div 4 + 1] − s[m div 4])``
+    with m = (n−1)·4q over the sorted history s.  Scaling the flag by 8
+    clears every fraction: |8·actual − 2·med4| > 3·(q34 − q14) +
+    2·(q34 − med4) — pure BIGINT.  (For counts ≤ 2^53 numpy's float64
+    interpolation is exact — frac is a dyadic rational — so the integer
+    decision coincides with the numpy analyzer bit-for-bit.)"""
+
+    def val4(numer):
+        idx = (numer / F.lit(4)).cast("long") + 1  # 1-based element_at
+        rem = numer % 4
+        lo = F.element_at("s", idx.cast("int"))
+        hi = F.element_at("s", (idx + 1).cast("int"))
+        return F.when(rem == 0, 4 * lo).otherwise(4 * lo + rem * (hi - lo))
+
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        "n",
+        F.array_sort("cnts").alias("s"),
+    )
+    q14 = val4(F.col("n") - 1)
+    med4 = val4(2 * (F.col("n") - 1))
+    q34 = val4(3 * (F.col("n") - 1))
+    out = s.select(
+        "series_key",
+        "bucket",
+        "actual",
+        q14.alias("q14"),
+        med4.alias("med4"),
+        q34.alias("q34"),
+    )
+    return out.select(
+        "series_key",
+        "bucket",
+        "actual",
+        "q14",
+        "med4",
+        "q34",
+        (
+            F.abs(8 * F.col("actual") - 2 * F.col("med4"))
+            > 3 * (F.col("q34") - F.col("q14"))
+            + 2 * (F.col("q34") - F.col("med4"))
+        ).alias("is_outlier"),
+    )
+
+
 def time_bucket_check(span: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
     """TimeBucketSimpleRegression analyzer, exact: 3-sigma z-score over
     the SAME-HOUR-OF-DAY subset of the history (the seasonal mask; full

@@ -680,6 +680,40 @@ def q_outlier_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "outlier_iqr",
+    f"""WITH {_OUTLIER_GRID_CTE},
+arr AS (SELECT series_key, list_sort(list(cnt)) AS s, COUNT(*)::BIGINT AS n
+        FROM f2 WHERE bucket < ceiling GROUP BY 1),
+qs AS (SELECT series_key, n,
+              CASE WHEN (n-1) % 4 = 0 THEN 4 * s[((n-1) // 4)::INT + 1]
+                   ELSE 4 * s[((n-1) // 4)::INT + 1]
+                        + ((n-1) % 4) * (s[((n-1) // 4)::INT + 2]
+                                         - s[((n-1) // 4)::INT + 1]) END AS q14,
+              CASE WHEN (2*(n-1)) % 4 = 0 THEN 4 * s[((2*(n-1)) // 4)::INT + 1]
+                   ELSE 4 * s[((2*(n-1)) // 4)::INT + 1]
+                        + ((2*(n-1)) % 4) * (s[((2*(n-1)) // 4)::INT + 2]
+                                             - s[((2*(n-1)) // 4)::INT + 1]) END AS med4,
+              CASE WHEN (3*(n-1)) % 4 = 0 THEN 4 * s[((3*(n-1)) // 4)::INT + 1]
+                   ELSE 4 * s[((3*(n-1)) // 4)::INT + 1]
+                        + ((3*(n-1)) % 4) * (s[((3*(n-1)) // 4)::INT + 2]
+                                             - s[((3*(n-1)) // 4)::INT + 1]) END AS q34
+       FROM arr)
+SELECT t.series_key, t.bucket, t.actual,
+       CAST(q.q14 AS BIGINT) AS q14, CAST(q.med4 AS BIGINT) AS med4,
+       CAST(q.q34 AS BIGINT) AS q34,
+       ABS(8 * t.actual - 2 * q.med4)
+         > 3 * (q.q34 - q.q14) + 2 * (q.q34 - q.med4) AS is_outlier
+FROM tgt t JOIN qs q USING (series_key)""",
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-envelope analyzer (the documented OneClassSVM substitution),
+    exact: quarter-scaled integer order statistics make 4x the linearly
+    interpolated quartiles integers, and an 8x-scaled comparison clears
+    the remaining fractions (outliers.iqr_check)."""
+    return outlier_ops.iqr_check(_analyzer_span(spark, sf_dir))
+
+
+@register(
     "outlier_time_bucket",
     f"""WITH {_OUTLIER_GRID_CTE},
 tb AS (SELECT f.series_key,
@@ -3533,6 +3567,7 @@ DRIVER_ORDER = [
     # -- green in r01/r02 + round-3 overflow (slots 51+; next window) ------
     "outlier_interval",
     "outlier_time_bucket",
+    "outlier_iqr",
     "outlier_zscore",
     "corpus_clean_v3",
     "corpus_clean_v2",

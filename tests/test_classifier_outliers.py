@@ -171,6 +171,7 @@ def test_relational_analyzer_twins_match_numpy(spark, sf_dir):
             ("rw", O.random_walk_check),
             ("iv", O.interval_check),
             ("tb", O.time_bucket_check),
+            ("iqr", O.iqr_check),
         )
     }
     assert set(rel["ma"]) == set(by_series) and len(by_series) >= 2
@@ -186,6 +187,7 @@ def test_relational_analyzer_twins_match_numpy(spark, sf_dir):
         assert rel["reg"][sk].is_outlier == numpy_flag(*O._simple_regression(hist))
         assert rel["rw"][sk].is_outlier == numpy_flag(*O._random_walk(hist))
         assert rel["iv"][sk].is_outlier == numpy_flag(*O._interval_interceptor(hist))
+        assert rel["iqr"][sk].is_outlier == numpy_flag(*O._iqr_envelope(hist))
         hist_buckets = np.array([b for b, _ in pts[:-1]], dtype=np.int64)
         assert rel["tb"][sk].is_outlier == numpy_flag(
             *O._time_bucket_regression(hist, hist_buckets, pts[-1][0])

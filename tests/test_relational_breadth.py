@@ -438,7 +438,8 @@ def test_new_operator_plan_shapes(spark, sf_dir):
 
     span = O.analyzer_span(O.event_series(logs_view(spark, sf_dir)))
     for check in (O.moving_average_check, O.zscore_check, O.regression_check,
-                  O.random_walk_check, O.interval_check, O.time_bucket_check):
+                  O.random_walk_check, O.interval_check, O.time_bucket_check,
+                  O.iqr_check):
         plan = check(span)._jdf.queryExecution().optimizedPlan().toString()
         assert "Join" not in plan, f"{check.__name__} grew a join:\n{plan}"
 
