@@ -27,25 +27,10 @@ import sys
 
 
 def _render(engine, command: str) -> tuple[str, bool]:
-    """(text, ok) — mirror slack_command's type dispatch, uncapped."""
-    from pyspark.sql import DataFrame
+    """(text, ok) — the shared renderer (engine.render_result), uncapped."""
+    from cloudpelican_lsd_spark.engine import render_result
 
-    from cloudpelican_lsd_spark.chart import chart_from_df
-    from cloudpelican_lsd_spark.engine import df_to_tsv
-
-    try:
-        if command.strip().lower().startswith("stats "):
-            return chart_from_df(engine.execute(command.strip())), True
-        out = engine.execute(command)
-        if isinstance(out, DataFrame):
-            return df_to_tsv(out, max_rows=1000), True
-        if isinstance(out, list):
-            return "\n".join(str(x) for x in out) or "(empty)", True
-        if out is None:
-            return "ok", True
-        return str(out), True
-    except Exception as ex:  # noqa: BLE001 — console answers, never dies
-        return f"error: {ex}", False
+    return render_result(engine, command)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -54,7 +39,10 @@ def main(argv: list[str] | None = None) -> int:
         "-e",
         dest="commands",
         default="",
-        help="commands to execute, separated by semi-colon (then exit)",
+        help="commands to execute, separated by semi-colon (then exit); a"
+             " regex ARGUMENT containing ';' must go via stdin/interactive"
+             " mode instead — the split is quoting-unaware, like the"
+             " reference CLI's",
     )
     ap.add_argument(
         "--sf-dir",

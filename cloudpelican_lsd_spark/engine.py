@@ -564,36 +564,40 @@ def df_to_tsv(df: DataFrame, max_rows: int = 1000) -> str:
     return body
 
 
-def slack_command(engine: CloudPelicanEngine, text: str, max_bytes: int = 12 * 1024) -> str:
-    """The supervisor's Slack slash-command adapter as a pure function
-    (reference: supervisor.go:97-273 shells the CLI binary and caps the
-    response at 12KB, supervisor.go:194).
-
-    Dispatches ``text`` through :meth:`CloudPelicanEngine.execute`,
-    renders the result as plain text (`stats` renders the ASCII chart,
-    DataFrames print as TSV rows), and truncates to ``max_bytes`` with a
-    marker — errors come back as text, never raised, matching a chat
-    bot's contract.
-    """
+def render_result(engine: CloudPelicanEngine, command: str) -> tuple[str, bool]:
+    """`(text, ok)` — the ONE command-to-text renderer shared by the
+    Slack adapter and the console (`__main__`), so the two surfaces can
+    never diverge on a result type: `stats` renders the ASCII chart,
+    DataFrames print as TSV, lists one entry per line, None (a pure
+    side effect, e.g. drop filter) prints `ok`; errors come back as
+    text with ok=False, never raised."""
     try:
-        if text.strip().lower().startswith("stats "):
+        if command.strip().lower().startswith("stats "):
             from cloudpelican_lsd_spark.chart import chart_from_df
 
             # ONE dispatch path: the full stats grammar goes through
-            # execute() like every other Slack command, so the invocation
+            # execute() like every other command, so the invocation
             # lands in session history and inherits any dispatcher-level
             # checks; only the rendering differs (ASCII chart, not TSV)
-            body = chart_from_df(engine.execute(text.strip()))
-        else:
-            out = engine.execute(text)
-            if isinstance(out, DataFrame):
-                body = df_to_tsv(out, max_rows=1000)
-            elif isinstance(out, list):
-                body = "\n".join(str(x) for x in out) or "(empty)"
-            else:
-                body = str(out)
-    except Exception as ex:  # noqa: BLE001 — bot answers, never crashes
-        body = f"error: {ex}"
+            return chart_from_df(engine.execute(command.strip())), True
+        out = engine.execute(command)
+        if isinstance(out, DataFrame):
+            return df_to_tsv(out, max_rows=1000), True
+        if isinstance(out, list):
+            return "\n".join(str(x) for x in out) or "(empty)", True
+        if out is None:
+            return "ok", True
+        return str(out), True
+    except Exception as ex:  # noqa: BLE001 — surfaces answer, never crash
+        return f"error: {ex}", False
+
+
+def slack_command(engine: CloudPelicanEngine, text: str, max_bytes: int = 12 * 1024) -> str:
+    """The supervisor's Slack slash-command adapter as a pure function
+    (reference: supervisor.go:97-273 shells the CLI binary and caps the
+    response at 12KB, supervisor.go:194).  Rendering is the shared
+    :func:`render_result`; this adapter only adds the byte cap."""
+    body, _ = render_result(engine, text)
     raw = body.encode("utf-8", errors="replace")
     if len(raw) > max_bytes:
         marker = b"\n... (truncated)"

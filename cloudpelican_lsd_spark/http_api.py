@@ -133,7 +133,7 @@ class SupervisorHTTP:
         Binding beyond loopback requires non-default credentials — the
         reference ships cloudpelican/cloudpelican defaults, but exposing
         those on a routable interface is an open door."""
-        if host not in ("127.0.0.1", "localhost", "::1") and (
+        if host not in ("127.0.0.1", "localhost") and (
             self.username, self.password
         ) == ("cloudpelican", "cloudpelican"):
             raise ValueError(
@@ -238,6 +238,10 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length") or 0)
         except ValueError as ex:
             raise _BodyError(f"Invalid Content-Length: {ex}") from ex
+        if n < 0:
+            # read(-1) would block until client EOF, pinning the handler
+            # thread — a negative length is always malformed
+            raise _BodyError("Invalid Content-Length: negative")
         raw = self.rfile.read(min(n, self.sup.max_body_bytes + 1))
         if len(raw) > self.sup.max_body_bytes:
             raise _BodyError("Request body too large")

@@ -338,6 +338,76 @@ SELECT (SELECT COUNT(*) FROM {base_table})::BIGINT AS n_raw,
 # ---------------------------------------------------------------------------
 
 
+def _decontaminate(
+    pop: DataFrame, final: DataFrame, eval_mod: int, gram_n: int
+) -> DataFrame:
+    """Shared eval-decontamination tail (v2 / v3 / staged runner — ONE
+    copy, so the contamination rule cannot fork): docs with
+    ``doc_id % eval_mod == 0`` play the held-out benchmark; any
+    surviving training doc sharing a word ``gram_n``-gram with the eval
+    slice is dropped, and eval docs never enter the training output.
+    ``pop`` is the population the eval slice is drawn from (the
+    pipeline's post-line-dedup corpus)."""
+    from cloudpelican_lsd_spark.operators.dedup import shingles
+
+    ev = pop.where(F.col("doc_id") % eval_mod == 0)
+    evg = (
+        shingles(ev, gram_n)
+        .select(F.md5(F.col("shingle")).alias("gh"))
+        .distinct()
+    )
+    train = final.where(F.col("doc_id") % eval_mod != 0)
+    trg = shingles(train, gram_n).select(
+        "doc_id", F.md5(F.col("shingle")).alias("gh")
+    )
+    bad = trg.join(evg, "gh", "left_semi").select("doc_id").distinct()
+    return (
+        train.join(bad, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _docs2_cte(
+    base_cte: str, base_table: str, words_per_line: int, line_min_df: int
+) -> str:
+    """Shared DuckDB CTE: lined view -> boilerplate-line-deduped `docs2`
+    (one copy for the v2 and v3 oracles)."""
+    from cloudpelican_lsd_spark.operators.textstats import lined_view_cte
+
+    return f"""{base_cte},
+{lined_view_cte(base_table, words_per_line, prefix="ld_")},
+ld_f AS (SELECT line, COUNT(*)::BIGINT AS df FROM ld_ex GROUP BY line),
+docs2 AS (
+  SELECT e.doc_id,
+         string_agg(e.line, ' ' ORDER BY e.pos)
+           FILTER (WHERE f.df < {line_min_df}) AS text
+  FROM ld_ex e JOIN ld_f f USING (line)
+  GROUP BY e.doc_id
+  HAVING COUNT(*) FILTER (WHERE f.df < {line_min_df}) >= 1
+)"""
+
+
+def _decontaminate_sql(pop_table: str, eval_mod: int, gram_n: int) -> str:
+    """Shared DuckDB decontamination tail over ``pop_table`` + `final`."""
+    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
+
+    ev_grams = shingles_oracle_cte(gram_n, "ev_src", prefix="ev")
+    tr_grams = shingles_oracle_cte(gram_n, "tr_src", prefix="tr")
+    return f"""ev_src AS (SELECT doc_id, text FROM {pop_table} WHERE doc_id % {eval_mod} = 0),
+{ev_grams},
+evg AS (SELECT DISTINCT md5(shingle) AS gh FROM evsh),
+tr_src AS (SELECT doc_id, text FROM final WHERE doc_id % {eval_mod} <> 0),
+{tr_grams},
+bad AS (SELECT DISTINCT t.doc_id FROM trsh t JOIN evg ON evg.gh = md5(t.shingle))
+SELECT f.doc_id, len(string_split(f.text, ' '))::BIGINT AS n_tokens
+FROM final f
+WHERE f.doc_id % {eval_mod} <> 0
+  AND f.doc_id NOT IN (SELECT doc_id FROM bad)"""
+
+
 def corpus_clean_v2(
     docs_lined: DataFrame,
     line_min_df: int = 3,
@@ -366,7 +436,6 @@ def corpus_clean_v2(
     Scale shape: stage 0 is the window-count line plan (1 scan /
     2 shuffles); stage 4 joins the training grams against the eval-gram
     set on md5 keys — eval is a tiny slice, so AQE broadcasts it."""
-    from cloudpelican_lsd_spark.operators.dedup import shingles
     from cloudpelican_lsd_spark.operators.textstats import line_dedup
 
     docs2 = line_dedup(docs_lined, min_df=line_min_df).select(
@@ -376,22 +445,7 @@ def corpus_clean_v2(
     _, _, final = _clean_stages(
         docs2, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
     )
-    ev = docs2.where(F.col("doc_id") % eval_mod == 0)
-    evg = (
-        shingles(ev, gram_n)
-        .select(F.md5(F.col("shingle")).alias("gh"))
-        .distinct()
-    )
-    train = final.where(F.col("doc_id") % eval_mod != 0)
-    trg = shingles(train, gram_n).select("doc_id", F.md5(F.col("shingle")).alias("gh"))
-    bad = trg.join(evg, "gh", "left_semi").select("doc_id").distinct()
-    return (
-        train.join(bad, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        )
-    )
+    return _decontaminate(docs2, final, eval_mod, gram_n)
 
 
 def corpus_clean_v2_oracle(
@@ -413,37 +467,13 @@ def corpus_clean_v2_oracle(
     with spaces), then the shared v1 chain, then the gram-overlap drop —
     every n-gram and line-chunking arithmetic composes the single-source
     builders (textstats.lined_view_cte, dedup.shingles_oracle_cte)."""
-    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
-    from cloudpelican_lsd_spark.operators.textstats import lined_view_cte
-
-    lines_cte = f"""{base_cte},
-{lined_view_cte(base_table, words_per_line, prefix="ld_")},
-ld_f AS (SELECT line, COUNT(*)::BIGINT AS df FROM ld_ex GROUP BY line),
-docs2 AS (
-  SELECT e.doc_id,
-         string_agg(e.line, ' ' ORDER BY e.pos)
-           FILTER (WHERE f.df < {line_min_df}) AS text
-  FROM ld_ex e JOIN ld_f f USING (line)
-  GROUP BY e.doc_id
-  HAVING COUNT(*) FILTER (WHERE f.df < {line_min_df}) >= 1
-)"""
     chain = _clean_cte_chain(
-        lines_cte, "docs2", min_tokens, lang_num, lang_den, n,
+        _docs2_cte(base_cte, base_table, words_per_line, line_min_df),
+        "docs2", min_tokens, lang_num, lang_den, n,
         jac_num, jac_den, max_df,
     )
-    ev_grams = shingles_oracle_cte(gram_n, "ev_src", prefix="ev")
-    tr_grams = shingles_oracle_cte(gram_n, "tr_src", prefix="tr")
     return f"""WITH {chain},
-ev_src AS (SELECT doc_id, text FROM docs2 WHERE doc_id % {eval_mod} = 0),
-{ev_grams},
-evg AS (SELECT DISTINCT md5(shingle) AS gh FROM evsh),
-tr_src AS (SELECT doc_id, text FROM final WHERE doc_id % {eval_mod} <> 0),
-{tr_grams},
-bad AS (SELECT DISTINCT t.doc_id FROM trsh t JOIN evg ON evg.gh = md5(t.shingle))
-SELECT f.doc_id, len(string_split(f.text, ' '))::BIGINT AS n_tokens
-FROM final f
-WHERE f.doc_id % {eval_mod} <> 0
-  AND f.doc_id NOT IN (SELECT doc_id FROM bad)"""
+{_decontaminate_sql("docs2", eval_mod, gram_n)}"""
 
 
 #: the C4 rules the v3 pipeline GATES on — exactly the two quality axes
@@ -480,7 +510,6 @@ def corpus_clean_v3(
     Scale shape: the gate is per-row column math fused into stage 0's
     output projection — zero added shuffles over v2.
     """
-    from cloudpelican_lsd_spark.operators.dedup import shingles
     from cloudpelican_lsd_spark.operators.textstats import line_dedup
 
     flags = c4_flag_exprs()
@@ -498,24 +527,7 @@ def corpus_clean_v3(
     _, _, final = _clean_stages(
         docs3, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
     )
-    ev = docs3.where(F.col("doc_id") % eval_mod == 0)
-    evg = (
-        shingles(ev, gram_n)
-        .select(F.md5(F.col("shingle")).alias("gh"))
-        .distinct()
-    )
-    train = final.where(F.col("doc_id") % eval_mod != 0)
-    trg = shingles(train, gram_n).select(
-        "doc_id", F.md5(F.col("shingle")).alias("gh")
-    )
-    bad = trg.join(evg, "gh", "left_semi").select("doc_id").distinct()
-    return (
-        train.join(bad, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        )
-    )
+    return _decontaminate(docs3, final, eval_mod, gram_n)
 
 
 def corpus_clean_v3_oracle(
@@ -535,40 +547,16 @@ def corpus_clean_v3_oracle(
 ) -> str:
     """DuckDB twin: v2's CTE chain with the shared-SQL C4 gate spliced
     between docs2 and the v1 chain."""
-    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
-    from cloudpelican_lsd_spark.operators.textstats import lined_view_cte
-
     fsql = c4_flag_sql()
     keep = " AND ".join(f"NOT {fsql[r]}" for r in V3_GATE_RULES)
-    lines_cte = f"""{base_cte},
-{lined_view_cte(base_table, words_per_line, prefix="ld_")},
-ld_f AS (SELECT line, COUNT(*)::BIGINT AS df FROM ld_ex GROUP BY line),
-docs2 AS (
-  SELECT e.doc_id,
-         string_agg(e.line, ' ' ORDER BY e.pos)
-           FILTER (WHERE f.df < {line_min_df}) AS text
-  FROM ld_ex e JOIN ld_f f USING (line)
-  GROUP BY e.doc_id
-  HAVING COUNT(*) FILTER (WHERE f.df < {line_min_df}) >= 1
-),
+    lines_cte = f"""{_docs2_cte(base_cte, base_table, words_per_line, line_min_df)},
 docs3 AS (SELECT doc_id, text FROM docs2 WHERE {keep})"""
     chain = _clean_cte_chain(
         lines_cte, "docs3", min_tokens, lang_num, lang_den, n,
         jac_num, jac_den, max_df,
     )
-    ev_grams = shingles_oracle_cte(gram_n, "ev_src", prefix="ev")
-    tr_grams = shingles_oracle_cte(gram_n, "tr_src", prefix="tr")
     return f"""WITH {chain},
-ev_src AS (SELECT doc_id, text FROM docs3 WHERE doc_id % {eval_mod} = 0),
-{ev_grams},
-evg AS (SELECT DISTINCT md5(shingle) AS gh FROM evsh),
-tr_src AS (SELECT doc_id, text FROM final WHERE doc_id % {eval_mod} <> 0),
-{tr_grams},
-bad AS (SELECT DISTINCT t.doc_id FROM trsh t JOIN evg ON evg.gh = md5(t.shingle))
-SELECT f.doc_id, len(string_split(f.text, ' '))::BIGINT AS n_tokens
-FROM final f
-WHERE f.doc_id % {eval_mod} <> 0
-  AND f.doc_id NOT IN (SELECT doc_id FROM bad)"""
+{_decontaminate_sql("docs3", eval_mod, gram_n)}"""
 
 
 # ---------------------------------------------------------------------------
@@ -720,7 +708,6 @@ def corpus_clean_v2_staged(
     """
     import os
 
-    from cloudpelican_lsd_spark.operators.dedup import shingles
     from cloudpelican_lsd_spark.operators.textstats import line_dedup
 
     d2_path = os.path.join(workdir, "stage0_docs2")
@@ -737,21 +724,4 @@ def corpus_clean_v2_staged(
     final.write.mode("overwrite").parquet(final_path)
     final = spark.read.parquet(final_path)
 
-    ev = docs2.where(F.col("doc_id") % eval_mod == 0)
-    evg = (
-        shingles(ev, gram_n)
-        .select(F.md5(F.col("shingle")).alias("gh"))
-        .distinct()
-    )
-    train = final.where(F.col("doc_id") % eval_mod != 0)
-    trg = shingles(train, gram_n).select(
-        "doc_id", F.md5(F.col("shingle")).alias("gh")
-    )
-    bad = trg.join(evg, "gh", "left_semi").select("doc_id").distinct()
-    return (
-        train.join(bad, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        )
-    )
+    return _decontaminate(docs2, final, eval_mod, gram_n)

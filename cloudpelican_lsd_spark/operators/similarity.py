@@ -532,7 +532,15 @@ def semantic_prune(
     dropped = dup.groupBy("clabel").agg(
         F.count_distinct(F.col("hi_id")).alias("n_dropped")
     )
-    sizes = members.groupBy("clabel").agg(
+    # count off the assignment side, not `members`: every assigned vec_id
+    # exists in q (q is all vectors), so the per-cluster counts are
+    # identical and this consumer skips re-evaluating the quantization
+    # join.  The assignment chain itself still feeds three consumers
+    # (both self-join sides + this count); at real scale, materialize
+    # `nearest_centroid_assign` to parquet first — the same
+    # stage-materialization contract as corpus_clean_v2_staged — and the
+    # plan collapses to one assignment pass.
+    sizes = assigned.groupBy("clabel").agg(
         F.count(F.lit(1)).alias("n_members")
     )
     return (

@@ -285,3 +285,24 @@ def test_nonloopback_bind_requires_explicit_credentials(spark, sf_dir):
         assert code == 200
     finally:
         sup.stop()
+
+
+def test_negative_content_length_rejected(server):
+    """A negative Content-Length must answer jresp immediately — read(-1)
+    would block until client EOF and pin the handler thread."""
+    import http.client
+
+    sup, url = server
+    host = url.split("//")[1]
+    conn = http.client.HTTPConnection(host, timeout=10)
+    try:
+        conn.putrequest("PUT", "/stats/filters", skip_accept_encoding=True)
+        conn.putheader("Authorization", AUTH)
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()  # would hang before the fix
+        body = json.loads(resp.read().decode())
+        assert body["status"] is False
+        assert "Content-Length" in body["errors"][0]
+    finally:
+        conn.close()
