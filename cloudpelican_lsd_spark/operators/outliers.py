@@ -153,7 +153,22 @@ def _multiple_linear_regression(
 
 #: 12 analyzers — same count and roles as the reference list
 #: (OutlierDetectionBolt.java:61-74); OneClassSVM → iqr_envelope is the
-#: one documented substitution.  The registry is the §2.10 extension
+#: one documented substitution.
+#:
+#: SEVEN have exact relational twins with full DuckDB value-hash oracles
+#: (moving_average, normal_dist/zscore, simple_regression, random_walk,
+#: interval_interceptor, time_bucket_regression, iqr_envelope — see the
+#: *_check functions below).  The remaining five are NOT oracle-twinnable
+#: and stay numpy-only inside the consensus: log_normal_dist and
+#: multiple_linear_regression need transcendentals (ln / sin) that are
+#: not bit-identical across engines; poly_regression's
+#: denominator-cleared residuals overflow DECIMAL(38,0) (the 3x3
+#: Vandermonde determinant scales residuals by ~n^5); exp_smoothing's
+#: exact rational state grows as 10^n over a 288-point history; noop
+#: never flags by construction (its role is diluting the consensus
+#: denominator).
+#:
+#: The registry is the §2.10 extension
 #: point (the reference's compiled-in ITimeserieAnalyzer list):
 #: `register_analyzer` plugs any (hist [, buckets, target]) -> (expected,
 #: tolerance) callable into the consensus.
