@@ -1007,3 +1007,121 @@ chf AS (SELECT ch.doc_id, ch.chunk_md5 FROM ch JOIN ok USING (chunk_md5))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared_chunks
 FROM chf a JOIN chf b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"""
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — token-gram granularity)
+# ---------------------------------------------------------------------------
+
+
+def substring_span_stats(
+    docs: DataFrame, w: int = 8, min_df: int = 2
+) -> DataFrame:
+    """`(doc_id, n_tokens, n_removed, n_kept)` — per-document token
+    counts of EXACT duplicated substring spans: every ``w``-token window
+    whose text occurs >= ``min_df`` times corpus-wide (within-doc
+    repeats count, as in the public ExactSubstr dedup) marks its span
+    for removal; overlapping spans merge, and ``n_removed`` is the size
+    of the union of marked intervals.
+
+    This is the token-granular face of the suffix-array ExactSubstr
+    pipeline: candidate generation by fixed-width windows instead of
+    suffix arrays trades the minimum-match-length guarantee (any
+    duplicate >= w tokens is found; shorter ones are not) for a pure
+    relational plan.
+
+    100 TB shape: ONE pipeline, ZERO joins on the hot path — the
+    corpus-wide occurrence count is a COUNT window over
+    ``(xxhash64(gram), gram)`` (hash first for a fixed-width shuffle
+    prefix, raw text second so collisions cannot conflate counts — the
+    line_dedup lesson), interval union is two doc-keyed windows
+    (running-max end + island cumsum).  Only the final per-doc token
+    count joins back to the (column-pruned) docs scan so gram-less
+    short docs report zero.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"IF(size(t) >= {w},"
+                f" transform(sequence(1, size(t) - {w} + 1),"
+                f"   i -> array_join(slice(t, i, {w}), ' ')),"
+                f" array())"
+            )
+        ).alias("p0", "g"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), F.xxhash64("g").alias("gh"), "g"
+    )
+    hot_occ = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gh", "g"))
+    ).where(F.col("df") >= min_df).select("doc_id", "p")
+    ordered = Window.partitionBy("doc_id").orderBy("p")
+    prev_max = F.max(F.col("p") + (w - 1)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hot_occ.withColumn(
+        "brk", (prev_max.isNull() | (F.col("p") > prev_max)).cast("long")
+    ).withColumn(
+        "isl",
+        F.sum("brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = flagged.groupBy("doc_id", "isl").agg(
+        F.min("p").alias("s"), (F.max("p") + (w - 1)).alias("e")
+    )
+    removed = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed")
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_removed"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+def substring_span_oracle(w: int = 8, min_df: int = 2) -> str:
+    """DuckDB twin of :func:`substring_span_stats` (same break rule)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks),
+grams AS (
+  SELECT doc_id, i AS p, array_to_string(t[i:i+{w - 1}], ' ') AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - {w} + 1)) u(i)
+  WHERE len(t) >= {w}
+),
+hot_occ AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           COUNT(*) OVER (PARTITION BY g) AS df
+    FROM grams)
+  WHERE df >= {min_df}
+),
+w1 AS (SELECT doc_id, p,
+              MAX(p + {w - 1}) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       FROM hot_occ),
+w2 AS (SELECT doc_id, p,
+              CASE WHEN pm IS NULL OR p > pm THEN 1 ELSE 0 END AS brk
+       FROM w1),
+w3 AS (SELECT doc_id, p,
+              SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS UNBOUNDED PRECEDING) AS isl
+       FROM w2),
+spans AS (SELECT doc_id, isl, MIN(p) AS s, MAX(p) + {w - 1} AS e
+          FROM w3 GROUP BY 1, 2),
+rem AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
+        FROM spans GROUP BY 1)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(r.n_removed, 0)::BIGINT AS n_removed,
+       (b.n_tokens - COALESCE(r.n_removed, 0))::BIGINT AS n_kept
+FROM base b LEFT JOIN rem r USING (doc_id)"""

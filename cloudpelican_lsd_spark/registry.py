@@ -882,6 +882,18 @@ def q_dedup_cdc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_substring_spans", dedup_ops.substring_span_oracle(8, 2))
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021 ExactSubstr at
+    token-gram granularity, dedup.substring_span_stats): per doc, the
+    union size of all 8-token windows whose text repeats corpus-wide —
+    window-count hot detection (no join on the hot path), interval-union
+    islands via two doc-keyed windows."""
+    return dedup_ops.substring_span_stats(
+        load_table(spark, "documents", sf_dir), w=8, min_df=2
+    )
+
+
 @register("simhash_fingerprints", dedup_ops.SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints per document."""
@@ -3565,6 +3577,7 @@ DRIVER_ORDER = [
     "dedup_semantic_prune",
     "corpus_c4_audit",
     # -- green in r01/r02 + round-3 overflow (slots 51+; next window) ------
+    "dedup_substring_spans",
     "outlier_interval",
     "outlier_time_bucket",
     "outlier_iqr",

@@ -563,3 +563,29 @@ def test_corpus_clean_v2_staged_equivalence(spark, sf_dir, tmp_path):
     assert staged == fused
     assert os.path.isdir(tmp_path / "stage0_docs2")
     assert os.path.isdir(tmp_path / "stage1_final")
+
+
+def test_substring_span_stats_closed_form(spark, sf_dir):
+    """Planted duplicated passage: a 12-token run copied between two docs
+    marks exactly the union of its 8-token windows (12 tokens) in EACH
+    doc; a doc with no repeats reports zero; plan keeps the hot path
+    join-free (the only Join is the final per-doc base lookup)."""
+    shared = [f"s{i}" for i in range(12)]
+    rows = [
+        (1, " ".join([f"a{i}" for i in range(4)] + shared
+                     + [f"a{i}" for i in range(4, 18)])),     # 30 tokens
+        (2, " ".join([f"b{i}" for i in range(10)] + shared
+                     + [f"c{i}" for i in range(5)])),          # 27 tokens
+        (3, " ".join([f"d{i}" for i in range(20)])),           # 20, clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_kept)
+        for r in dedup_ops.substring_span_stats(df, w=8, min_df=2).collect()
+    }
+    assert got == {1: (30, 12, 18), 2: (27, 12, 15), 3: (20, 0, 20)}
+
+    plan = dedup_ops.substring_span_stats(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1  # only the final base left-join
