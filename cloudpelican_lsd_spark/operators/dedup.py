@@ -1125,3 +1125,112 @@ SELECT b.doc_id, b.n_tokens,
        COALESCE(r.n_removed, 0)::BIGINT AS n_removed,
        (b.n_tokens - COALESCE(r.n_removed, 0))::BIGINT AS n_kept
 FROM base b LEFT JOIN rem r USING (doc_id)"""
+
+
+def substring_span_clean(
+    docs: DataFrame, w: int = 8, min_df: int = 2
+) -> DataFrame:
+    """`(doc_id, clean_text, n_kept)` — the corpus with every duplicated
+    substring span REMOVED (the artifact ExactSubstr dedup actually
+    ships): tokens covered by the merged hot intervals of
+    :func:`substring_span_stats` are dropped and the survivors rejoin in
+    order; fully-covered docs drop out (same convention as line_dedup).
+
+    The per-doc interval list is collected into an array column (spans
+    per doc are few — bounded by n_tokens / w) and the removal is ONE
+    filter-with-index higher-order function over the token array — no
+    token-level explode/range-join on the rebuild side.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"IF(size(t) >= {w},"
+                f" transform(sequence(1, size(t) - {w} + 1),"
+                f"   i -> array_join(slice(t, i, {w}), ' ')),"
+                f" array())"
+            )
+        ).alias("p0", "g"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), F.xxhash64("g").alias("gh"), "g"
+    )
+    hot_occ = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gh", "g"))
+    ).where(F.col("df") >= min_df).select("doc_id", "p")
+    ordered = Window.partitionBy("doc_id").orderBy("p")
+    prev_max = F.max(F.col("p") + (w - 1)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hot_occ.withColumn(
+        "brk", (prev_max.isNull() | (F.col("p") > prev_max)).cast("long")
+    ).withColumn(
+        "isl",
+        F.sum("brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ivs = (
+        flagged.groupBy("doc_id", "isl")
+        .agg(F.min("p").alias("s"), (F.max("p") + (w - 1)).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    joined = toks.join(ivs, "doc_id", "left").withColumn(
+        "ivs", F.coalesce(F.col("ivs"), F.expr("array()"))
+    )
+    kept = joined.select(
+        "doc_id",
+        F.expr(
+            "filter(t, (tok, i) -> NOT exists(ivs,"
+            " iv -> i + 1 >= iv.s AND i + 1 <= iv.e))"
+        ).alias("kt"),
+    )
+    return kept.where(F.size("kt") >= 1).select(
+        "doc_id",
+        F.array_join("kt", " ").alias("clean_text"),
+        F.size("kt").cast("long").alias("n_kept"),
+    )
+
+
+def substring_clean_oracle(w: int = 8, min_df: int = 2) -> str:
+    """DuckDB twin of :func:`substring_span_clean`."""
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS p, array_to_string(t[i:i+{w - 1}], ' ') AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - {w} + 1)) u(i)
+  WHERE len(t) >= {w}
+),
+hot_occ AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, COUNT(*) OVER (PARTITION BY g) AS df FROM grams)
+  WHERE df >= {min_df}
+),
+w1 AS (SELECT doc_id, p,
+              MAX(p + {w - 1}) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       FROM hot_occ),
+w3 AS (SELECT doc_id, p,
+              SUM(CASE WHEN pm IS NULL OR p > pm THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS isl
+       FROM w1),
+spans AS (SELECT doc_id, isl, MIN(p) AS s, MAX(p) + {w - 1} AS e
+          FROM w3 GROUP BY 1, 2),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) u(i)
+),
+keep AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tp.doc_id
+                      AND tp.pos BETWEEN sp.s AND sp.e)
+)
+SELECT doc_id,
+       string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       COUNT(*)::BIGINT AS n_kept
+FROM keep GROUP BY doc_id"""

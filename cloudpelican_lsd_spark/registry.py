@@ -894,6 +894,17 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_substring_clean", dedup_ops.substring_clean_oracle(8, 2))
+def q_dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-deduped corpus itself (dedup.substring_span_clean):
+    hot spans removed, survivors rejoined in order via ONE
+    filter-with-index HOF over the per-doc interval array — no
+    token-level explode or range join on the rebuild side."""
+    return dedup_ops.substring_span_clean(
+        load_table(spark, "documents", sf_dir), w=8, min_df=2
+    )
+
+
 @register("simhash_fingerprints", dedup_ops.SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints per document."""
@@ -3578,6 +3589,7 @@ DRIVER_ORDER = [
     "corpus_c4_audit",
     # -- green in r01/r02 + round-3 overflow (slots 51+; next window) ------
     "dedup_substring_spans",
+    "dedup_substring_clean",
     "outlier_interval",
     "outlier_time_bucket",
     "outlier_iqr",

@@ -589,3 +589,35 @@ def test_substring_span_stats_closed_form(spark, sf_dir):
         _docs(spark, sf_dir).select("doc_id", "text")
     )._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") == 1  # only the final base left-join
+
+
+def test_substring_span_clean_rebuild(spark):
+    """Clean rebuild drops exactly the shared passage, keeps order."""
+    shared = [f"s{i}" for i in range(12)]
+    rows = [
+        (1, " ".join([f"a{i}" for i in range(4)] + shared
+                     + [f"a{i}" for i in range(4, 18)])),
+        (2, " ".join([f"b{i}" for i in range(10)] + shared
+                     + [f"c{i}" for i in range(5)])),
+        (3, " ".join([f"d{i}" for i in range(20)])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in dedup_ops.substring_span_clean(df, w=8, min_df=2).collect()
+    }
+    assert got[1] == (
+        " ".join([f"a{i}" for i in range(4)] + [f"a{i}" for i in range(4, 18)]),
+        18,
+    )
+    assert got[2] == (
+        " ".join([f"b{i}" for i in range(10)] + [f"c{i}" for i in range(5)]),
+        15,
+    )
+    assert got[3] == (" ".join(f"d{i}" for i in range(20)), 20)
+    # a doc that is ONE big duplicated span drops out entirely
+    dup_all = spark.createDataFrame(
+        [(1, " ".join(shared)), (2, " ".join(shared))],
+        "doc_id long, text string",
+    )
+    assert dedup_ops.substring_span_clean(dup_all, w=8, min_df=2).count() == 0
