@@ -70,6 +70,10 @@ def main() -> None:
         "media_decode(real)": lambda d: codecs.decode_features(
             codecs.synthesize_real_media(d)
         ).drop("feature"),
+        # replicas are exact copies, so EVERY gram goes hot at 10x —
+        # worst-case span density, still expected near-linear (window
+        # count + interval windows, no joins on the hot path)
+        "substring_spans(w=8)": lambda d: dedup.substring_span_stats(d),
     }
     for name, fn in ops.items():
         t = {}
