@@ -557,3 +557,56 @@ def test_c4_audit_matches_python_reference(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.rule: (r.n_docs, r.n_fail) for r in C.c4_audit(df).collect()}
     assert got == _py_c4_audit(docs)
+
+
+def _py_substring_spans(docs: list[tuple[int, str]], w: int = 8,
+                        min_df: int = 2):
+    """Pure-Python reference for dedup.substring_span_stats."""
+    from collections import Counter
+
+    grams = {}  # doc_id -> [(pos, gram)]
+    cnt = Counter()
+    for did, text in docs:
+        t = text.split(" ")
+        gs = [
+            (i + 1, " ".join(t[i:i + w])) for i in range(len(t) - w + 1)
+        ] if len(t) >= w else []
+        grams[did] = (len(t), gs)
+        for _, g in gs:
+            cnt[g] += 1
+    out = {}
+    for did, (n, gs) in grams.items():
+        hot = sorted(p for p, g in gs if cnt[g] >= min_df)
+        covered = set()
+        for p in hot:
+            covered.update(range(p, p + w))
+        out[did] = (n, len(covered), n - len(covered))
+    return out
+
+
+def test_substring_spans_matches_python_reference(spark):
+    """Randomized corpora with planted shared passages: the island-merge
+    interval union must equal the brute-force covered-position count."""
+    for seed in (3, 19, 41):
+        rng = random.Random(seed)
+        passages = [
+            [f"p{seed}_{j}_{k}" for k in range(rng.randrange(8, 20))]
+            for j in range(4)
+        ]
+        docs = []
+        for did in range(30):
+            toks = [f"w{did}_{i}" for i in range(rng.randrange(3, 40))]
+            # splice 0-2 shared passages at random offsets
+            for _ in range(rng.randrange(0, 3)):
+                pas = rng.choice(passages)
+                pos = rng.randrange(0, len(toks) + 1)
+                toks = toks[:pos] + pas + toks[pos:]
+            docs.append((did, " ".join(toks)))
+        from cloudpelican_lsd_spark.operators import dedup as D
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.n_kept)
+            for r in D.substring_span_stats(df, w=8, min_df=2).collect()
+        }
+        assert got == _py_substring_spans(docs, 8, 2), f"seed={seed}"
