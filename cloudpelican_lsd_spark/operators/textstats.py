@@ -789,3 +789,82 @@ def lined_view_cte(
   FROM {p}d, unnest(generate_series(0,
          CAST(ceil(len(words) / {w}.0) AS BIGINT) - 1)) AS t(i)
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Trending terms (day-over-day riser report over the log stream)
+# ---------------------------------------------------------------------------
+
+
+def trending_terms(
+    logs: DataFrame, k: int = 5, min_cnt: int = 5
+) -> DataFrame:
+    """`(day, rk, token, cnt, prev_cnt, rise)` — the top-``k`` tokens per
+    day by count rise versus the previous calendar day: the "what new
+    error term surfaced today" question a log operator actually asks
+    (the reference's filters are written by hand AFTER someone notices a
+    new term; this query notices it).
+
+    Digit-led tokens (timestamps) are excluded; ``min_cnt`` floors out
+    per-line-unique junk (ids, values).  A token absent yesterday counts
+    from zero — lag() is day-gap-aware, not row-adjacent.
+
+    100 TB shape: token explode → one (day, token) hash agg with
+    map-side partials (the shuffle carries counts, not tokens per line),
+    one token-keyed lag window, one day-keyed top-k window — counts
+    table is days × vocabulary, tiny next to the raw stream.
+    """
+    from pyspark.sql import Window
+
+    toks = logs.select(
+        (F.col("ts_epoch") - F.col("ts_epoch") % 86400).alias("day"),
+        F.explode(F.split(F.col("_raw"), " ")).alias("token"),
+    ).where(~F.col("token").rlike("^[0-9]"))
+    counts = toks.groupBy("day", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("token").orderBy("day")
+    prev = F.when(
+        F.lag("day").over(w) == F.col("day") - 86400, F.lag("cnt").over(w)
+    ).otherwise(F.lit(0))
+    risers = (
+        counts.withColumn("prev_cnt", prev.cast("long"))
+        .withColumn("rise", (F.col("cnt") - F.col("prev_cnt")).cast("long"))
+        .where(F.col("cnt") >= min_cnt)
+    )
+    rw = Window.partitionBy("day").orderBy(
+        F.col("rise").desc(), F.col("token").asc()
+    )
+    return (
+        risers.withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") <= k)
+        .select("day", "rk", "token", "cnt", "prev_cnt", "rise")
+    )
+
+
+def trending_terms_oracle(k: int = 5, min_cnt: int = 5) -> str:
+    """DuckDB twin of :func:`trending_terms` over the `logs` CTE."""
+    return f"""toks AS (
+  SELECT (ts_epoch - ts_epoch % 86400) AS day,
+         unnest(string_split(_raw, ' ')) AS token
+  FROM logs
+),
+f AS (SELECT day, token FROM toks WHERE NOT regexp_matches(token, '^[0-9]')),
+counts AS (SELECT day, token, COUNT(*)::BIGINT AS cnt FROM f GROUP BY 1, 2),
+shifted AS (
+  SELECT day, token, cnt,
+         CAST(CASE WHEN lag(day) OVER (PARTITION BY token ORDER BY day)
+                        = day - 86400
+                   THEN lag(cnt) OVER (PARTITION BY token ORDER BY day)
+                   ELSE 0 END AS BIGINT) AS prev_cnt
+  FROM counts),
+risers AS (
+  SELECT day, token, cnt, prev_cnt,
+         CAST(cnt - prev_cnt AS BIGINT) AS rise
+  FROM shifted WHERE cnt >= {min_cnt}),
+ranked AS (
+  SELECT day, CAST(row_number() OVER (PARTITION BY day
+               ORDER BY rise DESC, token ASC) AS INT) AS rk,
+         token, cnt, prev_cnt, rise
+  FROM risers)
+SELECT day, rk, token, cnt, prev_cnt, rise FROM ranked WHERE rk <= {k}"""

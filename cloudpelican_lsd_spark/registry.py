@@ -2687,6 +2687,20 @@ def q_logs_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "logs_trending_terms",
+    f"""WITH {LOGS_ORACLE_CTE},
+{text_ops.trending_terms_oracle(5, 5)}""",
+)
+def q_logs_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day term risers (textstats.trending_terms): top-5 tokens
+    per day by count rise vs the previous calendar day — surfaces a new
+    error term the day it appears, BEFORE anyone writes a filter for it.
+    Gap-aware lag (absent yesterday counts from zero), digit-led tokens
+    excluded, min-count floor on per-line-unique junk."""
+    return text_ops.trending_terms(logs_view(spark, sf_dir), k=5, min_cnt=5)
+
+
+@register(
     "stats_rate_of_change",
     f"""WITH {LOGS_ORACLE_CTE},
 b AS (
@@ -3590,6 +3604,7 @@ DRIVER_ORDER = [
     # -- green in r01/r02 + round-3 overflow (slots 51+; next window) ------
     "dedup_substring_spans",
     "dedup_substring_clean",
+    "logs_trending_terms",
     "outlier_interval",
     "outlier_time_bucket",
     "outlier_iqr",

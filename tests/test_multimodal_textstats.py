@@ -550,3 +550,41 @@ def test_corpus_clean_v2_decontaminates_eval_overlap(spark):
     assert 0 not in out          # eval never in training output
     assert 5 not in out          # 8-gram overlap with eval -> decontaminated
     assert 7 in out and out[7] == 13
+
+
+def test_trending_terms_surfaces_new_term(spark):
+    """A term that appears only from day 2 (with volume) must rank #1 on
+    day 2 with prev_cnt=0; gap-aware lag: a term returning after a
+    missing day counts from zero again, not from its old count."""
+    from cloudpelican_lsd_spark.operators.textstats import trending_terms
+
+    D = 86400
+    rows = []
+    eid = 0
+    for day in (0, 1, 2, 3):
+        for i in range(10):
+            rows.append((f"app: steady msg", day * D + i, eid)); eid += 1
+    for i in range(8):   # OOMKILL bursts on day 1
+        rows.append(("app: OOMKILL now", 1 * D + i, eid)); eid += 1
+    for i in range(6):   # gap on day 2, returns day 3
+        rows.append(("app: OOMKILL now", 3 * D + i, eid)); eid += 1
+    logs = spark.createDataFrame(
+        rows, "_raw string, ts_epoch long, event_id long"
+    )
+    out = trending_terms(logs, k=3, min_cnt=5).collect()
+    by_day = {}
+    for r in out:
+        by_day.setdefault(r.day // D, []).append(r)
+    d1 = {r.token: r for r in by_day[1]}
+    assert d1["OOMKILL"].rk == 1 and d1["OOMKILL"].prev_cnt == 0
+    assert d1["OOMKILL"].rise == 8
+    # day 3: OOMKILL came back after a missing day → counts from zero
+    d3 = {r.token: r for r in by_day[3]}
+    assert d3["OOMKILL"].prev_cnt == 0 and d3["OOMKILL"].rise == 6
+    # truly steady terms are flat (rise 0) on every non-first day
+    # ('app:'/'now' legitimately rise with the burst — they appear in
+    # the bursting lines too)
+    for day in (1, 2, 3):
+        for r in by_day[day]:
+            if r.token in ("steady", "msg"):
+                assert r.rise == 0, (day, r)
