@@ -226,3 +226,121 @@ def moving_zscore(
         .otherwise(0)
         .cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Error-budget burn rate (multiwindow, multi-burn-rate alert — the public
+# Google SRE Workbook pattern)
+# ---------------------------------------------------------------------------
+
+
+def burn_rate(
+    logs: DataFrame,
+    budget_num: int = 1,
+    budget_den: int = 5,
+    fast_sec: int = 3600,
+    slow_sec: int = 6 * 3600,
+    fast_x10: int = 144,   # 14.4x budget over the fast window
+    slow_x10: int = 60,    # 6x budget over the slow window
+) -> DataFrame:
+    """`(bucket, err_fast, total_fast, err_slow, total_slow, fast_burn,
+    slow_burn, page)` — minutely multiwindow error-budget burn: page when
+    BOTH the fast (1h @ 14.4x budget) and slow (6h @ 6x) trailing error
+    ratios exceed their burn thresholds, the standard low-noise paging
+    rule (short window for reset speed, long window against flapping).
+
+    Decisions are integer-exact cross-multiplications — burn factors are
+    tenths (``fast_x10``/10), so the flag is
+    ``err · den · 10 > total · num · x10`` with BIGINT counts; no float
+    ratio ever materializes.
+
+    100 TB shape: one minutely pre-aggregation (map-side combinable),
+    then two trailing RANGE-frame window sums over the tiny bucket
+    series — the frames scan buckets, not raw rows, so the window state
+    is minutes-of-history regardless of log volume.
+    """
+    from pyspark.sql import Window
+
+    from cloudpelican_lsd_spark.functions.parse import is_likely_error
+
+    per_min = (
+        logs.select(
+            bucket_col("ts_epoch", 60).alias("bucket"),
+            is_likely_error(F.col("_raw")).cast("long").alias("is_err"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_err").alias("err"),
+            F.count(F.lit(1)).alias("total"),
+        )
+    )
+    w = Window.orderBy("bucket")
+
+    def trail(col: str, sec: int):
+        return F.sum(col).over(w.rangeBetween(-(sec - 60), 0))
+
+    g = per_min.select(
+        "bucket",
+        trail("err", fast_sec).alias("err_fast"),
+        trail("total", fast_sec).alias("total_fast"),
+        trail("err", slow_sec).alias("err_slow"),
+        trail("total", slow_sec).alias("total_slow"),
+    )
+    fast = (
+        g["err_fast"] * budget_den * 10 > g["total_fast"] * budget_num * fast_x10
+    )
+    slow = (
+        g["err_slow"] * budget_den * 10 > g["total_slow"] * budget_num * slow_x10
+    )
+    return g.select(
+        "bucket",
+        "err_fast",
+        "total_fast",
+        "err_slow",
+        "total_slow",
+        fast.alias("fast_burn"),
+        slow.alias("slow_burn"),
+        (fast & slow).alias("page"),
+    )
+
+
+def burn_rate_oracle(
+    budget_num: int = 1,
+    budget_den: int = 5,
+    fast_sec: int = 3600,
+    slow_sec: int = 6 * 3600,
+    fast_x10: int = 144,
+    slow_x10: int = 60,
+) -> str:
+    """DuckDB twin of :func:`burn_rate` over the `logs` CTE (uses the
+    shared is-likely-error SQL twin)."""
+    from cloudpelican_lsd_spark.functions.parse import is_likely_error_sql
+
+    return f"""per_min AS (
+  SELECT ts_epoch - ts_epoch % 60 AS bucket,
+         CAST(SUM(CASE WHEN {is_likely_error_sql('_raw')} THEN 1 ELSE 0 END)
+              AS BIGINT) AS err,
+         COUNT(*)::BIGINT AS total
+  FROM logs GROUP BY 1
+),
+g AS (
+  SELECT bucket,
+         CAST(SUM(err) OVER (ORDER BY bucket RANGE BETWEEN {fast_sec - 60}
+           PRECEDING AND CURRENT ROW) AS BIGINT) AS err_fast,
+         CAST(SUM(total) OVER (ORDER BY bucket RANGE BETWEEN {fast_sec - 60}
+           PRECEDING AND CURRENT ROW) AS BIGINT) AS total_fast,
+         CAST(SUM(err) OVER (ORDER BY bucket RANGE BETWEEN {slow_sec - 60}
+           PRECEDING AND CURRENT ROW) AS BIGINT) AS err_slow,
+         CAST(SUM(total) OVER (ORDER BY bucket RANGE BETWEEN {slow_sec - 60}
+           PRECEDING AND CURRENT ROW) AS BIGINT) AS total_slow
+  FROM per_min
+)
+SELECT bucket, err_fast, total_fast, err_slow, total_slow,
+       err_fast * {budget_den} * 10 > total_fast * {budget_num} * {fast_x10}
+         AS fast_burn,
+       err_slow * {budget_den} * 10 > total_slow * {budget_num} * {slow_x10}
+         AS slow_burn,
+       (err_fast * {budget_den} * 10 > total_fast * {budget_num} * {fast_x10})
+         AND (err_slow * {budget_den} * 10
+              > total_slow * {budget_num} * {slow_x10}) AS page
+FROM g"""

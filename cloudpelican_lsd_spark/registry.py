@@ -2701,6 +2701,24 @@ def q_logs_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_burn_rate",
+    f"""WITH {LOGS_ORACLE_CTE},
+{stats_ops.burn_rate_oracle(1, 50, 3600, 21600, 144, 60)}""",
+)
+def q_stats_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow error-budget burn (stats.burn_rate): page when BOTH
+    the 1h @ 14.4x and 6h @ 6x trailing error ratios exceed a 2% budget
+    — the public SRE Workbook low-noise paging rule, decided entirely in
+    cross-multiplied BIGINT (no float ratio).  Trailing RANGE frames
+    over the minutely pre-aggregate, not the raw stream.  The 2% budget
+    puts the fast threshold (28.8%) just above this stream's median
+    hourly error ratio (~20%), so all three flags take both values."""
+    return stats_ops.burn_rate(
+        logs_view(spark, sf_dir), budget_num=1, budget_den=50
+    )
+
+
+@register(
     "stats_rate_of_change",
     f"""WITH {LOGS_ORACLE_CTE},
 b AS (
@@ -3605,6 +3623,7 @@ DRIVER_ORDER = [
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",
+    "stats_burn_rate",
     "outlier_interval",
     "outlier_time_bucket",
     "outlier_iqr",

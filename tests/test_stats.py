@@ -301,3 +301,41 @@ def test_burst_windows_range_frame_counts_ties(spark):
     assert out[2].peak_burst == 1 and out[2].n_bursty == 0
     # every tied row sees the full group of 5 under a value-based frame
     assert out[3].peak_burst == 5 and out[3].n_bursty == 5
+
+
+def test_burn_rate_multiwindow_paging(spark):
+    """Planted incident: clean traffic, then a 100%-error burst long
+    enough to blow the fast window but only pages once the slow window
+    also exceeds; after recovery the fast window resets first."""
+    from cloudpelican_lsd_spark.operators.stats import burn_rate
+
+    rows = []
+    eid = 0
+    # 6h of clean traffic: 10 ok lines/min
+    for m in range(360):
+        for i in range(10):
+            rows.append(("app: click ok", m * 60 + i)); eid += 1
+    # 90 min of pure errors at the same rate
+    for m in range(360, 450):
+        for i in range(10):
+            rows.append(("app: error boom", m * 60 + i)); eid += 1
+    # 3h of clean recovery
+    for m in range(450, 630):
+        for i in range(10):
+            rows.append(("app: click ok", m * 60 + i)); eid += 1
+    logs = spark.createDataFrame(rows, "_raw string, ts_epoch long")
+    out = {r.bucket // 60: r for r in burn_rate(
+        logs, budget_num=1, budget_den=50).collect()}
+    # before the incident: nothing fires (2% budget, clean traffic)
+    assert not out[300].fast_burn and not out[300].slow_burn
+    assert not out[300].page
+    # deep in the incident: fast window is pure errors (ratio 1 > 28.8%),
+    # slow window is 89/360 minutes of errors (~24.7% > 12%) -> PAGE
+    r = out[449]
+    assert r.err_fast == 600 and r.total_fast == 600
+    assert r.fast_burn and r.slow_burn and r.page
+    # 2h into recovery the fast window is clean again (resets first),
+    # while the slow window still carries the incident -> no page
+    r2 = out[570]
+    assert r2.err_fast == 0 and not r2.fast_burn
+    assert r2.slow_burn and not r2.page
