@@ -3062,6 +3062,68 @@ def q_user_day_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_gini_concentration",
+    """WITH ux AS (
+  SELECT event_type, user_id, COUNT(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id) AS i
+  FROM ux
+),
+g AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_users,
+         CAST(SUM(x) AS BIGINT) AS total_events,
+         CAST(SUM(i * x) AS BIGINT) AS six
+  FROM r GROUP BY 1
+)
+SELECT event_type, n_users, total_events,
+       ROUND(CAST(2 * six - (n_users + 1) * total_events AS DOUBLE)
+             / CAST(n_users * total_events AS DOUBLE), 6) AS gini
+FROM g""",
+)
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user event volume, per event type — the
+    inequality audit behind "are a few power users dominating this
+    signal" (and, for corpora, "does one source dominate the mixture").
+    Sample Gini over ascending-sorted counts: (2·Σi·x − (n+1)·Σx)/(n·Σx)
+    — the numerator and denominator are EXACT BIGINTs (tie order cannot
+    change Σi·x within equal-x runs), with one final double divide
+    rounded to 6dp.  One agg + one per-type rank window + one tiny agg;
+    the ranked table is |users×types|, not |events|."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    ux = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("x").asc(), F.col("user_id").asc()
+    )
+    ranked = ux.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum(F.col("i").cast("long") * F.col("x")).cast("long").alias("six"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        F.round(
+            (
+                2 * F.col("six")
+                - (F.col("n_users") + 1) * F.col("total_events")
+            ).cast("double")
+            / (F.col("n_users") * F.col("total_events")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
     "events_rolling_wau",
     """WITH ud AS (
   SELECT DISTINCT user_id,
@@ -3624,6 +3686,7 @@ DRIVER_ORDER = [
     "dedup_substring_clean",
     "logs_trending_terms",
     "stats_burn_rate",
+    "events_gini_concentration",
     "outlier_interval",
     "outlier_time_bucket",
     "outlier_iqr",

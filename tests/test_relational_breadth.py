@@ -447,3 +447,38 @@ def test_new_operator_plan_shapes(spark, sf_dir):
     plan = line_dedup(lined)._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Relation") == 1  # single scan of the corpus
+
+
+def test_gini_closed_form_and_bounds(spark, sf_dir):
+    """Hand-computed Gini: perfectly equal counts give 0; one user
+    holding everything approaches (n-1)/n; real data stays in [0, 1)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = (
+        [(i, "eq") for i in range(4) for _ in range(5)]       # 4 users x 5
+        + [(99, "skew")] * 97 + [(1, "skew"), (2, "skew"), (3, "skew")]
+    )
+    df = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(rows)],
+        "user_id long, event_type string, event_id long",
+    )
+    import datetime as _dt
+
+    df = df.withColumn("ts", F.lit(_dt.datetime(2024, 1, 1))).withColumn(
+        "value", F.lit(0.0)
+    ).withColumn("props", F.lit("{}"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"):
+            pass  # only events is read by this query
+        out = {r.event_type: r for r in registry.QUERIES[
+            "events_gini_concentration"](spark, td).collect()}
+    assert out["eq"].gini == 0.0
+    # skew: counts ascending (1,1,1,97), n=4, tot=100,
+    # six = 1*1+2*1+3*1+4*97 = 394 -> (788-500)/400 = 0.72
+    assert out["skew"].gini == 0.72
+    real = registry.QUERIES["events_gini_concentration"](spark, sf_dir).collect()
+    assert all(0.0 <= r.gini < 1.0 for r in real)
