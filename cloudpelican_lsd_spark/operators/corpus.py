@@ -725,3 +725,49 @@ def corpus_clean_v2_staged(
     final = spark.read.parquet(final_path)
 
     return _decontaminate(docs2, final, eval_mod, gram_n)
+
+
+def export_training_shards(
+    docs: DataFrame,
+    path: str,
+    capacity: int = 256,
+    shards: int = 8,
+) -> DataFrame:
+    """Write the packed corpus as training-ready parquet shards and
+    return the manifest `(shard, n_docs, n_packs, n_tokens)`.
+
+    Physical layout is the part that matters at 100 TB:
+
+    - ``partitionBy(shard)`` — one directory per shard, so a trainer
+      maps shards to data-loader workers with no file listing games;
+    - ``repartition(shard)`` BEFORE the write — exactly one task (and
+      therefore one file) per shard directory, instead of every task
+      dribbling a fragment into every partition (the classic
+      small-files explosion: tasks × partitions files);
+    - ``sortWithinPartitions(pack_id, start_offset)`` — rows land in
+      pack order, so a reader streams each file sequentially and packs
+      come out contiguous without a shuffle on the training side.
+
+    The doc→pack assignment is :func:`pack_sequences` (same integer
+    math, same ids); the rows carry the text so the shard files are
+    self-contained.
+    """
+    packed = pack_sequences(docs, capacity=capacity, shards=shards)
+    rows = packed.join(docs.select("doc_id", "text"), "doc_id")
+    (
+        rows.repartition("shard")
+        .sortWithinPartitions("pack_id", "start_offset")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    out = docs.sparkSession.read.parquet(path)
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("pack_id").cast("long").alias("n_packs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )

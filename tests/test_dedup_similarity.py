@@ -621,3 +621,27 @@ def test_substring_span_clean_rebuild(spark):
         "doc_id long, text string",
     )
     assert dedup_ops.substring_span_clean(dup_all, w=8, min_df=2).count() == 0
+
+
+def test_export_training_shards_layout(spark, sf_dir, tmp_path):
+    """Shard export: one file per shard directory (no small-files
+    explosion), rows inside each file are in pack order, the manifest
+    totals match the corpus, and the round-trip preserves every doc."""
+    import glob
+
+    from cloudpelican_lsd_spark.operators import corpus as C
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    manifest = {r.shard: r for r in C.export_training_shards(
+        docs, path, capacity=256, shards=4).collect()}
+    assert set(manifest) == {0, 1, 2, 3}
+    assert sum(r.n_docs for r in manifest.values()) == docs.count()
+    for shard in range(4):
+        files = glob.glob(f"{path}/shard={shard}/*.parquet")
+        assert len(files) == 1, f"shard {shard}: {len(files)} files"
+        pdf = spark.read.parquet(files[0]).collect()
+        order = [(r.pack_id, r.start_offset) for r in pdf]
+        assert order == sorted(order)  # pack-contiguous on disk
+    back = spark.read.parquet(path)
+    assert back.select("doc_id").distinct().count() == docs.count()
