@@ -756,7 +756,11 @@ def export_training_shards(
     rows = packed.join(docs.select("doc_id", "text"), "doc_id")
     (
         rows.repartition("shard")
-        .sortWithinPartitions("pack_id", "start_offset")
+        # shard leads the sort: the parquet writer REQUIRES ordering by
+        # the partition column and would otherwise inject its own
+        # SortExec on top (a redundant second sort whose stability for
+        # equal shard keys is an implementation detail, not a contract)
+        .sortWithinPartitions("shard", "pack_id", "start_offset")
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)

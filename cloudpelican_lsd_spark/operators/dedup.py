@@ -1015,6 +1015,74 @@ GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"""
 # ---------------------------------------------------------------------------
 
 
+def _hot_spans(docs: DataFrame, w: int, min_df: int) -> DataFrame:
+    """`(doc_id, isl, s, e)` — merged intervals of duplicated ``w``-token
+    windows: THE single source of the hot-span detection chain (gram
+    build, window-count hot test with the collision-proof ``(gh, g)``
+    key, running-max island merge), consumed by both the stats report
+    and the clean rebuild so the two can never disagree on what counts
+    as a duplicated span."""
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"IF(size(t) >= {w},"
+                f" transform(sequence(1, size(t) - {w} + 1),"
+                f"   i -> array_join(slice(t, i, {w}), ' ')),"
+                f" array())"
+            )
+        ).alias("p0", "g"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), F.xxhash64("g").alias("gh"), "g"
+    )
+    hot_occ = grams.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gh", "g"))
+    ).where(F.col("df") >= min_df).select("doc_id", "p")
+    ordered = Window.partitionBy("doc_id").orderBy("p")
+    prev_max = F.max(F.col("p") + (w - 1)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hot_occ.withColumn(
+        "brk", (prev_max.isNull() | (F.col("p") > prev_max)).cast("long")
+    ).withColumn(
+        "isl",
+        F.sum("brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("doc_id", "isl").agg(
+        F.min("p").alias("s"), (F.max("p") + (w - 1)).alias("e")
+    )
+
+
+def _spans_cte(w: int, min_df: int) -> str:
+    """DuckDB twin of :func:`_hot_spans`: CTE chain ending in
+    ``spans (doc_id, isl, s, e)``; expects a ``toks (doc_id, t)`` CTE
+    upstream."""
+    return f"""grams AS (
+  SELECT doc_id, i AS p, array_to_string(t[i:i+{w - 1}], ' ') AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - {w} + 1)) u(i)
+  WHERE len(t) >= {w}
+),
+hot_occ AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, COUNT(*) OVER (PARTITION BY g) AS df FROM grams)
+  WHERE df >= {min_df}
+),
+w1 AS (SELECT doc_id, p,
+              MAX(p + {w - 1}) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       FROM hot_occ),
+w3 AS (SELECT doc_id, p,
+              SUM(CASE WHEN pm IS NULL OR p > pm THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) AS isl
+       FROM w1),
+spans AS (SELECT doc_id, isl, MIN(p) AS s, MAX(p) + {w - 1} AS e
+          FROM w3 GROUP BY 1, 2)"""
+
+
 def substring_span_stats(
     docs: DataFrame, w: int = 8, min_df: int = 2
 ) -> DataFrame:
@@ -1040,38 +1108,7 @@ def substring_span_stats(
     count joins back to the (column-pruned) docs scan so gram-less
     short docs report zero.
     """
-    from pyspark.sql import Window
-
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"IF(size(t) >= {w},"
-                f" transform(sequence(1, size(t) - {w} + 1),"
-                f"   i -> array_join(slice(t, i, {w}), ' ')),"
-                f" array())"
-            )
-        ).alias("p0", "g"),
-    ).select(
-        "doc_id", (F.col("p0") + 1).alias("p"), F.xxhash64("g").alias("gh"), "g"
-    )
-    hot_occ = grams.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("gh", "g"))
-    ).where(F.col("df") >= min_df).select("doc_id", "p")
-    ordered = Window.partitionBy("doc_id").orderBy("p")
-    prev_max = F.max(F.col("p") + (w - 1)).over(
-        ordered.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = hot_occ.withColumn(
-        "brk", (prev_max.isNull() | (F.col("p") > prev_max)).cast("long")
-    ).withColumn(
-        "isl",
-        F.sum("brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = flagged.groupBy("doc_id", "isl").agg(
-        F.min("p").alias("s"), (F.max("p") + (w - 1)).alias("e")
-    )
+    spans = _hot_spans(docs, w, min_df)
     removed = spans.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed")
     )
@@ -1094,31 +1131,7 @@ def substring_span_oracle(w: int = 8, min_df: int = 2) -> str:
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks),
-grams AS (
-  SELECT doc_id, i AS p, array_to_string(t[i:i+{w - 1}], ' ') AS g
-  FROM toks, LATERAL unnest(generate_series(1, len(t) - {w} + 1)) u(i)
-  WHERE len(t) >= {w}
-),
-hot_occ AS (
-  SELECT doc_id, p FROM (
-    SELECT doc_id, p,
-           COUNT(*) OVER (PARTITION BY g) AS df
-    FROM grams)
-  WHERE df >= {min_df}
-),
-w1 AS (SELECT doc_id, p,
-              MAX(p + {w - 1}) OVER (PARTITION BY doc_id ORDER BY p
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-       FROM hot_occ),
-w2 AS (SELECT doc_id, p,
-              CASE WHEN pm IS NULL OR p > pm THEN 1 ELSE 0 END AS brk
-       FROM w1),
-w3 AS (SELECT doc_id, p,
-              SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
-                ROWS UNBOUNDED PRECEDING) AS isl
-       FROM w2),
-spans AS (SELECT doc_id, isl, MIN(p) AS s, MAX(p) + {w - 1} AS e
-          FROM w3 GROUP BY 1, 2),
+{_spans_cte(w, min_df)},
 rem AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed
         FROM spans GROUP BY 1)
 SELECT b.doc_id, b.n_tokens,
@@ -1141,38 +1154,9 @@ def substring_span_clean(
     filter-with-index higher-order function over the token array — no
     token-level explode/range-join on the rebuild side.
     """
-    from pyspark.sql import Window
-
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    grams = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"IF(size(t) >= {w},"
-                f" transform(sequence(1, size(t) - {w} + 1),"
-                f"   i -> array_join(slice(t, i, {w}), ' ')),"
-                f" array())"
-            )
-        ).alias("p0", "g"),
-    ).select(
-        "doc_id", (F.col("p0") + 1).alias("p"), F.xxhash64("g").alias("gh"), "g"
-    )
-    hot_occ = grams.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("gh", "g"))
-    ).where(F.col("df") >= min_df).select("doc_id", "p")
-    ordered = Window.partitionBy("doc_id").orderBy("p")
-    prev_max = F.max(F.col("p") + (w - 1)).over(
-        ordered.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = hot_occ.withColumn(
-        "brk", (prev_max.isNull() | (F.col("p") > prev_max)).cast("long")
-    ).withColumn(
-        "isl",
-        F.sum("brk").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
-    )
     ivs = (
-        flagged.groupBy("doc_id", "isl")
-        .agg(F.min("p").alias("s"), (F.max("p") + (w - 1)).alias("e"))
+        _hot_spans(docs, w, min_df)
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
     )
@@ -1198,27 +1182,7 @@ def substring_clean_oracle(w: int = 8, min_df: int = 2) -> str:
     return f"""WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
-grams AS (
-  SELECT doc_id, i AS p, array_to_string(t[i:i+{w - 1}], ' ') AS g
-  FROM toks, LATERAL unnest(generate_series(1, len(t) - {w} + 1)) u(i)
-  WHERE len(t) >= {w}
-),
-hot_occ AS (
-  SELECT doc_id, p FROM (
-    SELECT doc_id, p, COUNT(*) OVER (PARTITION BY g) AS df FROM grams)
-  WHERE df >= {min_df}
-),
-w1 AS (SELECT doc_id, p,
-              MAX(p + {w - 1}) OVER (PARTITION BY doc_id ORDER BY p
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-       FROM hot_occ),
-w3 AS (SELECT doc_id, p,
-              SUM(CASE WHEN pm IS NULL OR p > pm THEN 1 ELSE 0 END)
-                OVER (PARTITION BY doc_id ORDER BY p
-                      ROWS UNBOUNDED PRECEDING) AS isl
-       FROM w1),
-spans AS (SELECT doc_id, isl, MIN(p) AS s, MAX(p) + {w - 1} AS e
-          FROM w3 GROUP BY 1, 2),
+{_spans_cte(w, min_df)},
 tokpos AS (
   SELECT doc_id, i AS pos, t[i] AS tok
   FROM toks, LATERAL unnest(generate_series(1, len(t))) u(i)

@@ -237,7 +237,7 @@ def moving_zscore(
 def burn_rate(
     logs: DataFrame,
     budget_num: int = 1,
-    budget_den: int = 5,
+    budget_den: int = 1000,
     fast_sec: int = 3600,
     slow_sec: int = 6 * 3600,
     fast_x10: int = 144,   # 14.4x budget over the fast window
@@ -254,6 +254,11 @@ def burn_rate(
     ``err · den · 10 > total · num · x10`` with BIGINT counts; no float
     ratio ever materializes.
 
+    The default budget is the SRE Workbook's 0.1% example — note that a
+    budget above ``10·den/x10`` makes a window's threshold exceed a 100%
+    error ratio and the flag unsatisfiable, so that configuration is
+    rejected loudly rather than silently never paging.
+
     100 TB shape: one minutely pre-aggregation (map-side combinable),
     then two trailing RANGE-frame window sums over the tiny bucket
     series — the frames scan buckets, not raw rows, so the window state
@@ -263,6 +268,14 @@ def burn_rate(
 
     from cloudpelican_lsd_spark.functions.parse import is_likely_error
 
+    for label, x10 in (("fast", fast_x10), ("slow", slow_x10)):
+        if budget_num * x10 >= budget_den * 10:
+            raise ValueError(
+                f"burn_rate: {label} threshold "
+                f"{budget_num * x10 / (budget_den * 10):.2f} exceeds a 100% "
+                "error ratio — this flag could never fire; lower the budget "
+                "or the burn factor"
+            )
     per_min = (
         logs.select(
             bucket_col("ts_epoch", 60).alias("bucket"),

@@ -2713,8 +2713,11 @@ def q_stats_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the minutely pre-aggregate, not the raw stream.  The 2% budget
     puts the fast threshold (28.8%) just above this stream's median
     hourly error ratio (~20%), so all three flags take both values."""
+    # every oracle literal passed explicitly — a stats.py default change
+    # must not silently fork the Spark side from the registered SQL
     return stats_ops.burn_rate(
-        logs_view(spark, sf_dir), budget_num=1, budget_den=50
+        logs_view(spark, sf_dir), budget_num=1, budget_den=50,
+        fast_sec=3600, slow_sec=21600, fast_x10=144, slow_x10=60,
     )
 
 
@@ -3076,12 +3079,12 @@ r AS (
 g AS (
   SELECT event_type, COUNT(*)::BIGINT AS n_users,
          CAST(SUM(x) AS BIGINT) AS total_events,
-         CAST(SUM(i * x) AS BIGINT) AS six
+         SUM(i::HUGEINT * x) AS six
   FROM r GROUP BY 1
 )
 SELECT event_type, n_users, total_events,
-       ROUND(CAST(2 * six - (n_users + 1) * total_events AS DOUBLE)
-             / CAST(n_users * total_events AS DOUBLE), 6) AS gini
+       ROUND(CAST(2 * six - (n_users::HUGEINT + 1) * total_events AS DOUBLE)
+             / CAST(n_users::HUGEINT * total_events AS DOUBLE), 6) AS gini
 FROM g""",
 )
 def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3089,12 +3092,16 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality audit behind "are a few power users dominating this
     signal" (and, for corpora, "does one source dominate the mixture").
     Sample Gini over ascending-sorted counts: (2·Σi·x − (n+1)·Σx)/(n·Σx)
-    — the numerator and denominator are EXACT BIGINTs (tie order cannot
-    change Σi·x within equal-x runs), with one final double divide
-    rounded to 6dp.  One agg + one per-type rank window + one tiny agg;
-    the ranked table is |users×types|, not |events|."""
+    — exact integer numerators (tie order cannot change Σi·x within
+    equal-x runs), with one final double divide rounded to 6dp.  The
+    rank-weighted sum Σi·x is ~n·Σx and exceeds BIGINT at the 100 TB
+    design point (1e9 users × 1e12 events ≈ 1e21), so it accumulates in
+    DECIMAL(38,0) / HUGEINT per the repo's row-summed-product rule.
+    One agg + one per-type rank window + one tiny agg; the ranked table
+    is |users×types|, not |events|."""
     from pyspark.sql.window import Window
 
+    d38 = "decimal(38,0)"
     ev = load_table(spark, "events", sf_dir)
     ux = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("x")
@@ -3106,7 +3113,8 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum("x").cast("long").alias("total_events"),
-        F.sum(F.col("i").cast("long") * F.col("x")).cast("long").alias("six"),
+        # cast BEFORE the multiply: i·x itself overflows BIGINT at scale
+        F.sum(F.col("i").cast(d38) * F.col("x")).cast(d38).alias("six"),
     )
     return g.select(
         "event_type",
@@ -3115,9 +3123,12 @@ def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (
                 2 * F.col("six")
-                - (F.col("n_users") + 1) * F.col("total_events")
+                - (F.col("n_users").cast(d38) + 1)
+                * F.col("total_events").cast(d38)
             ).cast("double")
-            / (F.col("n_users") * F.col("total_events")).cast("double"),
+            / (
+                F.col("n_users").cast(d38) * F.col("total_events").cast(d38)
+            ).cast("double"),
             6,
         ).alias("gini"),
     )

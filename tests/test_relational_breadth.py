@@ -470,10 +470,7 @@ def test_gini_closed_form_and_bounds(spark, sf_dir):
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
-        df.write.parquet(f"{td}/events.parquet")
-        for t in ("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"):
-            pass  # only events is read by this query
+        df.write.parquet(f"{td}/events.parquet")  # only events is read
         out = {r.event_type: r for r in registry.QUERIES[
             "events_gini_concentration"](spark, td).collect()}
     assert out["eq"].gini == 0.0
