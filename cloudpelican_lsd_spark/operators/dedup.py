@@ -318,6 +318,74 @@ bands AS (
 )"""
 
 
+def cross_source_matrix(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    max_group: int | None = None,
+) -> DataFrame:
+    """`(source_a, source_b, n_pairs)` — near-duplicate pair counts per
+    unordered source pair: which corpus sources copy which.
+
+    The mixture-decision input a training pipeline needs before weighting
+    sources: a high off-diagonal cell (e.g. crawl × curated) means one
+    source republishes the other, so their token budgets double-count;
+    the diagonal measures within-source redundancy.
+
+    Shape: the LSH candidate pairs (band-bucket join, no O(n²) anywhere)
+    joined back to a 2-column `(doc_id, source)` projection of the corpus
+    — column pruning reaches the parquet scan, so the join-back reads
+    ~16 bytes/doc, not the text.  Both lookups shuffle on doc_id (the
+    pair set is collision-bounded, orders of magnitude smaller than the
+    corpus); the final matrix groupBy is |sources|² rows.  `least/
+    greatest` canonicalizes the unordered pair so (a,b) and (b,a) land
+    in one cell.
+    """
+    pairs = lsh_candidate_pairs(docs, num_hashes, rows_per_band, n, max_group)
+    meta = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            meta.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def cross_source_matrix_oracle(
+    pairs_sql: str, base_table: str = "docs_planted"
+) -> str:
+    """DuckDB twin: ``pairs_sql`` must yield `(doc_a, doc_b)` (e.g. the
+    minhash bands self-join); composes the same source lookup + unordered
+    canonicalization."""
+    return f"""pairs AS ({pairs_sql}),
+labeled AS (
+  SELECT least(ma.source, mb.source) AS source_a,
+         greatest(ma.source, mb.source) AS source_b
+  FROM pairs
+  JOIN {base_table} ma ON ma.doc_id = pairs.doc_a
+  JOIN {base_table} mb ON mb.doc_id = pairs.doc_b
+)
+SELECT source_a, source_b, COUNT(*)::BIGINT AS n_pairs
+FROM labeled GROUP BY source_a, source_b"""
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact set similarity, integer-deterministic)
 # ---------------------------------------------------------------------------

@@ -686,6 +686,99 @@ FROM toks t JOIN costs c USING (term)
 GROUP BY t.doc_id"""
 
 
+def source_divergence(docs: DataFrame) -> DataFrame:
+    """`(source, n_tokens, distinct_tokens, tvd_ppb)` — per-source total
+    variation distance between the source's unigram token distribution
+    and the corpus-wide distribution, in parts-per-billion.
+
+    The mixture-health metric next to `corpus_source_mixture`: a source
+    whose TVD drifts upward between snapshots changed register/topic/
+    language mix and its weight needs revisiting.  TVD is chosen over
+    KL precisely because it is **rational in the counts** — the whole
+    computation stays in exact integer arithmetic (DECIMAL(38,0) /
+    HUGEINT), so the result is bit-identical across engines and
+    partitionings; a log-based divergence would hang the driver hash on
+    libm's last ulp.
+
+    Missing-mass closed form: summing |p_t − q_t| over the FULL corpus
+    vocabulary would charge every source the tokens it lacks; those
+    absent terms contribute q_t each, which totals `1 − (corpus mass on
+    the source's own vocabulary)` — so the scan only ever joins a
+    source's own `(source, term)` rows against the corpus counts:
+
+        TVD·2·Ns·Nc = Σ_{{t∈S}} |cnt_t·Nc − corp_t·Ns| + Ns·(Nc − Σ_{{t∈S}} corp_t)
+
+    100 TB shape: one token explode → groupBy(source, term) whose
+    map-side partial collapses to vocabulary×sources rows before the
+    only corpus-sized shuffle; corpus counts re-aggregate that output on
+    term; the per-source totals are |sources| rows (broadcast back); the
+    final matrix is |sources| rows.  Headroom: the pre-division product
+    is ≤ 2·Ns·Nc·10⁹ ≈ 4·10³⁵ at Nc = 2·10¹³ tokens (≈100 TB of text) —
+    inside DECIMAL(38,0).
+    """
+    dec = "decimal(38,0)"
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    ct = st.groupBy("term").agg(F.sum("cnt").alias("corp"))
+    ns = st.groupBy("source").agg(
+        F.sum("cnt").alias("n_src"), F.count(F.lit(1)).alias("v_src")
+    )
+    nc = st.agg(F.sum("cnt").alias("n_corp"))
+    joined = (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+    )
+    agg = joined.groupBy("source").agg(
+        F.max("n_src").alias("n_tokens"),
+        F.max("v_src").alias("distinct_tokens"),
+        F.max("n_corp").alias("n_corp"),
+        F.sum(
+            F.abs(
+                F.col("cnt").cast(dec) * F.col("n_corp").cast(dec)
+                - F.col("corp").cast(dec) * F.col("n_src").cast(dec)
+            )
+        ).alias("sum_abs"),
+        F.sum(F.col("corp").cast(dec)).alias("cov"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "distinct_tokens",
+        F.expr(
+            f"CAST(((sum_abs + CAST(n_tokens AS {dec})"
+            f"        * (CAST(n_corp AS {dec}) - cov)) * 1000000000)"
+            f" div (2 * CAST(n_tokens AS {dec}) * CAST(n_corp AS {dec}))"
+            " AS BIGINT)"
+        ).alias("tvd_ppb"),
+    )
+
+
+SOURCE_DIVERGENCE_ORACLE = """\
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+st AS (SELECT source, term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, SUM(cnt)::BIGINT AS corp FROM st GROUP BY 1),
+ns AS (SELECT source, SUM(cnt)::BIGINT AS n_src, COUNT(*)::BIGINT AS v_src
+       FROM st GROUP BY 1),
+nc AS (SELECT SUM(cnt)::BIGINT AS n_corp FROM st)
+SELECT st.source,
+       MAX(ns.n_src) AS n_tokens,
+       MAX(ns.v_src) AS distinct_tokens,
+       CAST(((SUM(ABS(st.cnt::HUGEINT * nc.n_corp
+                      - ct.corp::HUGEINT * ns.n_src))
+              + MAX(ns.n_src)::HUGEINT * (MAX(nc.n_corp) - SUM(ct.corp)))
+             * 1000000000)
+            // (2 * MAX(ns.n_src)::HUGEINT * MAX(nc.n_corp)) AS BIGINT)
+         AS tvd_ppb
+FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN nc
+GROUP BY st.source"""
+
+
 # ---------------------------------------------------------------------------
 # Boilerplate line removal (RefinedWeb/CCNet-style line-level dedup)
 # ---------------------------------------------------------------------------

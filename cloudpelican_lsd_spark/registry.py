@@ -3269,6 +3269,16 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob(load_table(spark, "documents", sf_dir))
 
 
+@register("corpus_source_divergence", text_ops.SOURCE_DIVERGENCE_ORACLE)
+def q_corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus: exact
+    total-variation distance in parts-per-billion
+    (textstats.source_divergence) — the mixture-health check run before
+    reweighting sources; all-integer (DECIMAL(38,0)/HUGEINT) so the
+    driver hash cannot drift on float summation order."""
+    return text_ops.source_divergence(load_table(spark, "documents", sf_dir))
+
+
 _ID_SPLIT_CASE = """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
             ELSE 'train' END"""
@@ -3324,6 +3334,23 @@ def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("split_a") != F.col("split_b"))
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    f"""WITH {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+{dedup_ops.cross_source_matrix_oracle(_MINHASH_PAIRS_SQL)}""",
+)
+def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup (MinHash-LSH) pair counts
+    per unordered source pair (dedup.cross_source_matrix) — which sources
+    republish which, the double-counting signal behind mixture weights.
+    Companion to corpus_split_neardup_leakage (same candidate pairs,
+    metadata dimension instead of derived split, diagonal included)."""
+    return dedup_ops.cross_source_matrix(
+        _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
     )
 
 
@@ -3693,6 +3720,8 @@ DRIVER_ORDER = [
     "dedup_semantic_prune",
     "corpus_c4_audit",
     # -- green in r01/r02 + round-3 overflow (slots 51+; next window) ------
+    "dedup_cross_source_matrix",
+    "corpus_source_divergence",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

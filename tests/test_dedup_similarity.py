@@ -645,3 +645,54 @@ def test_export_training_shards_layout(spark, sf_dir, tmp_path):
         assert order == sorted(order)  # pack-contiguous on disk
     back = spark.read.parquet(path)
     assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_cross_source_matrix_closed_form(spark):
+    """Three byte-identical docs (identical signatures ⇒ certain LSH
+    pairs) across two sources: pairs (1,2),(1,3),(2,3) → diagonal srcA
+    cell 1, off-diagonal cell 2 regardless of pair orientation."""
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, text, "srcA"),
+            (2, text, "srcB"),
+            (3, text, "srcA"),
+            (4, "a completely different sentence about spark engines", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in dedup_ops.cross_source_matrix(docs).collect()
+    }
+    assert got == {("srcA", "srcA"): 1, ("srcA", "srcB"): 2}
+
+
+def test_source_divergence_closed_form(spark):
+    """Hand-computed TVD: A='a a b', B='a b b c' → corpus {a:3,b:3,c:1};
+    TVD_A = 5/21, TVD_B = 5/28 (exact rationals; ppb = floor(x·1e9))."""
+    from cloudpelican_lsd_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "A"), (2, "a b b c", "B")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in textstats.source_divergence(docs).collect()}
+    assert rows["A"].n_tokens == 3 and rows["A"].distinct_tokens == 2
+    assert rows["B"].n_tokens == 4 and rows["B"].distinct_tokens == 3
+    assert rows["A"].tvd_ppb == 10 * 10**9 // 42  # 5/21
+    assert rows["B"].tvd_ppb == 10 * 10**9 // 56  # 5/28
+
+
+def test_source_divergence_identical_sources_zero(spark):
+    """Two sources with identical token distributions → TVD exactly 0."""
+    from cloudpelican_lsd_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "x y z", "A"), (2, "x y z", "B")],
+        "doc_id long, text string, source string",
+    )
+    assert all(
+        r.tvd_ppb == 0
+        for r in textstats.source_divergence(docs).collect()
+    )
