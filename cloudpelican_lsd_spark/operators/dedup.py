@@ -301,20 +301,30 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_oracle_cte(num_hashes: int = 12, rows_per_band: int = 3, n: int = 3) -> str:
-    return f"""{shingles_oracle_cte(n)},
-hashed AS (
-  SELECT doc_id, md5('0:' || shingle) || md5('1:' || shingle) AS h FROM sh
+def minhash_oracle_cte(
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    base_table: str = "documents",
+    prefix: str = "",
+) -> str:
+    """DuckDB CTE chain yielding ``{prefix}bands (doc_id, band, sig)``.
+    ``prefix`` lets one oracle build bands over two tables (e.g. the
+    incremental batch-vs-index query) without CTE name collisions."""
+    p = prefix
+    return f"""{shingles_oracle_cte(n, base_table, p)},
+{p}hashed AS (
+  SELECT doc_id, md5('0:' || shingle) || md5('1:' || shingle) AS h FROM {p}sh
 ),
-seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed),
-mh AS (
+{p}seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed),
+{p}mh AS (
   SELECT doc_id, seed, min(substr(h, 1 + 5 * seed, 5)) AS mh
-  FROM hashed, seeds GROUP BY doc_id, seed
+  FROM {p}hashed, {p}seeds GROUP BY doc_id, seed
 ),
-bands AS (
+{p}bands AS (
   SELECT doc_id, seed // {rows_per_band} AS band,
          string_agg(mh, '|' ORDER BY seed) AS sig
-  FROM mh GROUP BY doc_id, seed // {rows_per_band}
+  FROM {p}mh GROUP BY doc_id, seed // {rows_per_band}
 )"""
 
 
@@ -384,6 +394,45 @@ labeled AS (
 )
 SELECT source_a, source_b, COUNT(*)::BIGINT AS n_pairs
 FROM labeled GROUP BY source_a, source_b"""
+
+
+def incremental_near_dup_pairs(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """`(new_id, old_id)` — near-dup candidates of a NEW ingestion batch
+    against a **persisted band-signature index** (the output of
+    :func:`minhash_band_signatures`, written once and reused).
+
+    The production-ingestion mode at 100 TB: re-running
+    :func:`lsh_candidate_pairs` over corpus+batch would re-shingle and
+    re-hash the entire historical corpus every day.  Instead the corpus
+    is fingerprinted ONCE into an index of ``num_hashes/rows_per_band``
+    fixed-width rows per document (~100 bytes/doc — a 100 TB corpus
+    compresses to a low-TB index), and each day's batch — typically
+    1000× smaller — is shingled alone and equi-joined against it on
+    `(band, sig)`.  Spark broadcasts nothing and shuffles only the
+    batch's bands plus the (bucketed) index; persisting the index
+    parquet bucketed by `band` makes the daily join co-located with
+    zero index-side shuffle.  Batch-internal duplicates are a separate
+    concern: run :func:`lsh_candidate_pairs` on the batch alone (it is
+    small), then append the batch's bands to the index.
+    """
+    nb = minhash_band_signatures(batch, num_hashes, rows_per_band, n)
+    return (
+        nb.select("band", "sig", F.col("doc_id").alias("new_id"))
+        .join(
+            index_bands.select(
+                "band", "sig", F.col("doc_id").alias("old_id")
+            ),
+            ["band", "sig"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

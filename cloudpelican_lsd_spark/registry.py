@@ -3355,6 +3355,37 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_vs_index",
+    f"""WITH batch_docs AS (
+  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 50
+),
+{dedup_ops.minhash_oracle_cte(12, 3, 3)},
+{dedup_ops.minhash_oracle_cte(12, 3, 3, base_table='batch_docs', prefix='b')}
+SELECT DISTINCT b.doc_id AS new_id, o.doc_id AS old_id
+FROM bbands b JOIN bands o ON b.band = o.band AND b.sig = o.sig""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a re-ingested batch (first 50 docs
+    under new ids) checked against the corpus's persisted band-signature
+    index (dedup.incremental_near_dup_pairs) — only the batch is
+    shingled; the historical corpus contributes fingerprints, never
+    text.  Every batch doc must at minimum hit its byte-identical
+    origin (identical signatures), so the planted 50 are a lower bound
+    on the pair set."""
+    docs = load_table(spark, "documents", sf_dir)
+    index = dedup_ops.minhash_band_signatures(
+        docs, num_hashes=12, rows_per_band=3, n=3
+    )
+    batch = docs.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return dedup_ops.incremental_near_dup_pairs(
+        batch, index, num_hashes=12, rows_per_band=3, n=3
+    )
+
+
+@register(
     "events_transition_matrix",
     """WITH seq AS (
   SELECT user_id, event_type,
@@ -3722,6 +3753,7 @@ DRIVER_ORDER = [
     # -- green in r01/r02 + round-3 overflow (slots 51+; next window) ------
     "dedup_cross_source_matrix",
     "corpus_source_divergence",
+    "dedup_incremental_vs_index",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -696,3 +696,35 @@ def test_source_divergence_identical_sources_zero(spark):
         r.tvd_ppb == 0
         for r in textstats.source_divergence(docs).collect()
     )
+
+
+def test_incremental_index_roundtrip(spark, tmp_path):
+    """The persisted-index production mode: fingerprint a corpus, write
+    the band index to parquet, read it back, and match a re-ingested
+    batch against it — each batch doc must hit its byte-identical
+    origin; a novel doc must hit nothing."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "totally unrelated content with many words here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "band_index")
+    dedup_ops.minhash_band_signatures(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    batch = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta"),  # dup of 1
+            (102, "a brand new never seen document body text"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.new_id, r.old_id)
+        for r in dedup_ops.incremental_near_dup_pairs(batch, index).collect()
+    }
+    assert (101, 1) in pairs
+    assert all(new_id != 102 for new_id, _ in pairs)
