@@ -779,6 +779,137 @@ FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN nc
 GROUP BY st.source"""
 
 
+#: default BM25 query for the gate query: one rare term (df ≈ 5% of the
+#: synthetic corpus — carries the idf signal) + two common terms (idf
+#: clamps to 0 — exercising the clamp path)
+BM25_QUERY_TERMS = ["dup", "hash", "join"]
+
+
+def bm25_topk(
+    docs: DataFrame, terms: list[str] | None = None, k: int = 10
+) -> DataFrame:
+    """`(doc_id, score_micro)` — top-k documents by BM25 (k1=1.2, b=0.75)
+    for a fixed bag of query terms, in deterministic fixed-point.
+
+    Ranked lexical retrieval — the reference is a log-*search* tool
+    (grep → SQL), so relevance-ranked search is the natural completion
+    of that surface, and the lexical half of a hybrid
+    lexical+vector retrieval stack (see similarity.rank_fusion).
+
+    Determinism: the tf-saturation/length-norm factor is **rational in
+    the counts** — with k1=6/5, b=3/4, multiplying through by
+    20·total·N clears every denominator:
+
+        sat_ppm = ⌊44·tf·total·10⁶ / (20·tf·total + 6·total + 18·dl·N)⌋
+
+    computed in DECIMAL(38,0)/HUGEINT (headroom: 44·tf·total·10⁶ ≈
+    10³⁷ at tf=10⁴, total=2·10¹³ ≈ 100 TB of text).  The idf
+    (Robertson ln((N−df+½)/(df+½)), floored at 0) is transcendental but
+    evaluated once per QUERY TERM — a handful of values rounded at
+    micro precision, the same discipline unigram_logprob has held green
+    across engines for three rounds.  Zero-score docs (all their
+    matched terms idf-clamped) are excluded, standard retrieval
+    semantics.
+
+    100 TB shape: NO token explode and NO per-term join — the query bag
+    is fixed and small, so per-term tf's are computed as columns of one
+    narrow projection (`filter(toks, x -> x = term)` per term); a
+    single global aggregate produces N, total AND every per-term df in
+    one singleton (map-side partial, broadcast back); the scoring pass
+    touches only docs matching ≥1 term and ends in a global top-k
+    (TakeOrderedAndProject).  Two evaluations of the projection (the
+    corpus-stats pass and the scoring pass) is the floor for BM25
+    without materializing doc stats; a production deployment persists
+    the `(doc_id, dl, tf…)` projection once per query workload — the
+    corpus_clean_v2_staged pattern.
+    """
+    terms = list(terms if terms is not None else BM25_QUERY_TERMS)
+    dec = "decimal(38,0)"
+    nt = len(terms)
+    wide = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            # size-difference, not a filter() lambda: array_remove stays
+            # on the codegen path (HOF lambdas are interpreted — the
+            # shingle_rows lesson)
+            F.expr(
+                f"CAST(size(toks) - size(array_remove(toks, '{t}')) AS BIGINT)"
+            ).alias(f"tf{j}")
+            for j, t in enumerate(terms)
+        ],
+    )
+    stats = wide.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total"),
+        *[
+            F.sum((F.col(f"tf{j}") > 0).cast("long")).alias(f"df{j}")
+            for j in range(nt)
+        ],
+    )
+    idf = lambda j: (  # noqa: E731 — micro-rounded Robertson idf, floored at 0
+        f"GREATEST(CAST(ROUND(ln((n_docs - df{j} + 0.5) / (df{j} + 0.5))"
+        f" * 1e6, 0) AS BIGINT), CAST(0 AS BIGINT))"
+    )
+    sat = lambda j: (  # noqa: E731 — denominator-cleared saturation, ppm
+        f"(CAST(44 AS {dec}) * tf{j} * total * 1000000"
+        f" div (CAST(20 AS {dec}) * tf{j} * total + CAST(6 AS {dec}) * total"
+        f"      + CAST(18 AS {dec}) * dl * n_docs))"
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf{j} > 0 THEN {idf(j)} * {sat(j)} div 1000000"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(nt)
+    )
+    matched = wide.where(
+        " OR ".join(f"tf{j} > 0" for j in range(nt))
+    )
+    return (
+        matched.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(score).alias("score_micro"))
+        .where(F.col("score_micro") > 0)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle(terms: list[str] | None = None, k: int = 10) -> str:
+    terms = list(terms if terms is not None else BM25_QUERY_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""\
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+bd AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM base),
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, SUM(len(toks))::BIGINT AS total
+  FROM base
+),
+qt AS (SELECT doc_id, dl, unnest(toks) AS term FROM bd),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf FROM qt
+  WHERE term IN ({in_list}) GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         GREATEST(CAST(ROUND(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                             * 1e6, 0) AS BIGINT), 0) AS idf_micro,
+         CAST((44::HUGEINT * tf.tf * s.total * 1000000)
+              // (20::HUGEINT * tf.tf * s.total + 6::HUGEINT * s.total
+                  + 18::HUGEINT * tf.dl * s.n_docs) AS BIGINT) AS sat_ppm
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id,
+       SUM(idf_micro * sat_ppm // 1000000)::BIGINT AS score_micro
+FROM scored GROUP BY doc_id
+HAVING SUM(idf_micro * sat_ppm // 1000000) > 0
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # Boilerplate line removal (RefinedWeb/CCNet-style line-level dedup)
 # ---------------------------------------------------------------------------

@@ -3269,6 +3269,15 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob(load_table(spark, "documents", sf_dir))
 
 
+@register("text_bm25_topk", text_ops.bm25_topk_oracle())
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-ranked lexical retrieval: BM25 top-10 for a fixed query
+    bag (textstats.bm25_topk) — deterministic fixed-point saturation
+    (DECIMAL(38,0) rational, denominators cleared) + micro-rounded idf
+    clamped at 0; the ranked-search completion of the grep surface."""
+    return text_ops.bm25_topk(load_table(spark, "documents", sf_dir))
+
+
 @register("corpus_source_divergence", text_ops.SOURCE_DIVERGENCE_ORACLE)
 def q_corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution drift vs the whole corpus: exact
@@ -3754,6 +3763,7 @@ DRIVER_ORDER = [
     "dedup_cross_source_matrix",
     "corpus_source_divergence",
     "dedup_incremental_vs_index",
+    "text_bm25_topk",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

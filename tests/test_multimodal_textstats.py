@@ -588,3 +588,47 @@ def test_trending_terms_surfaces_new_term(spark):
         for r in by_day[day]:
             if r.token in ("steady", "msg"):
                 assert r.rise == 0, (day, r)
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_topk equals a pure-Python implementation of the same
+    fixed-point formula on a hand-built corpus (rare + common + absent
+    query terms, repeated terms, varying doc lengths)."""
+    import math
+
+    corpus = [
+        (1, "dup dup alpha beta"),
+        (2, "dup alpha beta gamma delta"),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "alpha alpha alpha beta"),
+        (5, "beta gamma"),
+    ]
+    terms = ["dup", "alpha", "nosuchterm"]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score_micro)
+        for r in ts.bm25_topk(docs, terms=terms, k=3).collect()
+    ]
+
+    # pure-Python twin of the documented formula
+    toks = {d: t.split(" ") for d, t in corpus}
+    n_docs, total = len(toks), sum(len(t) for t in toks.values())
+    scores = {}
+    for term in terms:
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = max(round(math.log((n_docs - df + 0.5) / (df + 0.5)) * 1e6), 0)
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            sat = (44 * tf * total * 1000000) // (
+                20 * tf * total + 6 * total + 18 * len(t) * n_docs
+            )
+            scores[d] = scores.get(d, 0) + idf * sat // 1000000
+    want = sorted(
+        ((d, s) for d, s in scores.items() if s > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert got == want

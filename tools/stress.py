@@ -74,6 +74,21 @@ def main() -> None:
         # worst-case span density, still expected near-linear (window
         # count + interval windows, no joins on the hot path)
         "substring_spans(w=8)": lambda d: dedup.substring_span_stats(d),
+        # vocab is fixed under replication: the groupBy(source, term)
+        # input grows 10x but its output (and everything downstream)
+        # stays vocabulary-sized — expect ~linear scan cost
+        "source_divergence": lambda d: textstats.source_divergence(d),
+        # replica dups inflate per-bucket pair volume ~k^2 (data
+        # property, same caveat as minhash_lsh); adds two doc_id joins
+        # over the pair set on top of the lsh probe
+        "cross_source_matrix": lambda d: dedup.cross_source_matrix(d),
+        # fixed 1k-doc batch vs a 10x-larger index: probes the daily
+        # production join — cost should track index size sub-linearly
+        # (bands shuffle, batch side constant)
+        "incremental_vs_index(1k)": lambda d: dedup.incremental_near_dup_pairs(
+            docs.where(F.col("doc_id") < 1000),
+            dedup.minhash_band_signatures(d),
+        ),
     }
     for name, fn in ops.items():
         t = {}
