@@ -903,6 +903,84 @@ ranked AS (
 SELECT qid, cid, rrf FROM ranked WHERE rn <= {k}"""
 
 
+def hybrid_retrieval_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str] | None = None,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """`(doc_id, rrf)` — hybrid lexical+vector retrieval: RRF fusion of
+    the BM25 ranking (textstats.bm25_topk, fixed query bag) with the
+    brute-force cosine ranking for query vector 0 (doc_id and vec_id
+    are aligned in the corpus).  The standard two-retriever RAG recall
+    stack: lexical recall catches exact-term matches the embedding
+    misses, vector recall catches paraphrases lexical misses.
+
+    Same determinism discipline as rank_fusion_topk: each branch is a
+    row_number over a deterministic total order; a fused score sums at
+    most two doubles (2-term float add is order-free) rounded to 6
+    decimals before the final (rrf DESC, doc_id) re-rank.  Both branch
+    lists are ≤ k_each rows — the windows and the full-outer fusion
+    join run on bounded data regardless of corpus size; the heavy
+    lifting is inside the two branch plans, each audited on its own
+    (bm25: 1 shuffle / 2 scans; cosine: broadcast query row).
+    """
+    from cloudpelican_lsd_spark.operators.textstats import bm25_topk
+
+    wb = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        bm25_topk(docs, terms, k_each)
+        .select("doc_id", F.row_number().over(wb).alias("r_lex"))
+    )
+    wv = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("cos").desc(), F.col("doc_id").asc()
+    )
+    vec = (
+        cosine_topk(emb, num_queries=1, k=k_each)
+        .select(F.col("cid").alias("doc_id"), "cos")
+        .select("doc_id", F.row_number().over(wv).alias("r_vec"))
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1 / (F.lit(rrf_k) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1 / (F.lit(rrf_k) + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def hybrid_retrieval_oracle(
+    bm25_oracle_sql: str, k: int = 10, k_each: int = 20, rrf_k: int = 60
+) -> str:
+    """Composes the (independent) BM25 oracle with the cosine oracle."""
+    cos = cosine_topk_oracle(1, k_each)
+    return f"""WITH lex0 AS (SELECT * FROM ({bm25_oracle_sql}) t),
+vec0 AS (SELECT * FROM ({cos}) t),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS r_lex
+  FROM lex0
+),
+vec AS (
+  SELECT cid AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, cid ASC) AS r_vec
+  FROM vec0
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / ({rrf_k} + l.r_lex), 0.0)
+               + COALESCE(1.0 / ({rrf_k} + v.r_vec), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory-bound ANN scale path
 # ---------------------------------------------------------------------------

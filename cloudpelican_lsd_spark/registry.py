@@ -3278,6 +3278,21 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bm25_topk(load_table(spark, "documents", sf_dir))
 
 
+@register(
+    "hybrid_retrieval_topk",
+    sim_ops.hybrid_retrieval_oracle(text_ops.bm25_topk_oracle(k=20)),
+)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: RRF fusion of BM25 (fixed query
+    bag) with brute-force cosine for query vector 0
+    (similarity.hybrid_retrieval_topk) — the two-retriever RAG recall
+    stack over the aligned documents/embeddings tables."""
+    return sim_ops.hybrid_retrieval_topk(
+        load_table(spark, "documents", sf_dir),
+        load_table(spark, "embeddings", sf_dir),
+    )
+
+
 @register("corpus_source_divergence", text_ops.SOURCE_DIVERGENCE_ORACLE)
 def q_corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution drift vs the whole corpus: exact
@@ -3764,6 +3779,7 @@ DRIVER_ORDER = [
     "corpus_source_divergence",
     "dedup_incremental_vs_index",
     "text_bm25_topk",
+    "hybrid_retrieval_topk",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

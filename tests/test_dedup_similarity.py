@@ -728,3 +728,42 @@ def test_incremental_index_roundtrip(spark, tmp_path):
     }
     assert (101, 1) in pairs
     assert all(new_id != 102 for new_id, _ in pairs)
+
+
+def test_hybrid_retrieval_matches_branch_composition(spark, sf_dir):
+    """hybrid_retrieval_topk equals RRF composed in Python from the two
+    branch operators' own outputs (rank tie rules included)."""
+    from cloudpelican_lsd_spark.operators.textstats import bm25_topk
+
+    docs, emb = load_table(spark, "documents", sf_dir), load_table(
+        spark, "embeddings", sf_dir
+    )
+    lex = bm25_topk(docs, k=20).collect()
+    vec = [
+        r
+        for r in sim_ops.cosine_topk(emb, num_queries=1, k=20).collect()
+    ]
+    r_lex = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(lex, key=lambda r: (-r.score_micro, r.doc_id))
+        )
+    }
+    r_vec = {
+        r.cid: i + 1
+        for i, r in enumerate(sorted(vec, key=lambda r: (-r.cos, r.cid)))
+    }
+    scores = {
+        d: round(
+            (1 / (60 + r_lex[d]) if d in r_lex else 0.0)
+            + (1 / (60 + r_vec[d]) if d in r_vec else 0.0),
+            6,
+        )
+        for d in set(r_lex) | set(r_vec)
+    }
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:10]
+    got = [
+        (r.doc_id, r.rrf)
+        for r in sim_ops.hybrid_retrieval_topk(docs, emb).collect()
+    ]
+    assert got == want
