@@ -779,6 +779,77 @@ FROM st JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN nc
 GROUP BY st.source"""
 
 
+def chunk_windows(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """`(doc_id, chunk_id, n_chunk_tokens, chunk_text)` — fixed-size
+    token-window chunking with overlap, the RAG/embedding-ingestion
+    primitive (split every document into ≤ chunk_tokens-token windows,
+    consecutive windows sharing `overlap` tokens so no sentence is cut
+    without context on either side).
+
+    Chunk count is exact integer arithmetic — `1` when the doc fits,
+    else `⌈(n − chunk)/stride⌉ + 1` via `(n − chunk + stride − 1) div
+    stride + 1` (no float ceil to disagree across engines); chunk i
+    covers tokens `[i·stride + 1, i·stride + chunk]`, the last chunk
+    runs short rather than padding.  100 TB shape: pure per-row
+    explode + slice in one codegen projection — zero shuffles, zero
+    joins, linear in corpus tokens; output rows ≈ tokens/stride.
+    Complements pack_sequences (which assembles fixed windows ACROSS
+    documents for training); chunking stays WITHIN the document for
+    retrieval.
+    """
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    n_chunks = (
+        f"CASE WHEN size(toks) <= {chunk_tokens} THEN 1"
+        f" ELSE (size(toks) - {chunk_tokens} + {stride} - 1) div {stride} + 1 END"
+    )
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_id"),
+            F.expr(
+                f"CAST(size(slice(toks, i * {stride} + 1, {chunk_tokens}))"
+                " AS BIGINT)"
+            ).alias("n_chunk_tokens"),
+            F.expr(
+                f"concat_ws(' ', slice(toks, i * {stride} + 1, {chunk_tokens}))"
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_windows_oracle(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    stride = chunk_tokens - overlap
+    return f"""\
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= {chunk_tokens} THEN 1
+              ELSE (len(toks) - {chunk_tokens} + {stride} - 1) // {stride} + 1
+         END AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS i FROM c
+)
+SELECT doc_id, i::BIGINT AS chunk_id,
+       len(toks[i * {stride} + 1 : i * {stride} + {chunk_tokens}])::BIGINT
+         AS n_chunk_tokens,
+       array_to_string(toks[i * {stride} + 1 : i * {stride} + {chunk_tokens}],
+                       ' ') AS chunk_text
+FROM e"""
+
+
 #: default BM25 query for the gate query: one rare term (df ≈ 5% of the
 #: synthetic corpus — carries the idf signal) + two common terms (idf
 #: clamps to 0 — exercising the clamp path)

@@ -3293,6 +3293,16 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_chunk_windows", text_ops.chunk_windows_oracle(24, 6))
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking: ≤24-token windows with 6-token overlap
+    (textstats.chunk_windows) — exact integer chunk-count/boundary
+    arithmetic, zero-shuffle per-row explode."""
+    return text_ops.chunk_windows(
+        load_table(spark, "documents", sf_dir), chunk_tokens=24, overlap=6
+    )
+
+
 @register("corpus_source_divergence", text_ops.SOURCE_DIVERGENCE_ORACLE)
 def q_corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution drift vs the whole corpus: exact
@@ -3780,6 +3790,7 @@ DRIVER_ORDER = [
     "dedup_incremental_vs_index",
     "text_bm25_topk",
     "hybrid_retrieval_topk",
+    "text_chunk_windows",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

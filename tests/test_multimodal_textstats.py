@@ -632,3 +632,30 @@ def test_bm25_matches_python_reference(spark):
         key=lambda x: (-x[1], x[0]),
     )[:3]
     assert got == want
+
+
+def test_chunk_windows_coverage_and_overlap(spark):
+    """Closed-form chunking: 10 tokens, chunk=4, overlap=2 (stride 2) →
+    chunks start at tokens 1,3,5,7 — full coverage, exact overlap, last
+    chunk short; a short doc yields exactly one whole-doc chunk."""
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in ts.chunk_windows(docs, chunk_tokens=4, overlap=2).collect()
+    }
+    assert rows[(1, 0)] == (4, "t1 t2 t3 t4")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(1, 2)] == (4, "t5 t6 t7 t8")
+    assert rows[(1, 3)] == (4, "t7 t8 t9 t10")
+    assert (1, 4) not in rows  # tokens exhausted exactly at chunk 3
+    assert rows[(2, 0)] == (3, "a b c")
+    assert (2, 1) not in rows
+    # reconstruction: stride-prefix of every chunk + full last chunk
+    rebuilt = []
+    for i in range(4):
+        toks = rows[(1, i)][1].split(" ")
+        rebuilt.extend(toks[:2] if i < 3 else toks)
+    assert " ".join(rebuilt) == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
