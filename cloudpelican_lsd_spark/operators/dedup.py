@@ -420,6 +420,10 @@ def incremental_near_dup_pairs(
     zero index-side shuffle.  Batch-internal duplicates are a separate
     concern: run :func:`lsh_candidate_pairs` on the batch alone (it is
     small), then append the batch's bands to the index.
+
+    A persisted index built with different `(num_hashes,
+    rows_per_band)` makes this join silently match nothing — run
+    :func:`assert_band_index_compatible` once at job startup.
     """
     nb = minhash_band_signatures(batch, num_hashes, rows_per_band, n)
     return (
@@ -433,6 +437,39 @@ def incremental_near_dup_pairs(
         .select("new_id", "old_id")
         .distinct()
     )
+
+
+def assert_band_index_compatible(
+    index_bands: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
+) -> None:
+    """Fail fast when a persisted band index was built with different
+    `(num_hashes, rows_per_band)` than the batch side is about to use —
+    otherwise :func:`incremental_near_dup_pairs`'s (band, sig) join
+    silently matches nothing and daily dedup stops catching true
+    duplicates with no error.  Checks one sample row: the signature must
+    join exactly `rows_per_band` 5-hex minhash segments, and band ids
+    must stay below `num_hashes // rows_per_band`.  Costs one
+    `limit(1)` job + one bounded max — run it once at ingestion-job
+    startup, not per batch.
+    """
+    n_bands = num_hashes // rows_per_band
+    sample = index_bands.select("sig").limit(1).collect()
+    if not sample:
+        return  # empty index: vacuously compatible
+    segs = sample[0].sig.split("|")
+    if len(segs) != rows_per_band or any(len(s) != 5 for s in segs):
+        raise ValueError(
+            f"band index incompatible: sig {sample[0].sig!r} has "
+            f"{len(segs)} segment(s), caller expects rows_per_band="
+            f"{rows_per_band}"
+        )
+    max_band = index_bands.agg(F.max("band").alias("m")).collect()[0].m
+    if max_band is not None and max_band >= n_bands:
+        raise ValueError(
+            f"band index incompatible: max band id {max_band} >= "
+            f"{n_bands} bands implied by num_hashes={num_hashes}, "
+            f"rows_per_band={rows_per_band}"
+        )
 
 
 # ---------------------------------------------------------------------------

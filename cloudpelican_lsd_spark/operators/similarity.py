@@ -814,6 +814,44 @@ SELECT cluster AS assigned_label,
 FROM diffs GROUP BY cluster"""
 
 
+def _rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    rank_a: str,
+    rank_b: str,
+    rrf_k: int,
+) -> DataFrame:
+    """`(*keys, rrf)` — THE reciprocal-rank-fusion step, shared by
+    rank_fusion_topk and hybrid_retrieval_topk so the determinism
+    discipline (2-term float add — order-free — then round 6) cannot
+    fork between them: FULL OUTER join of two ranked lists on `keys`,
+    each missing side contributing 0."""
+    return a.join(b, keys, "full_outer").select(
+        *keys,
+        F.round(
+            F.coalesce(1 / (F.lit(rrf_k) + F.col(rank_a)), F.lit(0.0))
+            + F.coalesce(1 / (F.lit(rrf_k) + F.col(rank_b)), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+
+
+def _rrf_fuse_sql(
+    left: str, right: str, keys: list[str], r_a: str, r_b: str, rrf_k: int
+) -> str:
+    """DuckDB twin of :func:`_rrf_fuse`: a `fused` CTE body over two
+    already-ranked CTEs."""
+    on = " AND ".join(f"r.{k} = l.{k}" for k in keys)
+    sel = ",\n         ".join(f"COALESCE(l.{k}, r.{k}) AS {k}" for k in keys)
+    return f"""fused AS (
+  SELECT {sel},
+         ROUND(COALESCE(1.0 / ({rrf_k} + l.{r_a}), 0.0)
+               + COALESCE(1.0 / ({rrf_k} + r.{r_b}), 0.0), 6) AS rrf
+  FROM {left} l FULL OUTER JOIN {right} r ON {on}
+)"""
+
+
 def rank_fusion_topk(
     emb: DataFrame,
     n_centroids: int = 8,
@@ -845,18 +883,7 @@ def rank_fusion_topk(
         .withColumn("r_ivf", F.row_number().over(w))
         .select("qid", "cid", "r_ivf")
     )
-    fused = (
-        bf.join(ivf, ["qid", "cid"], "full_outer")
-        .select(
-            "qid",
-            "cid",
-            F.round(
-                F.coalesce(1 / (F.lit(rrf_k) + F.col("r_bf")), F.lit(0.0))
-                + F.coalesce(1 / (F.lit(rrf_k) + F.col("r_ivf")), F.lit(0.0)),
-                6,
-            ).alias("rrf"),
-        )
-    )
+    fused = _rrf_fuse(bf, ivf, ["qid", "cid"], "r_bf", "r_ivf", rrf_k)
     w_out = Window.partitionBy("qid").orderBy(
         F.col("rrf").desc(), F.col("cid").asc()
     )
@@ -888,13 +915,7 @@ ivf AS (
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS r_ivf
   FROM ivf0
 ),
-fused AS (
-  SELECT COALESCE(b.qid, i.qid) AS qid,
-         COALESCE(b.cid, i.cid) AS cid,
-         ROUND(COALESCE(1.0 / ({rrf_k} + b.r_bf), 0.0)
-               + COALESCE(1.0 / ({rrf_k} + i.r_ivf), 0.0), 6) AS rrf
-  FROM bf b FULL OUTER JOIN ivf i ON i.qid = b.qid AND i.cid = b.cid
-),
+{_rrf_fuse_sql("bf", "ivf", ["qid", "cid"], "r_bf", "r_ivf", rrf_k)},
 ranked AS (
   SELECT qid, cid, rrf,
          row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid ASC) AS rn
@@ -944,14 +965,7 @@ def hybrid_retrieval_topk(
         .select(F.col("cid").alias("doc_id"), "cos")
         .select("doc_id", F.row_number().over(wv).alias("r_vec"))
     )
-    fused = lex.join(vec, "doc_id", "full_outer").select(
-        "doc_id",
-        F.round(
-            F.coalesce(1 / (F.lit(rrf_k) + F.col("r_lex")), F.lit(0.0))
-            + F.coalesce(1 / (F.lit(rrf_k) + F.col("r_vec")), F.lit(0.0)),
-            6,
-        ).alias("rrf"),
-    )
+    fused = _rrf_fuse(lex, vec, ["doc_id"], "r_lex", "r_vec", rrf_k)
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(k)
 
 
@@ -972,12 +986,7 @@ vec AS (
          row_number() OVER (ORDER BY cos DESC, cid ASC) AS r_vec
   FROM vec0
 ),
-fused AS (
-  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-         ROUND(COALESCE(1.0 / ({rrf_k} + l.r_lex), 0.0)
-               + COALESCE(1.0 / ({rrf_k} + v.r_vec), 0.0), 6) AS rrf
-  FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
-)
+{_rrf_fuse_sql("lex", "vec", ["doc_id"], "r_lex", "r_vec", rrf_k)}
 SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k}"""
 
 

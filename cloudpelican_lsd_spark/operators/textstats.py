@@ -708,32 +708,47 @@ def source_divergence(docs: DataFrame) -> DataFrame:
 
         TVD·2·Ns·Nc = Σ_{{t∈S}} |cnt_t·Nc − corp_t·Ns| + Ns·(Nc − Σ_{{t∈S}} corp_t)
 
-    100 TB shape: one token explode → groupBy(source, term) whose
-    map-side partial collapses to vocabulary×sources rows before the
-    only corpus-sized shuffle; corpus counts re-aggregate that output on
-    term; the per-source totals are |sources| rows (broadcast back); the
-    final matrix is |sources| rows.  Headroom: the pre-division product
-    is ≤ 2·Ns·Nc·10⁹ ≈ 4·10³⁵ at Nc = 2·10¹³ tokens (≈100 TB of text) —
-    inside DECIMAL(38,0).
+    100 TB shape: ONE token explode, evaluated once.  The
+    `groupBy(source, term)` output (vocabulary×sources rows, map-side
+    partial collapses before the only corpus-sized shuffle) is consumed
+    by a single chain: corpus-per-term counts come from a WINDOW over
+    term (distributed — |sources| rows per term key), NOT a
+    groupBy+join-back, which would re-evaluate the explode subtree on
+    both sides (the recorded two-consumer trap: exchange reuse breaks
+    when column pruning specializes a branch).  `v_src` is just
+    COUNT(*) of the final per-source aggregate.  The per-source and
+    corpus token totals come from a separate DOC-LEVEL branch (scan +
+    tiny agg — `sum(size(split(text)))` per source — no explode, no
+    token shuffle), broadcast back; a second lightweight scan is the
+    price of keeping the dominant explode single-pass.  Headroom: the
+    pre-division product is ≤ 2·Ns·Nc·10⁹ ≈ 4·10³⁵ at Nc = 2·10¹³
+    tokens (≈100 TB of text) — inside DECIMAL(38,0).
     """
+    from pyspark.sql.window import Window
+
     dec = "decimal(38,0)"
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    ct = st.groupBy("term").agg(F.sum("cnt").alias("corp"))
-    ns = st.groupBy("source").agg(
-        F.sum("cnt").alias("n_src"), F.count(F.lit(1)).alias("v_src")
+    stc = st.withColumn(
+        "corp", F.sum("cnt").over(Window.partitionBy("term"))
     )
-    nc = st.agg(F.sum("cnt").alias("n_corp"))
-    joined = (
-        st.join(ct, "term")
-        .join(F.broadcast(ns), "source")
-        .crossJoin(F.broadcast(nc))
+    # doc-level totals: same token counts as the explode (split length),
+    # an order of magnitude cheaper to compute — |sources| output rows
+    docstats = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower("text"), " ")).cast("long")).alias(
+            "n_src"
+        )
     )
+    docstats = docstats.withColumn(
+        "n_corp",
+        F.sum("n_src").over(Window.partitionBy(F.lit(0))),
+    )
+    joined = stc.join(F.broadcast(docstats), "source")
     agg = joined.groupBy("source").agg(
         F.max("n_src").alias("n_tokens"),
-        F.max("v_src").alias("distinct_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
         F.max("n_corp").alias("n_corp"),
         F.sum(
             F.abs(
@@ -801,8 +816,13 @@ def chunk_windows(
     """
     assert 0 <= overlap < chunk_tokens
     stride = chunk_tokens - overlap
+    # empty/whitespace-only docs (split yields ['']) emit ZERO chunks —
+    # without the guard a RAG pipeline would embed empty chunk_text rows.
+    # The array() branch also matters mechanically: Spark's
+    # sequence(0, -1) is the DESCENDING [0, -1], not empty.
     n_chunks = (
-        f"CASE WHEN size(toks) <= {chunk_tokens} THEN 1"
+        f"CASE WHEN size(toks) = 1 AND element_at(toks, 1) = '' THEN 0"
+        f" WHEN size(toks) <= {chunk_tokens} THEN 1"
         f" ELSE (size(toks) - {chunk_tokens} + {stride} - 1) div {stride} + 1 END"
     )
     return (
@@ -810,7 +830,12 @@ def chunk_windows(
         .select(
             "doc_id",
             "toks",
-            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("i"),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN ({n_chunks}) = 0 THEN array()"
+                    f" ELSE sequence(0, ({n_chunks}) - 1) END"
+                )
+            ).alias("i"),
         )
         .select(
             "doc_id",
@@ -834,7 +859,8 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id, toks,
-         CASE WHEN len(toks) <= {chunk_tokens} THEN 1
+         CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0
+              WHEN len(toks) <= {chunk_tokens} THEN 1
               ELSE (len(toks) - {chunk_tokens} + {stride} - 1) // {stride} + 1
          END AS n_chunks
   FROM t
@@ -894,7 +920,12 @@ def bm25_topk(
     the `(doc_id, dl, tf…)` projection once per query workload — the
     corpus_clean_v2_staged pattern.
     """
-    terms = list(terms if terms is not None else BM25_QUERY_TERMS)
+    # dedupe (a repeated term must not score twice — the oracle's
+    # GROUP BY term counts it once) and reject the degenerate empty bag
+    # instead of generating unparseable SQL
+    terms = list(dict.fromkeys(terms if terms is not None else BM25_QUERY_TERMS))
+    if not terms:
+        raise ValueError("bm25_topk: query term list is empty")
     dec = "decimal(38,0)"
     nt = len(terms)
     wide = docs.select(
@@ -905,10 +936,14 @@ def bm25_topk(
         *[
             # size-difference, not a filter() lambda: array_remove stays
             # on the codegen path (HOF lambdas are interpreted — the
-            # shingle_rows lesson)
-            F.expr(
-                f"CAST(size(toks) - size(array_remove(toks, '{t}')) AS BIGINT)"
-            ).alias(f"tf{j}")
+            # shingle_rows lesson).  The term goes in as a pyspark
+            # literal, not interpolated SQL text — quote-bearing terms
+            # (o'brien) are safe.
+            (
+                F.size("toks") - F.size(F.array_remove(F.col("toks"), t))
+            )
+            .cast("bigint")
+            .alias(f"tf{j}")
             for j, t in enumerate(terms)
         ],
     )
@@ -947,8 +982,10 @@ def bm25_topk(
 
 
 def bm25_topk_oracle(terms: list[str] | None = None, k: int = 10) -> str:
-    terms = list(terms if terms is not None else BM25_QUERY_TERMS)
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    terms = list(dict.fromkeys(terms if terms is not None else BM25_QUERY_TERMS))
+    if not terms:
+        raise ValueError("bm25_topk_oracle: query term list is empty")
+    in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     return f"""\
 WITH base AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents

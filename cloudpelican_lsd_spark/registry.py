@@ -3374,7 +3374,7 @@ def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cross_source_matrix",
     f"""WITH {_PLANTED_CTE},
-{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+{dedup_ops.minhash_oracle_cte(12, 3, 3, base_table='docs_planted')},
 {dedup_ops.cross_source_matrix_oracle(_MINHASH_PAIRS_SQL)}""",
 )
 def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

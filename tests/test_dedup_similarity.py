@@ -767,3 +767,32 @@ def test_hybrid_retrieval_matches_branch_composition(spark, sf_dir):
         for r in sim_ops.hybrid_retrieval_topk(docs, emb).collect()
     ]
     assert got == want
+
+
+def test_band_index_compatibility_guard(spark):
+    """A persisted index built with different (num_hashes,
+    rows_per_band) is rejected loudly instead of silently matching
+    nothing in the incremental join."""
+    import pytest as _pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    idx_43 = dedup_ops.minhash_band_signatures(
+        corpus, num_hashes=12, rows_per_band=4
+    )
+    with _pytest.raises(ValueError, match="rows_per_band"):
+        dedup_ops.assert_band_index_compatible(
+            idx_43, num_hashes=12, rows_per_band=3
+        )
+    idx_33 = dedup_ops.minhash_band_signatures(
+        corpus, num_hashes=12, rows_per_band=3
+    )
+    dedup_ops.assert_band_index_compatible(
+        idx_33, num_hashes=12, rows_per_band=3
+    )  # compatible: no raise
+    with _pytest.raises(ValueError, match="max band id"):
+        dedup_ops.assert_band_index_compatible(
+            idx_33, num_hashes=6, rows_per_band=3
+        )

@@ -659,3 +659,43 @@ def test_chunk_windows_coverage_and_overlap(spark):
         toks = rows[(1, i)][1].split(" ")
         rebuilt.extend(toks[:2] if i < 3 else toks)
     assert " ".join(rebuilt) == "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+
+
+def test_bm25_term_hygiene(spark):
+    """Review fixes: quote-bearing terms are safe (literal, not SQL
+    text), duplicate terms score once, empty bag is rejected loudly,
+    and empty docs emit zero chunks."""
+    import pytest as _pytest
+
+    # three docs so df=1 gives idf ln(2.5/1.5) > 0 (with N=2 the
+    # Robertson idf of a df=1 term is exactly 0 and everything clamps)
+    docs = spark.createDataFrame(
+        [
+            (1, "o'brien wrote code"),
+            (2, "code and more code here"),
+            (3, "entirely unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ts.bm25_topk(docs, terms=["o'brien"], k=5).collect()
+    assert [r.doc_id for r in rows] == [1]
+
+    once = ts.bm25_topk(docs, terms=["o'brien"], k=5).collect()
+    twice = ts.bm25_topk(docs, terms=["o'brien", "o'brien"], k=5).collect()
+    assert [(r.doc_id, r.score_micro) for r in once] == [
+        (r.doc_id, r.score_micro) for r in twice
+    ]
+
+    with _pytest.raises(ValueError):
+        ts.bm25_topk(docs, terms=[])
+    with _pytest.raises(ValueError):
+        ts.bm25_topk_oracle(terms=[])
+    assert "''" in ts.bm25_topk_oracle(terms=["o'brien"])
+
+
+def test_chunk_windows_empty_doc_emits_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a b c")], "doc_id long, text string"
+    )
+    rows = ts.chunk_windows(docs, chunk_tokens=4, overlap=2).collect()
+    assert {r.doc_id for r in rows} == {2}
