@@ -796,3 +796,57 @@ def test_band_index_compatibility_guard(spark):
         dedup_ops.assert_band_index_compatible(
             idx_33, num_hashes=6, rows_per_band=3
         )
+
+
+def test_incremental_index_bucketed_layout_skips_index_shuffle(
+    spark, sf_dir, tmp_path
+):
+    """SCALING.md's incremental-index contract, proven on the plan: the
+    band index persisted BUCKETED on (band, sig) joins the daily batch
+    with strictly fewer Exchanges than a plain parquet index — the
+    index side is read co-located; only the (small) batch side
+    shuffles."""
+    from cloudpelican_lsd_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    bands = dedup_ops.minhash_band_signatures(docs)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # plain parquet index: join must shuffle BOTH sides
+        bands.write.parquet(str(tmp_path / "plain"))
+        plain = dedup_ops.incremental_near_dup_pairs(
+            batch, spark.read.parquet(str(tmp_path / "plain"))
+        )
+        plain.collect()
+        n_plain = (
+            plain._jdf.queryExecution().executedPlan().toString()
+        ).count("Exchange")
+
+        # bucketed index: index side reads co-located
+        write_bucketed(
+            bands, "t_band_index_b", ["band", "sig"], 4,
+            path=str(tmp_path / "bucketed"),
+        )
+        bucketed = dedup_ops.incremental_near_dup_pairs(
+            batch, read_bucketed(spark, "t_band_index_b")
+        )
+        rows_b = bucketed.collect()
+        n_bucketed = (
+            bucketed._jdf.queryExecution().executedPlan().toString()
+        ).count("Exchange")
+
+        assert n_bucketed < n_plain, (n_bucketed, n_plain)
+        # same answer either way
+        assert {(r.new_id, r.old_id) for r in rows_b} == {
+            (r.new_id, r.old_id) for r in plain.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_band_index_b")
