@@ -775,3 +775,86 @@ def export_training_shards(
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (dataset versioning)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(v1: DataFrame, v2: DataFrame) -> DataFrame:
+    """`(source, status, n_docs, token_delta)` — what changed between two
+    corpus snapshots, per source: docs `added` / `removed` / `changed`
+    (same id, different content hash) / `unchanged`, with the exact
+    net token delta each cell contributes.
+
+    The dataset-versioning audit run before retraining on a refreshed
+    corpus: an unexpected `removed` spike in one source means an
+    upstream feed broke; a `changed` spike means silent re-crawls are
+    mutating history.
+
+    100 TB shape: each side is projected to `(doc_id, source,
+    md5(text), n_tokens)` BEFORE the full-outer join — fixed-width rows
+    only, one doc_id-keyed shuffle per side (text never shuffles); the
+    output is |sources|×4 rows.  Token delta is BIGINT-exact
+    (dimension-bounded sum of per-doc counts).
+    """
+
+    def _prep(df: DataFrame, suffix: str) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.col("source").alias(f"source_{suffix}"),
+            F.md5(F.col("text")).alias(f"h_{suffix}"),
+            F.size(F.split(F.col("text"), " "))
+            .cast("long")
+            .alias(f"tok_{suffix}"),
+        )
+
+    j = _prep(v1, "a").join(_prep(v2, "b"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce("source_b", "source_a").alias("source"),
+            status.alias("status"),
+            (
+                F.coalesce("tok_b", F.lit(0)) - F.coalesce("tok_a", F.lit(0))
+            ).alias("tok_delta"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_delta").alias("token_delta"),
+        )
+    )
+
+
+def snapshot_diff_oracle(v1_table: str, v2_table: str) -> str:
+    """DuckDB twin over two CTE/table names with documents schema."""
+    return f"""\
+pa AS (
+  SELECT doc_id, source AS source_a, md5(text) AS h_a,
+         len(string_split(text, ' '))::BIGINT AS tok_a
+  FROM {v1_table}
+),
+pb AS (
+  SELECT doc_id, source AS source_b, md5(text) AS h_b,
+         len(string_split(text, ' '))::BIGINT AS tok_b
+  FROM {v2_table}
+),
+j AS (
+  SELECT COALESCE(pb.source_b, pa.source_a) AS source,
+         CASE WHEN pa.h_a IS NULL THEN 'added'
+              WHEN pb.h_b IS NULL THEN 'removed'
+              WHEN pa.h_a <> pb.h_b THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(pb.tok_b, 0) - COALESCE(pa.tok_a, 0) AS tok_delta
+  FROM pa FULL OUTER JOIN pb ON pb.doc_id = pa.doc_id
+)
+SELECT source, status, COUNT(*)::BIGINT AS n_docs,
+       SUM(tok_delta)::BIGINT AS token_delta
+FROM j GROUP BY source, status"""

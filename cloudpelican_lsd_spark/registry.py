@@ -3303,6 +3303,49 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_snapshot_diff",
+    f"""WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' new' AS text, source
+  FROM documents WHERE doc_id < 30
+),
+{corpus_ops.snapshot_diff_oracle('documents', 'v2')}""",
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning audit (corpus.snapshot_diff): per-source
+    added/removed/changed/unchanged doc counts + exact token deltas
+    between two snapshots — here v2 derives deterministically from v1
+    (every 7th doc dropped, every 5th rewritten, 30 docs added) so the
+    oracle replays the same history."""
+    docs = load_table(spark, "documents", sf_dir)
+    v1 = docs.select("doc_id", "text", "source")
+    v2 = (
+        v1.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" rev2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "source",
+        )
+        .unionByName(
+            v1.where(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat("text", F.lit(" new")).alias("text"),
+                "source",
+            )
+        )
+    )
+    return corpus_ops.snapshot_diff(v1, v2)
+
+
 @register("corpus_source_divergence", text_ops.SOURCE_DIVERGENCE_ORACLE)
 def q_corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution drift vs the whole corpus: exact
@@ -3791,6 +3834,7 @@ DRIVER_ORDER = [
     "text_bm25_topk",
     "hybrid_retrieval_topk",
     "text_chunk_windows",
+    "corpus_snapshot_diff",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -699,3 +699,29 @@ def test_chunk_windows_empty_doc_emits_nothing(spark):
     )
     rows = ts.chunk_windows(docs, chunk_tokens=4, overlap=2).collect()
     assert {r.doc_id for r in rows} == {2}
+
+
+def test_snapshot_diff_closed_form(spark):
+    """Hand-built history: doc 1 unchanged, doc 2 rewritten (+2 tokens),
+    doc 3 removed (-3), doc 4 added (+4) — statuses and exact token
+    deltas per source."""
+    from cloudpelican_lsd_spark.operators import corpus as corpus_ops
+
+    v1 = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "x y", "s1"), (3, "p q r", "s2")],
+        "doc_id long, text string, source string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "x y zz ww", "s1"), (4, "n1 n2 n3 n4", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source, r.status): (r.n_docs, r.token_delta)
+        for r in corpus_ops.snapshot_diff(v1, v2).collect()
+    }
+    assert got == {
+        ("s1", "unchanged"): (1, 0),
+        ("s1", "changed"): (1, 2),
+        ("s2", "removed"): (1, -3),
+        ("s2", "added"): (1, 4),
+    }
