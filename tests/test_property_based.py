@@ -222,3 +222,57 @@ def test_wav_fvid_roundtrip_closed_form(mid, n):
         if n:
             assert d["unit_min"] == (s if s + n <= 256 else 0)
             assert d["unit_max"] == (s + n - 1 if s + n <= 256 else 255)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(2, 8),
+    st.integers(0, 6),
+)
+@settings(max_examples=10, deadline=None)
+def test_chunk_windows_matches_python_reference(token_lists, chunk, overlap):
+    """chunk_windows equals a pure-Python chunker on random token lists
+    for random (chunk, overlap) with overlap < chunk — boundaries,
+    short-last-chunk, and empty-doc behavior all pinned."""
+    from cloudpelican_lsd_spark.operators.textstats import chunk_windows
+    from cloudpelican_lsd_spark.session import get_spark
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_windows(df, chunk_tokens=chunk, overlap=overlap).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        )
+    for i, toks in enumerate(token_lists):
+        # the operator tokenizes by splitting on ' ': a doc built from
+        # empty tokens collapses; mirror split semantics exactly
+        toks = " ".join(toks).split(" ") if toks else [""]
+        if toks == [""]:
+            assert i not in got
+            continue
+        n = len(toks)
+        n_chunks = 1 if n <= chunk else (n - chunk + stride - 1) // stride + 1
+        expect = [
+            (
+                j,
+                len(toks[j * stride : j * stride + chunk]),
+                " ".join(toks[j * stride : j * stride + chunk]),
+            )
+            for j in range(n_chunks)
+        ]
+        assert sorted(got[i]) == expect, (toks, chunk, overlap)

@@ -89,6 +89,20 @@ def main() -> None:
             docs.where(F.col("doc_id") < 1000),
             dedup.minhash_band_signatures(d),
         ),
+        # 2-scan floor (stats pass + matched-docs scoring pass), no
+        # explode, top-k bounded — expect ~linear scan cost
+        "bm25_topk": lambda d: textstats.bm25_topk(d),
+        # zero-shuffle explode+slice — expect ~linear
+        "chunk_windows(24,6)": lambda d: textstats.chunk_windows(d, 24, 6),
+        # fixed-width projections into one full-outer join — ~linear
+        "snapshot_diff(self-mod)": lambda d: __import__(
+            "cloudpelican_lsd_spark.operators.corpus", fromlist=["corpus"]
+        ).snapshot_diff(
+            d.select("doc_id", "text", "source"),
+            d.where(F.col("doc_id") % 7 != 0).select(
+                "doc_id", "text", "source"
+            ),
+        ),
     }
     for name, fn in ops.items():
         t = {}
