@@ -103,6 +103,14 @@ HEADLINE = [
     "corpus_clean_yield",
     "emb_dim_health",
     "text_len_correlation",
+    # round-3 late additions: retrieval + versioning + incremental-index
+    "text_bm25_topk",
+    "hybrid_retrieval_topk",
+    "text_chunk_windows",
+    "corpus_snapshot_diff",
+    "corpus_source_divergence",
+    "dedup_cross_source_matrix",
+    "dedup_incremental_vs_index",
 ]
 
 
