@@ -686,6 +686,54 @@ FROM toks t JOIN costs c USING (term)
 GROUP BY t.doc_id"""
 
 
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """`(source, n_bytes, n_bpe_tokens, bytes_per_token_ppm)` — per-source
+    tokenizer fertility: how many UTF-8 bytes each BPE-ish token covers.
+
+    The tokenizer-efficiency report a training pipeline runs per source:
+    low fertility (≈1 byte/token) means the tokenizer fragments that
+    source (code, non-Latin scripts) and its token budget buys less
+    text; it drives both cost estimates and mixture decisions.  Exact
+    integer output (`bytes·10⁶ div tokens`) — no float division in the
+    hash path.  One scan, per-row counting (octet_length + the shared
+    BPE_RE regex count), one |sources|-row aggregate: map-side partial,
+    ~zero network.
+    """
+    return (
+        docs.select(
+            "source",
+            F.octet_length("text").cast("long").alias("b"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("b").alias("n_bytes"), F.sum("t").alias("n_bpe_tokens"))
+        .select(
+            "source",
+            "n_bytes",
+            "n_bpe_tokens",
+            F.expr(
+                "CAST(n_bytes * 1000000 div n_bpe_tokens AS BIGINT)"
+            ).alias("bytes_per_token_ppm"),
+        )
+    )
+
+
+TOKENIZER_FERTILITY_ORACLE = f"""\
+SELECT source,
+       SUM(strlen(text))::BIGINT AS n_bytes,
+       SUM(len(regexp_extract_all(text, '{BPE_RE}')))::BIGINT
+         AS n_bpe_tokens,
+       CAST(SUM(strlen(text))::HUGEINT * 1000000
+            // SUM(len(regexp_extract_all(text, '{BPE_RE}')))
+            AS BIGINT) AS bytes_per_token_ppm
+FROM documents
+GROUP BY source"""
+
+
 def source_divergence(docs: DataFrame) -> DataFrame:
     """`(source, n_tokens, distinct_tokens, tvd_ppb)` — per-source total
     variation distance between the source's unigram token distribution

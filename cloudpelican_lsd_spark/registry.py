@@ -3346,6 +3346,14 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.snapshot_diff(v1, v2)
 
 
+@register("text_tokenizer_fertility", text_ops.TOKENIZER_FERTILITY_ORACLE)
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility — UTF-8 bytes per BPE-ish token
+    (textstats.tokenizer_fertility), exact integer ppm; the
+    token-budget cost driver behind mixture decisions."""
+    return text_ops.tokenizer_fertility(load_table(spark, "documents", sf_dir))
+
+
 @register("corpus_source_divergence", text_ops.SOURCE_DIVERGENCE_ORACLE)
 def q_corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution drift vs the whole corpus: exact
@@ -3835,6 +3843,7 @@ DRIVER_ORDER = [
     "hybrid_retrieval_topk",
     "text_chunk_windows",
     "corpus_snapshot_diff",
+    "text_tokenizer_fertility",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

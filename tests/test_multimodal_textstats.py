@@ -725,3 +725,20 @@ def test_snapshot_diff_closed_form(spark):
         ("s2", "removed"): (1, -3),
         ("s2", "added"): (1, 4),
     }
+
+
+def test_tokenizer_fertility_closed_form(spark):
+    """'abc def' = 7 bytes / 2 BPE tokens; multibyte text counts UTF-8
+    bytes, not characters; punctuation splits off as its own token."""
+    docs = spark.createDataFrame(
+        [(1, "abc def", "s1"), (2, "héllo, x", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in ts.tokenizer_fertility(docs).collect()}
+    assert got["s1"].n_bytes == 7 and got["s1"].n_bpe_tokens == 2
+    assert got["s1"].bytes_per_token_ppm == 7 * 1000000 // 2
+    # 'héllo, x': é is 2 bytes -> 9 bytes; tokens: h, é?  é is not
+    # [A-Za-z] so it splits the letter run: 'h','é,',... the BPE_RE
+    # treats é as single non-alnum char token: h | é | llo | , | x = 5
+    assert got["s2"].n_bytes == len("héllo, x".encode()) == 9
+    assert got["s2"].n_bpe_tokens == 5
