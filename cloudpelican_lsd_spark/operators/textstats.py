@@ -734,6 +734,103 @@ FROM documents
 GROUP BY source"""
 
 
+def char_symbols(docs: DataFrame) -> DataFrame:
+    """`(syms array<string>)` — one row per whitespace pre-token of ≥2
+    chars, split into single-character symbols: BPE training's initial
+    state."""
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .select(
+            F.expr(
+                "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+            ).alias("syms")
+        )
+    )
+
+
+def bpe_merge_candidates(symbols: DataFrame, k: int = 20) -> DataFrame:
+    """`(sym_a, sym_b, cnt)` — the top-k most frequent ADJACENT symbol
+    pairs over `(syms array<string>)` rows: the inner loop of BPE
+    tokenizer training.  A driver-side loop alternating this step with
+    :func:`bpe_apply_merge` IS BPE training (same step-structure as
+    kmeans_step driving Lloyd iterations); iteration 0 starts from
+    :func:`char_symbols`.
+
+    Deterministic: ties break on (sym_a, sym_b) lexicographically —
+    the classic BPE convention of a total order over pairs.  100 TB
+    shape: one scan; the pair explode emits ~1 row per corpus symbol
+    but the map-side partial count collapses to the (tiny) pair
+    vocabulary before the only shuffle; top-k is
+    TakeOrderedAndProject over |pairs| rows.
+    """
+    # size guard (the shingle_rows lesson): a fully-merged token can be
+    # ONE symbol, and Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    pairs = symbols.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(syms) >= 2 THEN sequence(1, size(syms) - 1)"
+                " ELSE array() END"
+            )
+        ).alias("i"),
+        "syms",
+    ).select(
+        F.expr("element_at(syms, i)").alias("sym_a"),
+        F.expr("element_at(syms, i + 1)").alias("sym_b"),
+    )
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "sym_a", "sym_b")
+        .limit(k)
+    )
+
+
+def bpe_apply_merge(symbols: DataFrame, a: str, b: str) -> DataFrame:
+    """Replace every non-overlapping left-to-right adjacent `(a, b)` with
+    the merged symbol `a+b` — one BPE training iteration's rewrite.
+
+    A look-back fold (pyspark `F.aggregate`, literals passed as Columns
+    so arbitrary symbols are safe): append each symbol unless the
+    accumulator ends with `a` and the current is `b`, in which case the
+    tail is replaced by the merge.  Greedy-left semantics fall out
+    naturally ('aaa' + merge(a,a) → ['aa','a']; the merged tail only
+    re-merges when it literally equals `a` again).  HOF lambdas run
+    interpreted — fine here: this rewrite executes once per training
+    iteration, not in any query hot path.
+    """
+    merged = F.aggregate(
+        F.col("syms"),
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return symbols.select(merged.alias("syms"))
+
+
+def bpe_merge_candidates_oracle(k: int = 20) -> str:
+    return f"""\
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+pairs AS (
+  SELECT substr(tok, i, 1) AS sym_a, substr(tok, i + 1, 1) AS sym_b
+  FROM toks, unnest(generate_series(1, length(tok) - 1)) AS t(i)
+  WHERE length(tok) >= 2
+)
+SELECT sym_a, sym_b, COUNT(*)::BIGINT AS cnt
+FROM pairs GROUP BY sym_a, sym_b
+ORDER BY cnt DESC, sym_a, sym_b
+LIMIT {k}"""
+
+
 def source_divergence(docs: DataFrame) -> DataFrame:
     """`(source, n_tokens, distinct_tokens, tvd_ppb)` — per-source total
     variation distance between the source's unigram token distribution

@@ -3346,6 +3346,19 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.snapshot_diff(v1, v2)
 
 
+@register("text_bpe_merge_step", text_ops.bpe_merge_candidates_oracle(20))
+def q_text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training inner loop at iteration 0: top-20 adjacent
+    symbol pairs over char-level symbols with exact counts and the
+    classic lexicographic tie order (textstats.bpe_merge_candidates
+    over char_symbols); a driver-side loop alternating this step with
+    bpe_apply_merge IS BPE training (same step-structure as
+    kmeans_step)."""
+    return text_ops.bpe_merge_candidates(
+        text_ops.char_symbols(load_table(spark, "documents", sf_dir)), k=20
+    )
+
+
 @register("text_tokenizer_fertility", text_ops.TOKENIZER_FERTILITY_ORACLE)
 def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility — UTF-8 bytes per BPE-ish token
@@ -3844,6 +3857,7 @@ DRIVER_ORDER = [
     "text_chunk_windows",
     "corpus_snapshot_diff",
     "text_tokenizer_fertility",
+    "text_bpe_merge_step",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -742,3 +742,53 @@ def test_tokenizer_fertility_closed_form(spark):
     # treats é as single non-alnum char token: h | é | llo | , | x = 5
     assert got["s2"].n_bytes == len("héllo, x".encode()) == 9
     assert got["s2"].n_bpe_tokens == 5
+
+
+def test_bpe_training_loop_matches_python(spark):
+    """Three full BPE iterations (count → pick winner → apply merge)
+    against a pure-Python reference: winning pairs, counts, and the
+    rewritten symbol state must all agree at every step."""
+    corpus = ["low lower lowest", "low low newer newest"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+
+    # pure-Python reference state: list of symbol lists
+    ref = [
+        list(tok)
+        for t in corpus
+        for tok in t.lower().split(" ")
+        if len(tok) >= 2
+    ]
+
+    def ref_counts(state):
+        c = {}
+        for syms in state:
+            for x, y in zip(syms, syms[1:]):
+                c[(x, y)] = c.get((x, y), 0) + 1
+        return c
+
+    def ref_apply(state, a, b):
+        out = []
+        for syms in state:
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            out.append(acc)
+        return out
+
+    state = ts.char_symbols(docs)
+    for _ in range(3):
+        got = ts.bpe_merge_candidates(state, k=5).collect()
+        c = ref_counts(ref)
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [((r.sym_a, r.sym_b), r.cnt) for r in got] == want
+        (a, b), _cnt = want[0]
+        state = ts.bpe_apply_merge(state, a, b)
+        ref = ref_apply(ref, a, b)
+    # final states agree as multisets of symbol tuples
+    got_state = sorted(tuple(r.syms) for r in state.collect())
+    assert got_state == sorted(tuple(s) for s in ref)
