@@ -850,3 +850,42 @@ def test_incremental_index_bucketed_layout_skips_index_shuffle(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_band_index_b")
+
+
+def test_rag_ingest_chunks_to_ann_end_to_end(spark):
+    """Full RAG-ingestion composition: chunk_windows → deterministic
+    hash 'embedding' → sign-LSH near-dup — two documents sharing a
+    chunk-aligned paragraph are linked through their identical chunks;
+    an unrelated doc stays unlinked.  Proves the pieces compose with
+    only column plumbing, no glue code."""
+    from cloudpelican_lsd_spark.operators.textstats import chunk_windows
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # two full 4-token chunks
+    docs = spark.createDataFrame(
+        [
+            (1, "f1 f2 f3 f4 " + shared),
+            (2, shared + " t1 t2 t3 t4"),
+            (3, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = chunk_windows(docs, chunk_tokens=4, overlap=0)
+    # deterministic fake embedder: 8 floats from the chunk md5 —
+    # identical chunk_text => identical vector (cos == 1)
+    emb = chunks.select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), i -> CAST(conv(substring("
+            "md5(chunk_text), 1 + 2 * i, 2), 16, 10) AS FLOAT) + 1.0F)"
+        ).alias("embedding"),
+    )
+    pairs = sim_ops.lsh_near_pairs(
+        emb, bits=4, min_cos_num=99, min_cos_den=100
+    ).collect()
+    linked_docs = {
+        (r.vec_a // 100, r.vec_b // 100)
+        for r in pairs
+        if r.vec_a // 100 != r.vec_b // 100
+    }
+    assert (1, 2) in linked_docs
+    assert all(3 not in p for p in linked_docs)
