@@ -803,6 +803,7 @@ def snapshot_diff(v1: DataFrame, v2: DataFrame) -> DataFrame:
     def _prep(df: DataFrame, suffix: str) -> DataFrame:
         return df.select(
             "doc_id",
+            F.lit(True).alias(f"in_{suffix}"),
             F.col("source").alias(f"source_{suffix}"),
             F.md5(F.col("text")).alias(f"h_{suffix}"),
             F.size(F.split(F.col("text"), " "))
@@ -811,10 +812,13 @@ def snapshot_diff(v1: DataFrame, v2: DataFrame) -> DataFrame:
         )
 
     j = _prep(v1, "a").join(_prep(v2, "b"), "doc_id", "full_outer")
+    # presence via explicit per-side flags, not hash nullity — a doc
+    # with NULL text must still count as present on its side; content
+    # comparison is null-safe so NULL-vs-value reads as 'changed'
     status = (
-        F.when(F.col("h_a").isNull(), "added")
-        .when(F.col("h_b").isNull(), "removed")
-        .when(F.col("h_a") != F.col("h_b"), "changed")
+        F.when(F.col("in_a").isNull(), "added")
+        .when(F.col("in_b").isNull(), "removed")
+        .when(~F.col("h_a").eqNullSafe(F.col("h_b")), "changed")
         .otherwise("unchanged")
     )
     return (
@@ -837,20 +841,20 @@ def snapshot_diff_oracle(v1_table: str, v2_table: str) -> str:
     """DuckDB twin over two CTE/table names with documents schema."""
     return f"""\
 pa AS (
-  SELECT doc_id, source AS source_a, md5(text) AS h_a,
+  SELECT doc_id, TRUE AS in_a, source AS source_a, md5(text) AS h_a,
          len(string_split(text, ' '))::BIGINT AS tok_a
   FROM {v1_table}
 ),
 pb AS (
-  SELECT doc_id, source AS source_b, md5(text) AS h_b,
+  SELECT doc_id, TRUE AS in_b, source AS source_b, md5(text) AS h_b,
          len(string_split(text, ' '))::BIGINT AS tok_b
   FROM {v2_table}
 ),
 j AS (
   SELECT COALESCE(pb.source_b, pa.source_a) AS source,
-         CASE WHEN pa.h_a IS NULL THEN 'added'
-              WHEN pb.h_b IS NULL THEN 'removed'
-              WHEN pa.h_a <> pb.h_b THEN 'changed'
+         CASE WHEN pa.in_a IS NULL THEN 'added'
+              WHEN pb.in_b IS NULL THEN 'removed'
+              WHEN pa.h_a IS DISTINCT FROM pb.h_b THEN 'changed'
               ELSE 'unchanged' END AS status,
          COALESCE(pb.tok_b, 0) - COALESCE(pa.tok_a, 0) AS tok_delta
   FROM pa FULL OUTER JOIN pb ON pb.doc_id = pa.doc_id

@@ -715,8 +715,12 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
             "source",
             "n_bytes",
             "n_bpe_tokens",
+            # DECIMAL(38,0): n_bytes·10⁶ exceeds BIGINT past ~9.2 TB of
+            # text per source — inside the 100 TB design point (the
+            # DuckDB side is HUGEINT-exact already)
             F.expr(
-                "CAST(n_bytes * 1000000 div n_bpe_tokens AS BIGINT)"
+                "CAST(CAST(n_bytes AS decimal(38,0)) * 1000000"
+                " div n_bpe_tokens AS BIGINT)"
             ).alias("bytes_per_token_ppm"),
         )
     )

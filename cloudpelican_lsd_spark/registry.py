@@ -3311,7 +3311,7 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
          source
   FROM documents WHERE doc_id % 7 <> 0
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text || ' new' AS text, source
+  SELECT doc_id + 1000000000 AS doc_id, text || ' new' AS text, source
   FROM documents WHERE doc_id < 30
 ),
 {corpus_ops.snapshot_diff_oracle('documents', 'v2')}""",
@@ -3337,7 +3337,10 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             v1.where(F.col("doc_id") < 30).select(
-                (F.col("doc_id") + 200000).alias("doc_id"),
+                # 1e9 offset: far above any testdata scale factor's max
+                # doc_id, so the planted 'added' rows can never collide
+                # with (and silently reclassify as) real v1 docs
+                (F.col("doc_id") + 1000000000).alias("doc_id"),
                 F.concat("text", F.lit(" new")).alias("text"),
                 "source",
             )

@@ -824,7 +824,7 @@ def test_incremental_index_bucketed_layout_skips_index_shuffle(
         plain = dedup_ops.incremental_near_dup_pairs(
             batch, spark.read.parquet(str(tmp_path / "plain"))
         )
-        plain.collect()
+        rows_p = plain.collect()
         n_plain = (
             plain._jdf.queryExecution().executedPlan().toString()
         ).count("Exchange")
@@ -845,7 +845,7 @@ def test_incremental_index_bucketed_layout_skips_index_shuffle(
         assert n_bucketed < n_plain, (n_bucketed, n_plain)
         # same answer either way
         assert {(r.new_id, r.old_id) for r in rows_b} == {
-            (r.new_id, r.old_id) for r in plain.collect()
+            (r.new_id, r.old_id) for r in rows_p
         }
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

@@ -792,3 +792,23 @@ def test_bpe_training_loop_matches_python(spark):
     # final states agree as multisets of symbol tuples
     got_state = sorted(tuple(r.syms) for r in state.collect())
     assert got_state == sorted(tuple(s) for s in ref)
+
+
+def test_snapshot_diff_null_text_presence(spark):
+    """Review fix: NULL text must not flip presence — a doc whose text
+    was NULL in v1 and real in v2 is 'changed' (not 'added'); a doc
+    removed while NULL-texted is 'removed' (not 'added')."""
+    from cloudpelican_lsd_spark.operators import corpus as corpus_ops
+
+    v1 = spark.createDataFrame(
+        [(1, None, "s1"), (2, None, "s1")],
+        "doc_id long, text string, source string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "x y", "s1")], "doc_id long, text string, source string"
+    )
+    got = {
+        (r.source, r.status): r.n_docs
+        for r in corpus_ops.snapshot_diff(v1, v2).collect()
+    }
+    assert got == {("s1", "changed"): 1, ("s1", "removed"): 1}

@@ -19,7 +19,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from cloudpelican_lsd_spark.operators import classifier, dedup, textstats
+from cloudpelican_lsd_spark.operators import classifier, corpus, dedup, textstats
 from cloudpelican_lsd_spark.session import get_spark
 from cloudpelican_lsd_spark.sources.tables import logs_view
 
@@ -95,9 +95,7 @@ def main() -> None:
         # zero-shuffle explode+slice — expect ~linear
         "chunk_windows(24,6)": lambda d: textstats.chunk_windows(d, 24, 6),
         # fixed-width projections into one full-outer join — ~linear
-        "snapshot_diff(self-mod)": lambda d: __import__(
-            "cloudpelican_lsd_spark.operators.corpus", fromlist=["corpus"]
-        ).snapshot_diff(
+        "snapshot_diff(self-mod)": lambda d: corpus.snapshot_diff(
             d.select("doc_id", "text", "source"),
             d.where(F.col("doc_id") % 7 != 0).select(
                 "doc_id", "text", "source"
