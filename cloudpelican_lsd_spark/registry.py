@@ -3456,6 +3456,35 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_sizes",
+    f"""WITH RECURSIVE {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3, base_table='docs_planted')},
+{dedup_ops.connected_components_oracle(_MINHASH_PAIRS_SQL)},
+clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*)::BIGINT AS sz
+          FROM clusters GROUP BY cluster_id)
+SELECT sz, COUNT(*)::BIGINT AS n_clusters FROM sizes GROUP BY sz""",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the MinHash-LSH dup graph —
+    the power-law sanity check run before trusting a dedup pass (one
+    giant cluster usually means boilerplate linked everything; many
+    pairs means true near-dups).  Composes connected components with
+    two tiny cluster-keyed aggregates."""
+    pairs = dedup_ops.lsh_candidate_pairs(
+        _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
+    )
+    cc = dedup_ops.connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@register(
     "dedup_incremental_vs_index",
     f"""WITH batch_docs AS (
   SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
@@ -3861,6 +3890,7 @@ DRIVER_ORDER = [
     "corpus_snapshot_diff",
     "text_tokenizer_fertility",
     "text_bpe_merge_step",
+    "dedup_cluster_sizes",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",
