@@ -777,6 +777,58 @@ def export_training_shards(
     )
 
 
+def c4_audit_by_source(docs: DataFrame) -> DataFrame:
+    """`(rule, source, n_docs, n_fail, fail_pct)` — :func:`c4_audit`
+    sliced per source: WHICH source fails WHICH quality rule, the
+    drill-down a curator needs before weighting or dropping a feed
+    (a corpus-wide 20% long-word rate means something different when
+    one source contributes all of it).  Same single-scan stack-unpivot
+    shape with `source` carried through; the aggregate is
+    |rules|×|sources| rows, map-side combinable.  Predicates are the
+    same shared `c4_flag_exprs` the panel and the v3 gate use."""
+    flags = docs.select(
+        "source",
+        *[
+            expr.cast("int").alias(rule)
+            for rule, expr in c4_flag_exprs().items()
+        ],
+    ).withColumn("any_rule", F.greatest(*[F.col(r) for r in C4_RULES]))
+    names = list(C4_RULES) + ["any_rule"]
+    stack = ", ".join(f"'{r}', {r}" for r in names)
+    unp = flags.select(
+        "source", F.expr(f"stack({len(names)}, {stack}) as (rule, fail)")
+    )
+    return unp.groupBy("rule", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fail").cast("long").alias("n_fail"),
+        F.round(F.sum("fail") / F.count(F.lit(1)), 6).alias("fail_pct"),
+    )
+
+
+def c4_audit_by_source_oracle() -> str:
+    flag_sql = c4_flag_sql("n")
+    cols = ",\n         ".join(
+        f"{expr}::INT AS {r}" for r, expr in flag_sql.items()
+    )
+    any_rule = "GREATEST(" + ", ".join(C4_RULES) + ")"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, source, COUNT(*)::BIGINT AS n_docs,"
+        f" CAST(SUM({r}) AS BIGINT) AS n_fail,"
+        f" ROUND(SUM({r})::DOUBLE / COUNT(*), 6) AS fail_pct"
+        f" FROM flags GROUP BY source"
+        for r in list(C4_RULES) + ["any_rule"]
+    )
+    return f"""WITH base AS (
+  SELECT source, text, len(string_split(text, ' ')) AS n FROM documents
+),
+flags AS (
+  SELECT source, {cols},
+         {any_rule}::INT AS any_rule
+  FROM base
+)
+{arms}"""
+
+
 # ---------------------------------------------------------------------------
 # Snapshot diff (dataset versioning)
 # ---------------------------------------------------------------------------

@@ -3303,6 +3303,17 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corpus_c4_by_source", corpus_ops.c4_audit_by_source_oracle())
+def q_corpus_c4_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source C4/Gopher rule breakdown (corpus.c4_audit_by_source):
+    which source fails which quality rule — the feed-weighting
+    drill-down behind the corpus-wide panel; same shared predicates,
+    same single-scan stack-unpivot shape, |rules|×|sources| output."""
+    return corpus_ops.c4_audit_by_source(
+        load_table(spark, "documents", sf_dir)
+    )
+
+
 @register(
     "corpus_snapshot_diff",
     f"""WITH v2 AS (
@@ -3891,6 +3902,7 @@ DRIVER_ORDER = [
     "text_tokenizer_fertility",
     "text_bpe_merge_step",
     "dedup_cluster_sizes",
+    "corpus_c4_by_source",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

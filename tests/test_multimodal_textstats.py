@@ -812,3 +812,20 @@ def test_snapshot_diff_null_text_presence(spark):
         for r in corpus_ops.snapshot_diff(v1, v2).collect()
     }
     assert got == {("s1", "changed"): 1, ("s1", "removed"): 1}
+
+
+def test_c4_by_source_reconciles_with_panel(spark, sf_dir):
+    """The per-source breakdown must sum back to the corpus-wide panel
+    cell-for-cell (same predicates, same counts — just a dimension)."""
+    from cloudpelican_lsd_spark.operators import corpus as corpus_ops
+
+    docs = load_table(spark, "documents", sf_dir)
+    panel = {
+        r.rule: (r.n_docs, r.n_fail)
+        for r in corpus_ops.c4_audit(docs).collect()
+    }
+    rollup = {}
+    for r in corpus_ops.c4_audit_by_source(docs).collect():
+        d, f = rollup.get(r.rule, (0, 0))
+        rollup[r.rule] = (d + r.n_docs, f + r.n_fail)
+    assert rollup == panel
