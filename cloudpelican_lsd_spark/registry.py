@@ -3527,6 +3527,43 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_key_skew",
+    """WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type,
+       SUM(cnt)::BIGINT AS n_rows,
+       COUNT(*)::BIGINT AS n_users,
+       MAX(cnt)::BIGINT AS top_user_rows,
+       CAST(MAX(cnt)::HUGEINT * 1000000 // SUM(cnt) AS BIGINT)
+         AS top_share_ppm
+FROM per_user GROUP BY event_type""",
+)
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key skew diagnosis: for each event_type, total rows, distinct
+    users, and the heaviest user's row count + exact ppm share — the
+    measurement behind the salt-or-not decision for user-keyed
+    shuffles (SCALING.md's skew section; topk_per_group_salted is the
+    remedy this report justifies).  Two map-side-combinable aggregates,
+    DECIMAL(38,0) for the ppm product (BIGINT wraps past ~9.2e12 rows
+    per key, inside the 100 TB envelope)."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("cnt").alias("top_user_rows"),
+        F.expr(
+            "CAST(CAST(MAX(cnt) AS decimal(38,0)) * 1000000"
+            " div SUM(cnt) AS BIGINT)"
+        ).alias("top_share_ppm"),
+    )
+
+
+@register(
     "events_transition_matrix",
     """WITH seq AS (
   SELECT user_id, event_type,
@@ -3903,6 +3940,7 @@ DRIVER_ORDER = [
     "text_bpe_merge_step",
     "dedup_cluster_sizes",
     "corpus_c4_by_source",
+    "events_key_skew",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

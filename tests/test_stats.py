@@ -339,3 +339,26 @@ def test_burn_rate_multiwindow_paging(spark):
     r2 = out[570]
     assert r2.err_fast == 0 and not r2.fast_burn
     assert r2.slow_burn and not r2.page
+
+
+def test_events_key_skew_matches_python(spark, sf_dir):
+    """The registered query equals an independent Python recomputation
+    from raw (event_type, user_id) counts — totals, distinct users,
+    heaviest user, and the exact ppm share."""
+    from collections import Counter
+
+    from cloudpelican_lsd_spark.registry import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select("event_type", "user_id")
+    per = Counter((r.event_type, r.user_id) for r in ev.collect())
+    by_type = {}
+    for (t, _u), c in per.items():
+        tot, users, top = by_type.get(t, (0, 0, 0))
+        by_type[t] = (tot + c, users + 1, max(top, c))
+    got = {r.event_type: r for r in QUERIES["events_key_skew"](spark, sf_dir).collect()}
+    assert set(got) == set(by_type)
+    for t, (tot, users, top) in by_type.items():
+        r = got[t]
+        assert (r.n_rows, r.n_users, r.top_user_rows) == (tot, users, top)
+        assert r.top_share_ppm == top * 1000000 // tot
