@@ -422,3 +422,164 @@ def resize_real(media: DataFrame, max_w: int = 64, max_h: int = 48) -> DataFrame
         resample, RESIZE_REAL_SCHEMA
     )
     return passthrough.unionByName(shrunk)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (aHash) — image near-duplicate detection
+# ---------------------------------------------------------------------------
+
+#: 8x8 grid: 64 bits, split into 4 disjoint 16-bit blocks for LSH-style
+#: bucketing (same pigeonhole structure as operators/dedup.simhash: a pair
+#: whose differing bits touch <= 3 of the 4 blocks must agree on one whole
+#: block, so block-bucketing cannot miss it).
+PHASH_GRID = 8
+PHASH_BLOCKS = 4
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("blk0", T.IntegerType(), False),
+        T.StructField("blk1", T.IntegerType(), False),
+        T.StructField("blk2", T.IntegerType(), False),
+        T.StructField("blk3", T.IntegerType(), False),
+        T.StructField("phash_hex", T.StringType(), False),
+    ]
+)
+
+
+def ahash_64(px: np.ndarray) -> int:
+    """64-bit average hash of a top-down ``(h, w, 3)`` uint8 array.
+
+    Classic aHash (as used for image near-dedup in web-scale corpora, e.g.
+    the LAION pipeline), made EXACT: bit ``gy*8+gx`` (MSB-first) is 1 iff
+    the mean channel byte of grid cell ``(gy, gx)`` exceeds the global
+    mean.  The comparison is cross-multiplied integers —
+    ``cell_sum * total_area > total_sum * cell_area`` — so there is no
+    float rounding anywhere and the DuckDB oracle can reproduce every bit
+    in closed form.  Cells use the same floor-division tiling as
+    nearest-neighbor resize (``lo = g*dim // 8``); an empty cell (image
+    smaller than the grid) hashes to 0.
+    """
+    h, w = int(px.shape[0]), int(px.shape[1])
+    total_sum = int(px.sum(dtype=np.int64))
+    total_area = int(px.size)
+    bits = 0
+    g = PHASH_GRID
+    for gy in range(g):
+        ylo, yhi = gy * h // g, (gy + 1) * h // g
+        for gx in range(g):
+            xlo, xhi = gx * w // g, (gx + 1) * w // g
+            cell = px[ylo:yhi, xlo:xhi]
+            if cell.size and int(cell.sum(dtype=np.int64)) * total_area > total_sum * int(cell.size):
+                bits |= 1 << (63 - (gy * g + gx))
+    return bits
+
+
+def ahash_fingerprints(media: DataFrame) -> DataFrame:
+    """Per-image aHash fingerprints through the REAL BMP decode path.
+
+    Only image rows cross the Arrow boundary (audio/video blobs are
+    filtered out relationally first).  The 64-bit hash ships as four
+    16-bit block INTs (the LSH bucketing keys — sign-safe in both Spark
+    and DuckDB BIGINT arithmetic) plus the canonical 16-char hex string.
+    """
+    imgs = media.where(F.col("modality") == "image").select("media_id", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                bits = ahash_64(decode_bmp(bytes(blob))["pixels"])
+                rows.append(
+                    (
+                        int(mid),
+                        *((bits >> (48 - 16 * i)) & 0xFFFF for i in range(PHASH_BLOCKS)),
+                        format(bits, "016x"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "blk0", "blk1", "blk2", "blk3", "phash_hex"],
+            )
+
+    return imgs.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_groups(media: DataFrame) -> DataFrame:
+    """Images grouped by identical perceptual hash: the exact-perceptual-
+    duplicate clusters (same visual content at any rescale of this hash's
+    resolution).  One hash-partitioned agg on a 64-bit key — the decode
+    UDF's output shrinks to |distinct hashes| rows before anything else
+    touches it."""
+    return ahash_fingerprints(media).groupBy(
+        "phash_hex", "blk0", "blk1", "blk2", "blk3"
+    ).agg(F.count(F.lit(1)).alias("n_images"))
+
+
+def phash_near_pairs(media: DataFrame, max_hamming: int = 24) -> DataFrame:
+    """Near-duplicate image pairs between DISTINCT perceptual hashes:
+    candidates share at least one of the 4 16-bit blocks, verified by
+    exact Hamming distance ``1..max_hamming`` (popcount of the XOR,
+    JVM-side ``bit_count``).
+
+    Recall contract (documented, same as dedup.simhash_near_pairs): a pair
+    whose differing bits touch <= 3 blocks always shares a block, so
+    recall is total for hamming <= 3 and holds for larger distances
+    whenever one 16-bit span is untouched.  Pairing runs over distinct
+    fingerprints — the collision-heavy lesson from simhash: bucket the
+    KEYS, expand to documents only downstream — and reports per-side
+    image counts instead of exploding doc x doc rows.  _group_pairs
+    computes the decode subtree ONCE (groupBy + posexplode, no self-join
+    recompute) with its standard hot-bucket cap semantics available
+    upstream if a corpus degenerates.
+    """
+    from cloudpelican_lsd_spark.operators.dedup import _group_pairs
+
+    groups = phash_groups(media)
+    blocks = groups.select(
+        "phash_hex",
+        "blk0",
+        "blk1",
+        "blk2",
+        "blk3",
+        "n_images",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"blk{i}").alias("blk")
+                    )
+                    for i in range(PHASH_BLOCKS)
+                ]
+            )
+        ).alias("ib"),
+    ).select(
+        F.col("ib.i").alias("i"),
+        F.col("ib.blk").alias("blk"),
+        "phash_hex",
+        "blk0",
+        "blk1",
+        "blk2",
+        "blk3",
+        "n_images",
+    )
+    pairs = (
+        _group_pairs(
+            blocks,
+            ["i", "blk"],
+            ["phash_hex", "blk0", "blk1", "blk2", "blk3", "n_images"],
+        )
+        .select(
+            F.col("x.phash_hex").alias("hash_a"),
+            F.col("y.phash_hex").alias("hash_b"),
+            sum(
+                F.expr(f"bit_count(x.blk{i} ^ y.blk{i})") for i in range(PHASH_BLOCKS)
+            ).cast("int").alias("hamming"),
+            F.col("x.n_images").alias("docs_a"),
+            F.col("y.n_images").alias("docs_b"),
+        )
+        .distinct()
+    )
+    return pairs.where(
+        (F.col("hamming") >= 1) & (F.col("hamming") <= int(max_hamming))
+    )

@@ -1274,6 +1274,96 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_codecs.resize_real(media, max_w=64, max_h=48).drop("content")
 
 
+def _mm_tri(m: str) -> str:
+    """Closed-form ``sum_{i<m} i % 256`` (the codecs.py generator ramp):
+    ``T(m) = (m//256)*32640 + r*(r-1)//2, r = m%256``."""
+    return f"((({m})//256)*32640 + (({m})%256)*((({m})%256)-1)//2)"
+
+
+#: Per-band aHash bits in closed form.  The generator paints every channel
+#: byte of top-down row r with (media_id + r) % 256, so a grid cell's mean
+#: depends only on its row band and the cross-multiplied aHash bit
+#: condition  cell_sum * total_area > total_sum * cell_area  reduces
+#: (column and channel factors cancel exactly) to
+#: rowsum(band) * h > rowsum(all) * band_rows — which the oracle evaluates
+#: from triangular sums without decoding a byte, pinning the REAL
+#: decode → 8x8 box-mean → bit-pack path end-to-end.
+_MM_PHASH_CTE = f"""{_MM_REAL_CTE},
+img AS (SELECT media_id, media_id % 256 AS s, h FROM m WHERE kind = 0),
+bands AS (
+  SELECT media_id, t.gy, s, h, t.gy*h//8 AS lo, (t.gy+1)*h//8 AS hi
+  FROM img, unnest(generate_series(0, 7)) AS t(gy)
+),
+bits AS (
+  SELECT media_id, gy,
+    CASE WHEN ({_mm_tri('s+hi')} - {_mm_tri('s+lo')}) * h
+            > ({_mm_tri('s+h')} - {_mm_tri('s')}) * (hi - lo)
+         THEN 1 ELSE 0 END AS bit
+  FROM bands
+),
+hashes AS (
+  SELECT media_id,
+    string_agg(CASE WHEN bit = 1 THEN 'ff' ELSE '00' END, '' ORDER BY gy) AS phash_hex,
+    CAST(SUM(CASE WHEN gy = 0 THEN bit*65280 WHEN gy = 1 THEN bit*255 ELSE 0 END) AS INT) AS blk0,
+    CAST(SUM(CASE WHEN gy = 2 THEN bit*65280 WHEN gy = 3 THEN bit*255 ELSE 0 END) AS INT) AS blk1,
+    CAST(SUM(CASE WHEN gy = 4 THEN bit*65280 WHEN gy = 5 THEN bit*255 ELSE 0 END) AS INT) AS blk2,
+    CAST(SUM(CASE WHEN gy = 6 THEN bit*65280 WHEN gy = 7 THEN bit*255 ELSE 0 END) AS INT) AS blk3
+  FROM bits GROUP BY media_id
+)"""
+
+
+@register(
+    "multimodal_phash_groups",
+    f"""WITH {_MM_PHASH_CTE}
+SELECT phash_hex, blk0, blk1, blk2, blk3,
+       CAST(COUNT(*) AS BIGINT) AS n_images
+FROM hashes GROUP BY 1, 2, 3, 4, 5""",
+)
+def q_mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash (aHash) duplicate groups through the REAL BMP
+    decode: images sharing an identical 64-bit 8x8 average hash — the
+    image-side analog of dedup_exact_groups, the first stage of
+    LAION-style image dedup.  Integer-exact bits (cross-multiplied mean
+    comparison in codecs.ahash_64); one hash agg on the fingerprint."""
+    media = mm_codecs.synthesize_real_media(load_table(spark, "documents", sf_dir))
+    return mm_codecs.phash_groups(media)
+
+
+@register(
+    "multimodal_phash_near_pairs",
+    f"""WITH {_MM_PHASH_CTE},
+groups AS (
+  SELECT phash_hex, blk0, blk1, blk2, blk3, COUNT(*) AS n_images
+  FROM hashes GROUP BY 1, 2, 3, 4, 5
+),
+blocks AS (
+  SELECT g.*, t.i,
+         CASE t.i WHEN 0 THEN blk0 WHEN 1 THEN blk1
+                  WHEN 2 THEN blk2 ELSE blk3 END AS blk
+  FROM groups g, unnest(generate_series(0, 3)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.phash_hex AS hash_a, b.phash_hex AS hash_b,
+           bit_count(xor(a.blk0, b.blk0)) + bit_count(xor(a.blk1, b.blk1))
+         + bit_count(xor(a.blk2, b.blk2)) + bit_count(xor(a.blk3, b.blk3)) AS hamming,
+         a.n_images AS docs_a, b.n_images AS docs_b
+  FROM blocks a JOIN blocks b
+    ON a.i = b.i AND a.blk = b.blk AND a.phash_hex < b.phash_hex
+)
+SELECT hash_a, hash_b, CAST(hamming AS INT) AS hamming,
+       CAST(docs_a AS BIGINT) AS docs_a, CAST(docs_b AS BIGINT) AS docs_b
+FROM cand WHERE hamming BETWEEN 1 AND 24""",
+)
+def q_mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs: distinct perceptual hashes bucketed on
+    their 4 16-bit blocks (pigeonhole recall, simhash lesson: pair the
+    DISTINCT fingerprints, never doc x doc), verified by exact popcount
+    Hamming <= 24.  Sides report image counts, so output stays
+    |hash-pairs|-sized no matter how many images collide per hash."""
+    media = mm_codecs.synthesize_real_media(load_table(spark, "documents", sf_dir))
+    return mm_codecs.phash_near_pairs(media, max_hamming=24)
+
+
 # ===========================================================================
 # JSON column ops (events.props — schema-on-read extraction)
 # ===========================================================================
@@ -3941,6 +4031,8 @@ DRIVER_ORDER = [
     "dedup_cluster_sizes",
     "corpus_c4_by_source",
     "events_key_skew",
+    "multimodal_phash_groups",
+    "multimodal_phash_near_pairs",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

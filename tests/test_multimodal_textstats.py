@@ -829,3 +829,78 @@ def test_c4_by_source_reconciles_with_panel(spark, sf_dir):
         d, f = rollup.get(r.rule, (0, 0))
         rollup[r.rule] = (d + r.n_docs, f + r.n_fail)
     assert rollup == panel
+
+
+def test_ahash64_matches_fraction_reference():
+    """the cross-multiplied integer bit condition equals the textbook
+    float-mean aHash wherever the exact rational comparison is unambiguous
+    (Fraction reference; random + adversarial uniform images)."""
+    from cloudpelican_lsd_spark.multimodal import codecs as C
+    from fractions import Fraction
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in ((16, 16), (23, 41), (104, 172), (8, 8))]
+    imgs.append(np.full((32, 32, 3), 77, dtype=np.uint8))  # all ties -> 0
+    for px in imgs:
+        got = C.ahash_64(px)
+        h, w = px.shape[:2]
+        mean = Fraction(int(px.sum(dtype=np.int64)), px.size)
+        want = 0
+        for gy in range(8):
+            for gx in range(8):
+                cell = px[gy * h // 8:(gy + 1) * h // 8,
+                          gx * w // 8:(gx + 1) * w // 8]
+                if cell.size and Fraction(int(cell.sum(dtype=np.int64)), cell.size) > mean:
+                    want |= 1 << (63 - (gy * 8 + gx))
+        assert got == want
+
+
+def test_ahash_generator_closed_form():
+    """for the row-ramp generator, every grid bit reduces to
+    rowsum(band)*h > rowsum(total)*band_rows — the identity the DuckDB
+    oracle uses; check it against the real encode->decode->hash path,
+    including a wrap-past-256 image."""
+    from cloudpelican_lsd_spark.multimodal import codecs as C
+
+    for mid, w, h in ((12, 16, 16), (201, 36, 100), (249, 20, 104)):
+        bits = C.ahash_64(C.decode_bmp(C.encode_bmp(mid, w, h))["pixels"])
+        s = mid % 256
+        rows = [(s + r) % 256 for r in range(h)]
+        for gy in range(8):
+            lo, hi = gy * h // 8, (gy + 1) * h // 8
+            want = sum(rows[lo:hi]) * h > sum(rows) * (hi - lo)
+            band = [(bits >> (63 - (gy * 8 + gx))) & 1 for gx in range(8)]
+            # column factors cancel on row-constant images: all 8 cell
+            # bits of a band agree and equal the closed-form row condition
+            assert band == [int(want)] * 8
+
+
+def test_phash_near_pairs_match_bruteforce(spark, sf_dir):
+    """block-bucketed candidate generation + popcount filter equals the
+    all-pairs reference over distinct hashes (pairs sharing >= 1 block
+    with hamming 1..24), and sides carry the group image counts."""
+    from cloudpelican_lsd_spark.multimodal import codecs as C
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    media = C.synthesize_real_media(load_table(spark, "documents", sf_dir))
+    groups = {
+        r["phash_hex"]: ((r["blk0"], r["blk1"], r["blk2"], r["blk3"]), r["n_images"])
+        for r in C.phash_groups(media).collect()
+    }
+    want = set()
+    keys = sorted(groups)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            (ba, na), (bb, nb) = groups[a], groups[b]
+            if not any(x == y for x, y in zip(ba, bb)):
+                continue
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(ba, bb))
+            if 1 <= ham <= 24:
+                want.add((a, b, ham, na, nb))
+    got = {
+        (r["hash_a"], r["hash_b"], r["hamming"], r["docs_a"], r["docs_b"])
+        for r in C.phash_near_pairs(media).collect()
+    }
+    assert got == want and len(want) > 0
