@@ -308,3 +308,174 @@ pred AS (
 SELECT p.pred_label, l.label AS heur_label, COUNT(*)::BIGINT AS cnt
 FROM pred p JOIN labeled l ON l.event_id = p.event_id
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature perceptron — linear-classifier training as DataFrame algebra
+# ---------------------------------------------------------------------------
+#
+# The fast-linear-model side of the training-data pipeline: distill an
+# expensive labeler (here the lang-id gate; in production a slow LM judge
+# or fasttext-style quality model) into a bag-of-words linear classifier.
+# The classic hashing trick bounds the feature space to PERCEPTRON_DIMS
+# buckets, so the weight vector is a <= DIMS+1-row table that broadcasts
+# onto the token stream no matter how large the corpus is.
+#
+# Everything is exact BIGINT arithmetic (counts, weights, scores, updates
+# with learning rate 1), which makes a full training step — and therefore
+# the whole training loop — DuckDB-oracle-checkable bit-for-bit.  Like
+# emb_kmeans_step / text_bpe_merge_step, a driver loop alternating
+# perceptron_step IS training; the gate query pins two consecutive steps
+# (the zero-init step plus one real gradient step).
+
+PERCEPTRON_DIMS = 64
+#: bias rides as pseudo-dimension -1 with constant feature value 1
+PERCEPTRON_BIAS_DIM = -1
+
+
+def hashed_features(docs: DataFrame, dims: int = PERCEPTRON_DIMS) -> DataFrame:
+    """`(doc_id, dim, x)` — whitespace bag-of-words counts hashed into
+    ``dims`` buckets via the cross-engine md5-prefix trick
+    (`conv(substr(md5(tok),1,4),16,10) % dims`), plus the bias row.
+    One map-side-combinable agg keyed (doc_id, dim)."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    )
+    feats = (
+        tok.groupBy(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10)
+                .cast("long") % dims
+            ).alias("dim"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    bias = docs.select(
+        "doc_id",
+        F.lit(PERCEPTRON_BIAS_DIM).cast("long").alias("dim"),
+        F.lit(1).cast("long").alias("x"),
+    )
+    return feats.unionByName(bias)
+
+
+def perceptron_step(
+    feats: DataFrame, labels: DataFrame, weights: DataFrame
+) -> DataFrame:
+    """One full-batch perceptron update (learning rate 1): predict
+    ``sign(w·x)`` (score 0 → -1), accumulate ``y·x`` over misclassified
+    docs, return `(dim, w)` with the gradient added.
+
+    `labels` is `(doc_id, y)` with y ∈ {+1, -1}; `weights` is `(dim, w)`
+    (absent dim = 0, so a zero-init model is the empty DataFrame).
+
+    Scale shape: weights (≤ dims+1 rows) broadcast onto the feature
+    stream; scores are one doc_id-keyed agg; the gradient is one dim-keyed
+    agg whose map-side partial collapses to ≤ dims+1 rows per mapper —
+    the shuffle never carries more than |docs| + dims-sized traffic.
+    """
+    scores = (
+        feats.join(F.broadcast(weights), "dim")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("score"))
+    )
+    mis = (
+        labels.join(scores, "doc_id", "left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0)))
+        .where((F.col("score") > 0) != (F.col("y") > 0))
+        .select("doc_id", "y")
+    )
+    grad = (
+        feats.join(mis, "doc_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("y") * F.col("x")).alias("g"))
+    )
+    return (
+        weights.join(grad, "dim", "full_outer")
+        .select(
+            "dim",
+            (F.coalesce(F.col("w"), F.lit(0)) + F.coalesce(F.col("g"), F.lit(0)))
+            .cast("long")
+            .alias("w"),
+        )
+        .where(F.col("w") != 0)
+    )
+
+
+def zero_weights(spark) -> DataFrame:
+    """The zero-init model: an empty `(dim, w)` relation."""
+    return spark.createDataFrame([], "dim long, w long")
+
+
+def perceptron_two_steps(docs: DataFrame, dims: int = PERCEPTRON_DIMS) -> DataFrame:
+    """`(dim, w_step1, w_step2)` — the first two batch steps of
+    distilling `lang == 'en'` into the hashed linear model.  Step 1 from
+    zero weights (every positive doc misclassified → w1 = Σ_{y=+1} x);
+    step 2 is the first real gradient step.  Both exact BIGINT."""
+    spark = docs.sparkSession
+    feats = hashed_features(docs, dims)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    w1 = perceptron_step(feats, labels, zero_weights(spark))
+    w2 = perceptron_step(feats, labels, w1)
+    return (
+        w1.withColumnRenamed("w", "w_step1")
+        .join(w2.withColumnRenamed("w", "w_step2"), "dim", "full_outer")
+        .select(
+            "dim",
+            F.coalesce(F.col("w_step1"), F.lit(0)).cast("long").alias("w_step1"),
+            F.coalesce(F.col("w_step2"), F.lit(0)).cast("long").alias("w_step2"),
+        )
+        .where((F.col("w_step1") != 0) | (F.col("w_step2") != 0))
+    )
+
+
+def perceptron_oracle(dims: int = PERCEPTRON_DIMS) -> str:
+    """DuckDB twin of perceptron_two_steps (same md5-prefix hashing,
+    zero-init first step, sign(0) = -1 prediction rule)."""
+    return f"""WITH ptok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+plab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents
+),
+pfx AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT % {dims} AS dim,
+         COUNT(*)::BIGINT AS x
+  FROM ptok GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, {PERCEPTRON_BIAS_DIM}, 1 FROM documents
+),
+pw1 AS (
+  SELECT f.dim, SUM(l.y * f.x)::BIGINT AS w
+  FROM pfx f JOIN plab l USING (doc_id)
+  WHERE l.y = 1 GROUP BY f.dim HAVING SUM(l.y * f.x) <> 0
+),
+psc AS (
+  SELECT l.doc_id, l.y, COALESCE(SUM(f.x * w1.w), 0) AS score
+  FROM plab l
+  LEFT JOIN pfx f ON f.doc_id = l.doc_id
+  LEFT JOIN pw1 w1 ON w1.dim = f.dim
+  GROUP BY l.doc_id, l.y
+),
+pmis AS (SELECT doc_id, y FROM psc WHERE (score > 0) <> (y > 0)),
+pg2 AS (
+  SELECT f.dim, SUM(m.y * f.x)::BIGINT AS g
+  FROM pfx f JOIN pmis m USING (doc_id) GROUP BY f.dim
+),
+pw2 AS (
+  SELECT COALESCE(w1.dim, g.dim) AS dim,
+         (COALESCE(w1.w, 0) + COALESCE(g.g, 0))::BIGINT AS w
+  FROM pw1 w1 FULL OUTER JOIN pg2 g ON w1.dim = g.dim
+)
+SELECT COALESCE(w1.dim, w2.dim)::BIGINT AS dim,
+       COALESCE(w1.w, 0)::BIGINT AS w_step1,
+       COALESCE(w2.w, 0)::BIGINT AS w_step2
+FROM pw1 w1 FULL OUTER JOIN pw2 w2 ON w1.dim = w2.dim
+WHERE COALESCE(w1.w, 0) <> 0 OR COALESCE(w2.w, 0) <> 0"""

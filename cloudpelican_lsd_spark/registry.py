@@ -496,6 +496,16 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_ops.train_and_classify(logs_view(spark, sf_dir))
 
 
+@register("text_perceptron_step", nb_ops.perceptron_oracle())
+def q_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature perceptron training: the first two full-batch steps
+    of distilling the lang-id label into a 64-bucket bag-of-words linear
+    model — classifier.perceptron_step in a driver loop IS training
+    (kmeans_step / bpe_merge_step structure).  Exact BIGINT weights,
+    broadcastable <=65-row model, gradient agg map-side-collapsed."""
+    return nb_ops.perceptron_two_steps(load_table(spark, "documents", sf_dir))
+
+
 from cloudpelican_lsd_spark.operators import outliers as outlier_ops  # noqa: E402
 
 
@@ -4033,6 +4043,7 @@ DRIVER_ORDER = [
     "events_key_skew",
     "multimodal_phash_groups",
     "multimodal_phash_near_pairs",
+    "text_perceptron_step",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

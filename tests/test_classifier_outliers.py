@@ -195,3 +195,106 @@ def test_relational_analyzer_twins_match_numpy(spark, sf_dir):
         # and the relational target row is the grid's newest bucket
         assert rel["ma"][sk].bucket == pts[-1][0]
         assert rel["ma"][sk].actual == pts[-1][1]
+
+
+def _perceptron_py(rows, dims, steps):
+    """Pure-Python batch perceptron reference: rows = (doc_id, y, text)."""
+    import hashlib
+
+    def hdim(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % dims
+
+    feats = {}
+    for doc_id, _y, text in rows:
+        f = {nb.PERCEPTRON_BIAS_DIM: 1}
+        for tok in text.lower().split(" "):
+            d = hdim(tok)
+            f[d] = f.get(d, 0) + 1
+        feats[doc_id] = f
+    labels = {doc_id: y for doc_id, y, _ in rows}
+    w = {}
+    for _ in range(steps):
+        grad = {}
+        for doc_id, f in feats.items():
+            score = sum(x * w.get(d, 0) for d, x in f.items())
+            pred = 1 if score > 0 else -1
+            if pred != labels[doc_id]:
+                for d, x in f.items():
+                    grad[d] = grad.get(d, 0) + labels[doc_id] * x
+        for d, g in grad.items():
+            w[d] = w.get(d, 0) + g
+        w = {d: v for d, v in w.items() if v != 0}
+    return w
+
+
+def test_perceptron_loop_matches_python_reference(spark):
+    """4 driver-loop perceptron_step iterations equal the pure-Python
+    batch perceptron (same md5 hashing, sign(0) = -1, lr = 1), and the
+    learned model separates a linearly separable toy corpus."""
+    rows = [
+        (1, 1, "good clean prose with varied words here"),
+        (2, 1, "another good clean fluent document body"),
+        (3, 1, "clean prose fluent varied good words"),
+        (4, -1, "spam spam spam buy buy click"),
+        (5, -1, "click click buy spam junk junk"),
+        (6, -1, "junk buy spam click spam buy"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en" if y > 0 else "xx") for i, y, t in rows],
+        "doc_id long, text string, lang string",
+    )
+    dims = 16
+    feats = nb.hashed_features(docs, dims)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+        .cast("long").alias("y"),
+    )
+    w = nb.zero_weights(spark)
+    for step in range(1, 5):
+        w = nb.perceptron_step(feats, labels, w)
+        got = {r["dim"]: r["w"] for r in w.collect()}
+        want = _perceptron_py(rows, dims, step)
+        assert got == want, f"step {step}: {got} != {want}"
+    # converged model classifies the training set perfectly
+    final = {r["dim"]: r["w"] for r in w.collect()}
+    scores = {
+        doc_id: sum(
+            x * final.get(d, 0)
+            for d, x in _build_feats_py(text, dims).items()
+        )
+        for doc_id, _y, text in rows
+    }
+    for doc_id, y, _t in rows:
+        assert (1 if scores[doc_id] > 0 else -1) == y
+
+
+def _build_feats_py(text, dims):
+    import hashlib
+
+    f = {nb.PERCEPTRON_BIAS_DIM: 1}
+    for tok in text.lower().split(" "):
+        d = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % dims
+        f[d] = f.get(d, 0) + 1
+    return f
+
+
+def test_perceptron_two_steps_gate_shape(spark, sf_dir):
+    """gate query contract: bias row present, every weight integral and
+    bounded by total token mass, step-1 weights equal the positive-class
+    feature sums."""
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out_rows = nb.perceptron_two_steps(docs).collect()
+    dims = {r["dim"] for r in out_rows}
+    assert nb.PERCEPTRON_BIAS_DIM in dims
+    pos = docs.where(F.col("lang") == "en")
+    w1_want = {
+        r["dim"]: r["s"]
+        for r in nb.hashed_features(pos)
+        .groupBy("dim").agg(F.sum("x").alias("s")).collect()
+        if r["s"] != 0
+    }
+    w1_got = {r["dim"]: r["w_step1"] for r in out_rows if r["w_step1"] != 0}
+    assert w1_got == w1_want
