@@ -3626,6 +3626,27 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_bloom_prefilter", dedup_ops.bloom_prefilter_oracle(3, 16))
+def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prescreen for incremental exact dedup:
+    a new batch (50 re-ingested + 50 edited docs) classified
+    new_bloom / dup_confirmed / false_positive against the corpus's
+    bounded-size position set (dedup.bloom_prefilter).  The cheap
+    broadcast screen in front of dedup_incremental_vs_index's exact
+    path — no false negatives by construction."""
+    docs = load_table(spark, "documents", sf_dir)
+    reingest = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    edited = docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    return dedup_ops.bloom_prefilter(
+        docs, reingest.unionByName(edited), k=3, bits_log2=16
+    )
+
+
 @register(
     "events_key_skew",
     """WITH per_user AS (
@@ -4044,6 +4065,7 @@ DRIVER_ORDER = [
     "multimodal_phash_groups",
     "multimodal_phash_near_pairs",
     "text_perceptron_step",
+    "dedup_bloom_prefilter",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

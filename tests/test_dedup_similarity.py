@@ -889,3 +889,81 @@ def test_rag_ingest_chunks_to_ann_end_to_end(spark):
     }
     assert (1, 2) in linked_docs
     assert all(3 not in p for p in linked_docs)
+
+
+def _bloom_pos_py(text: str, i: int, m: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(text.encode()).hexdigest()[4 * i:4 * i + 4], 16) % m
+
+
+def test_bloom_prefilter_statuses_and_no_false_negatives(spark):
+    """every true duplicate is dup_confirmed (Bloom has no false
+    negatives), a position-missing doc is new_bloom, and a brute-forced
+    colliding-but-different doc is false_positive (m=16 makes collisions
+    findable)."""
+    from cloudpelican_lsd_spark.operators import dedup as D
+
+    corpus_rows = [(i, f"corpus document number {i} body") for i in range(8)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    cpos = {
+        _bloom_pos_py(t, i, 16) for _, t in corpus_rows for i in range(3)
+    }
+    corpus_texts = {t for _, t in corpus_rows}
+    # brute-force one false positive and one bloom miss at m=16
+    fp = miss = None
+    j = 0
+    while fp is None or miss is None:
+        cand = f"novel text variant {j}"
+        inside = all(_bloom_pos_py(cand, i, 16) in cpos for i in range(3))
+        if inside and cand not in corpus_texts and fp is None:
+            fp = cand
+        if not inside and miss is None:
+            miss = cand
+        j += 1
+    batch = spark.createDataFrame(
+        [(100, corpus_rows[3][1]), (101, fp), (102, miss)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in D.bloom_prefilter(corpus, batch, k=3, bits_log2=4).collect()
+    }
+    assert got == {
+        100: "dup_confirmed",
+        101: "false_positive",
+        102: "new_bloom",
+    }
+
+
+def test_bloom_prefilter_corpus_positions_broadcast(spark, sf_dir):
+    """the corpus position set (bounded by 2^bits) must reach the batch
+    via a broadcast join — the whole point of the prescreen is that the
+    batch never shuffles against the corpus."""
+    from cloudpelican_lsd_spark.operators import dedup as D
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.limit(20).select("doc_id", "text")
+    out = D.bloom_prefilter(docs, batch)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # statuses agree with a pure-Python bloom over the same corpus
+    cpos = {
+        _bloom_pos_py(t, i, 1 << 16)
+        for t in [r["text"] for r in docs.select("text").collect()]
+        for i in range(3)
+    }
+    texts = {r["doc_id"]: r["text"] for r in batch.collect()}
+    corpus_texts = {r["text"] for r in docs.select("text").collect()}
+    for r in out.collect():
+        t = texts[r["doc_id"]]
+        inside = all(_bloom_pos_py(t, i, 1 << 16) in cpos for i in range(3))
+        want = (
+            "new_bloom" if not inside
+            else "dup_confirmed" if t in corpus_texts
+            else "false_positive"
+        )
+        assert r["status"] == want
