@@ -1349,3 +1349,114 @@ ranked AS (
          token, cnt, prev_cnt, rise
   FROM risers)
 SELECT day, rk, token, cnt, prev_cnt, rise FROM ranked WHERE rk <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — bounded-memory heavy hitters, accuracy-audited
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(tok_col, d: int, width: int):
+    """Row-*d* bucket: seeded sliced-md5 (`md5('<d>:'||tok)`), the same
+    cross-engine digest family as minhash/bloom."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), tok_col)), 1, 4), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def cms_topk_audit(
+    docs: DataFrame,
+    k: int = 50,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """`(token, true_cnt, cms_est, overest)` — the corpus's top-``k``
+    tokens (by exact count; ties broken by token) with the Count-Min
+    sketch estimate computed from a ``depth x width`` counter table.
+
+    The bounded-memory heavy-hitter story: at 100 TB the exact per-token
+    agg is still one shuffle, but a CMS is ``depth*width`` BIGINTs — a
+    few KB of state that merges associatively across any partitioning
+    (each mapper sketches its split, the reduce is elementwise +), which
+    is what a streaming or multi-tenant top-k needs.  This operator keeps
+    both paths and AUDITS the sketch against the exact counts — the same
+    estimate-vs-true pattern as dedup.minhash_estimate_vs_true and
+    similarity.pq_recall.  ``cms_est >= true_cnt`` always (collisions
+    only ever add), so ``overest`` is the per-token collision cost.
+
+    Determinism: buckets are seeded sliced-md5; every count is BIGINT;
+    the min over depth rows is exact — the whole audit value-hashes.
+    """
+    tok_counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    hashed = tok_counts.select(
+        "tok",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("tok"), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select("tok", "true_cnt", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
+    counters = hashed.groupBy("d", "bucket").agg(
+        F.sum("true_cnt").alias("counter")
+    )
+    topk = tok_counts.orderBy(F.col("true_cnt").desc(), F.col("tok")).limit(k)
+    return (
+        hashed.join(F.broadcast(topk.select("tok")), "tok")
+        .join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("counter").alias("cms_est"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("true_cnt")).cast("long").alias("overest"),
+        )
+    )
+
+
+def cms_topk_audit_oracle(
+    k: int = 50, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    return f"""WITH ctok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+ccnt AS (SELECT tok, COUNT(*)::BIGINT AS true_cnt FROM ctok GROUP BY tok),
+chash AS (
+  SELECT tok, true_cnt, t.d,
+         ('0x' || substr(md5(t.d || ':' || tok), 1, 4))::BIGINT % {width} AS bucket
+  FROM ccnt, unnest(generate_series(0, {depth - 1})) AS t(d)
+),
+ccounter AS (
+  SELECT d, bucket, SUM(true_cnt)::BIGINT AS counter
+  FROM chash GROUP BY d, bucket
+),
+ctop AS (
+  SELECT tok, true_cnt FROM ccnt
+  ORDER BY true_cnt DESC, tok LIMIT {k}
+)
+SELECT h.tok AS token, h.true_cnt,
+       MIN(c.counter)::BIGINT AS cms_est,
+       (MIN(c.counter) - h.true_cnt)::BIGINT AS overest
+FROM chash h
+JOIN ctop t ON t.tok = h.tok
+JOIN ccounter c ON c.d = h.d AND c.bucket = h.bucket
+GROUP BY h.tok, h.true_cnt"""

@@ -3626,6 +3626,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_cms_topk_audit", text_ops.cms_topk_audit_oracle(50))
+def q_cms_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch heavy hitters, accuracy-audited: the exact top-50
+    tokens with the depth-4 x width-256 CMS estimate and per-token
+    collision overestimate (textstats.cms_topk_audit).  The
+    bounded-memory mergeable-sketch counterpart to the exact token agg —
+    same estimate-vs-true audit pattern as minhash_est_vs_true /
+    pq_recall, and the first fully value-hash-gated sketch (the HLL
+    sketch is rows-only by design)."""
+    return text_ops.cms_topk_audit(load_table(spark, "documents", sf_dir), k=50)
+
+
 @register("dedup_bloom_prefilter", dedup_ops.bloom_prefilter_oracle(3, 16))
 def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership prescreen for incremental exact dedup:
@@ -4066,6 +4078,7 @@ DRIVER_ORDER = [
     "multimodal_phash_near_pairs",
     "text_perceptron_step",
     "dedup_bloom_prefilter",
+    "text_cms_topk_audit",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -904,3 +904,46 @@ def test_phash_near_pairs_match_bruteforce(spark, sf_dir):
         for r in C.phash_near_pairs(media).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_cms_audit_matches_python_and_never_underestimates(spark):
+    """tiny width forces collisions: the Spark CMS equals a pure-Python
+    count-min over the same seeded sliced-md5 buckets, and every
+    estimate >= the true count (collisions only add)."""
+    import hashlib
+
+    from cloudpelican_lsd_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry date egg"),
+            (2, "banana banana cherry fig grape apple"),
+            (3, "cherry fig fig fig grape apple apple"),
+        ],
+        "doc_id long, text string",
+    )
+    depth, width = 4, 8
+    toks = [t for _, x in docs.select("doc_id", "text").collect()
+            for t in x.lower().split(" ")]
+    true = {}
+    for t in toks:
+        true[t] = true.get(t, 0) + 1
+    counters = {}
+    for t, c in true.items():
+        for d in range(depth):
+            b = int(hashlib.md5(f"{d}:{t}".encode()).hexdigest()[:4], 16) % width
+            counters[(d, b)] = counters.get((d, b), 0) + c
+    want = {}
+    for t, c in sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]:
+        est = min(
+            counters[(d, int(hashlib.md5(f"{d}:{t}".encode()).hexdigest()[:4], 16) % width)]
+            for d in range(depth)
+        )
+        want[t] = (c, est, est - c)
+    got = {
+        r["token"]: (r["true_cnt"], r["cms_est"], r["overest"])
+        for r in ts.cms_topk_audit(docs, k=5, depth=depth, width=width).collect()
+    }
+    assert got == want
+    assert all(est >= c for c, est, _ in got.values())
+    assert any(est > c for c, est, _ in got.values()), "width 8 must collide"
