@@ -101,6 +101,21 @@ def main() -> None:
                 "doc_id", "text", "source"
             ),
         ),
+        # replicas repeat the same images: distinct fingerprints stay
+        # constant while n_images grows — pair stage should be ~flat,
+        # decode ~linear
+        "phash_near_pairs": lambda d: codecs.phash_near_pairs(
+            codecs.synthesize_real_media(d)
+        ),
+        # fixed 1k batch vs 10x corpus: position set is bounded (2^16),
+        # exact join stays batch-sized — expect sub-linear in corpus
+        "bloom_prefilter(1k)": lambda d: dedup.bloom_prefilter(
+            d, docs.where(F.col("doc_id") < 1000).select("doc_id", "text")
+        ),
+        # counter table fixed (4x256); one token agg — ~linear scan cost
+        "cms_topk_audit": lambda d: textstats.cms_topk_audit(d),
+        # model <= 65 rows broadcast; two aggs per step — ~linear
+        "perceptron_2steps": lambda d: classifier.perceptron_two_steps(d),
     }
     for name, fn in ops.items():
         t = {}
@@ -113,7 +128,9 @@ def main() -> None:
             f"{name:28s} 1x={t['1x']:6.2f}s {factor}x={t[f'{factor}x']:6.2f}s"
             f"  ratio={ratio:5.2f} (linear={factor})"
         )
-    from cloudpelican_lsd_spark.operators import corpus, similarity
+    # NOTE: no local `corpus` import here — it would shadow the module-level
+    # one and unbind the snapshot_diff lambda above (function-wide local)
+    from cloudpelican_lsd_spark.operators import similarity
 
     # c4_audit is constant-network (<=7 rows shuffled): expect ~linear scan cost
     t = {}
