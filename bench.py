@@ -111,6 +111,11 @@ HEADLINE = [
     "corpus_source_divergence",
     "dedup_cross_source_matrix",
     "dedup_incremental_vs_index",
+    # session additions: image phash dedup, perceptron, bloom, CMS
+    "multimodal_phash_near_pairs",
+    "text_perceptron_step",
+    "dedup_bloom_prefilter",
+    "text_cms_topk_audit",
 ]
 
 

@@ -1211,3 +1211,124 @@ SELECT e.qid, COALESCE(h.hits, 0)::BIGINT AS hits,
        ROUND(COALESCE(h.hits, 0) / COUNT(*), 4) AS recall
 FROM exact e LEFT JOIN hits h USING (qid)
 GROUP BY e.qid, h.hits"""
+
+
+# ---------------------------------------------------------------------------
+# Batch-hard triplet mining — contrastive-training data generation
+# ---------------------------------------------------------------------------
+
+
+def triplet_mining(
+    emb: DataFrame,
+    num_queries: int = 10,
+    k: int = 5,
+    margin: float = 0.1,
+) -> DataFrame:
+    """`(qid, pos_id, pos_cos, neg_id, neg_cos, violation)` — batch-hard
+    triplet mining for contrastive/embedding training: for each query
+    vector (vec_id < num_queries), the HARDEST positive (least-similar
+    same-label vector — lowest cosine, tie by id) paired with the top-k
+    HARDEST negatives (most-similar different-label vectors), flagging
+    margin violations ``neg_cos > pos_cos - margin`` — exactly the
+    triplets a trainer wants in the batch.
+
+    Shape: the same broadcast-queries nested-loop as cosine_topk — the
+    candidate corpus never shuffles; positives and negatives are two
+    row_number windows over the one scored pair set (AQE reuses the
+    exchange).  Queries with no same-label partner drop out (no positive
+    exists — nothing to train on).  Cosines are double-math rounded to 6
+    decimals (ulp absorption), so the violation comparison is
+    deterministic across engines.
+    """
+    base = _with_norm(emb)
+    q = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("qlabel"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+        F.col("label").alias("clabel"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="qemb", b="cemb"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ),
+        )
+        .select("qid", "qlabel", "cid", "clabel", "cos")
+    )
+    wpos = Window.partitionBy("qid").orderBy(F.col("cos").asc(), F.col("cid").asc())
+    pos = (
+        pairs.where(F.col("qlabel") == F.col("clabel"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("cid").alias("pos_id"), F.col("cos").alias("pos_cos"))
+    )
+    wneg = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    negs = (
+        pairs.where(F.col("qlabel") != F.col("clabel"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("cid").alias("neg_id"), F.col("cos").alias("neg_cos"))
+    )
+    return negs.join(pos, "qid").select(
+        "qid",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        (F.col("neg_cos") > F.col("pos_cos") - F.lit(float(margin))).alias(
+            "violation"
+        ),
+    )
+
+
+def triplet_mining_oracle(
+    num_queries: int = 10, k: int = 5, margin: float = 0.1
+) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    return f"""WITH te AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+),
+tn AS (
+  SELECT vec_id, emb, label,
+         sqrt({dot.format(a='emb', b='emb')}) AS nrm
+  FROM te
+  WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
+),
+tpairs AS (
+  SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS cid,
+         c.label AS clabel,
+         ROUND({dot.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 6) AS cos
+  FROM tn q JOIN tn c ON q.vec_id < {num_queries} AND q.vec_id <> c.vec_id
+),
+tpos AS (
+  SELECT qid, cid AS pos_id, cos AS pos_cos
+  FROM (
+    SELECT qid, cid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos ASC, cid ASC) AS rn
+    FROM tpairs WHERE qlabel = clabel
+  ) WHERE rn = 1
+),
+tneg AS (
+  SELECT qid, cid AS neg_id, cos AS neg_cos
+  FROM (
+    SELECT qid, cid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+    FROM tpairs WHERE qlabel <> clabel
+  ) WHERE rn <= {k}
+)
+SELECT n.qid, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       (n.neg_cos > p.pos_cos - {margin}) AS violation
+FROM tneg n JOIN tpos p ON n.qid = p.qid"""

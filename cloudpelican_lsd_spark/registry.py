@@ -3626,6 +3626,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_triplet_mining", sim_ops.triplet_mining_oracle(10, 5))
+def q_emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining for contrastive training: per query the
+    hardest same-label positive + top-5 hardest different-label
+    negatives with margin-violation flags (similarity.triplet_mining) —
+    the training-pair generator that sits on top of the ANN family.
+    Broadcast-queries plan: the candidate corpus never shuffles."""
+    return sim_ops.triplet_mining(
+        load_table(spark, "embeddings", sf_dir), num_queries=10, k=5
+    )
+
+
 @register("text_cms_topk_audit", text_ops.cms_topk_audit_oracle(50))
 def q_cms_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-sketch heavy hitters, accuracy-audited: the exact top-50
@@ -4079,6 +4091,7 @@ DRIVER_ORDER = [
     "text_perceptron_step",
     "dedup_bloom_prefilter",
     "text_cms_topk_audit",
+    "emb_triplet_mining",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

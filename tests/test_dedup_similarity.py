@@ -967,3 +967,54 @@ def test_bloom_prefilter_corpus_positions_broadcast(spark, sf_dir):
             else "false_positive"
         )
         assert r["status"] == want
+
+
+def test_triplet_mining_matches_python_reference(spark):
+    """hardest positive = lowest same-label cosine, negatives = top-k
+    different-label cosines, violation = neg > pos - margin; queries with
+    no same-label partner drop out."""
+    import math
+
+    from cloudpelican_lsd_spark.operators import similarity as S
+
+    vecs = {
+        0: ([1.0, 0.0, 0.0] + [0.0] * 61, 1),
+        1: ([0.9, 0.1, 0.0] + [0.0] * 61, 1),   # near-dup positive of 0
+        2: ([0.5, 0.5, 0.0] + [0.0] * 61, 1),   # harder positive of 0
+        3: ([0.95, 0.05, 0.0] + [0.0] * 61, 2), # hard negative of 0
+        4: ([0.0, 1.0, 0.0] + [0.0] * 61, 2),   # easy negative
+        5: ([0.0, 0.0, 1.0] + [0.0] * 61, 3),   # orphan label: no positive
+    }
+    emb = spark.createDataFrame(
+        [(i, v, l) for i, (v, l) in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = [
+        (r["qid"], r["pos_id"], r["neg_id"], r["violation"])
+        for r in S.triplet_mining(emb, num_queries=6, k=2, margin=0.1)
+        .orderBy("qid", F.col("neg_cos").desc(), "neg_id")
+        .collect()
+    ]
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return round(sum(x * y for x, y in zip(a, b)) / (da * db), 6)
+
+    want = []
+    for qid in sorted(vecs):
+        qv, ql = vecs[qid]
+        pos = sorted(
+            ((cos(qv, v), i) for i, (v, l) in vecs.items() if l == ql and i != qid)
+        )
+        if not pos:
+            continue  # orphan label drops out
+        negs = sorted(
+            ((-cos(qv, v), i) for i, (v, l) in vecs.items() if l != ql)
+        )[:2]
+        for ncos, nid in negs:
+            want.append((qid, pos[0][1], nid, -ncos > pos[0][0] - 0.1))
+    assert got == want
+    assert all(q != 5 for q, *_ in got)          # orphan dropped
+    got_by_q = {(q, n): v for q, _p, n, v in got}
+    assert got_by_q[(0, 3)] is True              # planted hard negative violates
