@@ -914,3 +914,117 @@ j AS (
 SELECT source, status, COUNT(*)::BIGINT AS n_docs,
        SUM(tok_delta)::BIGINT AS token_delta
 FROM j GROUP BY source, status"""
+
+
+# ---------------------------------------------------------------------------
+# UniMax water-filling — token-budget allocation across sources
+# ---------------------------------------------------------------------------
+
+
+def unimax_allocation(docs: DataFrame, budget_num: int = 2, budget_den: int = 5) -> DataFrame:
+    """`(source, n_tokens, alloc)` — UniMax-style water-filling (Chung et
+    al. 2023, "UniMax: Fairer and More Effective Language Sampling"):
+    spend a token budget ``B = total * budget_num // budget_den`` as
+    uniformly as possible across sources, never over-sampling any source
+    past its available tokens.
+
+    Exact integer formulation: sort sources by availability ascending
+    (ties by name); with prefix sums ``P_i``, the number of fully-taken
+    sources is ``k = max { i : P_i + (S-i) * n_i <= B }`` (sources whose
+    entire supply fits under the uniform water level).  The remaining
+    ``S-k`` sources split ``B - P_k`` evenly: ``t = div``, and the first
+    ``B - P_k mod (S-k)`` of them (in the same sort order) get one extra
+    token — fully deterministic, allocations sum exactly to
+    ``min(B, total)``.
+
+    Scale: the only corpus-sized work is the per-source token agg
+    (map-side-collapsed to |sources| rows per mapper); the water-filling
+    itself is window math over |sources| rows.  Works unchanged with
+    thousands of domains/languages as the grouping key.
+    """
+    from pyspark.sql.window import Window
+
+    per_src = (
+        docs.select(
+            "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    w = Window.orderBy(F.col("n_tokens").asc(), F.col("source").asc())
+    ranked = per_src.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("i"),
+        F.sum("n_tokens").over(w).alias("p"),
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("s_cnt"), F.sum("n_tokens").alias("total")
+    ).select(
+        "s_cnt",
+        "total",
+        F.expr(f"(total * {int(budget_num)}) div {int(budget_den)}").alias("b"),
+    )
+    with_tot = ranked.crossJoin(F.broadcast(totals))
+    k_row = with_tot.where(
+        F.col("p") + (F.col("s_cnt") - F.col("i")) * F.col("n_tokens")
+        <= F.col("b")
+    ).agg(F.max("i").alias("k"), F.max("p").alias("p_k"))
+    return (
+        with_tot.crossJoin(F.broadcast(k_row))
+        .select(
+            "source",
+            "n_tokens",
+            "i",
+            F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+            F.coalesce(F.col("p_k"), F.lit(0)).alias("p_k"),
+            "s_cnt",
+            "b",
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.when(F.col("i") <= F.col("k"), F.col("n_tokens"))
+            .otherwise(
+                F.expr("(b - p_k) div (s_cnt - k)")
+                + F.when(
+                    F.col("i") - F.col("k")
+                    <= (F.col("b") - F.col("p_k")) % (F.col("s_cnt") - F.col("k")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+def unimax_allocation_oracle(budget_num: int = 2, budget_den: int = 5) -> str:
+    return f"""WITH u_src AS (
+  SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+u_rank AS (
+  SELECT source, n_tokens,
+         row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS i,
+         SUM(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS p
+  FROM u_src
+),
+u_tot AS (
+  SELECT COUNT(*)::BIGINT AS s_cnt, SUM(n_tokens)::BIGINT AS total,
+         (SUM(n_tokens) * {budget_num} // {budget_den})::BIGINT AS b
+  FROM u_rank
+),
+u_k AS (
+  SELECT COALESCE(MAX(i), 0)::BIGINT AS k, COALESCE(MAX(p), 0)::BIGINT AS p_k
+  FROM u_rank, u_tot
+  WHERE p + (s_cnt - i) * n_tokens <= b
+)
+SELECT r.source, r.n_tokens,
+  CASE WHEN r.i <= k.k THEN r.n_tokens
+       ELSE (t.b - k.p_k) // (t.s_cnt - k.k)
+            + CASE WHEN r.i - k.k <= (t.b - k.p_k) % (t.s_cnt - k.k)
+                   THEN 1 ELSE 0 END
+  END::BIGINT AS alloc
+FROM u_rank r, u_tot t, u_k k"""

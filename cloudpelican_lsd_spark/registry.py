@@ -3626,6 +3626,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corpus_unimax_alloc", corpus_ops.unimax_allocation_oracle(2, 5))
+def q_corpus_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling: spend a 40% token budget as uniformly as
+    possible across sources without over-sampling any (Chung et al.
+    2023) — the principled successor to temperature mixing, as exact
+    integer window math (corpus.unimax_allocation).  Allocations sum to
+    exactly min(B, total) by construction."""
+    return corpus_ops.unimax_allocation(
+        load_table(spark, "documents", sf_dir), budget_num=2, budget_den=5
+    )
+
+
 @register("emb_triplet_mining", sim_ops.triplet_mining_oracle(10, 5))
 def q_emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-hard triplet mining for contrastive training: per query the
@@ -4092,6 +4104,7 @@ DRIVER_ORDER = [
     "dedup_bloom_prefilter",
     "text_cms_topk_audit",
     "emb_triplet_mining",
+    "corpus_unimax_alloc",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

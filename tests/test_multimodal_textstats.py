@@ -947,3 +947,59 @@ def test_cms_audit_matches_python_and_never_underestimates(spark):
     assert got == want
     assert all(est >= c for c, est, _ in got.values())
     assert any(est > c for c, est, _ in got.values()), "width 8 must collide"
+
+
+def test_unimax_allocation_waterfill_properties(spark):
+    """against a pure-Python water-filler on randomized source tables:
+    never over-allocates a source, sums to exactly min(B, total), fully
+    takes exactly the below-water sources, and splits the rest within
+    one token of each other (the UniMax uniformity guarantee)."""
+    import random
+
+    from cloudpelican_lsd_spark.operators.corpus import unimax_allocation
+
+    rng = random.Random(11)
+    for trial in range(4):
+        srcs = [
+            (f"s{chr(97 + i)}", rng.randint(0, 400))
+            for i in range(rng.randint(1, 9))
+        ]
+        bn, bd = rng.choice([(2, 5), (1, 2), (9, 10), (1, 1), (0, 1)])
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * max(n, 1)) if n else "", s)
+             for i, (s, n) in enumerate(srcs)],
+            "doc_id long, text string, source string",
+        )
+        # split("", " ") yields [""] -> 1 token; mirror that in the reference
+        counts = {s: max(n, 1) for s, n in srcs}
+        total = sum(counts.values())
+        b = total * bn // bd
+        got = {
+            r["source"]: (r["n_tokens"], r["alloc"])
+            for r in unimax_allocation(docs, bn, bd).collect()
+        }
+        assert {s: c for s, (c, _) in got.items()} == counts
+        allocs = {s: a for s, (_, a) in got.items()}
+        assert all(allocs[s] <= counts[s] for s in counts)
+        assert sum(allocs.values()) == min(b, total)
+        # python water-fill reference
+        order = sorted(counts, key=lambda s: (counts[s], s))
+        k, p = 0, 0
+        prefix = 0
+        for idx, s in enumerate(order, 1):
+            prefix += counts[s]
+            if prefix + (len(order) - idx) * counts[s] <= b:
+                k, p = idx, prefix
+        want = {}
+        rem_srcs = order[k:]
+        if rem_srcs:
+            t, r = divmod(b - p, len(rem_srcs))
+            for j, s in enumerate(rem_srcs, 1):
+                want[s] = t + (1 if j <= r else 0)
+        for s in order[:k]:
+            want[s] = counts[s]
+        assert allocs == want, f"trial {trial}: {allocs} != {want}"
+        # uniformity: capped sources differ by at most one token
+        capped = [allocs[s] for s in rem_srcs]
+        if capped:
+            assert max(capped) - min(capped) <= 1
