@@ -3626,6 +3626,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from cloudpelican_lsd_spark.operators import layout as layout_ops  # noqa: E402
+
+
+@register("events_zorder_locality", layout_ops.zorder_locality_oracle())
+def q_events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout, measured: chunk the events table by the
+    (day, user) linear sort and by Morton bit-interleave, report summed
+    per-chunk bounding-box areas — expected chunks touched by a 2-D
+    predicate, the data-skipping win Z-ordering buys at 100 TB
+    (operators/layout.py; production = repartitionByRange on the
+    morton key + parquet min/max stats)."""
+    return layout_ops.zorder_locality_audit(load_table(spark, "events", sf_dir))
+
+
 @register("corpus_unimax_alloc", corpus_ops.unimax_allocation_oracle(2, 5))
 def q_corpus_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax water-filling: spend a 40% token budget as uniformly as
@@ -4105,6 +4119,7 @@ DRIVER_ORDER = [
     "text_cms_topk_audit",
     "emb_triplet_mining",
     "corpus_unimax_alloc",
+    "events_zorder_locality",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",
