@@ -357,3 +357,85 @@ SELECT bucket, err_fast, total_fast, err_slow, total_slow,
          AND (err_slow * {budget_den} * 10
               > total_slow * {budget_num} * {slow_x10}) AS page
 FROM g"""
+
+
+# ---------------------------------------------------------------------------
+# approx-percentile sketch audit (rank-error contract, merge-order-proof)
+# ---------------------------------------------------------------------------
+
+
+def percentile_sketch_audit(
+    events, percentiles=(500, 900, 990), accuracy: int = 1000
+):
+    """`(event_type, p_milli, n, within_bound)` — runs Spark's native
+    `percentile_approx` (Greenwald-Khanna QuantileSummaries) per
+    event_type and VERIFIES its documented rank-error contract against
+    exact counts: some valid rank of the returned element must lie
+    within ``ceil(n/accuracy) + 1`` of the target rank ``ceil(p*n)``
+    (+1 absorbs the implementation's target-rank rounding).
+
+    The returned sketch VALUE is merge-order-dependent (partial
+    summaries merge in partition order), so it is deliberately NOT in
+    the output — only the bound check is, which the guarantee says holds
+    for every merge order.  That makes a native sketch deterministic
+    enough to value-hash: the DuckDB oracle asserts the contract as a
+    constant, and the gate fails if Spark's sketch ever violates it.
+    All comparisons are exact integers (milli-units cleared).
+    """
+    from pyspark.sql import functions as F
+
+    parr = "array(" + ", ".join(f"{p}/1000D" for p in percentiles) + ")"
+    approx = events.groupBy("event_type").agg(
+        F.expr(f"percentile_approx(value, {parr}, {accuracy})").alias("avals")
+    )
+    per_p = approx.select(
+        "event_type",
+        F.posexplode("avals").alias("idx", "aval"),
+    ).select(
+        "event_type",
+        F.element_at(
+            F.array(*[F.lit(int(p)) for p in percentiles]), F.col("idx") + 1
+        ).alias("p_milli"),
+        "aval",
+    )
+    joined = events.select("event_type", "value").join(
+        F.broadcast(per_p), "event_type"
+    )
+    counted = joined.groupBy("event_type", "p_milli").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") <= F.col("aval"), 1).otherwise(0)).alias(
+            "cnt_le"
+        ),
+        F.sum(F.when(F.col("value") < F.col("aval"), 1).otherwise(0)).alias(
+            "cnt_lt"
+        ),
+    )
+    acc = int(accuracy)
+    return counted.select(
+        "event_type",
+        F.col("p_milli").cast("int").alias("p_milli"),
+        F.col("n").cast("long").alias("n"),
+        (
+            # target rank T = ceil(p*n) in milli-units; slack s = ceil(n/acc)+1;
+            # rank interval [cnt_lt+1, cnt_le] must intersect [T-s, T+s]
+            (
+                (F.col("cnt_lt") + 1)
+                <= F.expr(f"(p_milli * n + 999) div 1000 + (n + {acc - 1}) div {acc} + 1")
+            )
+            & (
+                F.col("cnt_le")
+                >= F.expr(f"(p_milli * n + 999) div 1000 - (n + {acc - 1}) div {acc} - 1")
+            )
+        ).alias("within_bound"),
+    )
+
+
+def percentile_sketch_audit_oracle(percentiles=(500, 900, 990)) -> str:
+    """The guarantee itself is the oracle: per (event_type, percentile),
+    exact `n` and ``within_bound = TRUE`` — any sketch violation
+    hash-fails the gate."""
+    plist = ", ".join(str(int(p)) for p in percentiles)
+    return f"""SELECT event_type, CAST(t.p AS INT) AS p_milli,
+       COUNT(*)::BIGINT AS n, TRUE AS within_bound
+FROM events, unnest([{plist}]) AS t(p)
+GROUP BY event_type, t.p"""

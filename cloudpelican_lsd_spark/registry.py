@@ -3626,6 +3626,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_percentile_sketch_audit",
+    stats_ops.percentile_sketch_audit_oracle((500, 900, 990)),
+)
+def q_events_percentile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-sketch contract audit: Spark's percentile_approx (GK
+    summaries) per event_type at p50/p90/p99, verified against exact
+    rank counts — the sketch VALUE is merge-order-dependent so only the
+    guaranteed rank-error bound is emitted, which the oracle asserts as
+    a constant (stats.percentile_sketch_audit).  Complements the exact
+    events_value_percentiles with the at-scale single-pass path."""
+    return stats_ops.percentile_sketch_audit(load_table(spark, "events", sf_dir))
+
+
 from cloudpelican_lsd_spark.operators import layout as layout_ops  # noqa: E402
 
 
@@ -4120,6 +4134,7 @@ DRIVER_ORDER = [
     "emb_triplet_mining",
     "corpus_unimax_alloc",
     "events_zorder_locality",
+    "events_percentile_sketch_audit",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -407,3 +407,34 @@ def test_zorder_locality_tradeoff(spark, sf_dir):
     assert lin["sum_span_y"] <= zo["sum_span_y"]
     for r in rows.values():
         assert r["sum_bbox_area"] >= r["n_chunks"]  # every box area >= 1
+
+
+def test_percentile_sketch_audit_bounds(spark):
+    """on a deterministic 1..N single-type table the sketch must pass its
+    rank contract at every percentile; and the integer bound predicate
+    itself (python twin) accepts exactly the ranks within
+    ceil(p*n) +/- (ceil(n/acc)+1)."""
+    from cloudpelican_lsd_spark.operators.stats import percentile_sketch_audit
+
+    n = 500
+    df = spark.createDataFrame(
+        [(i, "t", float(i % n + 1)) for i in range(n)],
+        "event_id long, event_type string, value double",
+    )
+    rows = percentile_sketch_audit(df).collect()
+    assert len(rows) == 3 and all(r["within_bound"] for r in rows)
+    assert all(r["n"] == n for r in rows)
+
+    # python twin of the predicate: value v has rank interval
+    # [cnt_lt+1, cnt_le]; with distinct 1..n values both equal v
+    def within(v, p_milli, n, acc=1000):
+        t = (p_milli * n + 999) // 1000
+        s = (n + acc - 1) // acc + 1
+        cnt_le = cnt_lt_plus1 = v  # distinct integers 1..n
+        return (cnt_lt_plus1 <= t + s) and (cnt_le >= t - s)
+
+    # p50 of 1..500: target rank 250, slack 2 -> accepts exactly 248..252
+    accepted = [v for v in range(1, n + 1) if within(v, 500, n)]
+    assert accepted == list(range(248, 253))
+    # and an out-of-contract value is rejected (the gate would hash-fail)
+    assert not within(260, 500, n)
