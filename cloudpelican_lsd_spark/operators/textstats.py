@@ -1460,3 +1460,150 @@ FROM chash h
 JOIN ctop t ON t.tok = h.tok
 JOIN ccounter c ON c.d = h.d AND c.bucket = h.bucket
 GROUP BY h.tok, h.true_cnt"""
+
+
+# ---------------------------------------------------------------------------
+# known-item retrieval evaluation (reciprocal rank, exact ppm)
+# ---------------------------------------------------------------------------
+
+
+def known_item_mrr(
+    docs: DataFrame, probe_mod: int = 25, q_tokens: int = 4, topk: int = 10
+) -> DataFrame:
+    """`(qid, rank, rr_ppm)` — known-item retrieval self-evaluation: for
+    every probe document (``doc_id % probe_mod == 0``) synthesize a
+    query from its ``q_tokens`` most DISTINCTIVE terms (highest idf —
+    the standard synthetic-query generation for IR eval), rank the
+    corpus by tf·idf, and report the rank at which the probe document
+    itself comes back (0 = not in the top-``topk``) plus the exact
+    reciprocal rank in ppm (``1000000 div rank``).  Averaging rr_ppm
+    gives MRR@k — the retrieval-quality number a RAG corpus pipeline
+    tracks per release.
+
+    Plan shape: this is the INVERTED-INDEX retrieval plan — tokens
+    explode once into `(doc_id, term, tf)`, the (tiny) query-term table
+    joins on `term`, candidates aggregate per (qid, doc) — the
+    many-queries complement to bm25_topk's fixed-bag column plan.
+    High-idf query terms double as the candidate prune: rare terms
+    touch few docs (at 100 TB also add a max_df guard, as in
+    ngram_jaccard_pairs).
+
+    Terms are word BIGRAMS (dedup.shingle_rows n=2 — the one shared
+    shingle implementation): on a small-vocabulary corpus unigrams
+    cannot discriminate documents (every word is near-ubiquitous), while
+    bigram idf carries real signal — the same reason phrase indexing
+    exists.  Determinism: tf and ranks are BIGINT; idf = ln(N/df)
+    micro-rounded (the unigram_logprob discipline); query-term and
+    result ties break lexicographically / by doc_id.  The probe always
+    matches its own query terms, so rank 0 can only mean "more than
+    topk better-scoring docs", never "missing".
+    """
+    from pyspark.sql import Window
+
+    from cloudpelican_lsd_spark.operators.dedup import shingle_rows
+
+    inv = (
+        shingle_rows(docs, n=2)
+        .groupBy("doc_id", F.col("shingle").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        inv.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.expr(
+                "GREATEST(CAST(ROUND(ln(n_docs / df) * 1e6, 0) AS BIGINT),"
+                " CAST(0 AS BIGINT))"
+            ).alias("idf_micro"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("idf_micro").desc(), F.col("term").asc()
+    )
+    qterms = (
+        inv.where(F.col("doc_id") % probe_mod == 0)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .join(idf, "term")
+        .withColumn("qrn", F.row_number().over(wq))
+        .where(F.col("qrn") <= q_tokens)
+        .select("qid", "term")
+    )
+    scored = (
+        inv.join(idf, "term")
+        .join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_micro")).alias("score"))
+        .where(F.col("score") > 0)
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    hits = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where((F.col("doc_id") == F.col("qid")) & (F.col("rank") <= topk))
+        .select("qid", "rank")
+    )
+    probes = docs.where(F.col("doc_id") % probe_mod == 0).select(
+        F.col("doc_id").alias("qid")
+    )
+    return probes.join(hits, "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("rank"), F.lit(0)).cast("long").alias("rank"),
+        F.coalesce(
+            F.expr("1000000 div rank"), F.lit(0)
+        ).cast("long").alias("rr_ppm"),
+    )
+
+
+def known_item_mrr_oracle(
+    probe_mod: int = 25, q_tokens: int = 4, topk: int = 10
+) -> str:
+    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
+
+    # compose the shared n=2 shingle CTE; tf needs duplicate-preserving
+    # counts, so ki_inv aggregates the kipos intermediate (kish is the
+    # DISTINCT view) with the same inclusive-slice term expression
+    return f"""WITH {shingles_oracle_cte(2, "documents", "ki")},
+ki_inv AS (
+  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS term,
+         COUNT(*)::BIGINT AS tf
+  FROM kipos GROUP BY doc_id, term
+),
+ki_n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+ki_idf AS (
+  SELECT term,
+         GREATEST(CAST(ROUND(ln(n_docs / COUNT(*)) * 1e6, 0) AS BIGINT),
+                  0) AS idf_micro
+  FROM ki_inv, ki_n GROUP BY term, n_docs
+),
+ki_q AS (
+  SELECT qid, term FROM (
+    SELECT i.doc_id AS qid, i.term,
+           row_number() OVER (PARTITION BY i.doc_id
+                              ORDER BY d.idf_micro DESC, i.term ASC) AS qrn
+    FROM ki_inv i JOIN ki_idf d USING (term)
+    WHERE i.doc_id % {probe_mod} = 0
+  ) WHERE qrn <= {q_tokens}
+),
+ki_scored AS (
+  SELECT q.qid, i.doc_id, SUM(i.tf * d.idf_micro)::BIGINT AS score
+  FROM ki_inv i JOIN ki_idf d USING (term) JOIN ki_q q USING (term)
+  GROUP BY q.qid, i.doc_id
+  HAVING SUM(i.tf * d.idf_micro) > 0
+),
+ki_hits AS (
+  SELECT qid, rank FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM ki_scored
+  ) WHERE doc_id = qid AND rank <= {topk}
+)
+SELECT p.doc_id AS qid,
+       COALESCE(h.rank, 0)::BIGINT AS rank,
+       COALESCE(1000000 // h.rank, 0)::BIGINT AS rr_ppm
+FROM documents p LEFT JOIN ki_hits h ON h.qid = p.doc_id
+WHERE p.doc_id % {probe_mod} = 0"""

@@ -3678,6 +3678,17 @@ def q_emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_known_item_mrr", text_ops.known_item_mrr_oracle(25, 4, 10))
+def q_text_known_item_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval self-evaluation: query = each probe doc's
+    first 4 tokens, rank the corpus by exact-integer tf-idf via the
+    inverted-index plan, report the probe's comeback rank and exact
+    reciprocal-rank ppm (textstats.known_item_mrr) — the MRR@10 quality
+    number a retrieval corpus tracks per release, and the many-queries
+    complement to bm25_topk's fixed-bag plan."""
+    return text_ops.known_item_mrr(load_table(spark, "documents", sf_dir))
+
+
 @register("text_cms_topk_audit", text_ops.cms_topk_audit_oracle(50))
 def q_cms_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min-sketch heavy hitters, accuracy-audited: the exact top-50
@@ -4135,6 +4146,7 @@ DRIVER_ORDER = [
     "corpus_unimax_alloc",
     "events_zorder_locality",
     "events_percentile_sketch_audit",
+    "text_known_item_mrr",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -1003,3 +1003,55 @@ def test_unimax_allocation_waterfill_properties(spark):
         capped = [allocs[s] for s in rem_srcs]
         if capped:
             assert max(capped) - min(capped) <= 1
+
+
+def test_known_item_mrr_matches_python_twin(spark, sf_dir):
+    """full pipeline twin: bigram inverted index, micro-rounded idf,
+    top-4-idf query synthesis, tf-idf ranking, reciprocal ranks — and
+    the probe corpus must be largely retrievable (bigram signal)."""
+    import math
+
+    from cloudpelican_lsd_spark.operators.textstats import known_item_mrr
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    texts = {r["doc_id"]: r["text"].lower().split(" ")
+             for r in docs.select("doc_id", "text").collect()}
+
+    inv = {}
+    for d, toks in texts.items():
+        for i in range(len(toks) - 1):
+            term = f"{toks[i]} {toks[i+1]}"
+            inv.setdefault(term, {}).setdefault(d, 0)
+            inv[term][d] += 1
+    n = len(texts)
+    idf = {
+        t: max(int(round(math.log(n / len(dd)) * 1e6)), 0)
+        for t, dd in inv.items()
+    }
+    want = {}
+    for qid in sorted(texts):
+        if qid % 25 != 0:
+            continue
+        qterms = sorted(
+            {t for t, dd in inv.items() if qid in dd},
+            key=lambda t: (-idf[t], t),
+        )[:4]
+        scores = {}
+        for t in qterms:
+            for d, tf in inv[t].items():
+                scores[d] = scores.get(d, 0) + tf * idf[t]
+        ranked = sorted(
+            ((d, s) for d, s in scores.items() if s > 0),
+            key=lambda ds: (-ds[1], ds[0]),
+        )
+        rank = next(
+            (i + 1 for i, (d, _) in enumerate(ranked[:10]) if d == qid), 0
+        )
+        want[qid] = (rank, 1000000 // rank if rank else 0)
+    got = {
+        r["qid"]: (r["rank"], r["rr_ppm"])
+        for r in known_item_mrr(docs).collect()
+    }
+    assert got == want
+    assert sum(1 for r, _ in got.values() if r > 0) >= len(got) * 0.7
