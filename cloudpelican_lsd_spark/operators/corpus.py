@@ -1028,3 +1028,164 @@ SELECT r.source, r.n_tokens,
                    THEN 1 ELSE 0 END
   END::BIGINT AS alloc
 FROM u_rank r, u_tot t, u_k k"""
+
+
+# ---------------------------------------------------------------------------
+# training manifest + dataset integrity audit
+# ---------------------------------------------------------------------------
+
+
+def training_manifest(docs: DataFrame, emb: DataFrame, shards: int = 16) -> DataFrame:
+    """`(doc_id, source, lang, n_tokens, modality, has_embedding, keep,
+    shard)` — the per-example manifest a training job consumes: quality
+    decision (C4 panel, shared predicates), embedding availability
+    (equi-join on id), media modality (typed metadata column — the blob
+    is never touched), and a deterministic shard assignment
+    (md5-prefix mod, the corpus_split_assign scheme).
+
+    A manifest RECORDS decisions rather than applying them (keep is a
+    flag, rows are never dropped) — that is what makes dataset releases
+    auditable and diffable (corpus_snapshot_diff consumes exactly this
+    shape).
+
+    100 TB shape: one scan of docs computes quality flags + tokens +
+    shard in fused column math; the embeddings join is an id-equi join —
+    co-locate by bucketing both tables on the id (sources/bucketed.py)
+    and it runs shuffle-free; modality is a metadata column (here
+    derived from the id like the media generator does; production reads
+    it straight off the media parquet's typed columns with the blob
+    pruned).
+    """
+    any_fail = F.greatest(
+        *[expr.cast("int") for expr in c4_flag_exprs().values()]
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        (any_fail == 0).alias("keep"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 4), 16, 10)
+            .cast("long") % shards
+        ).alias("shard"),
+    )
+    has_emb = emb.select(F.col("vec_id").alias("doc_id")).distinct().withColumn(
+        "has_embedding", F.lit(True)
+    )
+    return base.join(has_emb, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        "modality",
+        F.coalesce(F.col("has_embedding"), F.lit(False)).alias("has_embedding"),
+        "keep",
+        F.col("shard").cast("long").alias("shard"),
+    )
+
+
+def training_manifest_oracle(shards: int = 16) -> str:
+    flag_sql = c4_flag_sql("len(string_split(text, ' '))")
+    any_fail = "GREATEST(" + ", ".join(f"{e}::INT" for e in flag_sql.values()) + ")"
+    return f"""WITH tm_emb AS (
+  SELECT DISTINCT vec_id AS doc_id FROM embeddings
+)
+SELECT d.doc_id, d.source, d.lang,
+       len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+       (['image','audio','video'])[(d.doc_id % 3) + 1] AS modality,
+       (e.doc_id IS NOT NULL) AS has_embedding,
+       ({any_fail} = 0) AS keep,
+       (('0x' || substr(md5('shard:' || d.doc_id), 1, 4))::BIGINT % {shards})
+         ::BIGINT AS shard
+FROM documents d LEFT JOIN tm_emb e ON e.doc_id = d.doc_id"""
+
+
+#: integrity checks: name -> description lives in the docstring; each is a
+#: COUNT of violating rows, 0 = healthy.
+def integrity_audit(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """`(check, n_bad)` — dataset-release integrity checks, every row a
+    violation COUNT (all zeros = shippable):
+
+    - ``docs_missing_embedding`` / ``embeddings_orphaned``: the two
+      anti-join directions between the doc and embedding tables;
+    - ``dup_doc_ids`` / ``dup_vec_ids``: primary-key duplication;
+    - ``empty_text``: null or empty documents;
+    - ``n_chars_mismatch``: the stored ``n_chars`` column disagreeing
+      with ``length(text)`` — a stale-derived-column detector;
+    - ``unknown_lang``: lang codes outside the release vocabulary.
+
+    The dbt-style test suite as one relational plan: two anti-joins on
+    ids (co-locatable via bucketing), the rest map-side count aggs
+    unioned into a fixed-height report.
+    """
+    langs = ["en", "es", "fr", "de", "zh"]
+    d_ids = docs.select("doc_id")
+    e_ids = emb.select(F.col("vec_id").alias("doc_id"))
+    checks = [
+        ("docs_missing_embedding", d_ids.join(e_ids, "doc_id", "left_anti")),
+        ("embeddings_orphaned", e_ids.join(d_ids, "doc_id", "left_anti")),
+        (
+            "dup_doc_ids",
+            docs.groupBy("doc_id").count().where(F.col("count") > 1),
+        ),
+        (
+            "dup_vec_ids",
+            emb.groupBy("vec_id").count().where(F.col("count") > 1),
+        ),
+        (
+            "empty_text",
+            docs.where(F.col("text").isNull() | (F.length("text") == 0)),
+        ),
+        (
+            "n_chars_mismatch",
+            docs.where(
+                F.coalesce(F.col("n_chars"), F.lit(-1))
+                != F.coalesce(F.length("text"), F.lit(-2))
+            ),
+        ),
+        ("unknown_lang", docs.where(~F.col("lang").isin(langs))),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.agg(
+            F.lit(name).alias("check"), F.count(F.lit(1)).cast("long").alias("n_bad")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def integrity_audit_oracle() -> str:
+    return """SELECT 'docs_missing_embedding' AS check,
+       (SELECT COUNT(*) FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+       )::BIGINT AS n_bad
+UNION ALL
+SELECT 'embeddings_orphaned',
+       (SELECT COUNT(*) FROM embeddings e
+        WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+       )::BIGINT
+UNION ALL
+SELECT 'dup_doc_ids',
+       (SELECT COUNT(*) FROM (
+          SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1))::BIGINT
+UNION ALL
+SELECT 'dup_vec_ids',
+       (SELECT COUNT(*) FROM (
+          SELECT vec_id FROM embeddings GROUP BY vec_id HAVING COUNT(*) > 1))::BIGINT
+UNION ALL
+SELECT 'empty_text',
+       (SELECT COUNT(*) FROM documents
+        WHERE text IS NULL OR length(text) = 0)::BIGINT
+UNION ALL
+SELECT 'n_chars_mismatch',
+       (SELECT COUNT(*) FROM documents
+        WHERE COALESCE(n_chars, -1) <> COALESCE(length(text), -2))::BIGINT
+UNION ALL
+SELECT 'unknown_lang',
+       (SELECT COUNT(*) FROM documents
+        WHERE lang NOT IN ('en', 'es', 'fr', 'de', 'zh'))::BIGINT"""

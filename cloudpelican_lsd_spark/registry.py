@@ -3654,6 +3654,32 @@ def q_events_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_ops.zorder_locality_audit(load_table(spark, "events", sf_dir))
 
 
+@register("corpus_training_manifest", corpus_ops.training_manifest_oracle(16))
+def q_corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-example training manifest: quality decision (shared C4
+    panel), embedding availability (id-equi join, bucket-colocatable),
+    modality metadata, deterministic shard — decisions RECORDED, never
+    applied, so releases stay auditable and snapshot-diffable
+    (corpus.training_manifest)."""
+    return corpus_ops.training_manifest(
+        load_table(spark, "documents", sf_dir),
+        load_table(spark, "embeddings", sf_dir),
+        shards=16,
+    )
+
+
+@register("corpus_integrity_audit", corpus_ops.integrity_audit_oracle())
+def q_corpus_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release integrity checks as one plan: anti-joins both ways
+    between docs and embeddings, key duplication, empty text, stale
+    derived columns (n_chars vs length), unknown lang codes — a 7-row
+    all-zeros-means-shippable report (corpus.integrity_audit)."""
+    return corpus_ops.integrity_audit(
+        load_table(spark, "documents", sf_dir),
+        load_table(spark, "embeddings", sf_dir),
+    )
+
+
 @register("corpus_unimax_alloc", corpus_ops.unimax_allocation_oracle(2, 5))
 def q_corpus_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax water-filling: spend a 40% token budget as uniformly as
@@ -4147,6 +4173,8 @@ DRIVER_ORDER = [
     "events_zorder_locality",
     "events_percentile_sketch_audit",
     "text_known_item_mrr",
+    "corpus_training_manifest",
+    "corpus_integrity_audit",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -1055,3 +1055,69 @@ def test_known_item_mrr_matches_python_twin(spark, sf_dir):
     }
     assert got == want
     assert sum(1 for r, _ in got.values() if r > 0) >= len(got) * 0.7
+
+
+def test_training_manifest_flags_and_shards(spark, sf_dir):
+    """manifest records decisions without dropping rows: full doc count,
+    keep agrees with the C4 any-rule panel, has_embedding agrees with a
+    direct id set, shards are md5-deterministic and in range."""
+    import hashlib
+
+    from cloudpelican_lsd_spark.operators.corpus import training_manifest
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = training_manifest(docs, emb, shards=16).collect()
+    assert len(rows) == docs.count()
+    emb_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    for r in rows:
+        assert r["shard"] == int(
+            hashlib.md5(f"shard:{r['doc_id']}".encode()).hexdigest()[:4], 16
+        ) % 16
+        assert r["has_embedding"] == (r["doc_id"] in emb_ids)
+        assert r["modality"] == ["image", "audio", "video"][r["doc_id"] % 3]
+    n_keep = sum(r["keep"] for r in rows)
+    from cloudpelican_lsd_spark.operators.corpus import c4_audit
+
+    panel = {r["rule"]: r for r in c4_audit(docs).collect()}
+    assert n_keep == panel["any_rule"]["n_docs"] - panel["any_rule"]["n_fail"]
+
+
+def test_integrity_audit_detects_planted_violations(spark):
+    """a clean synthetic pair reports all zeros; planting each violation
+    class flips exactly its counter."""
+    from cloudpelican_lsd_spark.operators.corpus import integrity_audit
+
+    docs = spark.createDataFrame(
+        [(1, "hello world.", "en", "s", 12), (2, "more text.", "es", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.1]), (2, [0.2])], "vec_id long, embedding array<float>"
+    )
+    clean = {r["check"]: r["n_bad"] for r in integrity_audit(docs, emb).collect()}
+    assert set(clean.values()) == {0}
+
+    bad_docs = docs.union(
+        spark.createDataFrame(
+            [
+                (2, "dup id.", "en", "s", 7),          # dup_doc_ids
+                (3, "", "en", "s", 0),                 # empty_text (+ no emb)
+                (4, "stale count.", "xx", "s", 99),    # n_chars_mismatch + unknown_lang
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    bad_emb = emb.union(
+        spark.createDataFrame([(9, [0.3])], "vec_id long, embedding array<float>")
+    )
+    got = {r["check"]: r["n_bad"] for r in integrity_audit(bad_docs, bad_emb).collect()}
+    assert got == {
+        "docs_missing_embedding": 2,   # ids 3 and 4
+        "embeddings_orphaned": 1,      # id 9
+        "dup_doc_ids": 1,              # id 2
+        "dup_vec_ids": 0,
+        "empty_text": 1,
+        "n_chars_mismatch": 1,
+        "unknown_lang": 1,
+    }
