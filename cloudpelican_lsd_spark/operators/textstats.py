@@ -1607,3 +1607,161 @@ SELECT p.doc_id AS qid,
        COALESCE(1000000 // h.rank, 0)::BIGINT AS rr_ppm
 FROM documents p LEFT JOIN ki_hits h ON h.qid = p.doc_id
 WHERE p.doc_id % {probe_mod} = 0"""
+
+
+# ---------------------------------------------------------------------------
+# character-level Shannon entropy — compression-style quality signal
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_chars_obs, n_distinct_chars, entropy_bits)` — per-document
+    character-level Shannon entropy in bits, the classic "is this text or
+    line noise" quality gate (low entropy = repeated boilerplate, high
+    entropy = encrypted/binary junk; CCNet and Gopher both threshold on
+    compression-ratio proxies of exactly this shape).
+
+    H = log2(n) - (1/n) * Σ_c cnt_c·ln(cnt_c)/ln(2), computed from exact
+    per-character counts.  Cross-engine determinism: the Σ cnt·ln(cnt)
+    reduction is done over per-term `ROUND(·, 6)` values summed as
+    DECIMAL(25,6) — decimal addition is exact and order-independent, so
+    Spark's partition-order sum and DuckDB's scan-order sum agree bit-for-
+    bit (a raw double SUM would drift by summation order).  Physical
+    shape: one scan → transform+explode (codegen) → two hash aggregates
+    keyed by (doc_id, ch) then doc_id; scales linearly in corpus bytes
+    and shuffles only (doc_id, ch, cnt) rows, never the raw text.
+
+    Ref parity note: the reference has no entropy op; this is a north-star
+    training-pipeline addition (quality scoring family, SURVEY §2 text
+    analysis).
+    """
+    # length-0 guard: Spark's sequence(1, 0) is a DESCENDING [1, 0], not
+    # empty (DuckDB's generate_series(1, 0) IS empty) — filter first so
+    # empty docs drop out identically on both engines.
+    chars = docs.where(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = per_char.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(
+            F.round(F.col("cnt") * F.log(F.col("cnt")), 6).cast("decimal(25,6)")
+        ).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars_obs"),
+        "n_distinct_chars",
+        F.round(
+            (F.log(F.col("n")) - F.col("s").cast("double") / F.col("n"))
+            / F.lit(0.6931471805599453),
+            6,
+        ).alias("entropy_bits"),
+    )
+
+
+CHAR_ENTROPY_ORACLE = """\
+WITH ce_chars AS (
+  SELECT d.doc_id, substring(d.text, u.i, 1) AS ch
+  FROM documents d, unnest(generate_series(1, length(d.text)::BIGINT)) AS u(i)
+),
+ce_cnt AS (
+  SELECT doc_id, ch, COUNT(*)::BIGINT AS cnt FROM ce_chars GROUP BY 1, 2
+),
+ce_agg AS (
+  SELECT doc_id, SUM(cnt)::BIGINT AS n, COUNT(*)::BIGINT AS n_distinct_chars,
+         SUM(CAST(ROUND(cnt * ln(cnt), 6) AS DECIMAL(25,6))) AS s
+  FROM ce_cnt GROUP BY 1
+)
+SELECT doc_id, n AS n_chars_obs, n_distinct_chars,
+       ROUND((ln(n) - s::DOUBLE / n) / 0.6931471805599453, 6) AS entropy_bits
+FROM ce_agg"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV rate vs a corpus-derived top-V vocab
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """`(source, total_tokens, covered_tokens, oov_tokens, covered_frac)` —
+    per-source coverage of a corpus-wide top-`vocab_size` token vocabulary
+    (count desc, token asc tiebreak): the OOV-rate report a tokenizer/vocab
+    decision is made from (which sources will fragment into unknowns).
+
+    Physical shape: ONE explode → ONE (source, token) hash aggregate; the
+    corpus-wide vocabulary is re-aggregated from that same small relation
+    (never a second text scan) and broadcast back as a left-semi-style
+    membership flag, so the raw corpus is read exactly once and everything
+    downstream operates on (source, token, cnt) rows.  At 100 TB the
+    (source, token) aggregate is the only token-cardinality shuffle; the
+    top-V vocab is bounded (V rows) and broadcast.
+    """
+    tc = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    global_counts = tc.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
+    # top-V via TakeOrderedAndProject (distributed per-partition top-V then
+    # driver merge of V-bounded heaps), NOT a global row_number window —
+    # the window form moves the whole token-cardinality relation to one
+    # partition at 100 TB.
+    vocab = (
+        global_counts.orderBy(F.col("gcnt").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token")
+    )
+    flagged = tc.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "covered_tokens",
+            (F.col("total_tokens") - F.col("covered_tokens")).alias("oov_tokens"),
+            F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias(
+                "covered_frac"
+            ),
+        )
+    )
+
+
+def vocab_coverage_oracle(vocab_size: int = 100) -> str:
+    return f"""WITH vc_tok AS (
+  SELECT d.source, u.token
+  FROM documents d, unnest(string_split(lower(d.text), ' ')) AS u(token)
+),
+vc_tc AS (
+  SELECT source, token, COUNT(*)::BIGINT AS cnt FROM vc_tok GROUP BY 1, 2
+),
+vc_vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY SUM(cnt) DESC, token ASC) AS rn
+    FROM vc_tc GROUP BY token
+  ) WHERE rn <= {vocab_size}
+),
+vc_agg AS (
+  SELECT t.source, SUM(t.cnt)::BIGINT AS total_tokens,
+         SUM(CASE WHEN v.token IS NOT NULL THEN t.cnt ELSE 0 END)::BIGINT
+             AS covered_tokens
+  FROM vc_tc t LEFT JOIN vc_vocab v USING (token)
+  GROUP BY t.source
+)
+SELECT source, total_tokens, covered_tokens,
+       (total_tokens - covered_tokens)::BIGINT AS oov_tokens,
+       ROUND(covered_tokens / total_tokens, 6) AS covered_frac
+FROM vc_agg"""

@@ -1124,6 +1124,21 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(load_table(spark, "documents", sf_dir), n=3)
 
 
+@register("text_char_entropy", text_ops.CHAR_ENTROPY_ORACLE)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (compression-style
+    quality gate; decimal-summed log terms for cross-engine determinism)."""
+    return text_ops.char_entropy(load_table(spark, "documents", sf_dir))
+
+
+@register("text_vocab_coverage", text_ops.vocab_coverage_oracle(100))
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source coverage / OOV rate against the corpus top-100 token
+    vocabulary — one text scan, one (source, token) shuffle, broadcast
+    vocab membership."""
+    return text_ops.vocab_coverage(load_table(spark, "documents", sf_dir), vocab_size=100)
+
+
 # ===========================================================================
 # north-star: multimodal binary columns (decode stubbed; plumbing real)
 # ===========================================================================
@@ -4175,6 +4190,8 @@ DRIVER_ORDER = [
     "text_known_item_mrr",
     "corpus_training_manifest",
     "corpus_integrity_audit",
+    "text_char_entropy",
+    "text_vocab_coverage",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

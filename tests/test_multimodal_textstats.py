@@ -1121,3 +1121,58 @@ def test_integrity_audit_detects_planted_violations(spark):
         "n_chars_mismatch": 1,
         "unknown_lang": 1,
     }
+
+
+def test_char_entropy_closed_form(spark):
+    """Uniform 2-symbol text = exactly 1 bit; constant text = 0 bits;
+    4 distinct chars = 2 bits (up to the 6-decimal decimal-sum rounding)."""
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "aaaa"), (3, "abcd"), (4, "aabb")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ts.char_entropy(docs).collect()}
+    assert got[1].entropy_bits == 1.0 and got[1].n_distinct_chars == 2
+    assert got[2].entropy_bits == 0.0 and got[2].n_chars_obs == 4
+    assert abs(got[3].entropy_bits - 2.0) < 1e-5
+    assert abs(got[4].entropy_bits - 1.0) < 1e-5
+
+
+def test_char_entropy_drops_empty_docs(spark):
+    """length-0 text produces no character rows on either engine — the
+    doc drops out (consistent with the DuckDB oracle's generate_series)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "xy")], "doc_id long, text string"
+    )
+    assert {r.doc_id for r in ts.char_entropy(docs).collect()} == {2}
+
+
+def test_vocab_coverage_closed_form(spark):
+    """top-1 vocab = the corpus-wide most frequent token ('x'); coverage
+    counts token OCCURRENCES (not distinct), per source."""
+    docs = spark.createDataFrame(
+        [
+            (1, "x x y", "s1"),
+            (2, "x z", "s1"),
+            (3, "y y x", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: r for r in ts.vocab_coverage(docs, vocab_size=1).collect()
+    }
+    # corpus counts: x=4, y=3, z=1 -> vocab={x}
+    assert got["s1"].total_tokens == 5 and got["s1"].covered_tokens == 3
+    assert got["s1"].oov_tokens == 2
+    assert got["s2"].total_tokens == 3 and got["s2"].covered_tokens == 1
+    assert got["s2"].covered_frac == round(1 / 3, 6)
+
+
+def test_vocab_coverage_tie_break_is_lexicographic(spark):
+    """equal counts -> token asc wins the last vocab slot (deterministic
+    TakeOrdered tiebreak, pinned so the oracle's row_number agrees)."""
+    docs = spark.createDataFrame(
+        [(1, "b a", "s1")], "doc_id long, text string, source string"
+    )
+    got = ts.vocab_coverage(docs, vocab_size=1).collect()[0]
+    # a and b both count 1; 'a' wins -> 1 of 2 tokens covered
+    assert got.covered_tokens == 1 and got.total_tokens == 2
