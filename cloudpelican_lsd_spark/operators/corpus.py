@@ -1189,3 +1189,84 @@ UNION ALL
 SELECT 'unknown_lang',
        (SELECT COUNT(*) FROM documents
         WHERE lang NOT IN ('en', 'es', 'fr', 'de', 'zh'))::BIGINT"""
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixture — the classic multilingual sampler
+# ---------------------------------------------------------------------------
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 5,
+) -> DataFrame:
+    """`(source, n_tokens, weight_ppm, alloc, oversampled)` — temperature-
+    scaled source sampling at T=2 (exponent 1/T = 0.5): the mBERT/XLM-R
+    sampler `p_i ∝ n_i^(1/T)` that up-weights small sources, spending the
+    same budget ``B = total * num // den`` as :func:`unimax_allocation`.
+    The `oversampled` flag (alloc > n_tokens) marks exactly the failure
+    mode UniMax was designed to remove — registering both makes the
+    tradeoff auditable on the same corpus.
+
+    Exactness: n^0.5 is IEEE-754 sqrt (correctly rounded, bit-identical
+    across engines — the reason for T=2 rather than an arbitrary
+    exponent), scaled to integer micro-units; every downstream step
+    (weight ppm, allocation) is integer cross-multiplication, with the
+    `B * m_i` product in DECIMAL(38,0) so a 100 TB token total cannot
+    overflow the intermediate.  Scale shape: one map-side-collapsed
+    per-source aggregate; the mixture math is |sources| rows.
+    """
+    per_src = (
+        docs.select(
+            "source", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    m = per_src.select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(round(sqrt(n_tokens) * 1000000, 0) AS BIGINT)").alias("m"),
+    )
+    tot = m.agg(
+        F.sum("m").alias("m_tot"), F.sum("n_tokens").alias("total")
+    ).select(
+        "m_tot",
+        F.expr(f"(total * {int(budget_num)}) div {int(budget_den)}").alias("b"),
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("m * 1000000 div m_tot").cast("long").alias("weight_ppm"),
+            F.expr(
+                "CAST(CAST(b AS DECIMAL(38,0)) * m div m_tot AS BIGINT)"
+            ).alias("alloc"),
+        )
+        .withColumn("oversampled", F.col("alloc") > F.col("n_tokens"))
+    )
+
+
+def temperature_mixture_oracle(budget_num: int = 2, budget_den: int = 5) -> str:
+    return f"""WITH tm_src AS (
+  SELECT source, SUM(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+tm_m AS (
+  SELECT source, n_tokens,
+         CAST(ROUND(sqrt(n_tokens) * 1000000, 0) AS BIGINT) AS m
+  FROM tm_src
+),
+tm_tot AS (
+  SELECT SUM(m)::BIGINT AS m_tot, SUM(n_tokens)::BIGINT AS total,
+         (SUM(n_tokens) * {budget_num} // {budget_den})::BIGINT AS b
+  FROM tm_m
+)
+SELECT s.source, s.n_tokens,
+       CAST(s.m * 1000000 // t.m_tot AS BIGINT) AS weight_ppm,
+       CAST(t.b::HUGEINT * s.m // t.m_tot AS BIGINT) AS alloc,
+       (CAST(t.b::HUGEINT * s.m // t.m_tot AS BIGINT) > s.n_tokens)
+           AS oversampled
+FROM tm_m s, tm_tot t"""

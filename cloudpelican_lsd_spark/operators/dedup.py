@@ -1474,3 +1474,113 @@ SELECT doc_id,
        string_agg(tok, ' ' ORDER BY pos) AS clean_text,
        COUNT(*)::BIGINT AS n_kept
 FROM keep GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment pairs — "doc A is inside doc B" dedup
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """`(doc_a, doc_b, inter_cnt, sz_a, sz_b, cont_a_ppm, cont_b_ppm,
+    relation)` — pairs where the shingle CONTAINMENT of either side,
+    |S(a)∩S(b)| / |S(side)|, reaches num/den.  Containment is the
+    asymmetric twin of Jaccard: a short document fully quoted inside a
+    much longer one scores containment≈1 but Jaccard≈|S(a)|/|S(b)|≈0, so
+    a Jaccard-threshold dedup never sees it.  This is the snippet-reuse /
+    quote-extraction detector (Broder's original resemblance-vs-
+    containment split) a training corpus needs next to `ngram_jaccard`.
+
+    Same physical shape as :func:`ngram_jaccard_pairs` — ONE shingle
+    pipeline, per-doc xxhash64 set, inverted-index `_group_pairs` (no
+    self-join), `max_df` hot-shingle skew guard — so the incremental cost
+    over a Jaccard pass is zero; only the final predicate differs.  The
+    decision is exact integer cross-multiplication (`inter*den >=
+    min(sz)*num`); the reported ppm ratios are integer floor-division,
+    hash-stable across engines.
+    """
+    sh = (
+        shingle_rows(_spread(docs), n)
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
+        .select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("sh_h"))
+    )
+    pairs = _group_pairs(sh, ["sh_h"], ["doc_id", "sz"], max_group=max_df).select(
+        F.struct(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.sz").alias("sz_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.sz").alias("sz_b"),
+        ).alias("p")
+    )
+    agg = pairs.groupBy(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    ).agg(
+        F.count(F.lit(1)).alias("inter_cnt"),
+        F.max(F.col("p.sz_a")).alias("sz_a"),
+        F.max(F.col("p.sz_b")).alias("sz_b"),
+    )
+    cont_a = F.col("inter_cnt") * threshold_den >= F.col("sz_a") * threshold_num
+    cont_b = F.col("inter_cnt") * threshold_den >= F.col("sz_b") * threshold_num
+    return (
+        agg.where(cont_a | cont_b)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_cnt",
+            "sz_a",
+            "sz_b",
+            F.expr("CAST(inter_cnt * 1000000 DIV sz_a AS BIGINT)").alias(
+                "cont_a_ppm"
+            ),
+            F.expr("CAST(inter_cnt * 1000000 DIV sz_b AS BIGINT)").alias(
+                "cont_b_ppm"
+            ),
+            F.when(cont_a & cont_b, F.lit("mutual"))
+            .when(cont_a, F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("relation"),
+        )
+    )
+
+
+def containment_oracle(
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int | None = None,
+) -> str:
+    df_filter = (
+        f"""
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {max_df}) ok ON ok.shingle = a.shingle"""
+        if max_df is not None
+        else ""
+    )
+    return f"""WITH {shingles_oracle_cte(n)},
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS inter_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id{df_filter}
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_cnt,
+       sa.sz AS sz_a, sb.sz AS sz_b,
+       (inter_cnt * 1000000 // sa.sz)::BIGINT AS cont_a_ppm,
+       (inter_cnt * 1000000 // sb.sz)::BIGINT AS cont_b_ppm,
+       CASE WHEN inter_cnt * {threshold_den} >= sa.sz * {threshold_num}
+             AND inter_cnt * {threshold_den} >= sb.sz * {threshold_num}
+            THEN 'mutual'
+            WHEN inter_cnt * {threshold_den} >= sa.sz * {threshold_num}
+            THEN 'a_in_b' ELSE 'b_in_a' END AS relation
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_cnt * {threshold_den} >= sa.sz * {threshold_num}
+   OR inter_cnt * {threshold_den} >= sb.sz * {threshold_num}"""

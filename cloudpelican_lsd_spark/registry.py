@@ -860,6 +860,45 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINED_CTE = """\
+docs_contained AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         substring(text, 1, CAST(length(text) // 2 AS INT)) AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id < 30
+)"""
+
+
+def _docs_with_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    cut = d.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(length(text) DIV 2 AS INT))").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(cut)
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""WITH {_CONTAINED_CTE},
+{dedup_ops.containment_oracle(3, 4, 5).replace('FROM documents', 'FROM docs_contained').replace('WITH ', '', 1)}""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder resemblance-vs-containment):
+    planted half-length prefix copies score containment≈1 against their
+    source but Jaccard≈0.5 — the quote/snippet-reuse dedup a Jaccard
+    threshold never fires on.  Same one-shingle-pipeline inverted-index
+    plan as ngram_jaccard_pairs (dedup.containment_pairs)."""
+    return dedup_ops.containment_pairs(
+        _docs_with_contained(spark, sf_dir), n=3, threshold_num=4, threshold_den=5
+    )
+
+
 @register(
     "dedup_jaccard_df_pruned",
     f"""WITH {_PLANTED_CTE},
@@ -3707,6 +3746,18 @@ def q_corpus_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corpus_temperature_mixture", corpus_ops.temperature_mixture_oracle(2, 5))
+def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (T=2, the mBERT/XLM-R mixer)
+    spending the same 40% budget as `corpus_unimax_alloc` — integer-exact
+    via IEEE sqrt micro-units, with the `oversampled` flag marking the
+    small-source over-sampling UniMax exists to prevent
+    (corpus.temperature_mixture)."""
+    return corpus_ops.temperature_mixture(
+        load_table(spark, "documents", sf_dir), budget_num=2, budget_den=5
+    )
+
+
 @register("emb_triplet_mining", sim_ops.triplet_mining_oracle(10, 5))
 def q_emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-hard triplet mining for contrastive training: per query the
@@ -4192,6 +4243,8 @@ DRIVER_ORDER = [
     "corpus_integrity_audit",
     "text_char_entropy",
     "text_vocab_coverage",
+    "dedup_containment_pairs",
+    "corpus_temperature_mixture",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

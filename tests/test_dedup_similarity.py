@@ -1018,3 +1018,44 @@ def test_triplet_mining_matches_python_reference(spark):
     assert all(q != 5 for q, *_ in got)          # orphan dropped
     got_by_q = {(q, n): v for q, _p, n, v in got}
     assert got_by_q[(0, 3)] is True              # planted hard negative violates
+
+
+def test_containment_pairs_asymmetric_closed_form(spark):
+    """doc 1 is a verbatim prefix of doc 2: containment(1→2)=1 but
+    Jaccard=4/9 — the Jaccard op at 1/2 misses the pair, containment
+    catches it and labels the direction."""
+    from cloudpelican_lsd_spark.operators import dedup as dd
+
+    short = "w1 w2 w3 w4 w5 w6"              # 4 3-shingles
+    long = short + " x1 x2 x3 x4 x5"          # 9 3-shingles, superset
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "z1 z2 z3 z4 z5")],
+        "doc_id long, text string",
+    )
+    rows = dd.containment_pairs(
+        docs, n=3, threshold_num=9, threshold_den=10
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.inter_cnt == 4 and r.sz_a == 4 and r.sz_b == 9
+    assert r.cont_a_ppm == 1000000 and r.relation == "a_in_b"
+    # the Jaccard twin at the same corpus and a 1/2 threshold is silent
+    assert (
+        dd.ngram_jaccard_pairs(docs, n=3, threshold_num=1, threshold_den=2)
+        .where("doc_a = 1 AND doc_b = 2")
+        .count()
+        == 0
+    )
+
+
+def test_containment_pairs_mutual_on_exact_dup(spark):
+    """identical docs -> mutual containment, ppm = 1000000 both ways."""
+    from cloudpelican_lsd_spark.operators import dedup as dd
+
+    t = "a b c d e f g"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    r = dd.containment_pairs(docs, n=3).collect()[0]
+    assert r.relation == "mutual" and r.cont_a_ppm == r.cont_b_ppm == 1000000

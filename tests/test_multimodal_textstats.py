@@ -1176,3 +1176,29 @@ def test_vocab_coverage_tie_break_is_lexicographic(spark):
     got = ts.vocab_coverage(docs, vocab_size=1).collect()[0]
     # a and b both count 1; 'a' wins -> 1 of 2 tokens covered
     assert got.covered_tokens == 1 and got.total_tokens == 2
+
+
+def test_temperature_mixture_closed_form(spark):
+    """sources 100/400 tokens -> sqrt weights 10:20 -> ppm 333333/666666;
+    a tiny source is oversampled at a big budget while UniMax never is."""
+    from cloudpelican_lsd_spark.operators import corpus as corpus_ops
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100), "small"), (2, " ".join(["w"] * 400), "big")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: r
+        for r in corpus_ops.temperature_mixture(docs, 4, 5).collect()
+    }
+    assert got["small"].weight_ppm == 333333
+    assert got["big"].weight_ppm == 666666
+    # B = 400; alloc_small = 400*10/30 = 133 > 100 available -> oversampled
+    assert got["small"].alloc == 133 and got["small"].oversampled
+    assert got["big"].alloc == 266 and not got["big"].oversampled
+    # UniMax on the same corpus never oversamples
+    uni = {
+        r.source: r.alloc
+        for r in corpus_ops.unimax_allocation(docs, 4, 5).collect()
+    }
+    assert uni["small"] <= 100 and uni["big"] <= 400
