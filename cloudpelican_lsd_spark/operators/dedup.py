@@ -92,9 +92,14 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def shingle_rows(
-    docs: DataFrame, n: int = 3, text_expr: str = "lower(text)"
+    docs: DataFrame,
+    n: int = 3,
+    text_expr: str = "lower(text)",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """`(doc_id, shingle)` — word n-grams of ``text_expr`` WITH duplicates.
+    """`(doc_id, *carry, shingle)` — word n-grams of ``text_expr`` WITH
+    duplicates; ``carry`` names extra input columns to keep on each
+    shingle row (e.g. ``("lang",)`` for per-language feature fits).
 
     Position-explode + ``element_at`` concat, NOT a ``transform()`` lambda:
     higher-order-function lambdas run on the interpreted expression path,
@@ -108,10 +113,14 @@ def shingle_rows(
     so a doc shorter than n words would otherwise emit garbage positions.
     """
     els = ", ".join(f"element_at(toks, i + {k})" for k in range(n))
+    keep = list(carry)
     return (
-        docs.select("doc_id", F.expr(f"split({text_expr}, ' ')").alias("toks"))
+        docs.select(
+            "doc_id", *keep, F.expr(f"split({text_expr}, ' ')").alias("toks")
+        )
         .select(
             "doc_id",
+            *keep,
             "toks",
             F.explode(
                 F.expr(
@@ -120,7 +129,7 @@ def shingle_rows(
                 )
             ).alias("i"),
         )
-        .select("doc_id", F.expr(f"concat_ws(' ', {els})").alias("shingle"))
+        .select("doc_id", *keep, F.expr(f"concat_ws(' ', {els})").alias("shingle"))
     )
 
 

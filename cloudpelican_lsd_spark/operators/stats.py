@@ -439,3 +439,41 @@ def percentile_sketch_audit_oracle(percentiles=(500, 900, 990)) -> str:
        COUNT(*)::BIGINT AS n, TRUE AS within_bound
 FROM events, unnest([{plist}]) AS t(p)
 GROUP BY event_type, t.p"""
+
+
+def hll_distinct_audit(events, rsd_pct: int = 2) -> DataFrame:
+    """`(event_type, exact_users, within_bound)` — runs Spark's native
+    `approx_count_distinct` (HyperLogLog++, relative standard deviation
+    ``rsd_pct``%) per event_type and VERIFIES it against the exact
+    distinct count: the estimate must land within 3·rsd (plus an absolute
+    slack of 2 for tiny groups, where the sketch switches to its exact
+    linear-counting regime).
+
+    Like the GK percentile audit, the sketch VALUE is deliberately NOT in
+    the output — HLL register merges are max() (order-independent), but
+    no other engine can reproduce Spark's exact register hashing, so the
+    hash-gated claim is the accuracy contract itself (constant TRUE in
+    the oracle; a sketch regression fails the gate).  The companion
+    `distinct_users_sketch` query exposes the raw estimate rows-only.
+    Comparison is exact integer: |approx−exact|·100 ≤ exact·3·rsd + 200.
+    """
+    from pyspark.sql import functions as F
+
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd_pct / 100.0).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) * 100
+            <= F.col("exact_users") * (3 * rsd_pct) + 200
+        ).alias("within_bound"),
+    )
+
+
+HLL_DISTINCT_AUDIT_ORACLE = """\
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type"""

@@ -1765,3 +1765,111 @@ SELECT source, total_tokens, covered_tokens,
        (total_tokens - covered_tokens)::BIGINT AS oov_tokens,
        ROUND(covered_tokens / total_tokens, 6) AS covered_frac
 FROM vc_agg"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    docs: DataFrame, target_lang: str = "en", buckets: int = 256
+) -> DataFrame:
+    """`(doc_id, n_feats, dsir_score_micro, prefer_target)` — DSIR
+    importance weights (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): hashed word-bigram bag-of-features
+    log-likelihood ratio between a target distribution (here the
+    ``target_lang`` slice) and the raw corpus, the score used to resample
+    raw data toward a target domain.
+
+    score(d) = Σ_f cnt_d(f) · [ln p̂_tgt(f) − ln p̂_raw(f)] with add-one
+    smoothing over `buckets` hashed features.  Determinism: the per-bucket
+    log-ratio is computed once on the (tiny) bucket table, scaled to
+    integer MICRO-units (`round(·×10⁶)` — same libm ln on identical
+    doubles both engines), and the per-doc reduction is then pure BIGINT
+    arithmetic — no float accumulation anywhere.  Feature hash =
+    md5-prefix mod buckets (the engine-portable hash used by the CDC /
+    bloom family).
+
+    Scale shape: DSIR is inherently two-pass (fit the ratio estimator,
+    then score) — pass 1 collapses map-side to (bucket, lang) ≤ 256×|langs|
+    rows; pass 2 is one (doc_id, bucket) hash aggregate joined to the
+    broadcast 256-row weight table.  At 100 TB you'd persist pass 1's
+    weight table and this plan's only corpus-sized work is one shingle
+    scan + one doc-bucket aggregate.
+    """
+    from cloudpelican_lsd_spark.operators.dedup import _spread, shingle_rows
+
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT) % {buckets}"
+    )
+    rows = shingle_rows(_spread(docs), 2, carry=("lang",)).select(
+        "doc_id", "lang", bucket.alias("b")
+    )
+    # pass 1: bucket-level target/raw counts (map-side combine to ≤256·|langs|)
+    bl = rows.groupBy("b", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    per_bucket = bl.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == target_lang, F.col("cnt")).otherwise(0)).alias(
+            "t_cnt"
+        ),
+        F.sum("cnt").alias("r_cnt"),
+    )
+    totals = per_bucket.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    weights = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr(
+            f"CAST(round((ln((t_cnt + 1.0) / (t_tot + {buckets}))"
+            f" - ln((r_cnt + 1.0) / (r_tot + {buckets}))) * 1000000, 0) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    # pass 2: per-doc bucket counts × broadcast weights, all-integer
+    db = rows.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        db.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("w_micro")).cast("long").alias(
+                "dsir_score_micro"
+            ),
+        )
+        .withColumn("prefer_target", F.col("dsir_score_micro") > 0)
+    )
+
+
+def dsir_weights_oracle(target_lang: str = "en", buckets: int = 256) -> str:
+    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
+
+    return f"""WITH {shingles_oracle_cte(2, "documents", "dw")},
+dw_rows AS (
+  SELECT p.doc_id, d.lang,
+         CAST(('0x' || substring(md5(array_to_string(p.toks[p.i : p.i + 1], ' ')), 1, 8))
+              AS BIGINT) % {buckets} AS b
+  FROM dwpos p JOIN documents d USING (doc_id)
+),
+dw_bucket AS (
+  SELECT b,
+         SUM(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END)::BIGINT AS t_cnt,
+         COUNT(*)::BIGINT AS r_cnt
+  FROM dw_rows GROUP BY b
+),
+dw_tot AS (
+  SELECT SUM(t_cnt)::BIGINT AS t_tot, SUM(r_cnt)::BIGINT AS r_tot FROM dw_bucket
+),
+dw_w AS (
+  SELECT b,
+         CAST(ROUND((ln((t_cnt + 1.0) / (t_tot + {buckets}))
+                    - ln((r_cnt + 1.0) / (r_tot + {buckets}))) * 1000000, 0)
+              AS BIGINT) AS w_micro
+  FROM dw_bucket, dw_tot
+),
+dw_db AS (
+  SELECT doc_id, b, COUNT(*)::BIGINT AS cnt FROM dw_rows GROUP BY 1, 2
+)
+SELECT d.doc_id, SUM(d.cnt)::BIGINT AS n_feats,
+       SUM(d.cnt * w.w_micro)::BIGINT AS dsir_score_micro,
+       (SUM(d.cnt * w.w_micro) > 0) AS prefer_target
+FROM dw_db d JOIN dw_w w USING (b)
+GROUP BY d.doc_id"""

@@ -1163,6 +1163,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint(load_table(spark, "documents", sf_dir), n=3)
 
 
+@register("text_dsir_weights", text_ops.dsir_weights_oracle("en", 256))
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling scores (hashed-bigram log-likelihood
+    ratio toward the 'en' slice; Xie et al. 2023) — integer micro-unit
+    weights, broadcast 256-row weight table (textstats.dsir_weights)."""
+    return text_ops.dsir_weights(
+        load_table(spark, "documents", sf_dir), target_lang="en", buckets=256
+    )
+
+
 @register("text_char_entropy", text_ops.CHAR_ENTROPY_ORACLE)
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document (compression-style
@@ -2156,6 +2166,14 @@ def q_text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(50)
     )
+
+
+@register("distinct_users_hll_audit", stats_ops.HLL_DISTINCT_AUDIT_ORACLE)
+def q_distinct_users_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ accuracy contract, hash-gated: the estimate must sit within
+    3·rsd of the exact distinct count (guarantee-as-constant oracle, the
+    GK-audit pattern; stats.hll_distinct_audit)."""
+    return stats_ops.hll_distinct_audit(load_table(spark, "events", sf_dir), rsd_pct=2)
 
 
 @register("distinct_users_sketch")  # rows-only: approximate by design
@@ -4245,6 +4263,8 @@ DRIVER_ORDER = [
     "text_vocab_coverage",
     "dedup_containment_pairs",
     "corpus_temperature_mixture",
+    "text_dsir_weights",
+    "distinct_users_hll_audit",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -1202,3 +1202,59 @@ def test_temperature_mixture_closed_form(spark):
         for r in corpus_ops.unimax_allocation(docs, 4, 5).collect()
     }
     assert uni["small"] <= 100 and uni["big"] <= 400
+
+
+def test_dsir_weights_matches_python_twin(spark):
+    """Full-pipeline pure-Python DSIR twin (md5-bucket hashing, add-one
+    smoothing, micro-unit log ratios) on a corpus where 'en' docs share a
+    marker bigram; en-marker docs must score positive, 'xx' docs negative."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from cloudpelican_lsd_spark.operators.textstats import dsir_weights
+
+    data = [
+        (1, "good clean text good clean", "en"),
+        (2, "good clean words here now", "en"),
+        (3, "spam junk noise spam junk", "xx"),
+        (4, "noise junk spam words now", "xx"),
+        (5, "good clean text here", "en"),
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string, lang string")
+    B = 64
+
+    def bucket(bg: str) -> int:
+        return int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) % B
+
+    def bigrams(t: str):
+        toks = t.lower().split(" ")
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    t_cnt, r_cnt = Counter(), Counter()
+    for _, t, lang in data:
+        for bg in bigrams(t):
+            b = bucket(bg)
+            r_cnt[b] += 1
+            if lang == "en":
+                t_cnt[b] += 1
+    T, R = sum(t_cnt.values()), sum(r_cnt.values())
+    w = {
+        b: round(
+            (math.log((t_cnt[b] + 1.0) / (T + B)) - math.log((r_cnt[b] + 1.0) / (R + B)))
+            * 1e6
+        )
+        for b in r_cnt
+    }
+    expect = {}
+    for did, t, _ in data:
+        bgs = bigrams(t)
+        expect[did] = (len(bgs), sum(w[bucket(bg)] for bg in bgs))
+
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_score_micro, r.prefer_target)
+        for r in dsir_weights(docs, target_lang="en", buckets=B).collect()
+    }
+    for did, (nf, score) in expect.items():
+        assert got[did][0] == nf and got[did][1] == score, did
+    assert got[1][2] and got[2][2] and not got[3][2] and not got[4][2]

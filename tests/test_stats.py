@@ -438,3 +438,21 @@ def test_percentile_sketch_audit_bounds(spark):
     assert accepted == list(range(248, 253))
     # and an out-of-contract value is rejected (the gate would hash-fail)
     assert not within(260, 500, n)
+
+
+def test_hll_distinct_audit_contract(spark):
+    """exact tiny groups sit in HLL's linear-counting regime (estimate ==
+    exact); a 500-distinct group must land within the 3·rsd band — all
+    flags TRUE, exact counts exact."""
+    from cloudpelican_lsd_spark.operators.stats import hll_distinct_audit
+
+    rows = [(i, "tiny", i % 3) for i in range(9)] + [
+        (1000 + i, "wide", i) for i in range(500)
+    ]
+    ev = spark.createDataFrame(
+        [(eid, et, float(uid), uid) for eid, et, uid in rows],
+        "event_id long, event_type string, value double, user_id long",
+    )
+    got = {r.event_type: r for r in hll_distinct_audit(ev, rsd_pct=2).collect()}
+    assert got["tiny"].exact_users == 3 and got["tiny"].within_bound
+    assert got["wide"].exact_users == 500 and got["wide"].within_bound
