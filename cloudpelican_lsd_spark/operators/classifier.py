@@ -485,3 +485,98 @@ SELECT COALESCE(w1.dim, w2.dim)::BIGINT AS dim,
        COALESCE(w2.w, 0)::BIGINT AS w_step2
 FROM pw1 w1 FULL OUTER JOIN pw2 w2 ON w1.dim = w2.dim
 WHERE COALESCE(w1.w, 0) <> 0 OR COALESCE(w2.w, 0) <> 0"""
+
+
+def perceptron_calibration(
+    docs: DataFrame, dims: int = PERCEPTRON_DIMS
+) -> DataFrame:
+    """`(score_bin, n_docs, n_pos, pos_rate_ppm, min_score, max_score)` —
+    reliability diagram for the 2-step perceptron: score every document
+    with the step-2 weights, bin the margin by SIGNED ORDER OF MAGNITUDE
+    (`sign(score) · decimal_digits(|score|)`, 0 for a zero margin), and
+    report the true-label ('en') rate per bin.  A well-calibrated margin
+    shows pos_rate rising monotonically with the bin — the go/no-go audit
+    before using the distilled model as a quality filter.
+
+    Magnitude bins rather than fixed-width or decile bins, deliberately:
+    batch-perceptron margins grow linearly with corpus size (weights are
+    gradient SUMS), so any fixed width saturates at the next scale factor,
+    and rank-based deciles would force a total order (global sort) at
+    100 TB.  Digit count is scale-adaptive, exact integer math on both
+    engines (`length(cast(abs(score) as string))`), and the report stays
+    one map-side-combinable aggregate over per-row column math.
+    """
+    spark = docs.sparkSession
+    feats = hashed_features(docs, dims)
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    w1 = perceptron_step(feats, labels, zero_weights(spark))
+    w2 = perceptron_step(feats, labels, w1)
+    scores = (
+        labels.join(
+            feats.join(F.broadcast(w2), "dim")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("score")),
+            "doc_id",
+            "left",
+        )
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0)).cast("long"))
+    )
+    binned = scores.withColumn(
+        "score_bin",
+        F.expr(
+            "CASE WHEN score = 0 THEN 0L ELSE"
+            " CAST(sign(score) AS BIGINT)"
+            " * length(CAST(abs(score) AS STRING)) END"
+        ),
+    )
+    return (
+        binned.groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("y") > 0, 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .select(
+            "score_bin",
+            "n_docs",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n_docs").cast("long").alias("pos_rate_ppm"),
+            "min_score",
+            "max_score",
+        )
+    )
+
+
+def perceptron_calibration_oracle(dims: int = PERCEPTRON_DIMS) -> str:
+    """DuckDB twin: reuses the two-step weight CTEs from
+    perceptron_oracle, then the same signed-digit-count binning."""
+    base = perceptron_oracle(dims)
+    ctes = base[: base.rindex("\nSELECT COALESCE(w1.dim")]
+    return f"""{ctes},
+csc AS (
+  SELECT l.doc_id, l.y,
+         CAST(COALESCE(SUM(f.x * w2.w), 0) AS BIGINT) AS score
+  FROM plab l
+  LEFT JOIN pfx f ON f.doc_id = l.doc_id
+  LEFT JOIN pw2 w2 ON w2.dim = f.dim
+  GROUP BY l.doc_id, l.y
+),
+cbin AS (
+  SELECT y, score,
+         CASE WHEN score = 0 THEN 0
+              ELSE CAST(sign(score) AS BIGINT)
+                   * length(CAST(abs(score) AS VARCHAR)) END AS score_bin
+  FROM csc
+)
+SELECT score_bin, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+       CAST(SUM(CASE WHEN y > 0 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS pos_rate_ppm,
+       MIN(score)::BIGINT AS min_score, MAX(score)::BIGINT AS max_score
+FROM cbin GROUP BY score_bin"""

@@ -757,3 +757,58 @@ def time_bucket_check(span: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFram
         .otherwise(delta * delta > var9)
         .alias("is_outlier"),
     )
+
+
+def ewma_check(span: DataFrame, hist: int = 8) -> DataFrame:
+    """EWMA control-chart analyzer, exact: forecast = exponentially
+    weighted moving average of the last `hist` history buckets with
+    dyadic α=1/2 weights (newest bucket weight 2^(m-1), oldest 2^0 —
+    EXACT integer weights, no float decay), flag when the actual bucket
+    leaves a ±50% band around the forecast:
+    ``2·|actual·den − num| > num`` with ``num = Σ cnt_j·2^(m-j)``,
+    ``den = 2^m − 1`` — pure BIGINT cross-multiplication, same shape as
+    the other analyzer twins (one per-row HOF fold over the bounded
+    history array; no joins, no second pass).  Degenerate all-zero
+    history flags any non-zero actual.
+
+    The dyadic ladder makes the EWMA recurrence ``s_j = (cnt_j + s_{j-1})
+    ·½`` exact after clearing denominators — the reason for α=1/2 rather
+    than an arbitrary smoothing constant.
+    """
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        F.expr(
+            f"slice(cnts, greatest(size(cnts) - {hist - 1}, 1), {hist})"
+        ).alias("wh"),
+    ).select(
+        "series_key",
+        "bucket",
+        "actual",
+        F.size("wh").cast("long").alias("m"),
+        # oldest element first: weight 2^0 ... newest gets 2^(m-1)
+        F.expr(
+            "aggregate(wh, named_struct('i', 0, 's', 0L),"
+            " (a, x) -> named_struct('i', a.i + 1,"
+            " 's', a.s + x * shiftleft(1L, a.i)), a -> a.s)"
+        ).alias("ewma_num"),
+    )
+    return s.select(
+        "series_key",
+        "bucket",
+        "actual",
+        "m",
+        "ewma_num",
+        (F.expr("shiftleft(1L, CAST(m AS INT))") - 1).cast("long").alias("ewma_den"),
+        F.when(F.col("ewma_num") == 0, F.col("actual") != 0)
+        .otherwise(
+            F.abs(
+                F.col("actual") * (F.expr("shiftleft(1L, CAST(m AS INT))") - 1)
+                - F.col("ewma_num")
+            )
+            * 2
+            > F.col("ewma_num")
+        )
+        .alias("is_outlier"),
+    )

@@ -1332,3 +1332,143 @@ tneg AS (
 SELECT n.qid, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
        (n.neg_cos > p.pos_cos - {margin}) AS violation
 FROM tneg n JOIN tpos p ON n.qid = p.qid"""
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit — retrieval quality of prefix-truncated dims
+# ---------------------------------------------------------------------------
+
+
+def matryoshka_audit(
+    emb: DataFrame, trunc_dims: int = 16, num_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """`(qid, n_overlap, recall_ppm)` — recall@k of cosine retrieval using
+    only the FIRST `trunc_dims` embedding dimensions against the full-
+    dimension ranking: the Matryoshka-representation question (Kusupati
+    et al. 2022) "how much retrieval quality survives if we store/search
+    a prefix of the vector?" — the audit run before committing to a
+    cheaper truncated index at 100 TB.
+
+    Both rankings come from ONE broadcast nested-loop pass that computes
+    the full and prefix cosines side by side (slice() of the same array —
+    no second corpus scan), then two row_number windows over the same
+    qid partitioning (one exchange, two sorts).  Cosines are rounded to
+    6 decimals (deterministic tie-break by cid), recall is integer ppm.
+    Zero-norm prefixes are dropped on both engines (same guard as
+    `_with_norm`).
+    """
+    base = _with_norm(emb).withColumn(
+        "nrm_t",
+        F.expr(
+            "sqrt("
+            + _DOT.format(
+                a=f"slice(emb, 1, {trunc_dims})", b=f"slice(emb, 1, {trunc_dims})"
+            )
+            + ")"
+        ),
+    ).where(F.col("nrm_t") > 0)
+    q = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("nrm_t").alias("qnrm_t"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+        F.col("nrm_t").alias("cnrm_t"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.expr(_DOT.format(a="qemb", b="cemb"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                F.expr(
+                    _DOT.format(
+                        a=f"slice(qemb, 1, {trunc_dims})",
+                        b=f"slice(cemb, 1, {trunc_dims})",
+                    )
+                )
+                / (F.col("qnrm_t") * F.col("cnrm_t")),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("qid").orderBy(
+        F.col("cos_full").desc(), F.col("cid").asc()
+    )
+    w_trunc = Window.partitionBy("qid").orderBy(
+        F.col("cos_trunc").desc(), F.col("cid").asc()
+    )
+    ranked = pairs.select(
+        "qid",
+        "cid",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_trunc).alias("rn_trunc"),
+    )
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.sum(
+                F.when((F.col("rn_full") <= k) & (F.col("rn_trunc") <= k), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            "qid",
+            "n_overlap",
+            F.expr(f"n_overlap * 1000000 div {k}").cast("long").alias("recall_ppm"),
+        )
+    )
+
+
+def matryoshka_audit_oracle(
+    trunc_dims: int = 16, num_queries: int = 10, k: int = 10
+) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, {d}), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    return f"""WITH me AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+mn AS (
+  SELECT vec_id, emb,
+         sqrt({dot.format(d=64, a='emb', b='emb')}) AS nrm,
+         sqrt({dot.format(d=trunc_dims, a='emb', b='emb')}) AS nrm_t
+  FROM me
+  WHERE sqrt({dot.format(d=64, a='emb', b='emb')}) > 0
+    AND sqrt({dot.format(d=trunc_dims, a='emb', b='emb')}) > 0
+),
+mpairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         ROUND({dot.format(d=64, a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 6)
+             AS cos_full,
+         ROUND({dot.format(d=trunc_dims, a='q.emb', b='c.emb')}
+               / (q.nrm_t * c.nrm_t), 6) AS cos_trunc
+  FROM mn q JOIN mn c ON q.vec_id < {num_queries} AND q.vec_id <> c.vec_id
+),
+mranked AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_full DESC, cid ASC) AS rn_full,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_trunc DESC, cid ASC) AS rn_trunc
+  FROM mpairs
+)
+SELECT qid,
+       SUM(CASE WHEN rn_full <= {k} AND rn_trunc <= {k} THEN 1 ELSE 0 END)::BIGINT
+           AS n_overlap,
+       (SUM(CASE WHEN rn_full <= {k} AND rn_trunc <= {k} THEN 1 ELSE 0 END)
+        * 1000000 // {k})::BIGINT AS recall_ppm
+FROM mranked GROUP BY qid"""

@@ -506,6 +506,20 @@ def q_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_ops.perceptron_two_steps(load_table(spark, "documents", sf_dir))
 
 
+@register(
+    "text_perceptron_calibration", nb_ops.perceptron_calibration_oracle(64)
+)
+def q_perceptron_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the distilled perceptron: per signed
+    order-of-magnitude margin bin, document count and true-'en' rate —
+    the calibration audit before the model gates a corpus.  No global
+    sort: binning is per-row math, the report one map-side agg
+    (classifier.perceptron_calibration)."""
+    return nb_ops.perceptron_calibration(
+        load_table(spark, "documents", sf_dir), dims=64
+    )
+
+
 from cloudpelican_lsd_spark.operators import outliers as outlier_ops  # noqa: E402
 
 
@@ -580,6 +594,33 @@ def q_outlier_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison (outliers.moving_average_check; numpy-consistency pinned in
     tests)."""
     return outlier_ops.moving_average_check(_analyzer_span(spark, sf_dir))
+
+
+@register(
+    "outlier_ewma",
+    f"""WITH {_OUTLIER_GRID_CTE},
+eh AS (SELECT series_key, cnt,
+              row_number() OVER (PARTITION BY series_key
+                                 ORDER BY bucket DESC) AS j
+       FROM f2 WHERE bucket < ceiling),
+eh2 AS (SELECT * FROM eh WHERE j <= 8),
+em AS (SELECT series_key, MAX(j)::BIGINT AS m FROM eh2 GROUP BY 1),
+ew AS (SELECT h.series_key, e.m,
+              CAST(SUM(h.cnt * (1::BIGINT << (e.m - h.j))) AS BIGINT) AS ewma_num
+       FROM eh2 h JOIN em e USING (series_key) GROUP BY 1, 2)
+SELECT t.series_key, t.bucket, t.actual, w.m, w.ewma_num,
+       ((1::BIGINT << w.m) - 1)::BIGINT AS ewma_den,
+       CASE WHEN w.ewma_num = 0 THEN t.actual <> 0
+            ELSE ABS(t.actual * ((1::BIGINT << w.m) - 1) - w.ewma_num) * 2
+                 > w.ewma_num END AS is_outlier
+FROM tgt t JOIN ew w USING (series_key)""",
+)
+def q_outlier_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control-chart analyzer: dyadic α=1/2 exponential forecast over
+    the last 8 buckets, ±50% band, decided by cross-multiplied BIGINT
+    comparison (outliers.ewma_check) — the exponential twin of the
+    flat-window moving-average analyzer."""
+    return outlier_ops.ewma_check(_analyzer_span(spark, sf_dir))
 
 
 @register(
@@ -3788,6 +3829,17 @@ def q_emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_matryoshka_audit", sim_ops.matryoshka_audit_oracle(16, 10, 10))
+def q_emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022): recall@10 of
+    16-dim prefix cosine retrieval vs the full 64-dim ranking — one
+    broadcast pass computes both cosines, two windows share one exchange
+    (similarity.matryoshka_audit)."""
+    return sim_ops.matryoshka_audit(
+        load_table(spark, "embeddings", sf_dir), trunc_dims=16, num_queries=10, k=10
+    )
+
+
 @register("text_known_item_mrr", text_ops.known_item_mrr_oracle(25, 4, 10))
 def q_text_known_item_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Known-item retrieval self-evaluation: query = each probe doc's
@@ -4265,6 +4317,9 @@ DRIVER_ORDER = [
     "corpus_temperature_mixture",
     "text_dsir_weights",
     "distinct_users_hll_audit",
+    "emb_matryoshka_audit",
+    "outlier_ewma",
+    "text_perceptron_calibration",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -298,3 +298,64 @@ def test_perceptron_two_steps_gate_shape(spark, sf_dir):
     }
     w1_got = {r["dim"]: r["w_step1"] for r in out_rows if r["w_step1"] != 0}
     assert w1_got == w1_want
+
+
+def test_ewma_check_closed_form(spark):
+    """history [1,2,4]: num = 1·1+2·2+4·4 = 21, den = 7, forecast 3;
+    actual 3 inside the ±50% band, actual 5 outside; all-zero history
+    flags any nonzero actual."""
+    from cloudpelican_lsd_spark.operators.outliers import ewma_check
+
+    span = spark.createDataFrame(
+        [
+            ("ok", 0, 900, [1, 2, 4], 3, 3),
+            ("spike", 0, 900, [1, 2, 4], 5, 3),
+            ("dead", 0, 900, [0, 0, 0], 1, 3),
+            ("flat0", 0, 900, [0, 0, 0], 0, 3),
+        ],
+        "series_key string, start long, ceiling long, cnts array<bigint>, "
+        "actual long, n long",
+    )
+    got = {r.series_key: r for r in ewma_check(span, hist=8).collect()}
+    assert got["ok"].ewma_num == 21 and got["ok"].ewma_den == 7
+    assert not got["ok"].is_outlier
+    assert got["spike"].is_outlier
+    assert got["dead"].is_outlier and not got["flat0"].is_outlier
+    # hist cap: 10-long history uses only the newest 8 entries
+    span2 = spark.createDataFrame(
+        [("cap", 0, 900, [9, 9, 1, 1, 1, 1, 1, 1, 1, 1], 1, 10)],
+        "series_key string, start long, ceiling long, cnts array<bigint>, "
+        "actual long, n long",
+    )
+    r = ewma_check(span2, hist=8).collect()[0]
+    assert r.m == 8 and r.ewma_num == 255 and r.ewma_den == 255
+
+
+def test_perceptron_calibration_consistency(spark):
+    """bins partition the corpus: doc counts sum to |docs|, positives to
+    |en docs|; bin ids are signed digit counts consistent with the
+    reported min/max scores; rate is exact ppm floor-division."""
+    from cloudpelican_lsd_spark.operators.classifier import (
+        perceptron_calibration,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean text good clean", "en"),
+            (2, "good clean words here now", "en"),
+            (3, "spam junk noise spam junk", "xx"),
+            (4, "noise junk spam words now", "xx"),
+            (5, "good clean text here", "en"),
+            (6, "junk junk junk junk", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = perceptron_calibration(docs, dims=16).collect()
+    assert sum(r.n_docs for r in rows) == 6
+    assert sum(r.n_pos for r in rows) == 3
+    for r in rows:
+        assert r.pos_rate_ppm == r.n_pos * 1000000 // r.n_docs
+        for s in (r.min_score, r.max_score):
+            expect = 0 if s == 0 else (1 if s > 0 else -1) * len(str(abs(s)))
+            # min/max live in the row's bin
+            assert expect == r.score_bin

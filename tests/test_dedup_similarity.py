@@ -1059,3 +1059,36 @@ def test_containment_pairs_mutual_on_exact_dup(spark):
     )
     r = dd.containment_pairs(docs, n=3).collect()[0]
     assert r.relation == "mutual" and r.cont_a_ppm == r.cont_b_ppm == 1000000
+
+
+def test_matryoshka_audit_closed_form(spark):
+    """Vectors built so the 2-dim prefix ranking INVERTS the full ranking
+    for one query: prefix-recall@1 = 0; identical-direction corpus gives
+    recall@1 = 1."""
+    from cloudpelican_lsd_spark.operators.similarity import matryoshka_audit
+
+    # query 0; candidates 1,2 (4 dims, trunc 2):
+    #   c1 = prefix-aligned but tail-opposed -> full cos low, trunc cos high
+    #   c2 = prefix-orthogonalish, tail-aligned -> full cos high, trunc low
+    rows = [
+        (0, [1.0, 0.0, 1.0, 0.0], 0),
+        (1, [1.0, 0.0, -1.0, 0.0], 0),
+        (2, [0.1, 0.0, 1.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = matryoshka_audit(emb, trunc_dims=2, num_queries=1, k=1).collect()
+    assert len(got) == 1 and got[0].n_overlap == 0 and got[0].recall_ppm == 0
+
+    # same-direction corpus: prefix ranking == full ranking
+    rows2 = [
+        (0, [1.0, 1.0, 1.0, 1.0], 0),
+        (1, [2.0, 2.0, 2.0, 2.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),
+    ]
+    emb2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int"
+    )
+    got2 = matryoshka_audit(emb2, trunc_dims=2, num_queries=1, k=1).collect()
+    assert got2[0].n_overlap == 1 and got2[0].recall_ppm == 1000000
