@@ -1593,3 +1593,76 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter_cnt * {threshold_den} >= sa.sz * {threshold_num}
    OR inter_cnt * {threshold_den} >= sb.sz * {threshold_num}"""
+
+
+# ---------------------------------------------------------------------------
+# dedup method agreement — MinHash-LSH vs SimHash candidate recall audit
+# ---------------------------------------------------------------------------
+
+
+def method_agreement(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """`(status, n_pairs)` with status ∈ {'both', 'minhash_only',
+    'simhash_only'} — the agreement audit between the two sub-linear
+    near-dup detectors: MinHash-LSH band candidates (set-overlap signal)
+    vs SimHash prefix-bucket pairs (weighted-token signal).  The
+    disagreement rows are the interesting ones — pairs only one method
+    can see — and their counts are what you check before trusting a
+    single method as THE dedup pass at 100 TB.
+
+    Pure composition of the two existing bucketed pair generators (each
+    one shuffle, no cross products) + one full-outer equi-join on the
+    pair key + a 3-row aggregate.
+    """
+    mh = lsh_candidate_pairs(docs, num_hashes, rows_per_band, n).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_mh")
+    )
+    sh = simhash_near_pairs(docs, max_hamming=max_hamming).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_sh")
+    )
+    return (
+        mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            F.when(F.col("in_mh") & F.col("in_sh"), F.lit("both"))
+            .when(F.col("in_mh").isNotNull(), F.lit("minhash_only"))
+            .otherwise(F.lit("simhash_only"))
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def method_agreement_oracle(
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    max_hamming: int = 6,
+    base_table: str = "documents",
+) -> str:
+    sim_cte = _SIMHASH_CTE.replace("FROM documents", f"FROM {base_table}")
+    return f"""{minhash_oracle_cte(num_hashes, rows_per_band, n, base_table)},
+{sim_cte},
+ag_mh AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ag_sh AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh32 a JOIN sh32 b
+    ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+)
+SELECT CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+            WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+            ELSE 'simhash_only' END AS status,
+       COUNT(*)::BIGINT AS n_pairs
+FROM ag_mh m FULL OUTER JOIN ag_sh s
+  ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+GROUP BY 1"""

@@ -812,3 +812,44 @@ def ewma_check(span: DataFrame, hist: int = 8) -> DataFrame:
         )
         .alias("is_outlier"),
     )
+
+
+def analyzer_consensus_relational(span: DataFrame) -> DataFrame:
+    """`(series_key, bucket, actual, flag_moving_avg, flag_zscore,
+    flag_random_walk, flag_ewma, n_flagging, consensus)` — the exact
+    relational twin of the numpy `outlier_consensus`: the four integer-
+    exact analyzers voted per series, consensus at ≥2 votes (the
+    reference's OutlierDetectionBolt consensus rule over its analyzer
+    battery).
+
+    Each flag column is the corresponding single-analyzer gate verbatim
+    (same cross-multiplied BIGINT/DECIMAL decisions), equi-joined on the
+    one-row-per-series keys.  The span subtree is evaluated once per
+    analyzer branch (4× at this plan's leaves) — per-series state is
+    bounded, so the joins are trivially small; a production deployment
+    would materialize `analyzer_span` once (it IS the stats rollup) and
+    run all votes off the cached table, which this composition mirrors
+    1:1.
+    """
+    checks = [
+        ("moving_avg", moving_average_check(span)),
+        ("zscore", zscore_check(span)),
+        ("random_walk", random_walk_check(span)),
+        ("ewma", ewma_check(span)),
+    ]
+    out = None
+    for name, df in checks:
+        f = df.select(
+            "series_key",
+            "bucket",
+            "actual",
+            F.col("is_outlier").alias(f"flag_{name}"),
+        )
+        out = f if out is None else out.join(f, ["series_key", "bucket", "actual"])
+    votes = sum(
+        F.when(F.col(f"flag_{name}"), 1).otherwise(0) for name, _ in checks
+    )
+    return out.select(
+        "*",
+        votes.cast("long").alias("n_flagging"),
+    ).withColumn("consensus", F.col("n_flagging") >= 2)

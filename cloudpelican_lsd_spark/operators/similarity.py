@@ -1472,3 +1472,90 @@ SELECT qid,
        (SUM(CASE WHEN rn_full <= {k} AND rn_trunc <= {k} THEN 1 ELSE 0 END)
         * 1000000 // {k})::BIGINT AS recall_ppm
 FROM mranked GROUP BY qid"""
+
+
+# ---------------------------------------------------------------------------
+# PCA power-iteration step — top principal direction, driver loop = training
+# ---------------------------------------------------------------------------
+
+
+def power_iteration_step(emb: DataFrame, dims: int = 64) -> DataFrame:
+    """`(dim, y, v1)` — ONE power-iteration step toward the top principal
+    direction of the (uncentered) second-moment matrix: ``y = Σ_r (x_r·v₀)
+    x_r`` with the deterministic start ``v₀ = 1/√d·(1,…,1)``, and ``v1 =
+    y/‖y‖`` — iterate in a driver loop exactly like `emb_kmeans_step` /
+    `text_bpe_merge_step` / `text_perceptron_step` (the repo's "the step
+    is the operator, the loop is the training" pattern; each iteration
+    feeds v1 back as the next v₀, broadcast as 64 literals).
+
+    Determinism discipline: the per-row projection ``t_r = (Σ_d x_rd)/√d``
+    is double math on identical inputs; each dim's accumulation sums
+    ``ROUND(t_r·x_rd, 6)`` as DECIMAL(25,6) (order-independent), and the
+    norm is assembled from the 64 dim sums as Σ ROUND(s_d², 6) in decimal
+    — no float ever enters an order-dependent reduction.  Scale shape:
+    one corpus scan, one posexplode, ONE (dim)-keyed 64-row aggregate
+    (map-side combined); the normalization is a broadcast scalar.
+    """
+    import math
+
+    inv = 1.0 / math.sqrt(dims)
+    e = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+    t = e.select(
+        "x",
+        (
+            F.expr("aggregate(x, 0D, (acc, v) -> acc + v)") * F.lit(inv)
+        ).alias("t"),
+    )
+    sums = (
+        t.select(F.posexplode("x").alias("dim", "xd"), "t")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("t") * F.col("xd"), 6).cast("decimal(25,6)")).alias(
+                "s"
+            )
+        )
+    )
+    nrm = sums.agg(
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double"), 6
+            ).cast("decimal(25,6)")
+        ).alias("nsq")
+    ).select(F.sqrt(F.col("nsq").cast("double")).alias("nrm"))
+    return (
+        sums.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("s").cast("double"), 6).alias("y"),
+            F.round(F.col("s").cast("double") / F.col("nrm"), 6).alias("v1"),
+        )
+    )
+
+
+def power_iteration_oracle(dims: int = 64) -> str:
+    inv = f"(1.0 / sqrt({dims}))"
+    return f"""WITH pi_e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+),
+pi_t AS (
+  SELECT vec_id, x,
+         list_aggregate(x, 'sum') * {inv} AS t
+  FROM pi_e
+),
+pi_rows AS (
+  SELECT t.t, u.i - 1 AS dim, t.x[u.i] AS xd
+  FROM pi_t t, unnest(generate_series(1, {dims})) AS u(i)
+),
+pi_sums AS (
+  SELECT dim, SUM(CAST(ROUND(t * xd, 6) AS DECIMAL(25,6))) AS s
+  FROM pi_rows GROUP BY dim
+),
+pi_nrm AS (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(s::DOUBLE * s::DOUBLE, 6)
+                            AS DECIMAL(25,6))) AS DOUBLE)) AS nrm
+  FROM pi_sums
+)
+SELECT s.dim::BIGINT AS dim,
+       ROUND(s.s::DOUBLE, 6) AS y,
+       ROUND(s.s::DOUBLE / n.nrm, 6) AS v1
+FROM pi_sums s, pi_nrm n"""

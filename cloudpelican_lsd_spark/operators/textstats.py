@@ -1873,3 +1873,39 @@ SELECT d.doc_id, SUM(d.cnt)::BIGINT AS n_feats,
        (SUM(d.cnt * w.w_micro) > 0) AS prefer_target
 FROM dw_db d JOIN dw_w w USING (b)
 GROUP BY d.doc_id"""
+
+
+def lang_confusion(
+    docs: DataFrame, threshold_num: int = 1, threshold_den: int = 20
+) -> DataFrame:
+    """`(true_lang, pred_lang, n_docs)` — confusion matrix of the
+    stopword-density language gate against the corpus's labeled `lang`
+    column: the evaluation table that justifies (or indicts) using the
+    cheap heuristic as a 100 TB pre-filter before an expensive classifier.
+    Pure composition: the shared lang_id predicate + one count aggregate
+    (map-side combinable; |langs|² output rows)."""
+    stop_cnt = stop_count_expr()
+    n = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            F.when(
+                stop_cnt * threshold_den >= n * threshold_num, F.lit("en")
+            )
+            .otherwise(F.lit("other"))
+            .alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def lang_confusion_oracle(
+    threshold_num: int = 1, threshold_den: int = 20
+) -> str:
+    return f"""SELECT lang AS true_lang,
+       CASE WHEN {stop_count_sql()} * {threshold_den}
+                 >= len(string_split(text, ' ')) * {threshold_num}
+            THEN 'en' ELSE 'other' END AS pred_lang,
+       COUNT(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1, 2"""

@@ -623,6 +623,86 @@ def q_outlier_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_ops.ewma_check(_analyzer_span(spark, sf_dir))
 
 
+_MA_CASE = """CASE WHEN m.n12 = 1 OR m.sum_ad = 0 THEN t.actual * m.n12 <> m.sum12
+            ELSE ABS(t.actual * m.n12 - m.sum12) * (m.n12 - 1)
+                 > 3 * m.n12 * m.sum_ad END"""
+_Z_CASE = """CASE WHEN z.n * z.sxx - CAST(z.sum_cnt AS HUGEINT) * z.sum_cnt = 0
+            THEN z.n * t.actual <> z.sum_cnt
+            ELSE CAST(z.n * t.actual - z.sum_cnt AS HUGEINT)
+                   * CAST(z.n * t.actual - z.sum_cnt AS HUGEINT)
+                 > 9 * (z.n * z.sxx - CAST(z.sum_cnt AS HUGEINT) * z.sum_cnt)
+       END"""
+_RW_CASE = """CASE WHEN r.n = 1 OR r.m * r.sum_d2 - r.sum_d * r.sum_d = 0
+            THEN t.actual <> r.last_cnt
+            ELSE CAST(t.actual - r.last_cnt AS HUGEINT)
+                   * (t.actual - r.last_cnt) * r.m * r.m
+                 > 9 * (r.m * r.sum_d2 - r.sum_d * r.sum_d)
+       END"""
+_EW_CASE = """CASE WHEN w.ewma_num = 0 THEN t.actual <> 0
+            ELSE ABS(t.actual * ((1::BIGINT << w.m) - 1) - w.ewma_num) * 2
+                 > w.ewma_num END"""
+
+
+@register(
+    "outlier_analyzer_consensus",
+    f"""WITH {_OUTLIER_GRID_CTE},
+w12 AS (SELECT series_key, bucket, cnt,
+               cnt - lag(cnt) OVER (PARTITION BY series_key ORDER BY bucket) AS d
+        FROM f2 WHERE bucket < ceiling AND bucket >= ceiling - 3600),
+ma AS (SELECT series_key, COUNT(*)::BIGINT AS n12,
+              CAST(SUM(cnt) AS BIGINT) AS sum12,
+              CAST(COALESCE(SUM(ABS(d)), 0) AS BIGINT) AS sum_ad
+       FROM w12 GROUP BY 1),
+z AS (SELECT series_key, COUNT(*)::BIGINT AS n,
+             CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+             SUM(CAST(cnt AS HUGEINT) * cnt) AS sxx
+      FROM f2 WHERE bucket < ceiling GROUP BY 1),
+hist AS (SELECT series_key, bucket, cnt,
+                cnt - lag(cnt) OVER (PARTITION BY series_key
+                                     ORDER BY bucket) AS d
+         FROM f2 WHERE bucket < ceiling),
+rw AS (SELECT series_key, COUNT(*)::BIGINT AS n,
+              arg_max(cnt, bucket)::BIGINT AS last_cnt,
+              CAST(COALESCE(SUM(d), 0) AS HUGEINT) AS sum_d,
+              COALESCE(SUM(CAST(d AS HUGEINT) * d), 0) AS sum_d2,
+              (COUNT(*) - 1)::HUGEINT AS m
+       FROM hist GROUP BY 1),
+eh AS (SELECT series_key, cnt,
+              row_number() OVER (PARTITION BY series_key
+                                 ORDER BY bucket DESC) AS j
+       FROM f2 WHERE bucket < ceiling),
+eh2 AS (SELECT * FROM eh WHERE j <= 8),
+em AS (SELECT series_key, MAX(j)::BIGINT AS m FROM eh2 GROUP BY 1),
+ew AS (SELECT h.series_key, e.m,
+              CAST(SUM(h.cnt * (1::BIGINT << (e.m - h.j))) AS BIGINT) AS ewma_num
+       FROM eh2 h JOIN em e USING (series_key) GROUP BY 1, 2)
+SELECT t.series_key, t.bucket, t.actual,
+       {_MA_CASE} AS flag_moving_avg,
+       {_Z_CASE} AS flag_zscore,
+       {_RW_CASE} AS flag_random_walk,
+       {_EW_CASE} AS flag_ewma,
+       (CASE WHEN {_MA_CASE} THEN 1 ELSE 0 END
+        + CASE WHEN {_Z_CASE} THEN 1 ELSE 0 END
+        + CASE WHEN {_RW_CASE} THEN 1 ELSE 0 END
+        + CASE WHEN {_EW_CASE} THEN 1 ELSE 0 END)::BIGINT AS n_flagging,
+       ((CASE WHEN {_MA_CASE} THEN 1 ELSE 0 END
+         + CASE WHEN {_Z_CASE} THEN 1 ELSE 0 END
+         + CASE WHEN {_RW_CASE} THEN 1 ELSE 0 END
+         + CASE WHEN {_EW_CASE} THEN 1 ELSE 0 END) >= 2) AS consensus
+FROM tgt t
+JOIN ma m USING (series_key)
+JOIN z USING (series_key)
+JOIN rw r USING (series_key)
+JOIN ew w USING (series_key)""",
+)
+def q_outlier_analyzer_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact relational consensus over the four integer-exact analyzers
+    (moving-avg, z-score, random-walk, EWMA): per-series votes and the
+    ≥2-vote verdict — the hash-gated twin of the numpy
+    `outlier_consensus` (outliers.analyzer_consensus_relational)."""
+    return outlier_ops.analyzer_consensus_relational(_analyzer_span(spark, sf_dir))
+
+
 @register(
     "outlier_zscore",
     f"""WITH {_OUTLIER_GRID_CTE},
@@ -941,6 +1021,25 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_method_agreement",
+    f"""WITH {_PLANTED_CTE},
+{dedup_ops.method_agreement_oracle(12, 3, 3, 6, base_table='docs_planted')}""",
+)
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between MinHash-LSH band candidates and SimHash
+    prefix-bucket near pairs on the planted-dup corpus — counts of pairs
+    both/only-one method surfaces (dedup.method_agreement), the check run
+    before trusting a single sub-linear detector as THE dedup pass."""
+    return dedup_ops.method_agreement(
+        _docs_with_dupes(spark, sf_dir),
+        num_hashes=12,
+        rows_per_band=3,
+        n=3,
+        max_hamming=6,
+    )
+
+
+@register(
     "dedup_jaccard_df_pruned",
     f"""WITH {_PLANTED_CTE},
 {dedup_ops.ngram_jaccard_oracle(3, 1, 5, max_df=20).replace('FROM documents', 'FROM docs_planted').replace('WITH ', '', 1)}""",
@@ -1184,6 +1283,16 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-density language gate (en vs other)."""
     return text_ops.lang_id(
+        load_table(spark, "documents", sf_dir), threshold_num=1, threshold_den=20
+    )
+
+
+@register("text_lang_confusion", text_ops.lang_confusion_oracle(1, 20))
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-density language gate vs the
+    labeled lang column — the eval table for the heuristic pre-filter
+    (textstats.lang_confusion)."""
+    return text_ops.lang_confusion(
         load_table(spark, "documents", sf_dir), threshold_num=1, threshold_den=20
     )
 
@@ -3829,6 +3938,15 @@ def q_emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_power_iteration", sim_ops.power_iteration_oracle(64))
+def q_emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the top principal direction
+    (deterministic all-ones start; driver loop = PCA training, the
+    kmeans/BPE/perceptron step pattern).  Order-independent decimal
+    accumulation throughout (similarity.power_iteration_step)."""
+    return sim_ops.power_iteration_step(load_table(spark, "embeddings", sf_dir), dims=64)
+
+
 @register("emb_matryoshka_audit", sim_ops.matryoshka_audit_oracle(16, 10, 10))
 def q_emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation audit (Kusupati et al. 2022): recall@10 of
@@ -4320,6 +4438,10 @@ DRIVER_ORDER = [
     "emb_matryoshka_audit",
     "outlier_ewma",
     "text_perceptron_calibration",
+    "outlier_analyzer_consensus",
+    "text_lang_confusion",
+    "dedup_method_agreement",
+    "emb_power_iteration",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -359,3 +359,38 @@ def test_perceptron_calibration_consistency(spark):
             expect = 0 if s == 0 else (1 if s > 0 else -1) * len(str(abs(s)))
             # min/max live in the row's bin
             assert expect == r.score_bin
+
+
+def test_analyzer_consensus_matches_individual_checks(spark):
+    """consensus columns must equal each analyzer's own verdict, and
+    n_flagging/consensus follow from the flags."""
+    from cloudpelican_lsd_spark.operators import outliers as oo
+
+    span = spark.createDataFrame(
+        [
+            ("a", 0, 3600, [5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5], 5, 12),
+            ("b", 0, 3600, [5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5, 5], 50, 12),
+            ("c", 0, 3600, [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12], 13, 12),
+        ],
+        "series_key string, start long, ceiling long, cnts array<bigint>, "
+        "actual long, n long",
+    )
+    cons = {r.series_key: r for r in oo.analyzer_consensus_relational(span).collect()}
+    singles = {
+        "flag_moving_avg": oo.moving_average_check(span),
+        "flag_zscore": oo.zscore_check(span),
+        "flag_random_walk": oo.random_walk_check(span),
+        "flag_ewma": oo.ewma_check(span),
+    }
+    for col, df in singles.items():
+        for r in df.collect():
+            assert cons[r.series_key][col] == r.is_outlier, (col, r.series_key)
+    for r in cons.values():
+        votes = sum(
+            int(r[c])
+            for c in ("flag_moving_avg", "flag_zscore", "flag_random_walk", "flag_ewma")
+        )
+        assert r.n_flagging == votes and r.consensus == (votes >= 2)
+    # sanity: flat history + same actual is clean; 10x spike is consensus
+    assert cons["a"].n_flagging == 0 and not cons["a"].consensus
+    assert cons["b"].consensus

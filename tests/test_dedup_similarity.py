@@ -1092,3 +1092,71 @@ def test_matryoshka_audit_closed_form(spark):
     )
     got2 = matryoshka_audit(emb2, trunc_dims=2, num_queries=1, k=1).collect()
     assert got2[0].n_overlap == 1 and got2[0].recall_ppm == 1000000
+
+
+def test_method_agreement_cross_check(spark):
+    """agreement counts must reconcile exactly with the two pair
+    generators run directly; scrambled word order is the canonical
+    simhash-only case (bag-of-words identical -> hamming 0, but 3-gram
+    shingle sets disjoint -> no minhash band collision)."""
+    from cloudpelican_lsd_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+            (3, "theta eta zeta epsilon delta gamma beta alpha"),  # scrambled
+            (4, "totally different words in this unrelated doc x"),
+        ],
+        "doc_id long, text string",
+    )
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs(docs, 12, 3, 3).collect()
+    }
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in dd.simhash_near_pairs(docs, max_hamming=6).collect()
+    }
+    got = {
+        r.status: r.n_pairs for r in dd.method_agreement(docs).collect()
+    }
+    assert got.get("both", 0) == len(mh & sh)
+    assert got.get("minhash_only", 0) == len(mh - sh)
+    assert got.get("simhash_only", 0) == len(sh - mh)
+    # the planted structure: (1,2) seen by both; scrambles seen by simhash
+    assert (1, 2) in mh & sh
+    assert (1, 3) in sh - mh and (2, 3) in sh - mh
+
+
+def test_power_iteration_converges_to_dominant_direction(spark):
+    """on a corpus with one dominant axis, a few driver-loop iterations of
+    the step (v1 fed back via a literal-projection rewrite) align v with
+    that axis; the step itself matches a numpy twin."""
+    import numpy as np
+
+    from cloudpelican_lsd_spark.operators.similarity import power_iteration_step
+
+    rng = [
+        [10.0, 1.0, 0.0, 0.0],
+        [9.0, -1.0, 0.5, 0.0],
+        [11.0, 0.5, -0.5, 0.2],
+        [10.5, -0.2, 0.1, -0.1],
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.dim: (r.y, r.v1) for r in power_iteration_step(emb, dims=4).collect()}
+
+    X = np.array([[float(np.float32(x)) for x in v] for v in rng])
+    t = X.sum(axis=1) / 2.0  # v0 = (1,1,1,1)/sqrt(4)
+    y = np.array(
+        [sum(round(ti * xi, 6) for ti, xi in zip(t, X[:, d])) for d in range(4)]
+    )
+    nrm = float(np.sqrt(sum(round(s * s, 6) for s in y)))
+    for d in range(4):
+        assert abs(got[d][0] - round(y[d], 6)) < 1e-9
+        assert abs(got[d][1] - round(y[d] / nrm, 6)) < 1e-9
+    # dominant axis: |v1| on dim 0 dwarfs the rest
+    assert abs(got[0][1]) > 0.99
