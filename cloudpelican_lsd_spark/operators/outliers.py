@@ -853,3 +853,56 @@ def analyzer_consensus_relational(span: DataFrame) -> DataFrame:
         "*",
         votes.cast("long").alias("n_flagging"),
     ).withColumn("consensus", F.col("n_flagging") >= 2)
+
+
+def seasonal_naive_check(
+    span: DataFrame, period_sec: int = 3600, bucket_sec: int = BUCKET_SEC
+) -> DataFrame:
+    """`(series_key, bucket, actual, m, seasonal_med, is_outlier)` —
+    seasonal-naive analyzer: the forecast for the target bucket is the
+    LOWER MEDIAN of the history values at the same phase of the
+    `period_sec` cycle (same 5-minute-of-hour across the 24h lookback →
+    up to 24 samples), and the flag is a ±50% band with absolute slack 3:
+    ``|actual − med|·2 > med + 6``.  This is the analyzer that survives
+    daily/hourly periodicity where moving-average and EWMA false-positive
+    on every peak.
+
+    Exactness: the lower median of integers is an exact order statistic —
+    `element_at(array_sort(samples), (m+1) div 2)` — no interpolation, so
+    no float anywhere.  Same one-row-per-series HOF shape as the other
+    analyzer twins: the phase filter and median are per-row array ops on
+    the bounded history.
+    """
+    b = int(bucket_sec)
+    p = int(period_sec)
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        F.expr(
+            "transform(filter(transform(cnts,"
+            " (x, i) -> named_struct('x', x, 'i', i)),"
+            f" s -> pmod(ceiling - (start + s.i * {b}), {p}) = 0),"
+            " s -> s.x)"
+        ).alias("samples"),
+    )
+    return s.select(
+        "series_key",
+        "bucket",
+        "actual",
+        F.size("samples").cast("long").alias("m"),
+        F.expr(
+            "element_at(array_sort(samples),"
+            " CAST((size(samples) + 1) div 2 AS INT))"
+        )
+        .cast("long")
+        .alias("seasonal_med"),
+    ).select(
+        "*",
+        F.when(F.col("m") == 0, F.col("actual") != 0)
+        .otherwise(
+            F.abs(F.col("actual") - F.col("seasonal_med")) * 2
+            > F.col("seasonal_med") + 6
+        )
+        .alias("is_outlier"),
+    )

@@ -1559,3 +1559,53 @@ SELECT s.dim::BIGINT AS dim,
        ROUND(s.s::DOUBLE, 6) AS y,
        ROUND(s.s::DOUBLE / n.nrm, 6) AS v1
 FROM pi_sums s, pi_nrm n"""
+
+
+def cluster_purity(emb: DataFrame) -> DataFrame:
+    """`(cluster, n_members, top_label, top_label_cnt, purity_ppm)` — the
+    standard external clustering-quality audit: per nearest-centroid
+    cluster, the dominant true label and its exact share.  Built on the
+    SAME `nearest_centroid_assign` as the confusion/prune ops, so all
+    three agree on membership by construction; the purity reduction is
+    two map-side-combinable aggregates over (cluster, label) counts plus
+    a deterministic top-1 (cnt desc, label asc).  Integer ppm — no float.
+    """
+    cl = nearest_centroid_assign(emb).groupBy(
+        F.col("clabel").alias("cluster"), "label"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    return (
+        cl.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.sum("cnt").over(Window.partitionBy("cluster")))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("label").cast("long").alias("top_label"),
+            F.col("cnt").cast("long").alias("top_label_cnt"),
+            F.expr("cnt * 1000000 div n_members").cast("long").alias("purity_ppm"),
+        )
+    )
+
+
+def cluster_purity_oracle(dim: int = 64) -> str:
+    base = kmeans_assign_oracle(dim)
+    ctes = base[: base.rindex("\nSELECT label, clabel AS assigned_label")]
+    return f"""{ctes},
+cp_cnt AS (
+  SELECT clabel AS cluster, label, COUNT(*)::BIGINT AS cnt
+  FROM assigned WHERE rn = 1 GROUP BY clabel, label
+),
+cp_rank AS (
+  SELECT cluster, label, cnt,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY cnt DESC, label ASC) AS rn,
+         SUM(cnt) OVER (PARTITION BY cluster) AS n_members
+  FROM cp_cnt
+)
+SELECT cluster::BIGINT AS cluster, n_members::BIGINT AS n_members,
+       label::BIGINT AS top_label, cnt::BIGINT AS top_label_cnt,
+       (cnt * 1000000 // n_members)::BIGINT AS purity_ppm
+FROM cp_rank WHERE rn = 1"""

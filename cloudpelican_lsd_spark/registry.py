@@ -623,6 +623,30 @@ def q_outlier_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_ops.ewma_check(_analyzer_span(spark, sf_dir))
 
 
+@register(
+    "outlier_seasonal_naive",
+    f"""WITH {_OUTLIER_GRID_CTE},
+ss AS (SELECT series_key, cnt FROM f2
+       WHERE bucket < ceiling AND (ceiling - bucket) % 3600 = 0),
+sm AS (SELECT series_key, COUNT(*)::BIGINT AS m FROM ss GROUP BY 1),
+sr AS (SELECT series_key, cnt,
+              row_number() OVER (PARTITION BY series_key
+                                 ORDER BY cnt ASC) AS rn
+       FROM ss),
+sv AS (SELECT r.series_key, m.m, r.cnt AS seasonal_med
+       FROM sr r JOIN sm m USING (series_key)
+       WHERE r.rn = (m.m + 1) // 2)
+SELECT t.series_key, t.bucket, t.actual, v.m, v.seasonal_med,
+       (ABS(t.actual - v.seasonal_med) * 2 > v.seasonal_med + 6) AS is_outlier
+FROM tgt t JOIN sv v USING (series_key)""",
+)
+def q_outlier_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive analyzer: lower-median of same-phase-of-hour history
+    as the forecast, ±50% band + slack — the periodicity-robust twin of
+    moving-average/EWMA (outliers.seasonal_naive_check)."""
+    return outlier_ops.seasonal_naive_check(_analyzer_span(spark, sf_dir))
+
+
 _MA_CASE = """CASE WHEN m.n12 = 1 OR m.sum_ad = 0 THEN t.actual * m.n12 <> m.sum12
             ELSE ABS(t.actual * m.n12 - m.sum12) * (m.n12 - 1)
                  > 3 * m.n12 * m.sum_ad END"""
@@ -3938,6 +3962,15 @@ def q_emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_cluster_purity", sim_ops.cluster_purity_oracle(64))
+def q_emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering quality: per nearest-centroid cluster, the
+    dominant true label and its exact ppm share — built on the same
+    fixed-point assignment as the kmeans confusion/semantic-prune ops
+    (similarity.cluster_purity)."""
+    return sim_ops.cluster_purity(load_table(spark, "embeddings", sf_dir))
+
+
 @register("emb_power_iteration", sim_ops.power_iteration_oracle(64))
 def q_emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One power-iteration step toward the top principal direction
@@ -4442,6 +4475,8 @@ DRIVER_ORDER = [
     "text_lang_confusion",
     "dedup_method_agreement",
     "emb_power_iteration",
+    "emb_cluster_purity",
+    "outlier_seasonal_naive",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -394,3 +394,36 @@ def test_analyzer_consensus_matches_individual_checks(spark):
     # sanity: flat history + same actual is clean; 10x spike is consensus
     assert cons["a"].n_flagging == 0 and not cons["a"].consensus
     assert cons["b"].consensus
+
+
+def test_seasonal_naive_closed_form(spark):
+    """hand grid: start=0, ceiling=7200, bucket=300s, period=3600 -> the
+    same-phase samples are buckets 0 and 3600 (indices 0 and 12); lower
+    median of [2, 10] = 2; actual 20 breaks the band, actual 3 does not.
+    A spiky-but-periodic series (peak every hour) stays clean where the
+    peak would trip the flat-window analyzers."""
+    from cloudpelican_lsd_spark.operators.outliers import seasonal_naive_check
+
+    # 24 history slots (0..6900), target at 7200
+    base = [1] * 24
+    base[0], base[12] = 2, 10
+    span = spark.createDataFrame(
+        [
+            ("calm", 0, 7200, base, 3, 24),
+            ("spike", 0, 7200, base, 20, 24),
+        ],
+        "series_key string, start long, ceiling long, cnts array<bigint>, "
+        "actual long, n long",
+    )
+    got = {r.series_key: r for r in seasonal_naive_check(span).collect()}
+    assert got["calm"].m == 2 and got["calm"].seasonal_med == 2
+    assert not got["calm"].is_outlier and got["spike"].is_outlier
+    # periodic peak: history peaks 100 at each hour mark, target also 100
+    peaks = [100 if i % 12 == 0 else 1 for i in range(24)]
+    span2 = spark.createDataFrame(
+        [("periodic", 0, 7200, peaks, 100, 24)],
+        "series_key string, start long, ceiling long, cnts array<bigint>, "
+        "actual long, n long",
+    )
+    r = seasonal_naive_check(span2).collect()[0]
+    assert r.seasonal_med == 100 and not r.is_outlier
