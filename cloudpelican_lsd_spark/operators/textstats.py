@@ -1635,15 +1635,18 @@ def char_entropy(docs: DataFrame) -> DataFrame:
     training-pipeline addition (quality scoring family, SURVEY §2 text
     analysis).
     """
-    # length-0 guard: Spark's sequence(1, 0) is a DESCENDING [1, 0], not
-    # empty (DuckDB's generate_series(1, 0) IS empty) — filter first so
-    # empty docs drop out identically on both engines.
-    chars = docs.where(F.length("text") > 0).select(
+    # split('') explodes straight to code points in one O(len) pass —
+    # the position-transform alternative (substring(text, i, 1) per i)
+    # re-seeks the UTF-8 byte offset each call, O(len²) per document
+    # (measured 2.3s → this shape at sf0.1; the stress probe's 10×
+    # corpus was ~4× faster).  Caveat: split('', '') is [''] (ONE empty
+    # element, invisible in show()), so the post-explode ch != '' filter
+    # is what makes zero-length docs drop out — matching the DuckDB
+    # oracle, whose generate_series(1, 0) is empty.
+    chars = docs.select(
         "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
-        ).alias("ch"),
-    )
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).where(F.col("ch") != "")
     per_char = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
     agg = per_char.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n"),

@@ -116,6 +116,19 @@ def main() -> None:
         "cms_topk_audit": lambda d: textstats.cms_topk_audit(d),
         # model <= 65 rows broadcast; two aggs per step — ~linear
         "perceptron_2steps": lambda d: classifier.perceptron_two_steps(d),
+        # same inverted-index plan as jaccard; replica dups inflate
+        # per-bucket pairs ~k^2 (data property) — compare to minhash_lsh
+        "containment_pairs(max_df=50)": lambda d: dedup.containment_pairs(
+            d, n=3, threshold_num=4, threshold_den=5, max_df=50
+        ),
+        # two-pass (weight fit + scoring); both collapse map-side —
+        # ~linear in corpus bytes, weight table fixed at 256 rows
+        "dsir_weights": lambda d: textstats.dsir_weights(d),
+        # one explode + two aggs; shuffle carries (doc, ch) not text —
+        # ~linear
+        "char_entropy": lambda d: textstats.char_entropy(d),
+        # one (source, token) agg + bounded top-V broadcast — ~linear
+        "vocab_coverage": lambda d: textstats.vocab_coverage(d),
     }
     for name, fn in ops.items():
         t = {}
