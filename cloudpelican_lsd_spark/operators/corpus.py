@@ -1270,3 +1270,108 @@ SELECT s.source, s.n_tokens,
        (CAST(t.b::HUGEINT * s.m // t.m_tot AS BIGINT) > s.n_tokens)
            AS oversampled
 FROM tm_m s, tm_tot t"""
+
+
+#: rule subset for quality-weighted allocation: the density rules.  The
+#: presentation rules (terminal punctuation, long words) are corpus-
+#: specific enough to zero out whole corpora (the synthetic docs fail
+#: no_terminal_punct 500/500) — a mixture weighted by them collapses to
+#: 0/0; pick the gate to match the corpus, as C4 itself does per-source.
+QUALITY_ALLOC_RULES = (
+    "too_few_tokens",
+    "low_stopword_density",
+    "low_type_token_ratio",
+)
+
+
+def quality_weighted_alloc(
+    docs: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    rules: tuple = QUALITY_ALLOC_RULES,
+) -> DataFrame:
+    """`(source, total_tokens, clean_tokens, clean_rate_ppm, alloc)` —
+    mixture allocation weighted by USABLE tokens: each source's weight is
+    its token count surviving the C4/Gopher gate (any_rule fail ⇒ doc
+    contributes 0), and the budget ``B = total_clean · num // den`` is
+    split ∝ clean tokens — the mixture a pipeline actually trains on,
+    as opposed to the raw-count split (`corpus_unimax_alloc` /
+    `corpus_temperature_mixture` on the same budget shape).
+
+    Pure integers end to end: the gate is the shared `c4_flag_exprs`
+    cross-multiplied predicates, allocations are `B·clean_i div
+    clean_total` with the product in DECIMAL(38,0).  One scan, one
+    |sources|-row aggregate (map-side combined), broadcast totals.
+    """
+    flags = c4_flag_exprs()
+    any_rule = None
+    for r in rules:
+        e = flags[r]
+        any_rule = e if any_rule is None else (any_rule | e)
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    per_src = (
+        docs.select(
+            "source",
+            n.alias("n"),
+            F.when(any_rule, F.lit(0)).otherwise(n).alias("clean_n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum("clean_n").cast("long").alias("clean_tokens"),
+        )
+    )
+    tot = per_src.agg(F.sum("clean_tokens").alias("clean_total")).select(
+        "clean_total",
+        F.expr(f"(clean_total * {int(budget_num)}) div {int(budget_den)}").alias(
+            "b"
+        ),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "total_tokens",
+        "clean_tokens",
+        F.expr("clean_tokens * 1000000 div total_tokens")
+        .cast("long")
+        .alias("clean_rate_ppm"),
+        F.expr(
+            "CASE WHEN clean_total = 0 THEN 0L ELSE"
+            " CAST(CAST(b AS DECIMAL(38,0)) * clean_tokens div clean_total"
+            " AS BIGINT) END"
+        ).alias("alloc"),
+    )
+
+
+def quality_weighted_alloc_oracle(
+    budget_num: int = 2,
+    budget_den: int = 5,
+    rules: tuple = QUALITY_ALLOC_RULES,
+) -> str:
+    flag_sql = c4_flag_sql("n")
+    any_rule = " OR ".join(flag_sql[r] for r in rules)
+    return f"""WITH qa_base AS (
+  SELECT source, text, len(string_split(text, ' '))::BIGINT AS n
+  FROM documents
+),
+qa_doc AS (
+  SELECT source, n,
+         CASE WHEN {any_rule} THEN 0 ELSE n END AS clean_n
+  FROM qa_base
+),
+qa_src AS (
+  SELECT source, SUM(n)::BIGINT AS total_tokens,
+         SUM(clean_n)::BIGINT AS clean_tokens
+  FROM qa_doc GROUP BY source
+),
+qa_tot AS (
+  SELECT SUM(clean_tokens)::BIGINT AS clean_total,
+         (SUM(clean_tokens) * {budget_num} // {budget_den})::BIGINT AS b
+  FROM qa_src
+)
+SELECT s.source, s.total_tokens, s.clean_tokens,
+       CAST(s.clean_tokens * 1000000 // s.total_tokens AS BIGINT)
+           AS clean_rate_ppm,
+       CASE WHEN t.clean_total = 0 THEN 0
+            ELSE CAST(t.b::HUGEINT * s.clean_tokens // t.clean_total AS BIGINT)
+       END AS alloc
+FROM qa_src s, qa_tot t"""

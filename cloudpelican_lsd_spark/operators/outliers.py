@@ -891,9 +891,12 @@ def seasonal_naive_check(
         "bucket",
         "actual",
         F.size("samples").cast("long").alias("m"),
+        # m = 0 (history shorter than one period) must not reach
+        # element_at — index 0 is an error, not null, under ANSI
         F.expr(
-            "element_at(array_sort(samples),"
-            " CAST((size(samples) + 1) div 2 AS INT))"
+            "CASE WHEN size(samples) = 0 THEN 0L ELSE"
+            " element_at(array_sort(samples),"
+            " CAST((size(samples) + 1) div 2 AS INT)) END"
         )
         .cast("long")
         .alias("seasonal_med"),

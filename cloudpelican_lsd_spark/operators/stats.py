@@ -477,3 +477,110 @@ HLL_DISTINCT_AUDIT_ORACLE = """\
 SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
        TRUE AS within_bound
 FROM events GROUP BY event_type"""
+
+
+def series_correlation(events, bucket_sec: int = 300) -> DataFrame:
+    """`(type_a, type_b, n, sxy, corr)` — Pearson correlation between the
+    per-`bucket_sec` count series of every event-type pair, zero-filled
+    onto the common bucket grid: the "do these errors move together"
+    incident-correlation table (and a mixture-health signal when keyed by
+    source).
+
+    Exactness: every moment (n, Σx, Σy, Σx², Σy², Σxy) is a BIGINT sum of
+    counts — associative, partition-order-free; the only float op is the
+    final single-value `r = (nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²))` per
+    pair, deterministic on identical integer inputs, rounded to 6.
+    Constant series (zero variance) report NULL corr on both engines.
+
+    Scale: counts collapse map-side to |types|×|buckets| rows before the
+    one shuffle; the pair join is |types|² × |buckets| — types are
+    enum-bounded here; for high-cardinality keys, pre-filter to the
+    top-k series first.
+    """
+    from pyspark.sql import functions as F
+
+    c = (
+        events.select(
+            F.col("event_type").alias("t"),
+            (
+                F.col("ts_epoch") - F.col("ts_epoch") % bucket_sec
+            ).alias("bucket"),
+        )
+        .groupBy("t", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    types = c.select("t").distinct()
+    buckets = c.select("bucket").distinct()
+    grid = types.crossJoin(buckets)
+    filled = grid.join(c, ["t", "bucket"], "left").select(
+        "t", "bucket", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+    a = filled.select(
+        F.col("t").alias("type_a"), "bucket", F.col("cnt").alias("x")
+    )
+    b = filled.select(
+        F.col("t").alias("type_b"), "bucket", F.col("cnt").alias("y")
+    )
+    pairs = a.join(b, "bucket").where(F.col("type_a") < F.col("type_b"))
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    dx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    dy = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    return m.select(
+        "type_a",
+        "type_b",
+        "n",
+        F.col("sxy"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num
+                / (
+                    F.sqrt(dx.cast("double"))
+                    * F.sqrt(dy.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("corr"),
+    )
+
+
+def series_correlation_oracle(bucket_sec: int = 300) -> str:
+    return f"""WITH sc_c AS (
+  SELECT event_type AS t,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % {bucket_sec} AS bucket,
+         COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+sc_grid AS (
+  SELECT t, bucket FROM (SELECT DISTINCT t FROM sc_c),
+                        (SELECT DISTINCT bucket FROM sc_c)
+),
+sc_f AS (
+  SELECT g.t, g.bucket, COALESCE(c.cnt, 0)::BIGINT AS cnt
+  FROM sc_grid g LEFT JOIN sc_c c ON c.t = g.t AND c.bucket = g.bucket
+),
+sc_m AS (
+  SELECT a.t AS type_a, b.t AS type_b, COUNT(*)::BIGINT AS n,
+         CAST(SUM(a.cnt) AS BIGINT) AS sx, CAST(SUM(b.cnt) AS BIGINT) AS sy,
+         CAST(SUM(a.cnt * a.cnt) AS BIGINT) AS sxx,
+         CAST(SUM(b.cnt * b.cnt) AS BIGINT) AS syy,
+         CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS sxy
+  FROM sc_f a JOIN sc_f b ON a.bucket = b.bucket AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n, sxy,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN ROUND((n * sxy - sx * sy)
+                       / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                          * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+       END AS corr
+FROM sc_m"""

@@ -2342,6 +2342,16 @@ def q_text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stats_series_correlation", stats_ops.series_correlation_oracle(300))
+def q_stats_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between per-5-min event-type count
+    series on the zero-filled common grid — exact BIGINT moments, one
+    float op per pair (stats.series_correlation)."""
+    return stats_ops.series_correlation(
+        load_table(spark, "events", sf_dir), bucket_sec=300
+    )
+
+
 @register("distinct_users_hll_audit", stats_ops.HLL_DISTINCT_AUDIT_ORACLE)
 def q_distinct_users_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ accuracy contract, hash-gated: the estimate must sit within
@@ -3938,6 +3948,18 @@ def q_corpus_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_quality_weighted_alloc", corpus_ops.quality_weighted_alloc_oracle(2, 5)
+)
+def q_corpus_quality_weighted_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture allocation weighted by C4/Gopher-surviving tokens — the
+    budget a pipeline actually trains on, next to the raw-count unimax /
+    temperature splits (corpus.quality_weighted_alloc)."""
+    return corpus_ops.quality_weighted_alloc(
+        load_table(spark, "documents", sf_dir), budget_num=2, budget_den=5
+    )
+
+
 @register("corpus_temperature_mixture", corpus_ops.temperature_mixture_oracle(2, 5))
 def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source sampling (T=2, the mBERT/XLM-R mixer)
@@ -4477,6 +4499,8 @@ DRIVER_ORDER = [
     "emb_power_iteration",
     "emb_cluster_purity",
     "outlier_seasonal_naive",
+    "stats_series_correlation",
+    "corpus_quality_weighted_alloc",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -326,8 +326,9 @@ class StreamingEngine:
         return detect_outliers(series, min_score=min_score, bucket_sec=60)
 
     def analyzer_flags(self, min_points: int | None = None) -> DataFrame:
-        """The three oracle-gated analyzer twins (moving-average, z-score,
-        simple-regression; operators/outliers.py) over the SAME maintained
+        """The five oracle-gated analyzer twins (moving-average, z-score,
+        simple-regression, EWMA, seasonal-naive; operators/outliers.py)
+        over the SAME maintained
         minutely stats series the consensus pass reads — one row per
         (series, analyzer) with the exact integer-math outlier decision.
         ``min_points`` loosens the >=10-point history requirement for
@@ -335,8 +336,10 @@ class StreamingEngine:
         from cloudpelican_lsd_spark.operators.outliers import (
             MIN_POINTS,
             analyzer_span,
+            ewma_check,
             moving_average_check,
             regression_check,
+            seasonal_naive_check,
             zscore_check,
         )
 
@@ -362,6 +365,12 @@ class StreamingEngine:
             regression_check(span)
             .select(*cols)
             .withColumn("analyzer", F.lit("regression")),
+            ewma_check(span)
+            .select(*cols)
+            .withColumn("analyzer", F.lit("ewma")),
+            seasonal_naive_check(span, period_sec=3600, bucket_sec=60)
+            .select(*cols)
+            .withColumn("analyzer", F.lit("seasonal_naive")),
         ]
         out = parts[0]
         for p in parts[1:]:

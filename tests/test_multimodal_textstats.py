@@ -1258,3 +1258,33 @@ def test_dsir_weights_matches_python_twin(spark):
     for did, (nf, score) in expect.items():
         assert got[did][0] == nf and got[did][1] == score, did
     assert got[1][2] and got[2][2] and not got[3][2] and not got[4][2]
+
+
+def test_quality_weighted_alloc_closed_form(spark):
+    """clean source gets the whole budget; a source whose only doc fails
+    the density gate contributes 0 clean tokens and allocates 0; the
+    degenerate all-dirty corpus allocates 0 everywhere (no divide)."""
+    from cloudpelican_lsd_spark.operators import corpus as corpus_ops
+
+    # 30 distinct tokens (type/token 1.0), 10 of them stopwords (density ok)
+    clean = "the a of and to in is it that for " + " ".join(
+        f"w{i}" for i in range(20)
+    )
+    dirty = " ".join(["zz"] * 30)  # fails stopword density + type/token
+    docs = spark.createDataFrame(
+        [(1, clean, "good"), (2, dirty, "bad")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: r
+        for r in corpus_ops.quality_weighted_alloc(docs, 1, 1).collect()
+    }
+    assert got["good"].clean_tokens == 30 and got["good"].alloc == 30
+    assert got["bad"].clean_tokens == 0 and got["bad"].alloc == 0
+    assert got["bad"].clean_rate_ppm == 0
+
+    all_dirty = spark.createDataFrame(
+        [(1, dirty, "s1")], "doc_id long, text string, source string"
+    )
+    r = corpus_ops.quality_weighted_alloc(all_dirty, 1, 1).collect()[0]
+    assert r.alloc == 0

@@ -456,3 +456,47 @@ def test_hll_distinct_audit_contract(spark):
     got = {r.event_type: r for r in hll_distinct_audit(ev, rsd_pct=2).collect()}
     assert got["tiny"].exact_users == 3 and got["tiny"].within_bound
     assert got["wide"].exact_users == 500 and got["wide"].within_bound
+
+
+def test_series_correlation_closed_form(spark):
+    """two perfectly correlated series -> corr 1.0; one anti-correlated
+    -> -1.0 against the first; constant series -> NULL corr; zero-fill
+    covers a bucket where one type is silent."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 2, 1, 10, 0, 0)
+
+    def add(t, minute, k):
+        for i in range(k):
+            rows.append((len(rows), base + dt.timedelta(minutes=minute, seconds=i), 1, t, 1.0, "{}"))
+
+    # buckets at minutes 0,5,10 (300s): a = [1,2,3], b = [2,4,6], c = [3,2,1]
+    for m, (ka, kb, kc) in zip((0, 5, 10), ((1, 2, 3), (2, 4, 2), (3, 6, 1))):
+        add("a", m, ka)
+        add("b", m, kb)
+        add("c", m, kc)
+    # d constant 1 per bucket; e present only in bucket 0 (zero-filled later)
+    for m in (0, 5, 10):
+        add("d", m, 1)
+    add("e", 0, 2)
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).withColumn(
+        "ts_epoch",
+        __import__("pyspark.sql.functions", fromlist=["F"]).expr(
+            "CAST(floor(unix_timestamp(ts)) AS BIGINT)"
+        ),
+    )
+    from cloudpelican_lsd_spark.operators.stats import series_correlation
+
+    got = {
+        (r.type_a, r.type_b): r
+        for r in series_correlation(ev, bucket_sec=300).collect()
+    }
+    assert got[("a", "b")].corr == 1.0
+    assert got[("a", "c")].corr == -1.0
+    assert got[("a", "d")].corr is None  # zero variance side
+    # e = [2,0,0] vs a = [1,2,3]: negative but > -1
+    assert -1.0 < got[("a", "e")].corr < 0
+    assert got[("a", "b")].n == 3

@@ -634,7 +634,7 @@ def test_analyzer_flags_over_streaming_stats(spark, tmp_path):
     rows = eng.analyzer_flags(min_points=5).collect()
     match_series = [r for r in rows if r.series_key == f"{fid}:1"]
     assert {r.analyzer for r in match_series} == {
-        "moving_average", "zscore", "regression",
+        "moving_average", "zscore", "regression", "ewma", "seasonal_naive",
     }
     for r in match_series:
         assert r.actual == 30 and bool(r.is_outlier) is True, r
