@@ -1912,3 +1912,93 @@ def lang_confusion_oracle(
             THEN 'en' ELSE 'other' END AS pred_lang,
        COUNT(*)::BIGINT AS n_docs
 FROM documents GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence pairs — collocation discovery over a bounded vocab
+# ---------------------------------------------------------------------------
+
+
+def pmi_pairs(
+    docs: DataFrame, vocab_size: int = 50, min_co_df: int = 2
+) -> DataFrame:
+    """`(tok_a, tok_b, co_df, df_a, df_b, pmi_micro)` — document-level
+    pointwise mutual information for every pair of top-`vocab_size`
+    tokens co-occurring in ≥ `min_co_df` documents:
+    ``PMI = ln(co_df·N / (df_a·df_b))`` in integer micro-units — the
+    collocation/phrase-discovery table (and a topic-drift signal when
+    diffed across snapshots).
+
+    Scale discipline: the pair space is VOCAB-bounded, not corpus-
+    bounded.  Tokens are cut to the top-V by document frequency first
+    (TakeOrderedAndProject + broadcast semi-join), so each document
+    contributes ≤ V(V−1)/2 pairs from a ≤V-element distinct set, and the
+    co-df aggregate is ≤ V² rows.  All counts are exact BIGINTs; ln runs
+    once per output row on identical integer inputs (micro-rounded).
+    """
+    from cloudpelican_lsd_spark.operators.dedup import _group_pairs, _spread
+
+    toks = (
+        _spread(docs)
+        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .distinct()
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        df_tbl.orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    vt = toks.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "df")
+    pairs = _group_pairs(vt, ["doc_id"], ["tok", "df"]).select(
+        F.col("x.tok").alias("tok_a"),
+        F.col("x.df").alias("df_a"),
+        F.col("y.tok").alias("tok_b"),
+        F.col("y.df").alias("df_b"),
+    )
+    co = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).cast("long").alias("co_df"),
+        F.max("df_a").cast("long").alias("df_a"),
+        F.max("df_b").cast("long").alias("df_b"),
+    )
+    return (
+        co.where(F.col("co_df") >= min_co_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "co_df",
+            "df_a",
+            "df_b",
+            F.expr(
+                "CAST(round(ln((co_df * n) / (df_a * df_b)) * 1000000, 0)"
+                " AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+    )
+
+
+def pmi_pairs_oracle(vocab_size: int = 50, min_co_df: int = 2) -> str:
+    return f"""WITH pm_tok AS (
+  SELECT DISTINCT d.doc_id, u.tok
+  FROM documents d, unnest(string_split(lower(d.text), ' ')) AS u(tok)
+),
+pm_df AS (SELECT tok, COUNT(*)::BIGINT AS df FROM pm_tok GROUP BY tok),
+pm_vocab AS (
+  SELECT tok, df FROM pm_df ORDER BY df DESC, tok ASC LIMIT {vocab_size}
+),
+pm_n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+pm_vt AS (
+  SELECT t.doc_id, t.tok, v.df FROM pm_tok t JOIN pm_vocab v USING (tok)
+),
+pm_pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*)::BIGINT AS co_df,
+         MAX(a.df)::BIGINT AS df_a, MAX(b.df)::BIGINT AS df_b
+  FROM pm_vt a JOIN pm_vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, co_df, df_a, df_b,
+       CAST(ROUND(ln((co_df * n) / (df_a * df_b)) * 1000000, 0) AS BIGINT)
+           AS pmi_micro
+FROM pm_pairs, pm_n
+WHERE co_df >= {min_co_df}"""

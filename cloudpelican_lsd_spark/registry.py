@@ -1311,6 +1311,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_pmi_pairs", text_ops.pmi_pairs_oracle(50, 2))
+def q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocations over the top-50-df vocab —
+    vocab-bounded pair space, exact counts, micro-unit ln
+    (textstats.pmi_pairs)."""
+    return text_ops.pmi_pairs(
+        load_table(spark, "documents", sf_dir), vocab_size=50, min_co_df=2
+    )
+
+
 @register("text_lang_confusion", text_ops.lang_confusion_oracle(1, 20))
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the stopword-density language gate vs the
@@ -4501,6 +4511,7 @@ DRIVER_ORDER = [
     "outlier_seasonal_naive",
     "stats_series_correlation",
     "corpus_quality_weighted_alloc",
+    "text_pmi_pairs",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

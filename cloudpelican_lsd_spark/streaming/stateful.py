@@ -237,3 +237,87 @@ def streaming_outliers(
         if evict_stale
         else GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# alert cooldown suppressor — notification spam control on the outlier sink
+# ---------------------------------------------------------------------------
+
+ALERT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_key", T.StringType(), False),
+        T.StructField("ts_epoch", T.LongType(), False),
+        T.StructField("n_suppressed", T.LongType(), False),
+    ]
+)
+
+
+def alert_suppressor_state_fn(cooldown_sec: int):
+    """State fn factory: per series, emit at most one alert per
+    `cooldown_sec` of EVENT time; alerts inside the window are counted
+    and reported on the next emission (`n_suppressed`) so no signal is
+    silently lost — the notification-dedup stage a reference outlier
+    sink needs before paging a human.
+
+    State is two integers (last emitted ts + suppressed count) — O(1)
+    per series regardless of alert volume.  Batch rows are processed in
+    event-time order so the behavior is replay-deterministic for a given
+    micro-batch composition.
+    """
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[f.name for f in ALERT_OUTPUT_SCHEMA])
+            return
+        st = (
+            json.loads(state.get[0])
+            if state.exists
+            else {"last": None, "sup": 0}
+        )
+        ts = sorted(
+            int(e) for pdf in pdf_iter for e in pdf["ts_epoch"].tolist()
+        )
+        rows = []
+        for e in ts:
+            if st["last"] is None or e - st["last"] >= cooldown_sec:
+                rows.append(
+                    {
+                        "series_key": key[0],
+                        "ts_epoch": e,
+                        "n_suppressed": st["sup"],
+                    }
+                )
+                st["last"] = e
+                st["sup"] = 0
+            else:
+                st["sup"] += 1
+        state.update((json.dumps(st),))
+        _arm_ttl(state)
+        yield pd.DataFrame(rows, columns=[f.name for f in ALERT_OUTPUT_SCHEMA])
+
+    return fn
+
+
+def streaming_alert_suppress(
+    alerts: DataFrame, cooldown_sec: int = 1800, evict_stale: bool = False
+) -> DataFrame:
+    """`(series_key, ts_epoch, n_suppressed)` — at most one emitted alert
+    per series per cooldown window; suppressed alerts are counted onto
+    the next emission.  Input: a streaming alert relation with
+    `series_key` and `ts_epoch`."""
+    return (
+        alerts.select("series_key", "ts_epoch")
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            alert_suppressor_state_fn(cooldown_sec),
+            outputStructType=ALERT_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+            if evict_stale
+            else GroupStateTimeout.NoTimeout,
+        )
+    )

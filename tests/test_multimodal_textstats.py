@@ -1288,3 +1288,29 @@ def test_quality_weighted_alloc_closed_form(spark):
     )
     r = corpus_ops.quality_weighted_alloc(all_dirty, 1, 1).collect()[0]
     assert r.alloc == 0
+
+
+def test_pmi_pairs_closed_form(spark):
+    """4 docs: (x,y) always together -> PMI ln(2·4/(2·2)) = ln 2; (x,z)
+    independent-ish -> ln(2·4/(2·4)) = 0; pairs below min_co_df drop."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z"),
+            (2, "x y z"),
+            (3, "z q"),
+            (4, "z q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.tok_a, r.tok_b): r
+        for r in ts.pmi_pairs(docs, vocab_size=10, min_co_df=2).collect()
+    }
+    # df: z=4, x=2, y=2, q=2; N=4
+    assert got[("x", "y")].co_df == 2
+    assert got[("x", "y")].pmi_micro == round(math.log(2 * 4 / (2 * 2)) * 1e6)
+    assert got[("x", "z")].pmi_micro == 0  # ln(2*4/(2*4)) = ln 1
+    assert got[("q", "z")].pmi_micro == 0
+    assert ("x", "q") not in got  # co_df 0 < 2

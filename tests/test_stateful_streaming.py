@@ -153,3 +153,57 @@ def test_timed_out_state_is_evicted():
         out = list(fn(("f-1",), iter([pd.DataFrame()]), st))
         assert st.removed
         assert len(out) == 1 and out[0].empty
+
+
+def test_streaming_alert_suppressor_cooldown(spark, tmp_path):
+    """first alert per series emits; alerts inside the cooldown are
+    counted, the next emission carries the suppressed total; state
+    persists across micro-batches (second file = second batch)."""
+    import json as _json
+
+    from cloudpelican_lsd_spark.streaming.stateful import (
+        streaming_alert_suppress,
+    )
+
+    src = str(tmp_path / "al_in")
+    os.makedirs(src)
+    base = 1706745600
+    # batch 1: s1 alerts at t=0, 60, 120 (cooldown 300 -> only t=0 emits)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for e in (base, base + 60, base + 120):
+            f.write(_json.dumps({"series_key": "s1", "ts_epoch": e}) + "\n")
+        f.write(_json.dumps({"series_key": "s2", "ts_epoch": base}) + "\n")
+    # batch 2: s1 at t=400 (cooldown over -> emits, reports 2 suppressed)
+    with open(os.path.join(src, "b.jsonl"), "w") as f:
+        f.write(_json.dumps({"series_key": "s1", "ts_epoch": base + 400}) + "\n")
+    # FileStreamSource orders batches by modification time — pin it so
+    # a.jsonl is deterministically the first micro-batch
+    now = int(__import__("time").time())
+    os.utime(os.path.join(src, "a.jsonl"), (now - 100, now - 100))
+    os.utime(os.path.join(src, "b.jsonl"), (now, now))
+
+    emitted = []
+    stream = (
+        spark.readStream.format("json")
+        .schema("series_key string, ts_epoch long")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    q = (
+        streaming_alert_suppress(stream, cooldown_sec=300)
+        .writeStream.foreachBatch(lambda df, _eid: emitted.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "al_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        ((r.series_key, r.ts_epoch, r.n_suppressed) for r in emitted)
+    )
+    assert got == [
+        ("s1", base, 0),
+        ("s1", base + 400, 2),
+        ("s2", base, 0),
+    ]
