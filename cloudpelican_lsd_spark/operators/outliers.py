@@ -909,3 +909,47 @@ def seasonal_naive_check(
         )
         .alias("is_outlier"),
     )
+
+
+def cusum_check(span: DataFrame) -> DataFrame:
+    """`(series_key, bucket, actual, n, sum_hist, cusum, threshold,
+    is_outlier)` — one-sided CUSUM change-point analyzer (Page 1954):
+    detect a sustained upward level shift that no single-bucket analyzer
+    fires on.  Reference rate ``k = 1.5·μ`` (μ = history mean), alarm
+    when the cumulative exceedance passes ``h = 4·μ``.
+
+    Exact-integer formulation: with deviations scaled by 2n —
+    ``D_i = 2n·x_i − 3·sum`` — the recurrence ``S_t = max(0, S_{t−1} +
+    D_t)`` has the prefix-sum closed form ``S_T = P_T − min_{0≤k≤T} P_k``
+    (P = cumulative D, P_0 = 0), so ONE array fold tracking (prefix,
+    min_prefix) computes it: no iteration, no float, order fixed by the
+    array.  The alarm compares in the same scaled units: ``S > 8·sum``
+    (= 4μ·2n).  The target bucket participates as the final step.
+    """
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        "n",
+        F.expr("aggregate(cnts, 0L, (a, x) -> a + x)").alias("sum_hist"),
+        "cnts",
+    )
+    folded = s.select(
+        "series_key",
+        "bucket",
+        "actual",
+        "n",
+        "sum_hist",
+        F.expr(
+            "aggregate(concat(cnts, array(actual)),"
+            " named_struct('p', 0L, 'mn', 0L),"
+            " (a, x) -> named_struct("
+            "   'p', a.p + 2 * n * x - 3 * sum_hist,"
+            "   'mn', least(a.mn, a.p + 2 * n * x - 3 * sum_hist)),"
+            " a -> a.p - a.mn)"
+        ).alias("cusum"),
+    )
+    return folded.select(
+        "*",
+        (8 * F.col("sum_hist")).alias("threshold"),
+    ).withColumn("is_outlier", F.col("cusum") > F.col("threshold"))

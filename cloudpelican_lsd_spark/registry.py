@@ -647,6 +647,41 @@ def q_outlier_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_ops.seasonal_naive_check(_analyzer_span(spark, sf_dir))
 
 
+@register(
+    "outlier_cusum",
+    f"""WITH {_OUTLIER_GRID_CTE},
+cu_hist AS (SELECT series_key, COUNT(*)::BIGINT AS n,
+                   CAST(SUM(cnt) AS BIGINT) AS sum_hist
+            FROM f2 WHERE bucket < ceiling GROUP BY 1),
+cu_d AS (
+  SELECT f.series_key, f.bucket,
+         2 * h.n * f.cnt - 3 * h.sum_hist AS d
+  FROM f2 f JOIN cu_hist h USING (series_key)
+),
+cu_p AS (
+  SELECT series_key, bucket,
+         SUM(d) OVER (PARTITION BY series_key ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS p
+  FROM cu_d
+),
+cu_s AS (
+  SELECT series_key,
+         CAST(arg_max(p, bucket) AS BIGINT)
+           - CAST(LEAST(0, MIN(p)) AS BIGINT) AS cusum
+  FROM cu_p GROUP BY series_key
+)
+SELECT t.series_key, t.bucket, t.actual, h.n, h.sum_hist, s.cusum,
+       (8 * h.sum_hist)::BIGINT AS threshold,
+       (s.cusum > 8 * h.sum_hist) AS is_outlier
+FROM tgt t JOIN cu_hist h USING (series_key) JOIN cu_s s USING (series_key)""",
+)
+def q_outlier_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point analyzer (Page 1954): sustained-shift
+    detection via the exact prefix-sum closed form — one integer array
+    fold, alarm at 4μ in 2n-scaled units (outliers.cusum_check)."""
+    return outlier_ops.cusum_check(_analyzer_span(spark, sf_dir))
+
+
 _MA_CASE = """CASE WHEN m.n12 = 1 OR m.sum_ad = 0 THEN t.actual * m.n12 <> m.sum12
             ELSE ABS(t.actual * m.n12 - m.sum12) * (m.n12 - 1)
                  > 3 * m.n12 * m.sum_ad END"""
@@ -4512,6 +4547,7 @@ DRIVER_ORDER = [
     "stats_series_correlation",
     "corpus_quality_weighted_alloc",
     "text_pmi_pairs",
+    "outlier_cusum",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -427,3 +427,27 @@ def test_seasonal_naive_closed_form(spark):
     )
     r = seasonal_naive_check(span2).collect()[0]
     assert r.seasonal_med == 100 and not r.is_outlier
+
+
+def test_cusum_closed_form(spark):
+    """flat series -> cusum 0; a sustained 10x level shift accumulates
+    past the 4-mu threshold where a mild shift stays under; hand-checked
+    scaled units (D_i = 2n*x - 3*sum)."""
+    from cloudpelican_lsd_spark.operators.outliers import cusum_check
+
+    span = spark.createDataFrame(
+        [
+            ("flat", 0, 3600, [2] * 12, 2, 12),
+            ("mild", 0, 3600, [2] * 8 + [10] * 4, 10, 12),
+            ("shift", 0, 3600, [2] * 8 + [20] * 4, 20, 12),
+        ],
+        "series_key string, start long, ceiling long, cnts array<bigint>, "
+        "actual long, n long",
+    )
+    got = {r.series_key: r for r in cusum_check(span).collect()}
+    assert got["flat"].cusum == 0 and not got["flat"].is_outlier
+    # mild: sum=56; 5 steps of +72 after a -960 trough -> S=360 < 448
+    assert got["mild"].cusum == 360 and got["mild"].threshold == 448
+    assert not got["mild"].is_outlier
+    # shift: sum=96; S = 5*192 = 960 > 768
+    assert got["shift"].cusum == 960 and got["shift"].is_outlier
