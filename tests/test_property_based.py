@@ -276,3 +276,69 @@ def test_chunk_windows_matches_python_reference(token_lists, chunk, overlap):
             for j in range(n_chunks)
         ]
         assert sorted(got[i]) == expect, (toks, chunk, overlap)
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=2, max_size=40),
+    st.integers(0, 500),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_equals_direct_recurrence(hist, actual):
+    """The prefix-sum closed form used by cusum_check must equal the
+    textbook recurrence S_t = max(0, S_{t-1} + D_t) for every input."""
+    n = len(hist)
+    sum_hist = sum(hist)
+    seq = hist + [actual]
+    # direct recurrence in the same 2n-scaled integer units
+    s = 0
+    for x in seq:
+        s = max(0, s + 2 * n * x - 3 * sum_hist)
+    # closed form: P_T - min(0, min prefix)
+    p, mn = 0, 0
+    for x in seq:
+        p += 2 * n * x - 3 * sum_hist
+        mn = min(mn, p)
+    assert p - min(0, mn) == s
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_containment_matches_bruteforce(spark, corpora):
+    """containment_pairs agrees with a brute-force Python shingle-set
+    containment on random small corpora (threshold 1/2)."""
+    docs_py = {i: " ".join(toks) for i, toks in enumerate(corpora)}
+
+    def sh(t):
+        w = t.lower().split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expect = set()
+    for a in docs_py:
+        for b in docs_py:
+            if a >= b:
+                continue
+            sa, sb = sh(docs_py[a]), sh(docs_py[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter * 2 >= min(len(sa), len(sb)):
+                expect.add((a, b))
+
+    from cloudpelican_lsd_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in docs_py.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(
+            docs, n=3, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    assert got == expect
