@@ -1609,3 +1609,106 @@ SELECT cluster::BIGINT AS cluster, n_members::BIGINT AS n_members,
        label::BIGINT AS top_label, cnt::BIGINT AS top_label_cnt,
        (cnt * 1000000 // n_members)::BIGINT AS purity_ppm
 FROM cp_rank WHERE rn = 1"""
+
+
+def knn_accuracy(
+    emb: DataFrame, k: int = 5, num_queries: int = 50
+) -> DataFrame:
+    """`(qid, true_label, pred_label, n_votes, correct)` — k-NN
+    classification eval: each query vector (vec_id < num_queries) is
+    labeled by majority vote of its k nearest cosine neighbors (vote
+    count desc, label asc tiebreak), compared to its true label — the
+    standard embedding-quality probe ("do labels cluster in this
+    space?") run before trusting the space for retrieval or dedup.
+
+    Same broadcast nested-loop + one qid-partitioned window as
+    cosine_topk; the vote is a second tiny aggregate over k rows per
+    query.  Cosines round to 6dp with cid tiebreak, so the neighbor set
+    — and therefore the vote — is deterministic across engines.
+    """
+    base = _with_norm(emb)
+    q = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("label").alias("true_label"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+        F.col("label").alias("clabel"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "true_label",
+            "cid",
+            "clabel",
+            F.round(
+                F.expr(_DOT.format(a="qemb", b="cemb"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    topk = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    votes = topk.groupBy("qid", "true_label", "clabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("clabel").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "qid",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("clabel").cast("long").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("clabel") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+def knn_accuracy_oracle(k: int = 5, num_queries: int = 50) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    return f"""WITH kn_e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings
+),
+kn_n AS (
+  SELECT vec_id, emb, label,
+         sqrt({dot.format(a='emb', b='emb')}) AS nrm
+  FROM kn_e WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
+),
+kn_pairs AS (
+  SELECT q.vec_id AS qid, q.label AS true_label, c.vec_id AS cid,
+         c.label AS clabel,
+         ROUND({dot.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 6) AS cos
+  FROM kn_n q JOIN kn_n c ON q.vec_id < {num_queries} AND q.vec_id <> c.vec_id
+),
+kn_topk AS (
+  SELECT qid, true_label, clabel FROM (
+    SELECT qid, true_label, clabel,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+    FROM kn_pairs
+  ) WHERE rn <= {k}
+),
+kn_votes AS (
+  SELECT qid, true_label, clabel, COUNT(*)::BIGINT AS n_votes
+  FROM kn_topk GROUP BY 1, 2, 3
+)
+SELECT qid, true_label::BIGINT AS true_label, clabel::BIGINT AS pred_label,
+       n_votes, (clabel = true_label) AS correct
+FROM (
+  SELECT qid, true_label, clabel, n_votes,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY n_votes DESC, clabel ASC) AS vr
+  FROM kn_votes
+) WHERE vr = 1"""

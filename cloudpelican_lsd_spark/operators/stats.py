@@ -584,3 +584,102 @@ SELECT type_a, type_b, n, sxy,
                           * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
        END AS corr
 FROM sc_m"""
+
+
+def autocorrelation(events, bucket_sec: int = 300, max_lag: int = 3) -> DataFrame:
+    """`(event_type, lag, n, corr)` — lag-1..`max_lag` autocorrelation of
+    each event type's zero-filled per-bucket count series: the
+    periodicity/burstiness probe (high lag-k ⇒ k·bucket_sec cycles; ~0
+    everywhere ⇒ Poisson-like arrivals) that tells an alerting config
+    which analyzer family fits the stream.
+
+    Same exactness discipline as series_correlation: all moments are
+    BIGINT sums over an equi-join of the series to itself shifted by
+    lag·bucket_sec (no window functions, no floats in aggregation); one
+    rounded Pearson per output row.  Zero-variance slices yield NULL.
+    Scale: the filled grid is |types|×|buckets| rows; the lag join is an
+    equi-join on (type, bucket) repeated per lag (`max_lag` small).
+    """
+    from pyspark.sql import functions as F
+
+    c = (
+        events.select(
+            F.col("event_type").alias("t"),
+            (F.col("ts_epoch") - F.col("ts_epoch") % bucket_sec).alias("bucket"),
+        )
+        .groupBy("t", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    types = c.select("t").distinct()
+    buckets = c.select("bucket").distinct()
+    filled = (
+        types.crossJoin(buckets)
+        .join(c, ["t", "bucket"], "left")
+        .select(
+            "t", "bucket", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+        )
+    )
+    lags = filled.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = filled.select(F.col("t"), "bucket", F.col("cnt").alias("x"))
+    b = filled.select(F.col("t"), F.col("bucket").alias("b2"), F.col("cnt").alias("y"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("b2", F.col("bucket") + F.col("lag") * bucket_sec)
+        .join(b, ["t", "b2"])
+    )
+    m = j.groupBy("t", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+    dx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+    dy = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    return m.select(
+        F.col("t").alias("event_type"),
+        "lag",
+        "n",
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))), 6),
+        ).alias("corr"),
+    )
+
+
+def autocorrelation_oracle(bucket_sec: int = 300, max_lag: int = 3) -> str:
+    return f"""WITH ac_c AS (
+  SELECT event_type AS t,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % {bucket_sec} AS bucket,
+         COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+ac_f AS (
+  SELECT g.t, g.bucket, COALESCE(c.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT t, bucket FROM (SELECT DISTINCT t FROM ac_c),
+                              (SELECT DISTINCT bucket FROM ac_c)) g
+  LEFT JOIN ac_c c ON c.t = g.t AND c.bucket = g.bucket
+),
+ac_m AS (
+  SELECT a.t, l.lag, COUNT(*)::BIGINT AS n,
+         CAST(SUM(a.cnt) AS BIGINT) AS sx, CAST(SUM(b.cnt) AS BIGINT) AS sy,
+         CAST(SUM(a.cnt * a.cnt) AS BIGINT) AS sxx,
+         CAST(SUM(b.cnt * b.cnt) AS BIGINT) AS syy,
+         CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS sxy
+  FROM ac_f a
+  CROSS JOIN (SELECT unnest(generate_series(1, {max_lag}))::BIGINT AS lag) l
+  JOIN ac_f b ON b.t = a.t AND b.bucket = a.bucket + l.lag * {bucket_sec}
+  GROUP BY 1, 2
+)
+SELECT t AS event_type, lag, n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN ROUND((n * sxy - sx * sy)
+                       / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                          * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+       END AS corr
+FROM ac_m"""

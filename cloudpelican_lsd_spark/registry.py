@@ -1080,6 +1080,84 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_token_savings",
+    f"""WITH RECURSIVE {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+{dedup_ops.connected_components_oracle(_MINHASH_PAIRS_SQL)},
+ts_clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+ts_tok AS (
+  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS n
+  FROM docs_planted
+),
+ts_mem AS (
+  SELECT c.cluster_id, t.doc_id, t.source, t.n
+  FROM ts_clusters c JOIN ts_tok t USING (doc_id)
+),
+ts_keep AS (
+  SELECT cluster_id, doc_id AS keeper_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n DESC, doc_id ASC) AS rn
+    FROM ts_mem
+  ) WHERE rn = 1
+),
+ts_removed AS (
+  SELECT m.source, SUM(m.n)::BIGINT AS removed_tokens
+  FROM ts_mem m JOIN ts_keep k USING (cluster_id)
+  WHERE m.doc_id <> k.keeper_id GROUP BY m.source
+),
+ts_total AS (
+  SELECT source, SUM(n)::BIGINT AS total_tokens FROM ts_tok GROUP BY source
+)
+SELECT t.source, t.total_tokens,
+       COALESCE(r.removed_tokens, 0)::BIGINT AS removed_tokens,
+       CAST((t.total_tokens - COALESCE(r.removed_tokens, 0)) * 1000000
+            // t.total_tokens AS BIGINT) AS kept_ppm
+FROM ts_total t LEFT JOIN ts_removed r USING (source)""",
+)
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup buys, in tokens: per source, the token mass removed by
+    keeping only the longest member of each near-dup cluster (same
+    keeper policy as dedup_cluster_keepers) — the before/after report a
+    curation run publishes.  Clusters are corpus-tiny, so both joins
+    broadcast; token counting is the shared split-size column math."""
+    docs = _docs_with_dupes(spark, sf_dir)
+    pairs = dedup_ops.lsh_candidate_pairs(docs, num_hashes=12, rows_per_band=3, n=3)
+    clusters = dedup_ops.connected_components(pairs)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+    )
+    members = F.broadcast(clusters).join(toks, "doc_id")
+    keepers = members.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("n"), (-F.col("doc_id")).alias("neg_id"))).alias("m")
+    ).select("cluster_id", (-F.col("m.neg_id")).alias("keeper_id"))
+    removed = (
+        members.join(F.broadcast(keepers), "cluster_id")
+        .where(F.col("doc_id") != F.col("keeper_id"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("removed_tokens"))
+    )
+    total = toks.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total_tokens")
+    )
+    return total.join(removed, "source", "left").select(
+        "source",
+        "total_tokens",
+        F.coalesce(F.col("removed_tokens"), F.lit(0)).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.expr(
+            "CAST((total_tokens - coalesce(removed_tokens, 0L)) * 1000000"
+            " div total_tokens AS BIGINT)"
+        ).alias("kept_ppm"),
+    )
+
+
+@register(
     "dedup_method_agreement",
     f"""WITH {_PLANTED_CTE},
 {dedup_ops.method_agreement_oracle(12, 3, 3, 6, base_table='docs_planted')}""",
@@ -2384,6 +2462,15 @@ def q_text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(50)
+    )
+
+
+@register("stats_autocorrelation", stats_ops.autocorrelation_oracle(300, 3))
+def q_stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of each event type's zero-filled count
+    series — the periodicity/burstiness probe (stats.autocorrelation)."""
+    return stats_ops.autocorrelation(
+        load_table(spark, "events", sf_dir), bucket_sec=300, max_lag=3
     )
 
 
@@ -4029,6 +4116,16 @@ def q_emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_knn_accuracy", sim_ops.knn_accuracy_oracle(5, 50))
+def q_emb_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-prediction eval (k=5 cosine majority vote vs true
+    label) — the do-labels-cluster probe for the embedding space
+    (similarity.knn_accuracy)."""
+    return sim_ops.knn_accuracy(
+        load_table(spark, "embeddings", sf_dir), k=5, num_queries=50
+    )
+
+
 @register("emb_cluster_purity", sim_ops.cluster_purity_oracle(64))
 def q_emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External clustering quality: per nearest-centroid cluster, the
@@ -4548,6 +4645,9 @@ DRIVER_ORDER = [
     "corpus_quality_weighted_alloc",
     "text_pmi_pairs",
     "outlier_cusum",
+    "emb_knn_accuracy",
+    "stats_autocorrelation",
+    "dedup_token_savings",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

@@ -1160,3 +1160,42 @@ def test_power_iteration_converges_to_dominant_direction(spark):
         assert abs(got[d][1] - round(y[d] / nrm, 6)) < 1e-9
     # dominant axis: |v1| on dim 0 dwarfs the rest
     assert abs(got[0][1]) > 0.99
+
+
+def test_knn_accuracy_closed_form(spark):
+    """two tight label clusters -> every query's 3-NN vote is its own
+    cluster's label; a planted mislabeled vector is predicted 'wrong'."""
+    from cloudpelican_lsd_spark.operators.similarity import knn_accuracy
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [1.0, 0.1, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.1], 1),
+        (4, [0.0, 0.0, 0.9, 0.2], 1),
+        (5, [0.0, 0.1, 1.0, 0.0], 1),
+        (6, [1.0, 0.05, 0.0, 0.0], 1),  # mislabeled: sits in cluster 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.qid: r for r in knn_accuracy(emb, k=3, num_queries=7).collect()}
+    for qid in (0, 1, 2):
+        assert got[qid].pred_label == 0 and got[qid].correct
+    for qid in (3, 4, 5):
+        assert got[qid].pred_label == 1 and got[qid].correct
+    assert got[6].pred_label == 0 and not got[6].correct
+
+
+def test_dedup_token_savings_reconciles(spark, sf_dir):
+    """savings reconcile with cluster membership: removed tokens equal
+    the token mass of all non-keeper members, kept_ppm is exact."""
+    from cloudpelican_lsd_spark import registry
+
+    rows = {r.source: r for r in registry.QUERIES["dedup_token_savings"](spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r.removed_tokens <= r.total_tokens
+        assert r.kept_ppm == (r.total_tokens - r.removed_tokens) * 1000000 // r.total_tokens
+    # the planted corpus duplicates doc_id < 50 -> some source must save tokens
+    assert any(r.removed_tokens > 0 for r in rows.values())

@@ -500,3 +500,38 @@ def test_series_correlation_closed_form(spark):
     # e = [2,0,0] vs a = [1,2,3]: negative but > -1
     assert -1.0 < got[("a", "e")].corr < 0
     assert got[("a", "b")].n == 3
+
+
+def test_autocorrelation_closed_form(spark):
+    """an alternating 2-bucket cycle has lag-1 corr -1 and lag-2 corr +1;
+    constant series -> NULL."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 2, 1, 10, 0, 0)
+    # 8 buckets of 300s: alternating counts 1,3,1,3,... for type 'alt'
+    for j in range(8):
+        k = 1 if j % 2 == 0 else 3
+        for i in range(k):
+            rows.append((len(rows), base + dt.timedelta(seconds=300 * j + i), 1, "alt", 1.0, "{}"))
+    # constant type: 2 per bucket
+    for j in range(8):
+        for i in range(2):
+            rows.append((len(rows), base + dt.timedelta(seconds=300 * j + i), 1, "const", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).withColumn(
+        "ts_epoch",
+        __import__("pyspark.sql.functions", fromlist=["F"]).expr(
+            "CAST(floor(unix_timestamp(ts)) AS BIGINT)"
+        ),
+    )
+    from cloudpelican_lsd_spark.operators.stats import autocorrelation
+
+    got = {
+        (r.event_type, r.lag): r.corr
+        for r in autocorrelation(ev, bucket_sec=300, max_lag=2).collect()
+    }
+    assert got[("alt", 1)] == -1.0
+    assert got[("alt", 2)] == 1.0
+    assert got[("const", 1)] is None and got[("const", 2)] is None
