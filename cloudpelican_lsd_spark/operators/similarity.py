@@ -400,59 +400,7 @@ def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
     :func:`kmeans_assign_confusion` (which is now a groupBy over this).
     Shared by the confusion audit and the SemDeDup-style semantic prune,
     so the two can never disagree on cluster membership."""
-    ex = (
-        emb.select(
-            "vec_id",
-            "label",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "pos0", "v"
-            ),
-        )
-        .select(
-            "vec_id",
-            "label",
-            (F.col("pos0") + 1).alias("pos"),
-            F.floor(F.col("v") * 10000000).cast("long").alias("qv"),
-        )
-    )
-    cent = (
-        ex.groupBy(F.col("label").alias("clabel"), "pos")
-        .agg(
-            (
-                F.sum(F.col("qv").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1)) / F.lit(1e7)
-            ).alias("c")
-        )
-        .select(
-            "clabel",
-            "pos",
-            F.floor(F.col("c") * 10000).cast("long").alias("qc"),
-        )
-    )
-    cnorm = cent.groupBy("clabel").agg(
-        F.sum(F.col("qc") * F.col("qc")).alias("cn")
-    )
-    vnorm = ex.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("vn"))
-    dots = (
-        ex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(F.sum(F.col("qv") * F.col("qc")).alias("dot"))
-    )
-    scored = (
-        dots.join(vnorm, "vec_id")
-        .join(F.broadcast(cnorm), "clabel")
-        .where((F.col("vn") > 0) & (F.col("cn") > 0))
-        .withColumn(
-            "cos",
-            F.round(
-                F.col("dot").cast("double")
-                / (
-                    F.sqrt(F.col("vn").cast("double"))
-                    * F.sqrt(F.col("cn").cast("double"))
-                ),
-                6,
-            ),
-        )
-    )
+    scored = _fixed_point_scores(emb)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("clabel").asc()
     )
@@ -461,7 +409,6 @@ def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("vec_id", "label", "clabel")
     )
-
 
 def semantic_prune(
     emb: DataFrame, tau_num: int = 3, tau_den: int = 10
@@ -1712,3 +1659,89 @@ FROM (
                             ORDER BY n_votes DESC, clabel ASC) AS vr
   FROM kn_votes
 ) WHERE vr = 1"""
+
+
+def centroid_outliers(emb: DataFrame, threshold_ppm: int = 500000) -> DataFrame:
+    """`(vec_id, label, cos_own_micro, is_far)` — embedding QA: cosine of
+    every vector to its OWN label centroid (the same exact fixed-point
+    quantization as the kmeans family), flagging vectors below
+    `threshold_ppm`/1e6 — mislabeled rows, embedding-version mixups, and
+    garbage vectors surface here before they poison retrieval or dedup.
+
+    The cosine is reported in integer micro-units (round(cos·1e6)) so the
+    flag comparison is pure integers.  One posexplode scan feeds both the
+    centroid fit (labels×dim rows) and the dot products; centroids
+    broadcast back.
+    """
+    scored = _fixed_point_scores(emb)
+    own = scored.where(F.col("label") == F.col("clabel"))
+    return own.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr("CAST(round(cos * 1000000, 0) AS BIGINT)").alias("cos_own_micro"),
+    ).withColumn("is_far", F.col("cos_own_micro") < threshold_ppm)
+
+
+def _fixed_point_scores(emb: DataFrame) -> DataFrame:
+    """`(vec_id, label, clabel, cos)` — the kmeans family's exact
+    fixed-point vector-to-centroid cosines (shared by assignment, purity,
+    and the outlier audit; one definition, one oracle twin)."""
+    ex = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("v") * 10000000).cast("long").alias("qv"),
+        )
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            (
+                F.sum(F.col("qv").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e7)
+            ).alias("c")
+        )
+        .select("clabel", "pos", F.floor(F.col("c") * 10000).cast("long").alias("qc"))
+    )
+    cnorm = cent.groupBy("clabel").agg(F.sum(F.col("qc") * F.col("qc")).alias("cn"))
+    vnorm = ex.groupBy("vec_id").agg(F.sum(F.col("qv") * F.col("qv")).alias("vn"))
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(F.col("qv") * F.col("qc")).alias("dot"))
+    )
+    return (
+        dots.join(F.broadcast(cnorm), "clabel")
+        .join(vnorm, "vec_id")
+        .where((F.col("vn") > 0) & (F.col("cn") > 0))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("vn").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+
+
+def centroid_outliers_oracle(threshold_ppm: int = 500000, dim: int = 64) -> str:
+    base = kmeans_assign_oracle(dim)
+    ctes = base[: base.rindex("\nassigned AS (")].rstrip().rstrip(",")
+    return f"""{ctes}
+SELECT vec_id, label::BIGINT AS label,
+       CAST(ROUND(cos * 1000000, 0) AS BIGINT) AS cos_own_micro,
+       (CAST(ROUND(cos * 1000000, 0) AS BIGINT) < {threshold_ppm}) AS is_far
+FROM scored WHERE label = clabel"""

@@ -2002,3 +2002,62 @@ SELECT tok_a, tok_b, co_df, df_a, df_b,
            AS pmi_micro
 FROM pm_pairs, pm_n
 WHERE co_df >= {min_co_df}"""
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """`(doc_id, n_shingles, n_novel, novelty_ppm)` — what fraction of a
+    document's DISTINCT word n-grams appear here FIRST (no lower doc_id
+    contains them): the curriculum/data-ordering signal ("is the stream
+    still contributing new text?") and the per-document twin of the
+    corpus-level yield curve.  A doc full of already-seen n-grams is
+    boilerplate or near-dup; early docs score high by construction.
+
+    One shingle pipeline → per-(shingle) MIN(doc_id) — an inverted-index
+    aggregate reused as a broadcast-free second aggregate keyed by the
+    claiming doc: novelty counting needs NO join at all (the min row IS
+    the first occurrence), just two map-side-combinable aggregations.
+    Per-doc distinct sizes ride the same xxhash64-set trick as the
+    Jaccard family.
+    """
+    from cloudpelican_lsd_spark.operators.dedup import _spread, shingle_rows
+
+    sh = (
+        shingle_rows(_spread(docs), n)
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
+        .select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("h"))
+    )
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.max("sz").cast("long").alias("n_shingles"))
+    return sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        F.expr(
+            "CAST(coalesce(n_novel, 0L) * 1000000 div n_shingles AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
+
+
+def ngram_novelty_oracle(n: int = 3) -> str:
+    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
+
+    return f"""WITH {shingles_oracle_cte(n, "documents", "nv")},
+nv_first AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM nvsh GROUP BY shingle
+),
+nv_novel AS (
+  SELECT first_doc AS doc_id, COUNT(*)::BIGINT AS n_novel
+  FROM nv_first GROUP BY first_doc
+),
+nv_sizes AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_shingles FROM nvsh GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_shingles,
+       COALESCE(v.n_novel, 0)::BIGINT AS n_novel,
+       CAST(COALESCE(v.n_novel, 0) * 1000000 // s.n_shingles AS BIGINT)
+           AS novelty_ppm
+FROM nv_sizes s LEFT JOIN nv_novel v USING (doc_id)"""

@@ -4116,6 +4116,25 @@ def q_emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_centroid_outliers", sim_ops.centroid_outliers_oracle(500000, 64))
+def q_emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: micro-unit cosine of every vector to its own label
+    centroid, flagging < 0.5 — mislabels and garbage vectors surface
+    before they poison retrieval (similarity.centroid_outliers; shares
+    _fixed_point_scores with the kmeans family)."""
+    return sim_ops.centroid_outliers(
+        load_table(spark, "embeddings", sf_dir), threshold_ppm=500000
+    )
+
+
+@register("text_ngram_novelty", text_ops.ngram_novelty_oracle(3))
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of n-grams appearing FIRST here (min-doc_id claim,
+    no joins) — the curriculum/data-ordering novelty signal
+    (textstats.ngram_novelty)."""
+    return text_ops.ngram_novelty(load_table(spark, "documents", sf_dir), n=3)
+
+
 @register("emb_knn_accuracy", sim_ops.knn_accuracy_oracle(5, 50))
 def q_emb_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label-prediction eval (k=5 cosine majority vote vs true
@@ -4648,6 +4667,8 @@ DRIVER_ORDER = [
     "emb_knn_accuracy",
     "stats_autocorrelation",
     "dedup_token_savings",
+    "emb_centroid_outliers",
+    "text_ngram_novelty",
     "dedup_substring_spans",
     "dedup_substring_clean",
     "logs_trending_terms",

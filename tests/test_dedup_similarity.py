@@ -1199,3 +1199,42 @@ def test_dedup_token_savings_reconciles(spark, sf_dir):
         assert r.kept_ppm == (r.total_tokens - r.removed_tokens) * 1000000 // r.total_tokens
     # the planted corpus duplicates doc_id < 50 -> some source must save tokens
     assert any(r.removed_tokens > 0 for r in rows.values())
+
+
+def test_centroid_outliers_flags_planted_mislabel(spark):
+    """a vector labeled into the opposite cluster scores far below its
+    own-label centroid; in-cluster vectors score near 1.0."""
+    from cloudpelican_lsd_spark.operators.similarity import centroid_outliers
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.1, 0.9, 0.0], 1),
+        (4, [1.0, 0.0, 0.0, 0.0], 1),  # mislabeled
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.vec_id: r for r in centroid_outliers(emb).collect()}
+    assert not got[0].is_far and not got[2].is_far
+    assert got[4].is_far and got[4].cos_own_micro < 500000
+
+
+def test_ngram_novelty_first_claim(spark):
+    """doc 1 claims all its shingles; an exact dup claims none; a half-
+    new doc claims exactly the new half."""
+    from cloudpelican_lsd_spark.operators.textstats import ngram_novelty
+
+    t1 = "a b c d e f"            # 4 shingles
+    t3 = "a b c x y z"            # shares 'a b c', adds 'c x y','x y z','b c x'
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t3)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+    assert got[1].n_shingles == 4 and got[1].n_novel == 4
+    assert got[1].novelty_ppm == 1000000
+    assert got[2].n_novel == 0 and got[2].novelty_ppm == 0
+    # doc 3: shingles {a b c, b c x, c x y, x y z}; only 'a b c' is old
+    assert got[3].n_shingles == 4 and got[3].n_novel == 3
+    assert got[3].novelty_ppm == 750000
