@@ -1240,7 +1240,11 @@ def temperature_mixture(
         .select(
             "source",
             "n_tokens",
-            F.expr("m * 1000000 div m_tot").cast("long").alias("weight_ppm"),
+            # DECIMAL product: m ≈ √tokens·10⁶ reaches ~4.5e12 at 10¹³
+            # tokens, so m·10⁶ brushes 2^63 — same guard as alloc
+            F.expr(
+                "CAST(CAST(m AS DECIMAL(38,0)) * 1000000 div m_tot AS BIGINT)"
+            ).alias("weight_ppm"),
             F.expr(
                 "CAST(CAST(b AS DECIMAL(38,0)) * m div m_tot AS BIGINT)"
             ).alias("alloc"),
@@ -1265,7 +1269,7 @@ tm_tot AS (
   FROM tm_m
 )
 SELECT s.source, s.n_tokens,
-       CAST(s.m * 1000000 // t.m_tot AS BIGINT) AS weight_ppm,
+       CAST(s.m::HUGEINT * 1000000 // t.m_tot AS BIGINT) AS weight_ppm,
        CAST(t.b::HUGEINT * s.m // t.m_tot AS BIGINT) AS alloc,
        (CAST(t.b::HUGEINT * s.m // t.m_tot AS BIGINT) > s.n_tokens)
            AS oversampled
@@ -1331,9 +1335,12 @@ def quality_weighted_alloc(
         "source",
         "total_tokens",
         "clean_tokens",
-        F.expr("clean_tokens * 1000000 div total_tokens")
-        .cast("long")
-        .alias("clean_rate_ppm"),
+        # DECIMAL product: clean_tokens·10⁶ passes 2^63 at ~10¹³-token
+        # sources (the same overflow the alloc product guards against)
+        F.expr(
+            "CAST(CAST(clean_tokens AS DECIMAL(38,0)) * 1000000"
+            " div total_tokens AS BIGINT)"
+        ).alias("clean_rate_ppm"),
         F.expr(
             "CASE WHEN clean_total = 0 THEN 0L ELSE"
             " CAST(CAST(b AS DECIMAL(38,0)) * clean_tokens div clean_total"
@@ -1369,7 +1376,7 @@ qa_tot AS (
   FROM qa_src
 )
 SELECT s.source, s.total_tokens, s.clean_tokens,
-       CAST(s.clean_tokens * 1000000 // s.total_tokens AS BIGINT)
+       CAST(s.clean_tokens::HUGEINT * 1000000 // s.total_tokens AS BIGINT)
            AS clean_rate_ppm,
        CASE WHEN t.clean_total = 0 THEN 0
             ELSE CAST(t.b::HUGEINT * s.clean_tokens // t.clean_total AS BIGINT)

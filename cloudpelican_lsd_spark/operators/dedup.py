@@ -608,6 +608,45 @@ FROM maybe m LEFT JOIN exact e ON m.doc_id = e.doc_id"""
 # ---------------------------------------------------------------------------
 
 
+
+def doc_shingle_hash_rows(docs: DataFrame, n: int = 3) -> DataFrame:
+    """`(doc_id, sz, sh_h)` — each document's DISTINCT-shingle xxhash64
+    set, exploded with the exact set size attached: the shared front end
+    of every inverted-index set-overlap operator (Jaccard, containment,
+    novelty).  One definition so the planned 128-bit-hash switch at
+    100 TB happens in one place.  See ngram_jaccard_pairs for why this
+    shape (collect_set of 8-byte hashes, codegen shingles, _spread)."""
+    return (
+        shingle_rows(_spread(docs), n)
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
+        .select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("sh_h"))
+    )
+
+
+def pair_intersections(sh: DataFrame, max_df: int | None = None) -> DataFrame:
+    """`(doc_a, doc_b, inter_cnt, sz_a, sz_b)` — exact intersection size
+    and set sizes for every doc pair sharing >= 1 shingle hash, via the
+    one-shuffle `_group_pairs` inverted index (with the `max_df` hot-key
+    guard).  Shared by the Jaccard and containment predicates — only the
+    final threshold differs between them."""
+    pairs = _group_pairs(sh, ["sh_h"], ["doc_id", "sz"], max_group=max_df).select(
+        F.struct(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.sz").alias("sz_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.sz").alias("sz_b"),
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    ).agg(
+        F.count(F.lit(1)).alias("inter_cnt"),
+        F.max(F.col("p.sz_a")).alias("sz_a"),
+        F.max(F.col("p.sz_b")).alias("sz_b"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -646,28 +685,9 @@ def ngram_jaccard_pairs(
     # pipeline on both sides (no exchange reuse) and shuffles the shingle
     # set twice; this shape computes shingles once and shuffles once.  A
     # shingle shared by k docs emits k·(k-1)/2 pairs either way.
-    sh = (
-        shingle_rows(_spread(docs), n)
-        .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
-        .select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("sh_h"))
-    )
-    pairs = _group_pairs(sh, ["sh_h"], ["doc_id", "sz"], max_group=max_df).select(
-        F.struct(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("x.sz").alias("sz_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("y.sz").alias("sz_b"),
-        ).alias("p")
-    )
+    agg = pair_intersections(doc_shingle_hash_rows(docs, n), max_df=max_df)
     return (
-        pairs.groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter_cnt"),
-            F.max(F.col("p.sz_a")).alias("sz_a"),
-            F.max(F.col("p.sz_b")).alias("sz_b"),
-        )
-        .select(
+        agg.select(
             "doc_a",
             "doc_b",
             "inter_cnt",
@@ -1514,27 +1534,7 @@ def containment_pairs(
     min(sz)*num`); the reported ppm ratios are integer floor-division,
     hash-stable across engines.
     """
-    sh = (
-        shingle_rows(_spread(docs), n)
-        .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
-        .select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("sh_h"))
-    )
-    pairs = _group_pairs(sh, ["sh_h"], ["doc_id", "sz"], max_group=max_df).select(
-        F.struct(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("x.sz").alias("sz_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("y.sz").alias("sz_b"),
-        ).alias("p")
-    )
-    agg = pairs.groupBy(
-        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
-    ).agg(
-        F.count(F.lit(1)).alias("inter_cnt"),
-        F.max(F.col("p.sz_a")).alias("sz_a"),
-        F.max(F.col("p.sz_b")).alias("sz_b"),
-    )
+    agg = pair_intersections(doc_shingle_hash_rows(docs, n), max_df=max_df)
     cont_a = F.col("inter_cnt") * threshold_den >= F.col("sz_a") * threshold_num
     cont_b = F.col("inter_cnt") * threshold_den >= F.col("sz_b") * threshold_num
     return (

@@ -886,28 +886,35 @@ def seasonal_naive_check(
             " s -> s.x)"
         ).alias("samples"),
     )
-    return s.select(
-        "series_key",
-        "bucket",
-        "actual",
-        F.size("samples").cast("long").alias("m"),
-        # m = 0 (history shorter than one period) must not reach
-        # element_at — index 0 is an error, not null, under ANSI
-        F.expr(
-            "CASE WHEN size(samples) = 0 THEN 0L ELSE"
-            " element_at(array_sort(samples),"
-            " CAST((size(samples) + 1) div 2 AS INT)) END"
+    return (
+        s.select(
+            "series_key",
+            "bucket",
+            "actual",
+            F.size("samples").cast("long").alias("m"),
+            # m = 0 (history shorter than one period) must not reach
+            # element_at — index 0 is an error, not null, under ANSI
+            F.expr(
+                "CASE WHEN size(samples) = 0 THEN 0L ELSE"
+                " element_at(array_sort(samples),"
+                " CAST((size(samples) + 1) div 2 AS INT)) END"
+            )
+            .cast("long")
+            .alias("seasonal_med"),
         )
-        .cast("long")
-        .alias("seasonal_med"),
-    ).select(
-        "*",
-        F.when(F.col("m") == 0, F.col("actual") != 0)
-        .otherwise(
-            F.abs(F.col("actual") - F.col("seasonal_med")) * 2
-            > F.col("seasonal_med") + 6
+        # ABSTAIN with no same-phase history: a series younger than one
+        # period has no seasonal baseline to judge against — flagging
+        # every nonzero bucket there would flood the streaming battery
+        # with false positives (and the oracle's median join drops these
+        # rows, so emitting them would also break row-set parity).
+        .where(F.col("m") > 0)
+        .select(
+            "*",
+            (
+                F.abs(F.col("actual") - F.col("seasonal_med")) * 2
+                > F.col("seasonal_med") + 6
+            ).alias("is_outlier"),
         )
-        .alias("is_outlier"),
     )
 
 

@@ -382,7 +382,6 @@ def percentile_sketch_audit(
     constant, and the gate fails if Spark's sketch ever violates it.
     All comparisons are exact integers (milli-units cleared).
     """
-    from pyspark.sql import functions as F
 
     parr = "array(" + ", ".join(f"{p}/1000D" for p in percentiles) + ")"
     approx = events.groupBy("event_type").agg(
@@ -457,7 +456,6 @@ def hll_distinct_audit(events, rsd_pct: int = 2) -> DataFrame:
     `distinct_users_sketch` query exposes the raw estimate rows-only.
     Comparison is exact integer: |approx−exact|·100 ≤ exact·3·rsd + 200.
     """
-    from pyspark.sql import functions as F
 
     agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd_pct / 100.0).alias("approx_users"),
@@ -479,77 +477,92 @@ SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
 FROM events GROUP BY event_type"""
 
 
-def series_correlation(events, bucket_sec: int = 300) -> DataFrame:
-    """`(type_a, type_b, n, sxy, corr)` — Pearson correlation between the
-    per-`bucket_sec` count series of every event-type pair, zero-filled
-    onto the common bucket grid: the "do these errors move together"
-    incident-correlation table (and a mixture-health signal when keyed by
-    source).
-
-    Exactness: every moment (n, Σx, Σy, Σx², Σy², Σxy) is a BIGINT sum of
-    counts — associative, partition-order-free; the only float op is the
-    final single-value `r = (nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²))` per
-    pair, deterministic on identical integer inputs, rounded to 6.
-    Constant series (zero variance) report NULL corr on both engines.
-
-    Scale: counts collapse map-side to |types|×|buckets| rows before the
-    one shuffle; the pair join is |types|² × |buckets| — types are
-    enum-bounded here; for high-cardinality keys, pre-filter to the
-    top-k series first.
-    """
-    from pyspark.sql import functions as F
-
+def _zero_filled_counts(events, bucket_sec: int):
+    """`(t, bucket, cnt)` — per-(event_type, bucket) counts zero-filled
+    onto the full type × bucket grid (the common timeline every series-
+    to-series statistic needs).  Shared by series_correlation and
+    autocorrelation; counts collapse map-side before the one shuffle."""
     c = (
         events.select(
             F.col("event_type").alias("t"),
-            (
-                F.col("ts_epoch") - F.col("ts_epoch") % bucket_sec
-            ).alias("bucket"),
+            (F.col("ts_epoch") - F.col("ts_epoch") % bucket_sec).alias("bucket"),
         )
         .groupBy("t", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     types = c.select("t").distinct()
     buckets = c.select("bucket").distinct()
-    grid = types.crossJoin(buckets)
-    filled = grid.join(c, ["t", "bucket"], "left").select(
-        "t", "bucket", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    return (
+        types.crossJoin(buckets)
+        .join(c, ["t", "bucket"], "left")
+        .select(
+            "t",
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
     )
-    a = filled.select(
-        F.col("t").alias("type_a"), "bucket", F.col("cnt").alias("x")
-    )
-    b = filled.select(
-        F.col("t").alias("type_b"), "bucket", F.col("cnt").alias("y")
-    )
-    pairs = a.join(b, "bucket").where(F.col("type_a") < F.col("type_b"))
-    m = pairs.groupBy("type_a", "type_b").agg(
+
+
+_D38 = "decimal(38,0)"
+
+
+def _pearson_moments(grouped, x: str = "x", y: str = "y"):
+    """Six exact moments for a Pearson correlation, accumulated in
+    DECIMAL(38,0) — the repo's rule for row-summed squares (a BIGINT
+    sum of cnt² overflows ~2^63 at 1e9-count buckets; the DuckDB twins
+    use HUGEINT for the same reason)."""
+    return [
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col(x).cast(_D38)).alias("sx"),
+        F.sum(F.col(y).cast(_D38)).alias("sy"),
+        F.sum(F.col(x).cast(_D38) * F.col(x)).alias("sxx"),
+        F.sum(F.col(y).cast(_D38) * F.col(y)).alias("syy"),
+        F.sum(F.col(x).cast(_D38) * F.col(y)).alias("sxy"),
+    ]
+
+
+def _pearson_corr(m):
+    """Rounded Pearson r from the decimal moments; NULL on zero
+    variance.  One float op per output row — every input is exact."""
+    n = m["n"].cast(_D38)
+    num = n * m["sxy"] - m["sx"] * m["sy"]
+    dx = n * m["sxx"] - m["sx"] * m["sx"]
+    dy = n * m["syy"] - m["sy"] * m["sy"]
+    return F.when(
+        (dx > 0) & (dy > 0),
+        F.round(
+            num.cast("double")
+            / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+            6,
+        ),
     )
-    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
-    dx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
-    dy = m["n"] * m["syy"] - m["sy"] * m["sy"]
-    return m.select(
-        "type_a",
-        "type_b",
-        "n",
-        F.col("sxy"),
-        F.when(
-            (dx > 0) & (dy > 0),
-            F.round(
-                num
-                / (
-                    F.sqrt(dx.cast("double"))
-                    * F.sqrt(dy.cast("double"))
-                ),
-                6,
-            ),
-        ).alias("corr"),
-    )
+
+
+def series_correlation(events, bucket_sec: int = 300) -> DataFrame:
+    """`(type_a, type_b, n, corr)` — Pearson correlation between the
+    per-`bucket_sec` count series of every event-type pair, zero-filled
+    onto the common bucket grid: the "do these errors move together"
+    incident-correlation table (and a mixture-health signal when keyed by
+    source).
+
+    Exactness: every moment (n, Σx, Σy, Σx², Σy², Σxy) is a DECIMAL(38,0)
+    sum — associative, partition-order-free, and safe where BIGINT sums
+    of squared 1e9-scale bucket counts would overflow; the only float op
+    is the final single-value Pearson per pair, deterministic on
+    identical integer inputs, rounded to 6.  Constant series (zero
+    variance) report NULL corr on both engines.
+
+    Scale: counts collapse map-side to |types|×|buckets| rows before the
+    one shuffle; the pair join is |types|² × |buckets| — types are
+    enum-bounded here; for high-cardinality keys, pre-filter to the
+    top-k series first.
+    """
+    filled = _zero_filled_counts(events, bucket_sec)
+    a = filled.select(F.col("t").alias("type_a"), "bucket", F.col("cnt").alias("x"))
+    b = filled.select(F.col("t").alias("type_b"), "bucket", F.col("cnt").alias("y"))
+    pairs = a.join(b, "bucket").where(F.col("type_a") < F.col("type_b"))
+    m = pairs.groupBy("type_a", "type_b").agg(*_pearson_moments(pairs))
+    return m.select("type_a", "type_b", "n", _pearson_corr(m).alias("corr"))
 
 
 def series_correlation_oracle(bucket_sec: int = 300) -> str:
@@ -569,17 +582,17 @@ sc_f AS (
   FROM sc_grid g LEFT JOIN sc_c c ON c.t = g.t AND c.bucket = g.bucket
 ),
 sc_m AS (
-  SELECT a.t AS type_a, b.t AS type_b, COUNT(*)::BIGINT AS n,
-         CAST(SUM(a.cnt) AS BIGINT) AS sx, CAST(SUM(b.cnt) AS BIGINT) AS sy,
-         CAST(SUM(a.cnt * a.cnt) AS BIGINT) AS sxx,
-         CAST(SUM(b.cnt * b.cnt) AS BIGINT) AS syy,
-         CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS sxy
+  SELECT a.t AS type_a, b.t AS type_b, COUNT(*)::HUGEINT AS n,
+         SUM(a.cnt::HUGEINT) AS sx, SUM(b.cnt::HUGEINT) AS sy,
+         SUM(a.cnt::HUGEINT * a.cnt) AS sxx,
+         SUM(b.cnt::HUGEINT * b.cnt) AS syy,
+         SUM(a.cnt::HUGEINT * b.cnt) AS sxy
   FROM sc_f a JOIN sc_f b ON a.bucket = b.bucket AND a.t < b.t
   GROUP BY 1, 2
 )
-SELECT type_a, type_b, n, sxy,
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n,
        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-            THEN ROUND((n * sxy - sx * sy)
+            THEN ROUND((n * sxy - sx * sy)::DOUBLE
                        / (sqrt((n * sxx - sx * sx)::DOUBLE)
                           * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
        END AS corr
@@ -593,32 +606,13 @@ def autocorrelation(events, bucket_sec: int = 300, max_lag: int = 3) -> DataFram
     everywhere ⇒ Poisson-like arrivals) that tells an alerting config
     which analyzer family fits the stream.
 
-    Same exactness discipline as series_correlation: all moments are
-    BIGINT sums over an equi-join of the series to itself shifted by
-    lag·bucket_sec (no window functions, no floats in aggregation); one
-    rounded Pearson per output row.  Zero-variance slices yield NULL.
-    Scale: the filled grid is |types|×|buckets| rows; the lag join is an
-    equi-join on (type, bucket) repeated per lag (`max_lag` small).
+    Same exactness discipline as series_correlation (shared
+    `_pearson_moments` / `_pearson_corr`: DECIMAL(38,0) moments, one
+    rounded float per output row, NULL on zero variance); the series
+    joins to itself shifted by lag·bucket_sec — an equi-join repeated
+    per lag (`max_lag` small) on the shared zero-filled grid.
     """
-    from pyspark.sql import functions as F
-
-    c = (
-        events.select(
-            F.col("event_type").alias("t"),
-            (F.col("ts_epoch") - F.col("ts_epoch") % bucket_sec).alias("bucket"),
-        )
-        .groupBy("t", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    types = c.select("t").distinct()
-    buckets = c.select("bucket").distinct()
-    filled = (
-        types.crossJoin(buckets)
-        .join(c, ["t", "bucket"], "left")
-        .select(
-            "t", "bucket", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
-        )
-    )
+    filled = _zero_filled_counts(events, bucket_sec)
     lags = filled.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("long").alias("lag")
     )
@@ -629,25 +623,9 @@ def autocorrelation(events, bucket_sec: int = 300, max_lag: int = 3) -> DataFram
         .withColumn("b2", F.col("bucket") + F.col("lag") * bucket_sec)
         .join(b, ["t", "b2"])
     )
-    m = j.groupBy("t", "lag").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-    )
-    num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
-    dx = m["n"] * m["sxx"] - m["sx"] * m["sx"]
-    dy = m["n"] * m["syy"] - m["sy"] * m["sy"]
+    m = j.groupBy("t", "lag").agg(*_pearson_moments(j))
     return m.select(
-        F.col("t").alias("event_type"),
-        "lag",
-        "n",
-        F.when(
-            (dx > 0) & (dy > 0),
-            F.round(num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))), 6),
-        ).alias("corr"),
+        F.col("t").alias("event_type"), "lag", "n", _pearson_corr(m).alias("corr")
     )
 
 
@@ -666,19 +644,19 @@ ac_f AS (
   LEFT JOIN ac_c c ON c.t = g.t AND c.bucket = g.bucket
 ),
 ac_m AS (
-  SELECT a.t, l.lag, COUNT(*)::BIGINT AS n,
-         CAST(SUM(a.cnt) AS BIGINT) AS sx, CAST(SUM(b.cnt) AS BIGINT) AS sy,
-         CAST(SUM(a.cnt * a.cnt) AS BIGINT) AS sxx,
-         CAST(SUM(b.cnt * b.cnt) AS BIGINT) AS syy,
-         CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS sxy
+  SELECT a.t, l.lag, COUNT(*)::HUGEINT AS n,
+         SUM(a.cnt::HUGEINT) AS sx, SUM(b.cnt::HUGEINT) AS sy,
+         SUM(a.cnt::HUGEINT * a.cnt) AS sxx,
+         SUM(b.cnt::HUGEINT * b.cnt) AS syy,
+         SUM(a.cnt::HUGEINT * b.cnt) AS sxy
   FROM ac_f a
   CROSS JOIN (SELECT unnest(generate_series(1, {max_lag}))::BIGINT AS lag) l
   JOIN ac_f b ON b.t = a.t AND b.bucket = a.bucket + l.lag * {bucket_sec}
   GROUP BY 1, 2
 )
-SELECT t AS event_type, lag, n,
+SELECT t AS event_type, lag, CAST(n AS BIGINT) AS n,
        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-            THEN ROUND((n * sxy - sx * sy)
+            THEN ROUND((n * sxy - sx * sy)::DOUBLE
                        / (sqrt((n * sxx - sx * sx)::DOUBLE)
                           * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
        END AS corr

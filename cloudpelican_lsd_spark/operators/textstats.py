@@ -1970,8 +1970,13 @@ def pmi_pairs(
             "co_df",
             "df_a",
             "df_b",
+            # ratio assembled in DOUBLE: at billion-doc corpora the
+            # BIGINT products co_df·n and df_a·df_b pass 2^63 (top-df
+            # vocab tokens have df ≈ N); doubles hold these exactly up
+            # to 2^53 per factor and identically on both engines
             F.expr(
-                "CAST(round(ln((co_df * n) / (df_a * df_b)) * 1000000, 0)"
+                "CAST(round(ln((CAST(co_df AS DOUBLE) * n)"
+                " / (CAST(df_a AS DOUBLE) * df_b)) * 1000000, 0)"
                 " AS BIGINT)"
             ).alias("pmi_micro"),
         )
@@ -1998,8 +2003,8 @@ pm_pairs AS (
   GROUP BY 1, 2
 )
 SELECT tok_a, tok_b, co_df, df_a, df_b,
-       CAST(ROUND(ln((co_df * n) / (df_a * df_b)) * 1000000, 0) AS BIGINT)
-           AS pmi_micro
+       CAST(ROUND(ln((co_df::DOUBLE * n) / (df_a::DOUBLE * df_b)) * 1000000, 0)
+            AS BIGINT) AS pmi_micro
 FROM pm_pairs, pm_n
 WHERE co_df >= {min_co_df}"""
 
@@ -2019,14 +2024,9 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
     Per-doc distinct sizes ride the same xxhash64-set trick as the
     Jaccard family.
     """
-    from cloudpelican_lsd_spark.operators.dedup import _spread, shingle_rows
+    from cloudpelican_lsd_spark.operators.dedup import doc_shingle_hash_rows
 
-    sh = (
-        shingle_rows(_spread(docs), n)
-        .groupBy("doc_id")
-        .agg(F.collect_set(F.xxhash64("shingle")).alias("hs"))
-        .select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("h"))
-    )
+    sh = doc_shingle_hash_rows(docs, n).withColumnRenamed("sh_h", "h")
     firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_novel")

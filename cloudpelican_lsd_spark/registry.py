@@ -1113,7 +1113,7 @@ ts_total AS (
 )
 SELECT t.source, t.total_tokens,
        COALESCE(r.removed_tokens, 0)::BIGINT AS removed_tokens,
-       CAST((t.total_tokens - COALESCE(r.removed_tokens, 0)) * 1000000
+       CAST((t.total_tokens - COALESCE(r.removed_tokens, 0))::HUGEINT * 1000000
             // t.total_tokens AS BIGINT) AS kept_ppm
 FROM ts_total t LEFT JOIN ts_removed r USING (source)""",
 )
@@ -1151,8 +1151,8 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removed_tokens"
         ),
         F.expr(
-            "CAST((total_tokens - coalesce(removed_tokens, 0L)) * 1000000"
-            " div total_tokens AS BIGINT)"
+            "CAST(CAST(total_tokens - coalesce(removed_tokens, 0L)"
+            " AS DECIMAL(38,0)) * 1000000 div total_tokens AS BIGINT)"
         ).alias("kept_ppm"),
     )
 
