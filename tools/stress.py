@@ -129,6 +129,12 @@ def main() -> None:
         "char_entropy": lambda d: textstats.char_entropy(d),
         # one (source, token) agg + bounded top-V broadcast — ~linear
         "vocab_coverage": lambda d: textstats.vocab_coverage(d),
+        # vocab-bounded pair space: replication grows doc rows but the
+        # top-V vocab (and so the pair universe) is fixed — ~linear
+        "pmi_pairs": lambda d: textstats.pmi_pairs(d),
+        # two aggregates, no joins; replicas claim nothing new, so the
+        # min-doc_id table is constant — ~linear scan cost
+        "ngram_novelty": lambda d: textstats.ngram_novelty(d),
     }
     for name, fn in ops.items():
         t = {}
