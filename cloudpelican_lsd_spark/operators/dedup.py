@@ -525,7 +525,16 @@ def bloom_prefilter(
     (standard double-hashing compromise, and what keeps the oracle
     exact).  Requires ``4*k <= 32`` hex chars and ``bits_log2 <= 16``.
     """
-    assert 4 * k <= 32 and bits_log2 <= 16
+    if not (1 <= k and 4 * k <= 32):
+        raise ValueError(
+            f"bloom_prefilter: k={k} needs 1 <= k <= 8 (k non-overlapping "
+            "4-hex-char md5 slices must fit in 32 hex chars)"
+        )
+    if not (1 <= bits_log2 <= 16):
+        raise ValueError(
+            f"bloom_prefilter: bits_log2={bits_log2} must be in [1, 16] "
+            "(positions are 16-bit md5 slices)"
+        )
     m = 1 << bits_log2
     cpos = (
         corpus.select(

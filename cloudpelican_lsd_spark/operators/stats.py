@@ -233,15 +233,27 @@ def moving_zscore(
 # Google SRE Workbook pattern)
 # ---------------------------------------------------------------------------
 
+# One source of truth for both the Spark operator and its DuckDB oracle twin:
+# a defaults drift between the two would silently fork the registered oracle
+# SQL from the Spark plan for any caller that relies on defaults.
+BURN_RATE_DEFAULTS = dict(
+    budget_num=1,
+    budget_den=1000,
+    fast_sec=3600,
+    slow_sec=6 * 3600,
+    fast_x10=144,   # 14.4x budget over the fast window
+    slow_x10=60,    # 6x budget over the slow window
+)
+
 
 def burn_rate(
     logs: DataFrame,
-    budget_num: int = 1,
-    budget_den: int = 1000,
-    fast_sec: int = 3600,
-    slow_sec: int = 6 * 3600,
-    fast_x10: int = 144,   # 14.4x budget over the fast window
-    slow_x10: int = 60,    # 6x budget over the slow window
+    budget_num: int = BURN_RATE_DEFAULTS["budget_num"],
+    budget_den: int = BURN_RATE_DEFAULTS["budget_den"],
+    fast_sec: int = BURN_RATE_DEFAULTS["fast_sec"],
+    slow_sec: int = BURN_RATE_DEFAULTS["slow_sec"],
+    fast_x10: int = BURN_RATE_DEFAULTS["fast_x10"],
+    slow_x10: int = BURN_RATE_DEFAULTS["slow_x10"],
 ) -> DataFrame:
     """`(bucket, err_fast, total_fast, err_slow, total_slow, fast_burn,
     slow_burn, page)` — minutely multiwindow error-budget burn: page when
@@ -318,12 +330,12 @@ def burn_rate(
 
 
 def burn_rate_oracle(
-    budget_num: int = 1,
-    budget_den: int = 5,
-    fast_sec: int = 3600,
-    slow_sec: int = 6 * 3600,
-    fast_x10: int = 144,
-    slow_x10: int = 60,
+    budget_num: int = BURN_RATE_DEFAULTS["budget_num"],
+    budget_den: int = BURN_RATE_DEFAULTS["budget_den"],
+    fast_sec: int = BURN_RATE_DEFAULTS["fast_sec"],
+    slow_sec: int = BURN_RATE_DEFAULTS["slow_sec"],
+    fast_x10: int = BURN_RATE_DEFAULTS["fast_x10"],
+    slow_x10: int = BURN_RATE_DEFAULTS["slow_x10"],
 ) -> str:
     """DuckDB twin of :func:`burn_rate` over the `logs` CTE (uses the
     shared is-likely-error SQL twin)."""

@@ -28,6 +28,7 @@ source; file/rate sources serve tests (no Kafka in the test container).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -819,7 +820,13 @@ class NearDupSuppressor:
     directory is dropped before its write, so a replayed micro-batch
     (at-least-once redelivery after a crash between write and checkpoint
     commit) replaces exactly its own epoch — same contract as
-    StreamingEngine.process_batch.
+    StreamingEngine.process_batch.  The pre-write delete uses local
+    filesystem calls, so ``store_path``/``out_path`` must be LOCAL paths:
+    on a scheme-prefixed URI (hdfs://, s3a://, ...) the delete would
+    silently no-op and a replayed epoch would double-append, degrading to
+    at-least-once — the constructor rejects such paths loudly (a cluster
+    deployment swaps the delete for the Hadoop FileSystem API or a
+    ``replaceWhere``-style overwrite).
 
     100 TB shape: the store is only `(band, sig)` — 12/3 = 4 rows of a
     few bytes per kept document, NOT the text; the batch-vs-store check
@@ -840,6 +847,16 @@ class NearDupSuppressor:
         id_col: str = "doc_id",
         text_col: str = "text",
     ) -> None:
+        for label, p in (("store_path", store_path), ("out_path", out_path)):
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p) and not p.startswith(
+                "file://"
+            ):
+                raise ValueError(
+                    f"NearDupSuppressor {label}={p!r}: exactly-once epoch "
+                    "replacement deletes via the local filesystem; a remote "
+                    "URI would silently degrade to at-least-once duplication. "
+                    "Use a local path (or file://)."
+                )
         self.spark = spark
         self.store_path = store_path
         self.out_path = out_path

@@ -936,6 +936,20 @@ def test_bloom_prefilter_statuses_and_no_false_negatives(spark):
     }
 
 
+def test_bloom_prefilter_rejects_out_of_range_args(spark):
+    """argument validation must survive `python -O` (ValueError, not
+    assert, ADVICE r3): k slices must fit the md5 hex and bits_log2 must
+    stay a 16-bit slice."""
+    import pytest
+
+    from cloudpelican_lsd_spark.operators import dedup as D
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    for k, bits in ((9, 4), (0, 4), (3, 17), (3, 0)):
+        with pytest.raises(ValueError, match="bloom_prefilter"):
+            D.bloom_prefilter(df, df, k=k, bits_log2=bits)
+
+
 def test_bloom_prefilter_corpus_positions_broadcast(spark, sf_dir):
     """the corpus position set (bounded by 2^bits) must reach the batch
     via a broadcast join — the whole point of the prescreen is that the

@@ -341,6 +341,27 @@ def test_burn_rate_multiwindow_paging(spark):
     assert r2.slow_burn and not r2.page
 
 
+def test_burn_rate_defaults_shared_with_oracle():
+    """burn_rate and burn_rate_oracle must advertise identical defaults —
+    a drift would silently fork a defaults-based Spark call from the
+    registered oracle SQL (ADVICE r3)."""
+    import inspect
+
+    from cloudpelican_lsd_spark.operators import stats
+
+    spark_sig = inspect.signature(stats.burn_rate)
+    oracle_sig = inspect.signature(stats.burn_rate_oracle)
+    spark_defaults = {
+        k: p.default
+        for k, p in spark_sig.parameters.items()
+        if p.default is not inspect.Parameter.empty
+    }
+    oracle_defaults = {
+        k: p.default for k, p in oracle_sig.parameters.items()
+    }
+    assert spark_defaults == oracle_defaults == stats.BURN_RATE_DEFAULTS
+
+
 def test_events_key_skew_matches_python(spark, sf_dir):
     """The registered query equals an independent Python recomputation
     from raw (event_type, user_id) counts — totals, distinct users,

@@ -679,6 +679,26 @@ def test_windowed_topk_stream_heavy_hitters(spark, tmp_path):
     assert top[(b0 + 60, 1)] == ("beta", 7) and top[(b0 + 60, 2)] == ("gamma", 1)
 
 
+def test_near_dup_suppressor_rejects_remote_uris(spark, tmp_path):
+    """Exactly-once epoch replacement deletes via the local filesystem —
+    a scheme-prefixed store/out path would silently degrade to
+    at-least-once, so the constructor must reject it loudly (ADVICE r3)."""
+    import pytest
+
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    for bad in ("hdfs://nn:8020/dedup/store", "s3a://bucket/dedup/store"):
+        with pytest.raises(ValueError, match="at-least-once"):
+            sp.NearDupSuppressor(spark, bad, str(tmp_path / "out"))
+        with pytest.raises(ValueError, match="at-least-once"):
+            sp.NearDupSuppressor(spark, str(tmp_path / "store"), bad)
+    # local and file:// forms stay accepted
+    sp.NearDupSuppressor(spark, str(tmp_path / "s"), str(tmp_path / "o"))
+    sp.NearDupSuppressor(
+        spark, f"file://{tmp_path}/s2", f"file://{tmp_path}/o2"
+    )
+
+
 def test_near_dup_suppressor_batches_and_replay(spark, tmp_path):
     """Streaming near-dup suppression: novel docs pass, near/exact dups
     of stored docs are suppressed, in-batch dups keep the lowest id, and
