@@ -119,13 +119,18 @@ HEADLINE = [
 ]
 
 
+#: full benchable surface: gated queries + the rows-only library queries
+#: (UNGATED has no oracle, but its runtime still matters).
+ALL_QUERIES = {**registry.QUERIES, **registry.UNGATED}
+
+
 def run_one(spark, name: str, sf_dir: str) -> float:
     """Steady-state runtime: one untimed warm-up run (codegen compile,
     broadcast build, shuffle-file caches), then the MIN of two measured
     runs — the reference is a continuously-running topology, so warm
     throughput is the comparable number, and min-of-2 damps driver GC
     pauses that accumulate over a long single-JVM bench session."""
-    fn = registry.QUERIES[name]
+    fn = ALL_QUERIES[name]
     # Collect the garbage the *previous* query left (broadcasts, codegen
     # classes, shuffle bookkeeping) before timing this one: a 70-query
     # single-JVM session otherwise pays accumulated GC pauses inside later
@@ -176,28 +181,87 @@ def _compare_with_last(sf: float, timings: dict[str, float]) -> None:
         print(f"  REGRESSED {n}: {old:.3f}s -> {new:.3f}s", file=sys.stderr)
 
 
+def _history_medians(sf: float) -> dict[str, float]:
+    """Per-query median runtime across ALL prior history entries at this
+    sf — the band a fresh measurement is judged against."""
+    import statistics
+
+    try:
+        with open(HISTORY_PATH) as fh:
+            prior = [json.loads(line) for line in fh if line.strip()]
+    except FileNotFoundError:
+        return {}
+    samples: dict[str, list[float]] = {}
+    for p in prior:
+        if p.get("sf") != sf:
+            continue
+        for n, t in p.get("queries", {}).items():
+            samples.setdefault(n, []).append(t)
+    return {n: statistics.median(ts) for n, ts in samples.items()}
+
+
+def _remeasure_to_band(
+    spark, sf: float, sf_dir: str, timings: dict[str, float]
+) -> tuple[object, list[str]]:
+    """Unconditional re-measure-to-band (VERDICT r3): any query whose
+    fresh time exceeds its history-median band by >=1.5x (and >=0.3s
+    absolute) is re-run in an ISOLATED session — a fresh JVM-side
+    SparkSession after stopping the 170-query one, so accumulated GC /
+    codegen-cache pressure can't inflate the published artifact.  The
+    published number is the min of the two; genuine regressions survive
+    because a real plan change reproduces in isolation."""
+    bands = _history_medians(sf)
+    flagged = [
+        n
+        for n, t in timings.items()
+        if n in bands and t > 1.5 * bands[n] and t - bands[n] > 0.3
+    ]
+    if not flagged:
+        return spark, []
+    print(
+        f"re-measure-to-band: {len(flagged)} queries exceed 1.5x their "
+        f"history median; re-running in an isolated session: {flagged}",
+        file=sys.stderr,
+    )
+    spark.stop()
+    spark = get_spark("bench-remeasure")
+    for n in flagged:
+        fresh = round(run_one(spark, n, sf_dir), 4)
+        print(
+            f"  {n}: {timings[n]:.3f}s -> isolated {fresh:.3f}s "
+            f"(band median {bands[n]:.3f}s)",
+            file=sys.stderr,
+        )
+        timings[n] = min(timings[n], fresh)
+    return spark, flagged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     spark = get_spark("bench")
-    names = [n for n in HEADLINE if n in registry.QUERIES]
+    names = [n for n in HEADLINE if n in ALL_QUERIES]
     # warm-up: JVM + parquet footer caches, one light pass
-    registry.QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
+    ALL_QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(run_one(spark, name, sf_dir), 4)
-    total = round(sum(timings.values()), 4)
     # every registered query beyond the headline set ("no regressions" is
     # provable only if the whole surface is measured every round)
     extras: dict[str, float] = {}
-    for name in registry.QUERIES:
+    for name in ALL_QUERIES:
         if name not in timings:
             extras[name] = round(run_one(spark, name, sf_dir), 4)
+    merged = {**timings, **extras}
+    spark, remeasured = _remeasure_to_band(spark, sf, sf_dir, merged)
+    timings = {n: merged[n] for n in timings}
+    extras = {n: merged[n] for n in extras}
+    total = round(sum(timings.values()), 4)
     try:
-        _compare_with_last(sf, {**timings, **extras})
+        _compare_with_last(sf, merged)
         with open(HISTORY_PATH, "a") as fh:
             fh.write(
                 json.dumps(
@@ -205,7 +269,8 @@ def main() -> None:
                         "ts": int(time.time()),
                         "sf": sf,
                         "value": total,
-                        "queries": {**timings, **extras},
+                        "remeasured": remeasured,
+                        "queries": merged,
                     }
                 )
                 + "\n"
@@ -231,6 +296,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "extra_queries": extras,
+                    "remeasured": remeasured,
                     "sf": sf,
                 },
                 fh,
@@ -240,17 +306,23 @@ def main() -> None:
         pass
     # stdout contract line.  The driver's log capture keeps only the LAST
     # ~2000 bytes (BENCH_r01.json: tail exactly 2000 bytes, head-truncated,
-    # parsed:null) and 80 query names cannot fit under that — so the
-    # summary keys (metric/unit/sf/value) go LAST: whatever gets clipped,
-    # the captured tail always ends with the headline numbers, and the
-    # untruncated copy is in BENCH_LOCAL.json / BENCH_HISTORY.jsonl.
-    print(
-        json.dumps(
+    # parsed:null), and ~90 query names cannot fit under that — so the
+    # WHOLE line is fitted to 1900 bytes: the queries map keeps the
+    # slowest entries (the informative ones) and drops the fastest until
+    # the line fits, with the drop count recorded.  The captured tail is
+    # therefore always one complete, standalone-parseable JSON object;
+    # the untruncated map is in BENCH_LOCAL.json / BENCH_HISTORY.jsonl.
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_cost)
+    while keep > 0:
+        line = json.dumps(
             {
-                "queries": {k: round(v, 2) for k, v in timings.items()},
-                "n_extra_queries": len(extras),
+                "queries": {
+                    k: round(timings[k], 2) for k in sorted(by_cost[:keep])
+                },
+                "queries_omitted": len(by_cost) - keep + len(extras),
                 "full_results": "BENCH_LOCAL.json",
-                "history": "BENCH_HISTORY.jsonl",
+                "remeasured": remeasured,
                 "metric": "headline_queries_total_runtime",
                 "unit": "sec",
                 "sf": sf,
@@ -258,7 +330,10 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
-    )
+        if len(line.encode()) <= 1900:
+            break
+        keep -= 1
+    print(line)
     spark.stop()
 
 

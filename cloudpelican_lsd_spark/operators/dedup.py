@@ -1019,7 +1019,9 @@ GROUP BY vec_b"""
 # ---------------------------------------------------------------------------
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, method: str = "label"
+) -> DataFrame:
     """`(doc_id, cluster_id)` — connected components of the near-dup pair
     graph; ``cluster_id`` is the smallest doc_id reachable from each node.
 
@@ -1029,16 +1031,25 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     removal alone over-deletes chains (a~b, b~c would drop both b and c
     even when a~c was never observed).
 
-    Physical shape: iterative min-label propagation.  Each round is one
-    hash-aggregate shuffle of compact `(node BIGINT, lbl BIGINT)` rows —
-    the network never sees text.  Labels only ever decrease, so
-    convergence is an unchanged SUM(lbl) (no expensive join-compare), and
-    rounds ≈ graph diameter — duplicate clusters in practice are shallow
-    star/clique shapes (2-4 rounds).  For adversarial long-chain graphs
-    the alternating large-star/small-star algorithm (Kiveris et al.,
-    *Connected Components in MapReduce and Beyond*, SoCC'14) bounds rounds
-    at O(log² n) with the same per-round plan shape; diameter-bounded
-    propagation is the right default for dedup graphs.
+    Two physical strategies behind one API:
+
+    ``method="label"`` (default): iterative min-label propagation.  Each
+    round is one hash-aggregate shuffle of compact `(node BIGINT, lbl
+    BIGINT)` rows — the network never sees text.  Labels only ever
+    decrease, so convergence is an unchanged SUM(lbl) (no expensive
+    join-compare), and rounds ≈ graph diameter — duplicate clusters in
+    practice are shallow star/clique shapes (2-4 rounds).  Raises
+    RuntimeError if the graph has not converged within ``max_iter``
+    rounds instead of silently returning half-propagated labels.
+
+    ``method="star"``: the alternating large-star/small-star algorithm
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC'14), which contracts the EDGE set instead of propagating labels
+    and converges in O(log² n) rounds regardless of diameter — the
+    fallback for adversarial long-chain dup graphs (boilerplate chains:
+    doc i near-dups doc i+1 for thousands of i), where min-label would
+    need diameter rounds.  Same per-round plan shape: one groupBy-min
+    shuffle over `(BIGINT, BIGINT)` edges.
 
     ``localCheckpoint`` truncates lineage every round — an iterative plan
     otherwise doubles in depth per iteration and Catalyst re-analysis
@@ -1046,6 +1057,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     scale, prefer ``checkpoint`` on reliable storage so recomputation
     after executor loss does not replay every round.
     """
+    if method == "star":
+        labels, _ = _cc_star_rounds(pairs, max_iter)
+        return labels
+    if method != "label":
+        raise ValueError(f"connected_components: unknown method {method!r}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -1063,6 +1079,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     from pyspark.sql import Observation
 
     prev_sum = object()  # sentinel: never equal on first comparison
+    converged = False
     for i in range(max_iter):
         # the convergence metric rides the checkpoint's own action via
         # observe() — one job per round instead of checkpoint + agg
@@ -1072,6 +1089,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
         propagated = labels.join(
@@ -1083,8 +1101,133 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("lbl").alias("lbl"))
         )
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not converge "
+            f"within max_iter={max_iter} rounds — the pair graph has a "
+            f"diameter of at least that many hops (long duplicate chain). "
+            f"Re-run with method='star' (O(log² n) rounds) or a larger "
+            f"max_iter."
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def _cc_canonical_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical form: (a, b) with a < b, no
+    self-loops, no duplicates."""
+    return (
+        e.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _cc_star_rounds(
+    pairs: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC (Kiveris et al., SoCC'14) —
+    returns ``(labels, rounds_used)``; labels match `connected_components`
+    output exactly (`doc_id`, `cluster_id` = component-min doc_id).
+
+    Each round rewrites the edge set:
+
+    - **large-star** (keyed on every node u over its full neighborhood):
+      connect every neighbor v > u to m = min(Γ(u) ∪ {u}) — strictly
+      larger nodes hop to the locally smallest node;
+    - **small-star** (keyed on the larger endpoint, so Γ(u) is u's
+      smaller neighbors): connect every smaller neighbor and u itself to
+      m = min(Γ(u) ∪ {u}).
+
+    The edge set monotonically flattens into one star per component
+    centered at the component minimum in O(log² n) rounds independent of
+    graph diameter — the long-chain regime where min-label propagation
+    (rounds = diameter) degrades.  Convergence is an unchanged
+    (count, xxhash64-sum) of the canonical edge set, observed on the same
+    localCheckpoint action that truncates per-round lineage; each phase
+    is one groupBy-min shuffle + one join over `(BIGINT, BIGINT)` rows.
+    """
+    from pyspark.sql import Observation
+
+    edges = _cc_canonical_edges(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    # all input nodes, kept aside: star contraction removes nodes from the
+    # edge set as they collapse into their center (and isolated self-pair
+    # nodes never enter it), but every input doc needs a label row
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    prev_sig = object()
+    rounds = 0
+    converged = False
+    for i in range(max_iter):
+        obs = Observation(f"cc_star_round_{i}")
+        edges = edges.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # DECIMAL(38,0): a BIGINT sum of ~2^63-magnitude hashes
+            # overflows under ANSI mode after a handful of edges
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).localCheckpoint(eager=True)
+        sig = (obs.get["n"], obs.get["h"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+        rounds = i + 1
+        # -- large-star: full symmetric neighborhood ------------------------
+        sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        edges = _cc_canonical_edges(large).localCheckpoint(eager=True)
+        # -- small-star: keyed on the larger endpoint (v < u by canon) ------
+        sym_small = edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins_small = sym_small.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            sym_small.join(mins_small, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                mins_small.select(F.col("u"), F.col("m").alias("v"))
+            )
+        )
+        edges = _cc_canonical_edges(small)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(method='star'): edge set still changing "
+            f"after max_iter={max_iter} alternation rounds — raise max_iter "
+            f"(O(log² n) rounds suffice; 25 covers any realistic corpus)."
+        )
+    # at convergence every component is a star centered at its minimum:
+    # each canonical edge is (center, member).  Members label to the
+    # center; centers (and isolated nodes) label to themselves.
+    labels = (
+        nodes.join(
+            edges.select(F.col("b").alias("node"), F.col("a").alias("ctr")),
+            "node",
+            "left",
+        )
+        .groupBy("node")
+        .agg(F.coalesce(F.min("ctr"), F.first("node")).alias("lbl"))
+    )
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+        ),
+        rounds,
     )
 
 

@@ -186,6 +186,62 @@ def test_connected_components_merges_chains(spark):
 def test_connected_components_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup_ops.connected_components(pairs).count() == 0
+    assert (
+        dedup_ops.connected_components(pairs, method="star").count() == 0
+    )
+
+
+def test_connected_components_star_matches_label(spark):
+    """Property: the large-star/small-star variant returns EXACTLY the
+    same (doc_id, cluster_id) labeling as min-label propagation on mixed
+    random graphs (chains, cliques, isolated pairs, cross-links)."""
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        n = 60
+        edges = set()
+        # random edges over a sparse node space (gaps → non-contiguous ids)
+        nodes = rng.sample(range(1, 500), n)
+        for _ in range(70):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(
+            sorted(edges), "doc_a long, doc_b long"
+        )
+        lbl = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup_ops.connected_components(pairs, 60).collect()
+        }
+        star = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup_ops.connected_components(
+                pairs, method="star"
+            ).collect()
+        }
+        assert star == lbl, f"seed {seed}: star != label"
+
+
+def test_connected_components_chain_star_beats_label(spark):
+    """The adversarial long-chain graph (boilerplate chains: doc i ~ doc
+    i+1): min-label propagation needs diameter rounds, so at the default
+    max_iter=25 it must now raise loudly instead of returning
+    half-propagated labels; star alternation converges in O(log² n)
+    rounds and labels the whole chain to its minimum."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_ops.connected_components(chain, max_iter=25)
+
+    labels, rounds = dedup_ops._cc_star_rounds(chain)
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(65)}
+    # 65-node path: diameter 64, log2(65) ≈ 6 — star must converge far
+    # under the label method's 64-round requirement
+    assert rounds <= 10, rounds
 
 
 def test_minhash_estimate_vs_true_bounds(spark, sf_dir):

@@ -107,7 +107,7 @@ def test_setops_disjoint_and_bounded(spark, sf_dir):
 def test_sketch_within_rsd(spark, sf_dir):
     """HLL++ estimate stays within a generous multiple of the 2% target
     rsd (sf0.001 strata are tiny, where HLL uses exact linear counting)."""
-    for r in registry.QUERIES["distinct_users_sketch"](spark, sf_dir).collect():
+    for r in registry.UNGATED["distinct_users_sketch"](spark, sf_dir).collect():
         assert r.exact_users > 0
         assert abs(r.approx_users - r.exact_users) <= max(
             3, 0.1 * r.exact_users
@@ -379,19 +379,33 @@ def test_concurrent_query_submission(spark, sf_dir):
 
 
 def test_driver_order_lockstep():
-    """DRIVER_ORDER and the registry must stay in lockstep, the driver's
-    50-entry correctness window must be fully oracle-gated and cover one
-    representative of every operator family."""
+    """DRIVER_ORDER and the registry must stay in lockstep; EVERY
+    registered query must carry a full value-hash oracle (rows-only
+    entries live in registry.UNGATED — a gate entry that cannot
+    hash-match is a guaranteed red row); and every operator family must
+    have hard driver signal: a member in the current 50-entry window or
+    a green CORRECTNESS row from a prior round."""
+    import json
+    import os
+
     from cloudpelican_lsd_spark import registry
 
     names = list(registry.QUERIES)
     assert names == registry.DRIVER_ORDER
-    first50 = names[:50]
-    # Rows-only by design (no SQL-expressible oracle); the driver still
-    # records a row-count check for these, which beats no row at all.
-    # Round 3 rotates the HLL sketch in so it finally gets that signal.
-    rows_only_allowed = {"distinct_users_sketch"}
-    assert all(n in registry.ORACLES for n in first50 if n not in rows_only_allowed)
+    assert all(n in registry.ORACLES for n in names)
+    assert set(registry.UNGATED) == {
+        "distinct_users_sketch", "outlier_consensus"
+    }
+    assert not set(registry.UNGATED) & set(registry.QUERIES)
+
+    first50 = set(names[:50])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ever_checked: set[str] = set()
+    for fn in sorted(os.listdir(repo)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            with open(os.path.join(repo, fn)) as fh:
+                ever_checked |= set(json.load(fh))
+    signal = first50 | ever_checked
     families = {
         "grep_": "grep", "filter_fanout": "fanout", "show_filters": "catalog",
         "select_where": "select", "stats_": "stats", "tail_": "tail",
@@ -402,7 +416,7 @@ def test_driver_order_lockstep():
         "text_": "text", "logs_": "logs", "multimodal_": "multimodal",
         "json_": "json",
     }
-    covered = {fam for n in first50 for p, fam in families.items() if n.startswith(p)}
+    covered = {fam for n in signal for p, fam in families.items() if n.startswith(p)}
     assert covered == set(families.values()), set(families.values()) - covered
 
 
