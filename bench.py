@@ -304,23 +304,36 @@ def main() -> None:
             )
     except OSError:
         pass
-    # stdout contract line.  The driver's log capture keeps only the LAST
-    # ~2000 bytes (BENCH_r01.json: tail exactly 2000 bytes, head-truncated,
-    # parsed:null), and ~90 query names cannot fit under that — so the
-    # WHOLE line is fitted to 1900 bytes: the queries map keeps the
-    # slowest entries (the informative ones) and drops the fastest until
-    # the line fits, with the drop count recorded.  The captured tail is
-    # therefore always one complete, standalone-parseable JSON object;
-    # the untruncated map is in BENCH_LOCAL.json / BENCH_HISTORY.jsonl.
+    print(_fit_stdout_line(timings, len(extras), remeasured, sf, total))
+    spark.stop()
+
+
+def _fit_stdout_line(
+    timings: dict[str, float],
+    n_extras: int,
+    remeasured: list[str],
+    sf: float,
+    total: float,
+    limit: int = 1900,
+) -> str:
+    """Stdout contract line, guaranteed standalone-parseable.  The
+    driver's log capture keeps only the LAST ~2000 bytes (BENCH_r01.json:
+    tail exactly 2000 bytes, head-truncated, parsed:null), and ~90 query
+    names cannot fit under that — so the WHOLE line is fitted to
+    ``limit`` bytes: the queries map keeps the slowest entries (the
+    informative ones) and drops the fastest until the line fits, with the
+    drop count recorded.  The captured tail is therefore always one
+    complete JSON object; the untruncated map is in BENCH_LOCAL.json /
+    BENCH_HISTORY.jsonl."""
     by_cost = sorted(timings, key=timings.get, reverse=True)
     keep = len(by_cost)
-    while keep > 0:
+    while True:
         line = json.dumps(
             {
                 "queries": {
                     k: round(timings[k], 2) for k in sorted(by_cost[:keep])
                 },
-                "queries_omitted": len(by_cost) - keep + len(extras),
+                "queries_omitted": len(by_cost) - keep + n_extras,
                 "full_results": "BENCH_LOCAL.json",
                 "remeasured": remeasured,
                 "metric": "headline_queries_total_runtime",
@@ -330,11 +343,9 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
-        if len(line.encode()) <= 1900:
-            break
+        if len(line.encode()) <= limit or keep == 0:
+            return line
         keep -= 1
-    print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":

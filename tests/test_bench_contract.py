@@ -1,0 +1,109 @@
+"""Bench harness contract: history-band re-measurement and the
+standalone-parseable stdout line (VERDICT r3 items 2+3 — the published
+artifact must carry no unre-measured single-run spikes and must parse
+from the driver's ~2000-byte tail capture)."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_history_medians_per_query_and_sf(tmp_path, monkeypatch):
+    hist = tmp_path / "hist.jsonl"
+    rows = [
+        {"sf": 0.1, "queries": {"a": 1.0, "b": 0.2}},
+        {"sf": 0.1, "queries": {"a": 3.0, "b": 0.4}},
+        {"sf": 0.1, "queries": {"a": 2.0}},
+        {"sf": 0.01, "queries": {"a": 99.0}},  # other sf must not leak in
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+    med = bench._history_medians(0.1)
+    assert med == {"a": 2.0, "b": 0.30000000000000004} or med == {
+        "a": 2.0,
+        "b": 0.3,
+    }
+    assert bench._history_medians(0.5) == {}
+
+
+def test_remeasure_to_band_flags_and_takes_min(tmp_path, monkeypatch):
+    """A query >=1.5x over its history median (and >=0.3s absolute) is
+    re-run in a fresh session and the published number is the min; an
+    in-band query is never re-run."""
+    hist = tmp_path / "hist.jsonl"
+    hist.write_text(
+        json.dumps({"sf": 0.1, "queries": {"hot": 1.0, "cool": 1.0}}) + "\n"
+    )
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+
+    stopped = []
+
+    class FakeSpark:
+        def stop(self):
+            stopped.append(True)
+
+    reruns = []
+    monkeypatch.setattr(bench, "get_spark", lambda name: FakeSpark())
+    monkeypatch.setattr(
+        bench,
+        "run_one",
+        lambda spark, n, sf_dir: reruns.append(n) or 0.9,
+    )
+
+    timings = {"hot": 2.5, "cool": 1.2}
+    spark, remeasured = bench._remeasure_to_band(
+        FakeSpark(), 0.1, "/dev/null", timings
+    )
+    assert remeasured == ["hot"]
+    assert reruns == ["hot"]  # cool stayed in band, never re-run
+    assert stopped  # the 170-query session was torn down for isolation
+    assert timings == {"hot": 0.9, "cool": 1.2}
+
+    # a genuine regression survives: isolated re-run still slow
+    hist.write_text(
+        json.dumps({"sf": 0.1, "queries": {"hot": 1.0}}) + "\n"
+    )
+    monkeypatch.setattr(bench, "run_one", lambda spark, n, sf_dir: 2.4)
+    timings = {"hot": 2.5}
+    _, remeasured = bench._remeasure_to_band(
+        FakeSpark(), 0.1, "/dev/null", timings
+    )
+    assert remeasured == ["hot"] and timings["hot"] == 2.4
+
+
+def test_remeasure_noop_without_history(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "none.jsonl"))
+    sentinel = object()
+    timings = {"a": 100.0}
+    spark, remeasured = bench._remeasure_to_band(
+        sentinel, 0.1, "/dev/null", timings
+    )
+    assert spark is sentinel and remeasured == [] and timings == {"a": 100.0}
+
+
+def test_stdout_line_fits_and_parses():
+    """Even with hundreds of queries the contract line stays under the
+    driver's tail-capture budget, parses standalone, and keeps the
+    SLOWEST queries plus all summary keys."""
+    timings = {f"some_longish_query_name_{i:03d}": i * 0.01 for i in range(300)}
+    line = bench._fit_stdout_line(timings, 5, ["q1"], 0.1, 123.4)
+    assert len(line.encode()) <= 1900
+    obj = json.loads(line)
+    assert obj["value"] == 123.4 and obj["sf"] == 0.1
+    assert obj["metric"] == "headline_queries_total_runtime"
+    assert obj["remeasured"] == ["q1"]
+    kept = set(obj["queries"])
+    assert kept  # something survived
+    assert obj["queries_omitted"] == 300 - len(kept) + 5
+    # the kept set is exactly the slowest ones
+    slowest = sorted(timings, key=timings.get, reverse=True)[: len(kept)]
+    assert kept == set(slowest)
+
+
+def test_stdout_line_small_map_keeps_everything():
+    timings = {"a": 1.0, "b": 2.0}
+    obj = json.loads(bench._fit_stdout_line(timings, 0, [], 0.01, 3.0))
+    assert obj["queries"] == {"a": 1.0, "b": 2.0}
+    assert obj["queries_omitted"] == 0
