@@ -467,6 +467,44 @@ class CloudPelicanEngine:
         re.IGNORECASE,
     )
 
+    #: BigQuery legacy-SQL constructs with NO sound Spark translation —
+    #: rejected loudly with guidance instead of silently mis-running
+    #: (legacy comma-FROM means UNION ALL, Spark would CROSS JOIN; FLATTEN/
+    #: WITHIN need repeated-field schemas this engine does not model).
+    #: The full translate/reject table is in COVERAGE.md §S10.
+    _LEGACY_REJECTED: tuple[tuple[re.Pattern, str], ...] = (
+        (
+            re.compile(r"(?i)\bFLATTEN\s*\("),
+            "FLATTEN() flattens legacy repeated fields; this engine's log "
+            "schema has no repeated fields — use LATERAL VIEW explode() "
+            "over an array column instead",
+        ),
+        (
+            re.compile(r"(?i)\bWITHIN\s+(RECORD|\w+\.\w+)"),
+            "WITHIN-scoped aggregation needs legacy repeated-field "
+            "records; aggregate with GROUP BY instead",
+        ),
+        (
+            re.compile(r"(?i)\bTABLE_DATE_RANGE\s*\("),
+            "TABLE_DATE_RANGE() enumerates day-sharded tables; the "
+            "results table is date-partitioned — use WHERE date BETWEEN "
+            "'yyyy-MM-dd' AND 'yyyy-MM-dd' (partition-pruned)",
+        ),
+        (
+            re.compile(r"(?i)\bTABLE_QUERY\s*\("),
+            "TABLE_QUERY() enumerates tables by name predicate; query the "
+            "partitioned results table with a WHERE on filter_id/date",
+        ),
+        (
+            re.compile(
+                r"(?i)\]?\s*,\s*\[?cloudpelican_lsd_v\d+\.[0-9a-f_]+_results_"
+            ),
+            "a comma-separated list of legacy day tables means UNION ALL "
+            "in BigQuery legacy SQL but CROSS JOIN in ANSI — use explicit "
+            "UNION ALL, or one table ref plus WHERE date BETWEEN",
+        ),
+    )
+
     def _legacy_sql_shim(self, sql: str, results: DataFrame | None) -> str:
         """Accept the BigQuery-legacy SQL the reference's own CLI emits, so
         a user's saved `search` queries run unchanged:
@@ -475,14 +513,36 @@ class CloudPelicanEngine:
           (same two-arg substring-match semantics);
         - per-filter-per-day table names → the partitioned results table
           constrained to that filter_id and date (the table-per-day layout
-          IS our (filter_id, date) partitioning).
+          IS our (filter_id, date) partitioning);
+        - ``GROUP EACH BY`` / ``JOIN EACH`` → the EACH shuffle hint is
+          dropped (Catalyst/AQE decide the strategy);
+        - ``EXACT_COUNT_DISTINCT(x)`` → ``COUNT(DISTINCT x)``.
 
-        Rewrites apply outside single-quoted string literals only.
+        Constructs with no sound translation raise ValueError with
+        guidance (see ``_LEGACY_REJECTED``); everything else passes
+        through to Spark SQL, whose ANSI surface covers the remainder of
+        the legacy function library.  Rewrites and rejection scans apply
+        outside single-quoted string literals only.
         """
         segments = re.split(r"('(?:[^']|'')*')", sql)
+        for k, seg in enumerate(segments):
+            if k % 2 == 1:
+                continue
+            for pat, why in self._LEGACY_REJECTED:
+                m = pat.search(seg)
+                if m:
+                    raise ValueError(
+                        f"unsupported BigQuery legacy SQL construct "
+                        f"{m.group(0).strip()!r}: {why}"
+                    )
 
         def fix(seg: str) -> str:
             seg = re.sub(r"(?i)\bREGEXP_MATCH\s*\(", "REGEXP_LIKE(", seg)
+            seg = re.sub(r"(?i)\bGROUP\s+EACH\s+BY\b", "GROUP BY", seg)
+            seg = re.sub(r"(?i)\bJOIN\s+EACH\b", "JOIN", seg)
+            seg = re.sub(
+                r"(?i)\bEXACT_COUNT_DISTINCT\s*\(", "COUNT(DISTINCT ", seg
+            )
 
             def table(m: re.Match) -> str:
                 fid = m.group(1).replace("_", "-")

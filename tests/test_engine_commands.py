@@ -312,6 +312,59 @@ def test_search_legacy_table_name(spark, sf_dir):
     assert lit.collect()[0].t == table
 
 
+def test_search_legacy_translated_constructs(engine):
+    """GROUP EACH BY / JOIN EACH (pure legacy shuffle hints) and
+    EXACT_COUNT_DISTINCT translate; the literal-protection rule applies."""
+    rows = engine.execute(
+        "search SELECT event_type, count(*) AS n FROM events "
+        "GROUP EACH BY event_type ORDER BY event_type"
+    ).collect()
+    assert len(rows) >= 3 and all(r.n > 0 for r in rows)
+    got = engine.execute(
+        "search SELECT EXACT_COUNT_DISTINCT(event_type) AS n FROM events"
+    ).collect()[0].n
+    exact = engine.execute(
+        "search SELECT COUNT(DISTINCT event_type) AS n FROM events"
+    ).collect()[0].n
+    assert got == exact > 0
+    # JOIN EACH drops the hint, the join itself still runs
+    j = engine.execute(
+        "search SELECT count(*) AS n FROM events e JOIN EACH events e2 "
+        "ON e.event_id = e2.event_id"
+    ).collect()[0].n
+    assert j > 0
+    # inside a string literal nothing is rewritten
+    lit = engine.execute(
+        "search SELECT 'GROUP EACH BY x' AS t FROM logs LIMIT 1"
+    ).collect()[0].t
+    assert lit == "GROUP EACH BY x"
+
+
+def test_search_legacy_rejected_constructs(engine):
+    """Legacy constructs with no sound ANSI translation fail loudly with
+    guidance instead of silently mis-running (COVERAGE.md §S10 table)."""
+    with pytest.raises(ValueError, match="FLATTEN.*explode"):
+        engine.search("SELECT * FROM FLATTEN(logs, x)")
+    with pytest.raises(ValueError, match="TABLE_DATE_RANGE.*BETWEEN"):
+        engine.search(
+            "SELECT * FROM TABLE_DATE_RANGE(cloudpelican_lsd_v1.x_results_, "
+            "TIMESTAMP('2015-11-01'), TIMESTAMP('2015-11-10'))"
+        )
+    with pytest.raises(ValueError, match="WITHIN"):
+        engine.search("SELECT COUNT(x) WITHIN RECORD AS n FROM logs")
+    # the legacy comma-FROM (= UNION ALL) footgun: rejected, never CROSS JOIN
+    with pytest.raises(ValueError, match="UNION ALL"):
+        engine.search(
+            "SELECT _raw FROM cloudpelican_lsd_v1.ab_results_2015_11_10_v1, "
+            "cloudpelican_lsd_v1.ab_results_2015_11_11_v1"
+        )
+    # rejected names inside string literals still pass through untouched
+    lit = engine.execute(
+        "search SELECT 'FLATTEN(x, y)' AS t FROM logs LIMIT 1"
+    ).collect()[0].t
+    assert lit == "FLATTEN(x, y)"
+
+
 def test_slack_command_adapter(engine):
     from cloudpelican_lsd_spark.engine import slack_command
 
