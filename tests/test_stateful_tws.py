@@ -162,6 +162,139 @@ def test_tws_processor_zero_sum_batch_keeps_state_clean():
 
 
 # ---------------------------------------------------------------------------
+# shared backend-contract test: the SAME replay fixture through both state
+# backends (applyInPandasWithState's classifier_state_fn and the
+# transformWithState processor) must yield identical per-batch outputs —
+# including the reference's 1000-item forget (Classifier.java:32,
+# ErrorClassifierBolt.java:29-43)
+# ---------------------------------------------------------------------------
+
+
+class FakeGroupState:
+    """Minimal GroupState double for classifier_state_fn."""
+
+    hasTimedOut = False
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def remove(self):
+        self._v = None
+
+
+def _replay_fixture():
+    """Deterministic multi-key multi-batch replay: two filters, mixed
+    labels, shared + unique tokens, enough volume past MEMORY_CAPACITY
+    on f-1 that the 1000-item forget ring must engage."""
+    batches = []
+    # batch 0: warm-up on both keys
+    batches.append(
+        {
+            "f-1": pd.DataFrame(
+                {
+                    "_raw": ["error disk full", "all good here"],
+                    "label": ["error", "regular"],
+                }
+            ),
+            "f-2": pd.DataFrame(
+                {"_raw": ["error net down"], "label": ["error"]}
+            ),
+        }
+    )
+    # batch 1: push f-1 well past capacity (1000) so forget engages
+    n = 1100
+    batches.append(
+        {
+            "f-1": pd.DataFrame(
+                {
+                    "_raw": [f"uniq{i} common tail" for i in range(n)],
+                    "label": ["error" if i % 3 == 0 else "regular" for i in range(n)],
+                }
+            ),
+        }
+    )
+    # batch 2: small follow-up on both keys (forget continues on f-1)
+    batches.append(
+        {
+            "f-1": pd.DataFrame(
+                {
+                    "_raw": ["error again common", "fine common"],
+                    "label": ["error", "regular"],
+                }
+            ),
+            "f-2": pd.DataFrame(
+                {"_raw": ["all quiet"], "label": ["regular"]}
+            ),
+        }
+    )
+    return batches
+
+
+def test_state_backends_same_outputs_on_shared_replay():
+    """Backend parity (VERDICT r3 item 7): replaying the same fixture
+    through classifier_state_fn (JSON-blob GroupState) and
+    OnlineClassifierProcessor (typed MapState ring) yields IDENTICAL
+    per-batch per-key output rows, through capacity overflow."""
+    from cloudpelican_lsd_spark.streaming.stateful import classifier_state_fn
+
+    batches = _replay_fixture()
+
+    # -- backend A: applyInPandasWithState function -------------------------
+    a_states: dict[str, FakeGroupState] = {}
+    a_out = []
+    for b, batch in enumerate(batches):
+        for key, pdf in batch.items():
+            st = a_states.setdefault(key, FakeGroupState())
+            rows = pd.concat(
+                list(classifier_state_fn((key,), iter([pdf]), st))
+            ).to_dict("records")
+            a_out.append((b, key, rows))
+
+    # -- backend B: transformWithState processor ----------------------------
+    b_procs: dict[str, OnlineClassifierProcessor] = {}
+    b_out = []
+    for b, batch in enumerate(batches):
+        for key, pdf in batch.items():
+            if key not in b_procs:
+                proc = OnlineClassifierProcessor()  # real 1000 capacity
+                proc.init(FakeHandle())
+                b_procs[key] = proc
+            rows = pd.concat(
+                list(b_procs[key].handleInputRows((key,), iter([pdf]), None))
+            ).to_dict("records")
+            b_out.append((b, key, rows))
+
+    assert a_out == b_out
+    # the forget ring really engaged: f-1 capped at exactly 1000
+    f1_final = [r for _, k, rows in b_out if k == "f-1" for r in rows][-1]
+    assert f1_final["samples_in_memory"] == 1000
+    # and the two backends agree ON the forgotten content, not just counts:
+    # reconstruct backend A's feature table and compare with B's MapState
+    import json as _json
+
+    a_model = _json.loads(a_states["f-1"].get[0])
+    b_feat = {
+        k[0]: v[0]
+        for k, v in b_procs["f-1"]._feat._m.items()  # FakeMapState internals
+    }
+    assert b_feat == a_model["feat"]
+
+
+# ---------------------------------------------------------------------------
 # full streaming-runtime test (skipped where protobuf is unavailable)
 # ---------------------------------------------------------------------------
 
