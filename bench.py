@@ -152,17 +152,24 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
 
 
+def _load_history(sf: float) -> list[dict]:
+    """All prior BENCH_HISTORY entries at this sf, oldest first — the ONE
+    history read shared by the regression report and the re-measure band
+    (duplicated parsing would let the two drift on format/sf handling)."""
+    try:
+        with open(HISTORY_PATH) as fh:
+            prior = [json.loads(line) for line in fh if line.strip()]
+    except FileNotFoundError:
+        return []
+    return [p for p in prior if p.get("sf") == sf]
+
+
 def _compare_with_last(sf: float, timings: dict[str, float]) -> None:
     """Round-over-round tracking: diff against the newest prior history
     entry at the same sf and flag per-query regressions on STDERR (stdout
     stays the one-JSON-line driver contract).  >=1.5x AND >=0.3s absolute
     — single-JVM noise sits well under both bounds (see BENCH notes)."""
-    try:
-        with open(HISTORY_PATH) as fh:
-            prior = [json.loads(line) for line in fh if line.strip()]
-    except FileNotFoundError:
-        return
-    prior = [p for p in prior if p.get("sf") == sf]
+    prior = _load_history(sf)
     if not prior:
         return
     last = prior[-1]["queries"]
@@ -186,15 +193,8 @@ def _history_medians(sf: float) -> dict[str, float]:
     sf — the band a fresh measurement is judged against."""
     import statistics
 
-    try:
-        with open(HISTORY_PATH) as fh:
-            prior = [json.loads(line) for line in fh if line.strip()]
-    except FileNotFoundError:
-        return {}
     samples: dict[str, list[float]] = {}
-    for p in prior:
-        if p.get("sf") != sf:
-            continue
+    for p in _load_history(sf):
         for n, t in p.get("queries", {}).items():
             samples.setdefault(n, []).append(t)
     return {n: statistics.median(ts) for n, ts in samples.items()}
@@ -327,6 +327,7 @@ def _fit_stdout_line(
     BENCH_HISTORY.jsonl."""
     by_cost = sorted(timings, key=timings.get, reverse=True)
     keep = len(by_cost)
+    keep_rm = len(remeasured)
     while True:
         line = json.dumps(
             {
@@ -335,7 +336,8 @@ def _fit_stdout_line(
                 },
                 "queries_omitted": len(by_cost) - keep + n_extras,
                 "full_results": "BENCH_LOCAL.json",
-                "remeasured": remeasured,
+                "remeasured": remeasured[:keep_rm],
+                "n_remeasured": len(remeasured),
                 "metric": "headline_queries_total_runtime",
                 "unit": "sec",
                 "sf": sf,
@@ -343,9 +345,16 @@ def _fit_stdout_line(
             },
             separators=(",", ":"),
         )
-        if len(line.encode()) <= limit or keep == 0:
+        if len(line.encode()) <= limit:
             return line
-        keep -= 1
+        if keep > 0:
+            keep -= 1
+        elif keep_rm > 0:
+            # queries map exhausted; a mass re-measure (env change flags
+            # ~every query) must not blow the tail-capture budget either
+            keep_rm -= 1
+        else:
+            return line
 
 
 if __name__ == "__main__":

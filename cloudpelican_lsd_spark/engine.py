@@ -496,12 +496,18 @@ class CloudPelicanEngine:
             "partitioned results table with a WHERE on filter_id/date",
         ),
         (
+            # a legacy day-table ref on EITHER side of a comma — the list
+            # means UNION ALL in legacy SQL but CROSS JOIN in ANSI, and
+            # catching only one side would let 'FROM [day_table], other'
+            # slip through to the silent wrong answer
             re.compile(
-                r"(?i)\]?\s*,\s*\[?cloudpelican_lsd_v\d+\.[0-9a-f_]+_results_"
+                r"(?i),\s*\[?cloudpelican_lsd_v\d+\.[0-9a-f_]+_results_"
+                r"|_results_\d{4}_\d{2}_\d{2}_v\d+\]?\s*,"
             ),
-            "a comma-separated list of legacy day tables means UNION ALL "
-            "in BigQuery legacy SQL but CROSS JOIN in ANSI — use explicit "
-            "UNION ALL, or one table ref plus WHERE date BETWEEN",
+            "a comma-separated FROM list containing a legacy day table "
+            "means UNION ALL in BigQuery legacy SQL but CROSS JOIN in "
+            "ANSI — use explicit UNION ALL, or one table ref plus WHERE "
+            "date BETWEEN",
         ),
     )
 

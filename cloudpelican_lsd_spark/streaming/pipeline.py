@@ -848,14 +848,18 @@ class NearDupSuppressor:
         text_col: str = "text",
     ) -> None:
         for label, p in (("store_path", store_path), ("out_path", out_path)):
-            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p) and not p.startswith(
-                "file://"
-            ):
+            # any scheme-prefixed URI is rejected, INCLUDING file:// — the
+            # internal os.path.isdir/shutil.rmtree/os.listdir calls treat a
+            # file:// string as a nonexistent relative path, which would
+            # silently disable cross-batch suppression, epoch replacement,
+            # and TTL expiry (plain local paths are the supported form)
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p):
                 raise ValueError(
                     f"NearDupSuppressor {label}={p!r}: exactly-once epoch "
-                    "replacement deletes via the local filesystem; a remote "
-                    "URI would silently degrade to at-least-once duplication. "
-                    "Use a local path (or file://)."
+                    "replacement deletes via the local filesystem; a "
+                    "scheme-prefixed URI (even file://) would silently "
+                    "degrade to at-least-once duplication and disable "
+                    "store reads. Use a plain local path."
                 )
         self.spark = spark
         self.store_path = store_path

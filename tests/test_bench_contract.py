@@ -107,3 +107,18 @@ def test_stdout_line_small_map_keeps_everything():
     obj = json.loads(bench._fit_stdout_line(timings, 0, [], 0.01, 3.0))
     assert obj["queries"] == {"a": 1.0, "b": 2.0}
     assert obj["queries_omitted"] == 0
+    assert obj["n_remeasured"] == 0
+
+
+def test_stdout_line_mass_remeasure_still_fits():
+    """An environment change can flag nearly every query for re-measure;
+    the remeasured list itself must then shrink to keep the line inside
+    the tail-capture budget, with the true count preserved."""
+    names = [f"some_longish_query_name_{i:03d}" for i in range(200)]
+    timings = {n: i * 0.01 for i, n in enumerate(names)}
+    line = bench._fit_stdout_line(timings, 0, list(names), 0.1, 9.9)
+    assert len(line.encode()) <= 1900
+    obj = json.loads(line)
+    assert obj["n_remeasured"] == 200
+    assert len(obj["remeasured"]) < 200  # truncated to fit
+    assert obj["value"] == 9.9  # summary keys always survive

@@ -352,11 +352,17 @@ def test_search_legacy_rejected_constructs(engine):
         )
     with pytest.raises(ValueError, match="WITHIN"):
         engine.search("SELECT COUNT(x) WITHIN RECORD AS n FROM logs")
-    # the legacy comma-FROM (= UNION ALL) footgun: rejected, never CROSS JOIN
+    # the legacy comma-FROM (= UNION ALL) footgun: rejected, never CROSS
+    # JOIN — with the day table on EITHER side of the comma
     with pytest.raises(ValueError, match="UNION ALL"):
         engine.search(
             "SELECT _raw FROM cloudpelican_lsd_v1.ab_results_2015_11_10_v1, "
             "cloudpelican_lsd_v1.ab_results_2015_11_11_v1"
+        )
+    with pytest.raises(ValueError, match="UNION ALL"):
+        engine.search(
+            "SELECT _raw FROM [cloudpelican_lsd_v1.ab_results_2015_11_10_v1]"
+            ", logs"
         )
     # rejected names inside string literals still pass through untouched
     lit = engine.execute(

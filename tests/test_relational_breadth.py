@@ -400,12 +400,16 @@ def test_driver_order_lockstep():
 
     first50 = set(names[:50])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ever_checked: set[str] = set()
+    # only GREEN rows count as prior hard signal — an errored/failed row
+    # (rows_match null/false) must not satisfy a family's coverage
+    ever_green: set[str] = set()
     for fn in sorted(os.listdir(repo)):
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             with open(os.path.join(repo, fn)) as fh:
-                ever_checked |= set(json.load(fh))
-    signal = first50 | ever_checked
+                for q, row in json.load(fh).items():
+                    if row.get("hash_match"):
+                        ever_green.add(q)
+    signal = first50 | ever_green
     families = {
         "grep_": "grep", "filter_fanout": "fanout", "show_filters": "catalog",
         "select_where": "select", "stats_": "stats", "tail_": "tail",

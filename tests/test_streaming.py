@@ -580,12 +580,12 @@ def _kafka_e2e_missing_legs() -> list[str]:
     import socket
 
     legs: list[str] = []
+    pyspark_dir = os.path.dirname(__import__("pyspark").__file__)
     jar_dirs = [
-        os.path.join(os.path.dirname(pyspark_file), "jars")
-        for pyspark_file in (
-            [__import__("pyspark").__file__.rsplit("/", 1)[0]]
-        )
-    ] + ["/opt/spark/jars", "/opt/spark-4.1.2-bin-hadoop3/jars"]
+        os.path.join(pyspark_dir, "jars"),  # pip layout: .../pyspark/jars
+        "/opt/spark/jars",
+        "/opt/spark-4.1.2-bin-hadoop3/jars",
+    ]
     if not any(
         glob.glob(os.path.join(d, "*spark-sql-kafka*.jar")) for d in jar_dirs
     ):
@@ -781,16 +781,19 @@ def test_near_dup_suppressor_rejects_remote_uris(spark, tmp_path):
 
     from cloudpelican_lsd_spark.streaming import pipeline as sp
 
-    for bad in ("hdfs://nn:8020/dedup/store", "s3a://bucket/dedup/store"):
+    # file:// included: os.path.isdir/rmtree treat it as a nonexistent
+    # relative path, silently disabling suppression + epoch replacement
+    for bad in (
+        "hdfs://nn:8020/dedup/store",
+        "s3a://bucket/dedup/store",
+        f"file://{tmp_path}/store",
+    ):
         with pytest.raises(ValueError, match="at-least-once"):
             sp.NearDupSuppressor(spark, bad, str(tmp_path / "out"))
         with pytest.raises(ValueError, match="at-least-once"):
             sp.NearDupSuppressor(spark, str(tmp_path / "store"), bad)
-    # local and file:// forms stay accepted
+    # plain local paths stay accepted
     sp.NearDupSuppressor(spark, str(tmp_path / "s"), str(tmp_path / "o"))
-    sp.NearDupSuppressor(
-        spark, f"file://{tmp_path}/s2", f"file://{tmp_path}/o2"
-    )
 
 
 def test_near_dup_suppressor_batches_and_replay(spark, tmp_path):
