@@ -446,7 +446,41 @@ def test_driver_window_outputs_are_hashable(spark, sf_dir):
     assert not bad, f"driver-unhashable columns in gate window: {bad}"
 
 
-def test_new_operator_plan_shapes(spark, sf_dir):
+def test_window_float_queries_partition_invariant(spark, sf_dir):
+    """In-suite sample of tools/determinism_probe.py: every gate-window
+    query that emits a float/double column (the reduce-order-sensitive
+    class) must produce the identical value multiset under a session with
+    different shuffle partitioning and AQE off — the driver runs its own
+    session config, so partition-dependent output would pass local parity
+    and still hash-mismatch at the gate."""
+    from collections import Counter
+
+    from pyspark.sql import types as T
+
+    from cloudpelican_lsd_spark import registry
+
+    alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    alt.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def canon(df):
+        order = sorted(range(len(df.columns)), key=lambda i: df.columns[i])
+        return Counter(
+            tuple(repr(r[i]) for i in order) for r in df.collect()
+        )
+
+    checked = []
+    for name in list(registry.QUERIES)[:50]:
+        fn = registry.QUERIES[name]
+        df = fn(spark, sf_dir)
+        if not any(
+            isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            for f in df.schema.fields
+        ):
+            continue
+        checked.append(name)
+        assert canon(df) == canon(fn(alt, sf_dir)), name
+    assert checked, "no float-output queries in the window?"
     """Plan-shape pins for the operators added this round: the analyzer
     pipeline and line_dedup must stay join-free single-pipeline plans
     (a groupBy+join-back regression would re-evaluate the scan)."""
