@@ -1382,3 +1382,164 @@ SELECT s.source, s.total_tokens, s.clean_tokens,
             ELSE CAST(t.b::HUGEINT * s.clean_tokens // t.clean_total AS BIGINT)
        END AS alloc
 FROM qa_src s, qa_tot t"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(docs: DataFrame, n_buckets: int = 3) -> DataFrame:
+    """`(source, bucket, n_docs, n_tokens, min_nll, max_nll)` — the CCNet
+    head/middle/tail split: every document is scored by its mean
+    negative log-likelihood under the corpus's own unigram MLE
+    (textstats.unigram_logprob, the KenLM stand-in), ranked corpus-wide,
+    and cut into ``n_buckets`` equal tiles — head = most fluent (lowest
+    NLL, CCNet keeps it outright), tail = most improbable (dropped or
+    down-sampled).  The per-(source, bucket) report shows where each
+    source's text lands on the fluency spectrum.
+
+    Determinism: per-token costs are integer micro-nats (exact BIGINT
+    sums, reduce-order-proof), the global rank orders by
+    ``(mean_nll, doc_id)`` (total order, no tie ambiguity), and NTILE
+    semantics are identical across engines.
+
+    Scale shape: scoring is the unigram_logprob plan (one token shuffle +
+    broadcast cost table); the ntile ranks the DOC-LEVEL score table
+    (2 numeric columns), not the corpus.  At extreme doc counts the
+    production swap is percentile CUTPOINTS broadcast to a stateless
+    per-row comparison — same output contract, no global sort; the exact
+    ntile form is the oracle-stable twin (CCNet, Wenzek et al. 2020).
+    """
+    from pyspark.sql.window import Window
+
+    from cloudpelican_lsd_spark.operators.textstats import unigram_logprob
+
+    scored = unigram_logprob(docs)
+    w = Window.orderBy("mean_nll", "doc_id")
+    tiled = scored.withColumn("b", F.ntile(n_buckets).over(w))
+    bucket = (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == n_buckets, "tail")
+        .otherwise("middle")
+    )
+    return (
+        tiled.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("mean_nll").alias("min_nll"),
+            F.max("mean_nll").alias("max_nll"),
+        )
+    )
+
+
+def perplexity_buckets_oracle(n_buckets: int = 3) -> str:
+    """DuckDB twin of :func:`perplexity_buckets` (shares the
+    unigram-logprob micro-nat discipline with UNIGRAM_LOGPROB_ORACLE)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY term),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+costs AS (
+  SELECT term,
+         CAST(ROUND(-ln(cnt / total) * 1e6, 0) AS BIGINT) AS micro_nll
+  FROM vocab CROSS JOIN tot
+),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*)::BIGINT AS n_tokens,
+         ROUND(SUM(c.micro_nll) / COUNT(*) / 1e6, 6) AS mean_nll
+  FROM toks t JOIN costs c USING (term)
+  GROUP BY t.doc_id
+),
+tiled AS (
+  SELECT *, ntile({n_buckets}) OVER (ORDER BY mean_nll, doc_id) AS b
+  FROM scored
+)
+SELECT d.source,
+       CASE WHEN t.b = 1 THEN 'head'
+            WHEN t.b = {n_buckets} THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(t.n_tokens)::BIGINT AS n_tokens,
+       MIN(t.mean_nll) AS min_nll,
+       MAX(t.mean_nll) AS max_nll
+FROM tiled t JOIN documents d USING (doc_id)
+GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Train-vs-eval n-gram decontamination (the GPT-3 appendix-C pattern)
+# ---------------------------------------------------------------------------
+
+
+def eval_decontaminate(
+    docs: DataFrame, n: int = 8, eval_mod: int = 97
+) -> DataFrame:
+    """`(source, n_train_docs, n_contaminated, n_clean)` — benchmark
+    decontamination: training documents sharing ANY word n-gram with a
+    held-out evaluation set are flagged for removal (the GPT-3
+    appendix-C / PaLM 13-gram rule; n is configurable because the gate
+    corpus is short-doc).  The eval set here is the deterministic
+    ``doc_id % eval_mod == 0`` slice standing in for an external
+    benchmark table — the operator takes any eval split expressible as a
+    filter, and `corpus_shingle_contamination` remains the WITHIN-corpus
+    variant.
+
+    Scale shape: eval shingles are DISTINCT n-grams of the (small)
+    benchmark side — they broadcast; the train side streams through one
+    shingle explode + broadcast LEFT SEMI (no shuffle of train text),
+    then one |sources|-row aggregate.  At 100 TB the train side is
+    embarrassingly parallel and the eval side is benchmark-sized (MBs).
+    """
+    from cloudpelican_lsd_spark.operators.dedup import shingle_rows
+
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev = docs.where(is_eval)
+    tr = docs.where(~is_eval)
+    ev_sh = shingle_rows(ev, n).select("shingle").distinct()
+    hit = (
+        shingle_rows(tr, n)
+        .join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr.join(hit, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+            F.sum(
+                F.when(F.col("hit").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_clean"),
+        )
+    )
+
+
+def eval_decontaminate_oracle(n: int = 8, eval_mod: int = 97) -> str:
+    """DuckDB twin of :func:`eval_decontaminate` (shares the word-n-gram
+    slice arithmetic via shingles_oracle_cte)."""
+    ev_cte = shingles_oracle_cte(n, base_table="ev", prefix="e")
+    tr_cte = shingles_oracle_cte(n, base_table="tr", prefix="t")
+    return f"""WITH ev AS (SELECT * FROM documents WHERE doc_id % {eval_mod} = 0),
+tr AS (SELECT * FROM documents WHERE doc_id % {eval_mod} <> 0),
+{ev_cte},
+{tr_cte},
+hit AS (
+  SELECT DISTINCT ts.doc_id
+  FROM tsh ts JOIN (SELECT DISTINCT shingle FROM esh) es USING (shingle)
+)
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_train_docs,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clean
+FROM tr d LEFT JOIN hit h USING (doc_id)
+GROUP BY d.source"""

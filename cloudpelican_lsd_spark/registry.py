@@ -4108,6 +4108,27 @@ def q_corpus_quality_weighted_alloc(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register("corpus_perplexity_buckets", corpus_ops.perplexity_buckets_oracle(3))
+def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: documents ranked by mean unigram NLL and
+    cut into terciles, reported per (source, bucket) — the fluency-split
+    that decides keep/down-sample/drop (corpus.perplexity_buckets;
+    Wenzek et al. 2020)."""
+    return corpus_ops.perplexity_buckets(
+        load_table(spark, "documents", sf_dir), n_buckets=3
+    )
+
+
+@register("corpus_eval_decontaminate", corpus_ops.eval_decontaminate_oracle(8, 97))
+def q_corpus_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval n-gram decontamination (GPT-3 appendix-C pattern):
+    per source, how many training docs share any 8-gram with the held-out
+    eval slice and must be dropped (corpus.eval_decontaminate)."""
+    return corpus_ops.eval_decontaminate(
+        load_table(spark, "documents", sf_dir), n=8, eval_mod=97
+    )
+
+
 @register("corpus_temperature_mixture", corpus_ops.temperature_mixture_oracle(2, 5))
 def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source sampling (T=2, the mBERT/XLM-R mixer)
@@ -4639,7 +4660,7 @@ DRIVER_ORDER = [
     "outlier_time_bucket",
     "outlier_iqr",
     "corpus_clean_v3",
-    # -- deferred near-twins (round-5 window priority) ----------------------
+    # -- deferred near-twins + round-4 additions (round-5 window priority) --
     "text_perceptron_calibration",
     "dedup_substring_clean",
     "multimodal_phash_near_pairs",
@@ -4647,6 +4668,8 @@ DRIVER_ORDER = [
     "dedup_cluster_sizes",
     "text_vocab_coverage",
     "stats_autocorrelation",
+    "corpus_perplexity_buckets",
+    "corpus_eval_decontaminate",
     # -- green family representatives (rotate back as the window frees) ----
     "grep_pipeline",
     "filter_fanout_counts",

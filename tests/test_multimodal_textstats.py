@@ -1314,3 +1314,81 @@ def test_pmi_pairs_closed_form(spark):
     assert got[("x", "z")].pmi_micro == 0  # ln(2*4/(2*4)) = ln 1
     assert got[("q", "z")].pmi_micro == 0
     assert ("x", "q") not in got  # co_df 0 < 2
+
+
+def test_perplexity_buckets_closed_form(spark):
+    """Planted 6-doc corpus with a known unigram distribution: the three
+    NTILE terciles split 2/2/2 in (mean_nll, doc_id) order, head holds
+    the most-fluent (common-token) docs, tail the gibberish, and bucket
+    NLL ranges are disjoint and ordered head < middle < tail."""
+    from cloudpelican_lsd_spark.operators import corpus as C
+
+    rows = [
+        # docs of common tokens (low NLL)
+        (1, "the the the the", "en", "web", 0),
+        (2, "the the the cat", "en", "web", 0),
+        # middling
+        (3, "the cat sat mat", "en", "web", 0),
+        (4, "the cat ran far", "en", "books", 0),
+        # rare-token gibberish (high NLL)
+        (5, "zq1 zq2 zq3 zq4", "en", "books", 0),
+        (6, "xj1 xj2 xj3 xj4", "en", "books", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = C.perplexity_buckets(docs, n_buckets=3).collect()
+    by_bucket = {}
+    for r in out:
+        b = by_bucket.setdefault(r.bucket, dict(n=0, lo=[], hi=[]))
+        b["n"] += r.n_docs
+        b["lo"].append(r.min_nll)
+        b["hi"].append(r.max_nll)
+    assert {b: v["n"] for b, v in by_bucket.items()} == {
+        "head": 2, "middle": 2, "tail": 2
+    }
+    assert max(by_bucket["head"]["hi"]) <= min(by_bucket["middle"]["lo"])
+    assert max(by_bucket["middle"]["hi"]) <= min(by_bucket["tail"]["lo"])
+    # token counts preserved: 6 docs x 4 tokens
+    assert sum(r.n_tokens for r in out) == 24
+
+
+def test_eval_decontaminate_flags_exact_overlap_only(spark):
+    """A train doc sharing an n-gram with the eval slice is contaminated;
+    an unrelated train doc is clean; a too-short train doc can never be
+    flagged (no n-gram exists).  eval_mod=2 puts even doc_ids in eval."""
+    from cloudpelican_lsd_spark.operators import corpus as C
+
+    eval_text = "alpha beta gamma delta epsilon"
+    rows = [
+        (2, eval_text, "en", "web", 0),                    # eval slice
+        (1, "x y " + eval_text, "en", "web", 0),           # contains eval 5-gram
+        (3, "one two three four five six", "en", "web", 0),  # clean
+        (5, "alpha beta", "en", "books", 0),               # too short for n=5
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r.source: r
+        for r in C.eval_decontaminate(docs, n=5, eval_mod=2).collect()
+    }
+    assert out["web"].n_train_docs == 2
+    assert out["web"].n_contaminated == 1 and out["web"].n_clean == 1
+    assert out["books"].n_train_docs == 1
+    assert out["books"].n_contaminated == 0 and out["books"].n_clean == 1
+
+
+def test_eval_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must reach the train side as a broadcast
+    (benchmark-sized build side; the 100 TB train stream never shuffles
+    for the semi-join)."""
+    from cloudpelican_lsd_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["corpus_eval_decontaminate"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
