@@ -480,7 +480,11 @@ class CloudPelicanEngine:
             "over an array column instead",
         ),
         (
-            re.compile(r"(?i)\bWITHIN\s+(RECORD|\w+\.\w+)"),
+            # scope may be RECORD, a bare node name (WITHIN children), or a
+            # dotted path — all three are legacy repeated-field scopes.
+            # ANSI `WITHIN GROUP (ORDER BY ...)` (ordered-set aggregates,
+            # valid Spark SQL) is explicitly excluded.
+            re.compile(r"(?i)\bWITHIN\s+(?!GROUP\b)(RECORD\b|\w+(?:\.\w+)*)"),
             "WITHIN-scoped aggregation needs legacy repeated-field "
             "records; aggregate with GROUP BY instead",
         ),
@@ -510,6 +514,43 @@ class CloudPelicanEngine:
             "date BETWEEN",
         ),
     )
+
+    #: dialect markers that identify a query as written in BigQuery legacy
+    #: SQL — only such queries get the comma-FROM (UNION ALL) rejection;
+    #: plain ANSI comma-joins pass through to Spark untouched
+    _LEGACY_MARKER_RE = re.compile(
+        r"(?i)\b(GROUP\s+EACH\s+BY|JOIN\s+EACH|REGEXP_MATCH\s*\(|"
+        r"EXACT_COUNT_DISTINCT\s*\(|FLATTEN\s*\(|TABLE_DATE_RANGE\s*\(|"
+        r"TABLE_QUERY\s*\()"
+    )
+
+    @staticmethod
+    def _comma_from_snippet(sql_no_literals: str) -> str | None:
+        """Return the offending ``FROM a, b`` snippet if any FROM clause
+        contains a paren-depth-0 comma (a legacy table list, which means
+        UNION ALL in BigQuery legacy SQL but CROSS JOIN in ANSI), else
+        None.  Operates on literal-stripped text; commas inside
+        subqueries/function calls are at depth > 0 and ignored."""
+        stop = re.compile(
+            r"(?i)(WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|JOIN|ON)\b"
+        )
+        for m in re.finditer(r"(?i)\bFROM\b", sql_no_literals):
+            depth, i = 0, m.end()
+            while i < len(sql_no_literals):
+                ch = sql_no_literals[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    if depth == 0:
+                        break  # end of the subquery containing this FROM
+                    depth -= 1
+                elif depth == 0:
+                    if ch == ",":
+                        return sql_no_literals[m.start() : i + 1] + " ..."
+                    if stop.match(sql_no_literals, i):
+                        break
+                i += 1
+        return None
 
     def _legacy_sql_shim(self, sql: str, results: DataFrame | None) -> str:
         """Accept the BigQuery-legacy SQL the reference's own CLI emits, so
@@ -541,6 +582,24 @@ class CloudPelicanEngine:
                         f"unsupported BigQuery legacy SQL construct "
                         f"{m.group(0).strip()!r}: {why}"
                     )
+        # comma-separated FROM lists: UNION ALL in legacy SQL, CROSS JOIN
+        # in ANSI — silently wrong, so reject whenever the query is
+        # identifiably legacy-dialect (day-table ref or legacy function/
+        # clause marker).  Pure-ANSI queries keep comma-join semantics.
+        stripped = "".join(
+            seg if k % 2 == 0 else "'…'" for k, seg in enumerate(segments)
+        )
+        if self._LEGACY_TABLE_RE.search(stripped) or self._LEGACY_MARKER_RE.search(
+            stripped
+        ):
+            snippet = self._comma_from_snippet(stripped)
+            if snippet:
+                raise ValueError(
+                    f"unsupported BigQuery legacy SQL construct {snippet!r}: "
+                    "a comma-separated FROM list means UNION ALL in legacy "
+                    "SQL but CROSS JOIN in ANSI — use explicit UNION ALL, "
+                    "or one table ref plus WHERE date BETWEEN"
+                )
 
         def fix(seg: str) -> str:
             seg = re.sub(r"(?i)\bREGEXP_MATCH\s*\(", "REGEXP_LIKE(", seg)

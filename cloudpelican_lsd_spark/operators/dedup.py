@@ -1039,8 +1039,10 @@ def connected_components(
     decrease, so convergence is an unchanged SUM(lbl) (no expensive
     join-compare), and rounds ≈ graph diameter — duplicate clusters in
     practice are shallow star/clique shapes (2-4 rounds).  Raises
-    RuntimeError if the graph has not converged within ``max_iter``
-    rounds instead of silently returning half-propagated labels.
+    RuntimeError if the graph has not reached its fixed point within
+    ``max_iter`` propagation rounds (one extra no-op round is always
+    allowed to *witness* stability, so a diameter-``max_iter`` chain
+    succeeds) instead of silently returning half-propagated labels.
 
     ``method="star"``: the alternating large-star/small-star algorithm
     (Kiveris et al., *Connected Components in MapReduce and Beyond*,
@@ -1080,7 +1082,12 @@ def connected_components(
 
     prev_sum = object()  # sentinel: never equal on first comparison
     converged = False
-    for i in range(max_iter):
+    # max_iter bounds the propagations needed to REACH the fixed point;
+    # unchanged-sum detection needs one further no-op propagation to
+    # WITNESS stability, so a graph that converges exactly on round
+    # max_iter is not spuriously rejected: max_iter + 1 propagations,
+    # max_iter + 2 observations
+    for i in range(max_iter + 2):
         # the convergence metric rides the checkpoint's own action via
         # observe() — one job per round instead of checkpoint + agg
         obs = Observation(f"cc_round_{i}")
@@ -1092,6 +1099,8 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
+        if i > max_iter:
+            break  # budget + verification spent without reaching stability
         propagated = labels.join(
             edges, labels["node"] == edges["src"], "inner"
         ).select(F.col("dst").alias("node"), "lbl")
@@ -1166,7 +1175,11 @@ def _cc_star_rounds(
     prev_sig = object()
     rounds = 0
     converged = False
-    for i in range(max_iter):
+    # max_iter bounds the contraction rounds to REACH the star fixed
+    # point; one further no-op round WITNESSES stability (see
+    # connected_components) — a graph that flattens exactly on round
+    # max_iter must not raise
+    for i in range(max_iter + 2):
         obs = Observation(f"cc_star_round_{i}")
         edges = edges.observe(
             obs,
@@ -1180,6 +1193,8 @@ def _cc_star_rounds(
             converged = True
             break
         prev_sig = sig
+        if i > max_iter:
+            break  # budget + verification spent without reaching stability
         rounds = i + 1
         # -- large-star: full symmetric neighborhood ------------------------
         sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(

@@ -4609,58 +4609,8 @@ def q_text_len_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 DRIVER_ORDER = [
-    # -- never-driver-checked (slots 1-50, all oracle-gated) ---------------
-    "dedup_cross_source_matrix",
-    "corpus_source_divergence",
-    "dedup_incremental_vs_index",
-    "text_bm25_topk",
-    "hybrid_retrieval_topk",
-    "text_chunk_windows",
-    "corpus_snapshot_diff",
-    "text_tokenizer_fertility",
-    "text_bpe_merge_step",
-    "events_key_skew",
-    "multimodal_phash_groups",
-    "text_perceptron_step",
-    "dedup_bloom_prefilter",
-    "text_cms_topk_audit",
-    "emb_triplet_mining",
-    "corpus_unimax_alloc",
-    "events_zorder_locality",
-    "events_percentile_sketch_audit",
-    "text_known_item_mrr",
-    "corpus_training_manifest",
-    "corpus_integrity_audit",
-    "text_char_entropy",
-    "dedup_containment_pairs",
-    "corpus_temperature_mixture",
-    "text_dsir_weights",
-    "distinct_users_hll_audit",
-    "emb_matryoshka_audit",
-    "outlier_ewma",
-    "outlier_analyzer_consensus",
-    "text_lang_confusion",
-    "dedup_method_agreement",
-    "emb_power_iteration",
-    "emb_cluster_purity",
-    "outlier_seasonal_naive",
-    "stats_series_correlation",
-    "corpus_quality_weighted_alloc",
-    "text_pmi_pairs",
-    "outlier_cusum",
-    "emb_knn_accuracy",
-    "dedup_token_savings",
-    "emb_centroid_outliers",
-    "text_ngram_novelty",
-    "dedup_substring_spans",
-    "logs_trending_terms",
-    "stats_burn_rate",
-    "events_gini_concentration",
-    "outlier_interval",
-    "outlier_time_bucket",
-    "outlier_iqr",
-    "corpus_clean_v3",
-    # -- deferred near-twins + round-4 additions (round-5 window priority) --
+    # -- never-driver-checked (slots 1-9, round-5 priority; all oracle-gated,
+    #    parity-verified locally and by the round-4 judge) ------------------
     "text_perceptron_calibration",
     "dedup_substring_clean",
     "multimodal_phash_near_pairs",
@@ -4792,7 +4742,59 @@ DRIVER_ORDER = [
     "multimodal_content_hash",
     "multimodal_resize_dims",
     "json_props_agg",
+    # -- green in r04 (previous window, rotates down) -----------------------
+    "dedup_cross_source_matrix",
+    "corpus_source_divergence",
+    "dedup_incremental_vs_index",
+    "text_bm25_topk",
+    "hybrid_retrieval_topk",
+    "text_chunk_windows",
+    "corpus_snapshot_diff",
+    "text_tokenizer_fertility",
+    "text_bpe_merge_step",
+    "events_key_skew",
+    "multimodal_phash_groups",
+    "text_perceptron_step",
+    "dedup_bloom_prefilter",
+    "text_cms_topk_audit",
+    "emb_triplet_mining",
+    "corpus_unimax_alloc",
+    "events_zorder_locality",
+    "events_percentile_sketch_audit",
+    "text_known_item_mrr",
+    "corpus_training_manifest",
+    "corpus_integrity_audit",
+    "text_char_entropy",
+    "dedup_containment_pairs",
+    "corpus_temperature_mixture",
+    "text_dsir_weights",
+    "distinct_users_hll_audit",
+    "emb_matryoshka_audit",
+    "outlier_ewma",
+    "outlier_analyzer_consensus",
+    "text_lang_confusion",
+    "dedup_method_agreement",
+    "emb_power_iteration",
+    "emb_cluster_purity",
+    "outlier_seasonal_naive",
+    "stats_series_correlation",
+    "corpus_quality_weighted_alloc",
+    "text_pmi_pairs",
+    "outlier_cusum",
+    "emb_knn_accuracy",
+    "dedup_token_savings",
+    "emb_centroid_outliers",
+    "text_ngram_novelty",
+    "dedup_substring_spans",
+    "logs_trending_terms",
+    "stats_burn_rate",
+    "events_gini_concentration",
+    "outlier_interval",
+    "outlier_time_bucket",
+    "outlier_iqr",
+    "corpus_clean_v3",
 ]
+
 
 
 def _apply_driver_order() -> None:

@@ -244,6 +244,27 @@ def test_connected_components_chain_star_beats_label(spark):
     assert rounds <= 10, rounds
 
 
+def test_connected_components_converges_exactly_at_max_iter(spark):
+    """Boundary: a graph whose labels finish propagating exactly on the
+    final allowed round must SUCCEED — convergence is observed max_iter+1
+    times for max_iter propagations (a chain of diameter d needs exactly
+    d min-label propagation rounds, so max_iter=d is sufficient)."""
+    d = 6
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(d)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_ops.connected_components(chain, max_iter=d).collect()
+    }
+    assert got == {(i, 0) for i in range(d + 1)}
+    # one round fewer must still raise
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_ops.connected_components(chain, max_iter=d - 1)
+
+
 def test_minhash_estimate_vs_true_bounds(spark, sf_dir):
     """Every candidate pair's agreement count is in [0, 12], true overlap
     respects inter<=union, and high-agreement pairs (>=9 of 12) really

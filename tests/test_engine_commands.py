@@ -352,6 +352,16 @@ def test_search_legacy_rejected_constructs(engine):
         )
     with pytest.raises(ValueError, match="WITHIN"):
         engine.search("SELECT COUNT(x) WITHIN RECORD AS n FROM logs")
+    # single-identifier node scope (no dot) is also a legacy repeated-field
+    # scope and must get the same guidance, not a bare Spark parse error
+    with pytest.raises(ValueError, match="WITHIN"):
+        engine.search("SELECT COUNT(x) WITHIN children AS n FROM logs")
+    # ...but ANSI ordered-set aggregates (WITHIN GROUP) are valid Spark SQL
+    v = engine.search(
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p "
+        "FROM events"
+    ).collect()[0].p
+    assert v is not None
     # the legacy comma-FROM (= UNION ALL) footgun: rejected, never CROSS
     # JOIN — with the day table on EITHER side of the comma
     with pytest.raises(ValueError, match="UNION ALL"):
@@ -364,6 +374,29 @@ def test_search_legacy_rejected_constructs(engine):
             "SELECT _raw FROM [cloudpelican_lsd_v1.ab_results_2015_11_10_v1]"
             ", logs"
         )
+    # a legacy-dialect query (identified by any legacy marker) with a
+    # comma list of PLAIN table names is the same UNION ALL footgun —
+    # rejected even though no day-table ref abuts the comma
+    with pytest.raises(ValueError, match="UNION ALL"):
+        engine.search(
+            "SELECT REGEXP_MATCH(_raw, 'x') AS m FROM logs, events"
+        )
+    with pytest.raises(ValueError, match="UNION ALL"):
+        engine.search(
+            "SELECT _raw FROM logs, events GROUP EACH BY _raw"
+        )
+    # pure-ANSI queries keep comma-join semantics (old-style inner join)
+    n = engine.search(
+        "SELECT count(*) AS n FROM events e, events e2 "
+        "WHERE e.event_id = e2.event_id"
+    ).collect()[0].n
+    assert n > 0
+    # commas inside subqueries/function calls are not FROM-list commas
+    n2 = engine.search(
+        "SELECT EXACT_COUNT_DISTINCT(concat(event_type, ',')) AS n "
+        "FROM (SELECT event_type FROM events WHERE event_id IN (1, 2, 3))"
+    ).collect()[0].n
+    assert n2 >= 0
     # rejected names inside string literals still pass through untouched
     lit = engine.execute(
         "search SELECT 'FLATTEN(x, y)' AS t FROM logs LIMIT 1"

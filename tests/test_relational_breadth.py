@@ -481,6 +481,9 @@ def test_window_float_queries_partition_invariant(spark, sf_dir):
         checked.append(name)
         assert canon(df) == canon(fn(alt, sf_dir)), name
     assert checked, "no float-output queries in the window?"
+
+
+def test_new_operator_plan_shapes(spark, sf_dir):
     """Plan-shape pins for the operators added this round: the analyzer
     pipeline and line_dedup must stay join-free single-pipeline plans
     (a groupBy+join-back regression would re-evaluate the scan)."""
