@@ -1472,6 +1472,196 @@ FROM tiled t JOIN documents d USING (doc_id)
 GROUP BY 1, 2"""
 
 
+def perplexity_cutpoints(
+    docs: DataFrame, n_buckets: int = 3, coarse_bits: int = 16
+) -> DataFrame:
+    """`(source, bucket, cut_head, cut_middle, n_docs, n_tokens, min_nll,
+    max_nll)` — the PRODUCTION shape of the CCNet head/middle/tail split
+    (Wenzek et al. 2020): exact tercile cutpoints are computed by
+    distributed two-level counting, broadcast, and every document is
+    bucketed by a stateless value comparison.  No partition-less window
+    anywhere — the scale fix for :func:`perplexity_buckets`, whose global
+    NTILE moves every doc-level score row through ONE task.
+
+    Semantics: a document's score is its integer micro-nat mean NLL
+    (``sum_micro div n_tokens`` — exact BIGINT floor division, so the
+    cutpoint search is integer arithmetic end-to-end).  With
+    k_i = ceil(i·N/n_buckets), cutpoint c_i is the k_i-th smallest score
+    in the sorted multiset; head = score ≤ c_1, tail = score > c_{last},
+    ties all land in the lower bucket (value-based split — bucket sizes
+    deviate from N/3 only on cutpoint ties, the honest production
+    contract; the NTILE twin remains the equal-tile audit form).
+
+    Scale shape (exact, two passes over the score HISTOGRAM, never the
+    docs):
+
+    1. one hash-agg to the distinct-score histogram (≤ score-domain rows,
+       bounded by the value range — mean micro-NLL ≤ ~ln(total_tokens)·1e6
+       ≈ 3·10⁷ — independent of doc count);
+    2. coarse pass: histogram → ``score div 2^coarse_bits`` buckets
+       (≤ domain/2^16 ≈ 500 rows); cumulative counts via a broadcast
+       self-theta-join over that bounded table (NO window), giving each
+       target rank its owning coarse bucket and base offset;
+    3. fine pass: the ≤ n_buckets-1 selected coarse buckets broadcast-
+       semi-join the histogram (≤ 2^coarse_bits rows each), a window
+       PARTITIONED by target rank accumulates within the bucket, and the
+       cutpoint is the first score crossing its rank;
+    4. the ≤ n_buckets-1 cutpoints broadcast back over the doc-level
+       score table for the stateless bucket tag + per-(source, bucket)
+       rollup.
+
+    The doc-level scores are ``localCheckpoint``-ed once so the cutpoint
+    branch and the final rollup share one materialization of the token
+    shuffle (column pruning otherwise specializes the two consumers into
+    separate scans — the repo's known two-consumer trap).
+    """
+    from pyspark.sql.window import Window
+
+    from cloudpelican_lsd_spark.operators.textstats import unigram_microsums
+
+    B = 1 << coarse_bits
+    scored = (
+        unigram_microsums(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("sum_micro div n_tokens").alias("score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    coarse = (
+        hist.withColumn("cb", F.expr(f"score div {B}"))
+        .groupBy("cb")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # cumulative over the ≤ ~500-row coarse table WITHOUT a window: a
+    # broadcast self-theta-join (b.cb <= a.cb) — O(rows²) on a bounded
+    # value-domain table, zero single-partition stages
+    a = coarse.alias("a")
+    b = coarse.alias("b")
+    coarse_cum = (
+        a.join(F.broadcast(b), F.col("b.cb") <= F.col("a.cb"))
+        .groupBy(F.col("a.cb").alias("cb"), F.col("a.cnt").alias("cnt"))
+        .agg(F.sum(F.col("b.cnt")).alias("cum"))
+        .withColumn("base", F.col("cum") - F.col("cnt"))
+    )
+    total = coarse_cum.agg(F.max("cum").alias("n_total"))
+    spark = docs.sparkSession
+    targets = (
+        spark.range(1, n_buckets)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "i",
+            F.expr(f"(i * n_total + {n_buckets} - 1) div {n_buckets}").alias(
+                "k"
+            ),
+        )
+    )
+    # owning coarse bucket per target rank: smallest cb with cum >= k
+    owner = (
+        targets.join(F.broadcast(coarse_cum), F.col("cum") >= F.col("k"))
+        .groupBy("i", "k")
+        .agg(F.min("cb").alias("cb"))
+        .join(F.broadcast(coarse_cum.select("cb", "base")), "cb")
+    )
+    # fine pass: only the selected buckets' scores (≤ 2^coarse_bits rows
+    # per target), window PARTITIONED by target rank i
+    fine = hist.withColumn("cb", F.expr(f"score div {B}")).join(
+        F.broadcast(owner), "cb"
+    )
+    wf = (
+        Window.partitionBy("i")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = (
+        fine.withColumn("fcum", F.sum("cnt").over(wf))
+        .where(F.col("base") + F.col("fcum") >= F.col("k"))
+        .groupBy("i")
+        .agg(F.min("score").alias("cut"))
+    )
+    cuts = cut.agg(
+        F.min(F.when(F.col("i") == 1, F.col("cut"))).alias("c_head"),
+        F.min(F.when(F.col("i") == n_buckets - 1, F.col("cut"))).alias(
+            "c_tail"
+        ),
+    )
+    tagged = scored.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(F.col("score") <= F.col("c_head"), "head")
+        .when(F.col("score") > F.col("c_tail"), "tail")
+        .otherwise("middle"),
+    )
+    return (
+        tagged.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "bucket")
+        .agg(
+            F.min("c_head").alias("cut_head"),
+            F.min("c_tail").alias("cut_middle"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.min("score") / 1e6, 6).alias("min_nll"),
+            F.round(F.max("score") / 1e6, 6).alias("max_nll"),
+        )
+        .select(
+            "source", "bucket", "cut_head", "cut_middle",
+            "n_docs", "n_tokens", "min_nll", "max_nll",
+        )
+    )
+
+
+def perplexity_cutpoints_oracle(n_buckets: int = 3) -> str:
+    """DuckDB twin of :func:`perplexity_cutpoints`.  The oracle computes
+    the same k-th-order-statistic cutpoints directly (row_number over the
+    score multiset — engines may differ in PLAN, the cutpoint VALUES are
+    the sorted-multiset order statistics either way) and applies the same
+    value-based bucket rule."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY term),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+costs AS (
+  SELECT term,
+         CAST(ROUND(-ln(cnt / total) * 1e6, 0) AS BIGINT) AS micro_nll
+  FROM vocab CROSS JOIN tot
+),
+scored AS (
+  SELECT t.doc_id,
+         COUNT(*)::BIGINT AS n_tokens,
+         CAST(SUM(c.micro_nll) // COUNT(*) AS BIGINT) AS score
+  FROM toks t JOIN costs c USING (term)
+  GROUP BY t.doc_id
+),
+n AS (SELECT COUNT(*)::BIGINT AS n_total FROM scored),
+ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score) AS rn FROM scored
+),
+cuts AS (
+  SELECT
+    MIN(CASE WHEN rn = (SELECT (1 * n_total + {n_buckets} - 1) // {n_buckets}
+                        FROM n) THEN score END) AS c_head,
+    MIN(CASE WHEN rn = (SELECT (({n_buckets} - 1) * n_total + {n_buckets} - 1)
+                        // {n_buckets} FROM n) THEN score END) AS c_tail
+  FROM ranked
+)
+SELECT d.source,
+       CASE WHEN s.score <= c.c_head THEN 'head'
+            WHEN s.score > c.c_tail THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       c.c_head AS cut_head,
+       c.c_tail AS cut_middle,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(s.n_tokens)::BIGINT AS n_tokens,
+       ROUND(MIN(s.score) / 1e6, 6) AS min_nll,
+       ROUND(MAX(s.score) / 1e6, 6) AS max_nll
+FROM scored s CROSS JOIN cuts c JOIN documents d USING (doc_id)
+GROUP BY 1, 2, 3, 4"""
+
+
 # ---------------------------------------------------------------------------
 # Train-vs-eval n-gram decontamination (the GPT-3 appendix-C pattern)
 # ---------------------------------------------------------------------------

@@ -632,11 +632,11 @@ SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= {k}"""
 # ---------------------------------------------------------------------------
 
 
-def unigram_logprob(docs: DataFrame) -> DataFrame:
-    """`(doc_id, n_tokens, mean_nll)` — mean negative log-likelihood per
-    token under the corpus's own unigram MLE.  One token shuffle builds
-    the vocabulary; token costs broadcast back; per-doc sums are exact
-    integer micro-nats."""
+def unigram_microsums(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_tokens, sum_micro)` — per-document token count and
+    exact BIGINT sum of integer micro-nat unigram costs (the shared core
+    of :func:`unigram_logprob` and the corpus perplexity splits).  One
+    token shuffle builds the vocabulary; token costs broadcast back."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
@@ -655,6 +655,16 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("micro_nll").alias("sum_micro"),
         )
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_tokens, mean_nll)` — mean negative log-likelihood per
+    token under the corpus's own unigram MLE.  One token shuffle builds
+    the vocabulary; token costs broadcast back; per-doc sums are exact
+    integer micro-nats."""
+    return (
+        unigram_microsums(docs)
         .select(
             "doc_id",
             "n_tokens",

@@ -4119,6 +4119,20 @@ def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_perplexity_cutpoints", corpus_ops.perplexity_cutpoints_oracle(3)
+)
+def q_corpus_perplexity_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production CCNet split: exact tercile cutpoints via distributed
+    two-level counting over the score histogram, broadcast to a stateless
+    value-bucketing pass — zero partition-less windows, unlike the NTILE
+    audit twin `corpus_perplexity_buckets`
+    (corpus.perplexity_cutpoints; Wenzek et al. 2020)."""
+    return corpus_ops.perplexity_cutpoints(
+        load_table(spark, "documents", sf_dir), n_buckets=3
+    )
+
+
 @register("corpus_eval_decontaminate", corpus_ops.eval_decontaminate_oracle(8, 97))
 def q_corpus_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-vs-eval n-gram decontamination (GPT-3 appendix-C pattern):
@@ -4620,6 +4634,9 @@ DRIVER_ORDER = [
     "stats_autocorrelation",
     "corpus_perplexity_buckets",
     "corpus_eval_decontaminate",
+    # -- new this round (slot 10): production cutpoint twin of the NTILE
+    #    perplexity split --------------------------------------------------
+    "corpus_perplexity_cutpoints",
     # -- green family representatives (rotate back as the window frees) ----
     "grep_pipeline",
     "filter_fanout_counts",

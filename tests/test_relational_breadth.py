@@ -424,6 +424,67 @@ def test_driver_order_lockstep():
     assert covered == set(families.values()), set(families.values()) - covered
 
 
+#: Queries allowed to carry a partition-less WindowExec, each with the
+#: boundedness argument that makes the single-task sort safe at 100 TB.
+#: Anything else in the driver gate with a global window fails the lint.
+GLOBAL_WINDOW_EXCEPTIONS = {
+    "search_supplier_rank": "ranks the |suppliers|-row post-aggregate",
+    "corpus_unimax_alloc": (
+        "water-filling prefix sum over the |sources|-row aggregate"
+    ),
+    "stats_burn_rate": (
+        "RANGE frame over the bounded minutely-bucket rollup of the "
+        "alert window"
+    ),
+    "hybrid_retrieval_topk": (
+        "row_number over the two <=k_each-row branch top-k lists"
+    ),
+    "corpus_perplexity_buckets": (
+        "oracle-stable NTILE audit twin of corpus_perplexity_cutpoints "
+        "(the production path, itself global-window-free)"
+    ),
+    "events_zorder_locality": (
+        "offline layout-audit tool: the chunked ntile IS the measurement; "
+        "at scale it runs on a sampled slice, like events_key_skew"
+    ),
+}
+
+
+def test_gate_has_no_unannotated_global_windows(spark, sf_dir):
+    """Scale lint (VERDICT r4 #3): no driver-gate query may ship a
+    partition-less WindowExec — the 'Moving all data to a single
+    partition' shape — unless its input is provably bounded and the
+    boundedness argument is recorded in GLOBAL_WINDOW_EXCEPTIONS.  Also
+    pins the one production swap this lint exists for: the cutpoint
+    perplexity split must stay global-window-free."""
+    from tools.plan_audit import global_windows
+
+    from cloudpelican_lsd_spark import registry
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    offenders = {}
+    for name in list(registry.QUERIES)[:50]:
+        df = registry.QUERIES[name](spark, sf_dir)
+        hits = global_windows(df._jdf.queryExecution().explainString(mode))
+        if hits and name not in GLOBAL_WINDOW_EXCEPTIONS:
+            offenders[name] = hits
+    assert not offenders, (
+        "un-annotated partition-less windows in the driver gate "
+        f"(add a boundedness justification or fix the plan): {offenders}"
+    )
+    # the production perplexity path is pinned clean; its NTILE twin is
+    # pinned dirty (if the twin ever loses its global window the
+    # exception entry — and the twin itself — are stale)
+    cut = registry.QUERIES["corpus_perplexity_cutpoints"](spark, sf_dir)
+    assert not global_windows(
+        cut._jdf.queryExecution().explainString(mode)
+    ), "corpus_perplexity_cutpoints grew a partition-less window"
+    ntile = registry.QUERIES["corpus_perplexity_buckets"](spark, sf_dir)
+    assert global_windows(ntile._jdf.queryExecution().explainString(mode))
+
+
 def test_driver_window_outputs_are_hashable(spark, sf_dir):
     """Round-1 regression guard: the driver canonicalizer sorts result
     columns with pandas and dies on unhashable cells (arrays/maps/structs
