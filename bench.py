@@ -200,6 +200,31 @@ def _history_medians(sf: float) -> dict[str, float]:
     return {n: statistics.median(ts) for n, ts in samples.items()}
 
 
+def _remeasure_threshold(samples: list[float]) -> float:
+    """The re-measure trigger multiplier over the history median: 1.5x by
+    default, tightened to 1.4x for LOW-VARIANCE queries (>=3 samples with
+    relative stdev < 10% of the median) — a steady query drifting 1.46x
+    is signal, not session noise (the dedup_incremental_vs_index case
+    the flat 1.5x band missed in r4)."""
+    import statistics
+
+    if len(samples) >= 3:
+        med = statistics.median(samples)
+        if med > 0 and statistics.stdev(samples) / med < 0.10:
+            return 1.4
+    return 1.5
+
+
+def _history_thresholds(sf: float) -> dict[str, float]:
+    """Per-query re-measure multiplier (1.4x for low-variance histories,
+    1.5x otherwise)."""
+    samples: dict[str, list[float]] = {}
+    for p in _load_history(sf):
+        for n, t in p.get("queries", {}).items():
+            samples.setdefault(n, []).append(t)
+    return {n: _remeasure_threshold(ts) for n, ts in samples.items()}
+
+
 def _remeasure_to_band(
     spark, sf: float, sf_dir: str, timings: dict[str, float]
 ) -> tuple[object, list[str]]:
@@ -209,18 +234,24 @@ def _remeasure_to_band(
     SparkSession after stopping the 170-query one, so accumulated GC /
     codegen-cache pressure can't inflate the published artifact.  The
     published number is the min of the two; genuine regressions survive
-    because a real plan change reproduces in isolation."""
+    because a real plan change reproduces in isolation.  Low-variance
+    queries (rel stdev < 10% over >=3 history samples) trigger at 1.4x
+    instead of 1.5x — see _remeasure_threshold."""
     bands = _history_medians(sf)
+    thresholds = _history_thresholds(sf)
     flagged = [
         n
         for n, t in timings.items()
-        if n in bands and t > 1.5 * bands[n] and t - bands[n] > 0.3
+        if n in bands
+        and t > thresholds.get(n, 1.5) * bands[n]
+        and t - bands[n] > 0.3
     ]
     if not flagged:
         return spark, []
     print(
-        f"re-measure-to-band: {len(flagged)} queries exceed 1.5x their "
-        f"history median; re-running in an isolated session: {flagged}",
+        f"re-measure-to-band: {len(flagged)} queries exceed their "
+        f"history-median band (1.4x low-variance / 1.5x default); "
+        f"re-running in an isolated session: {flagged}",
         file=sys.stderr,
     )
     spark.stop()

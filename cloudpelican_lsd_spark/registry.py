@@ -3970,33 +3970,47 @@ def q_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_sizes",
-    f"""WITH RECURSIVE {_PLANTED_CTE},
+_CLUSTER_SIZES_ORACLE = f"""WITH RECURSIVE {_PLANTED_CTE},
 {dedup_ops.minhash_oracle_cte(12, 3, 3, base_table='docs_planted')},
 {dedup_ops.connected_components_oracle(_MINHASH_PAIRS_SQL)},
 clusters AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
              FROM reach GROUP BY node),
 sizes AS (SELECT cluster_id, COUNT(*)::BIGINT AS sz
           FROM clusters GROUP BY cluster_id)
-SELECT sz, COUNT(*)::BIGINT AS n_clusters FROM sizes GROUP BY sz""",
-)
-def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster size histogram over the MinHash-LSH dup graph —
-    the power-law sanity check run before trusting a dedup pass (one
-    giant cluster usually means boilerplate linked everything; many
-    pairs means true near-dups).  Composes connected components with
-    two tiny cluster-keyed aggregates."""
+SELECT sz, COUNT(*)::BIGINT AS n_clusters FROM sizes GROUP BY sz"""
+
+
+def _cluster_sizes(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
     pairs = dedup_ops.lsh_candidate_pairs(
         _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
     )
-    cc = dedup_ops.connected_components(pairs)
+    cc = dedup_ops.connected_components(pairs, method=method)
     return (
         cc.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("sz"))
         .groupBy("sz")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+@register("dedup_cluster_sizes", _CLUSTER_SIZES_ORACLE)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram over the MinHash-LSH dup graph —
+    the power-law sanity check run before trusting a dedup pass (one
+    giant cluster usually means boilerplate linked everything; many
+    pairs means true near-dups).  Composes connected components with
+    two tiny cluster-keyed aggregates."""
+    return _cluster_sizes(spark, sf_dir, "label")
+
+
+@register("dedup_cluster_sizes_star", _CLUSTER_SIZES_ORACLE)
+def q_dedup_cluster_sizes_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same cluster-size histogram computed through the
+    large-star/small-star CC fallback (dedup.connected_components
+    method='star', Kiveris et al. SoCC'14) — gives the adversarial-graph
+    path a measured bench number and a driver hash against the SAME
+    oracle as the min-label default (identical output by construction)."""
+    return _cluster_sizes(spark, sf_dir, "star")
 
 
 @register(
@@ -4634,9 +4648,10 @@ DRIVER_ORDER = [
     "stats_autocorrelation",
     "corpus_perplexity_buckets",
     "corpus_eval_decontaminate",
-    # -- new this round (slot 10): production cutpoint twin of the NTILE
-    #    perplexity split --------------------------------------------------
+    # -- new this round (slots 10-11): production cutpoint twin of the
+    #    NTILE perplexity split; star-CC twin of the cluster-size query --
     "corpus_perplexity_cutpoints",
+    "dedup_cluster_sizes_star",
     # -- green family representatives (rotate back as the window frees) ----
     "grep_pipeline",
     "filter_fanout_counts",

@@ -73,6 +73,43 @@ def test_remeasure_to_band_flags_and_takes_min(tmp_path, monkeypatch):
     assert remeasured == ["hot"] and timings["hot"] == 2.4
 
 
+def test_remeasure_threshold_tightens_for_low_variance():
+    """<3 samples or rel-stdev >=10%: default 1.5x.  >=3 steady samples:
+    1.4x — the band that catches a 1.46x drift on a historically flat
+    query (the r4 dedup_incremental_vs_index case)."""
+    assert bench._remeasure_threshold([1.0]) == 1.5
+    assert bench._remeasure_threshold([1.0, 1.05]) == 1.5  # only 2 samples
+    assert bench._remeasure_threshold([1.0, 1.02, 0.98]) == 1.4
+    # noisy history keeps the loose band
+    assert bench._remeasure_threshold([1.0, 1.6, 0.7]) == 1.5
+
+
+def test_remeasure_band_low_variance_flags_at_14x(tmp_path, monkeypatch):
+    """A historically flat query drifting 1.45x IS flagged; the same
+    drift on a 2-sample (unknown-variance) query is not."""
+    hist = tmp_path / "hist.jsonl"
+    rows = [
+        {"sf": 0.1, "queries": {"flat": 1.0, "young": 1.0}},
+        {"sf": 0.1, "queries": {"flat": 1.02}},
+        {"sf": 0.1, "queries": {"flat": 0.98, "young": 1.0}},
+    ]
+    hist.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+
+    class FakeSpark:
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(bench, "get_spark", lambda name: FakeSpark())
+    monkeypatch.setattr(bench, "run_one", lambda spark, n, sf_dir: 1.0)
+    timings = {"flat": 1.45, "young": 1.45}
+    _, remeasured = bench._remeasure_to_band(
+        FakeSpark(), 0.1, "/dev/null", timings
+    )
+    assert remeasured == ["flat"]
+    assert timings == {"flat": 1.0, "young": 1.45}
+
+
 def test_remeasure_noop_without_history(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "none.jsonl"))
     sentinel = object()
