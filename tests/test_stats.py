@@ -288,15 +288,22 @@ def test_burst_windows_range_frame_counts_ties(spark):
         + [(3, 50)] * 5
     )
     df = spark.createDataFrame(rows, "user_id long, ts_epoch long")
-    orig = registry.load_table
+    # patch load_table in the module that OWNS the query (the registry is
+    # a package since round 5; each family module binds load_table itself)
+    import importlib
+
+    owner = importlib.import_module(
+        registry.QUERIES["events_burst_windows"].__module__
+    )
+    orig = owner.load_table
     try:
-        registry.load_table = lambda s, n, d: df  # route the query to the fixture
+        owner.load_table = lambda s, n, d: df  # route the query to the fixture
         out = {
             r.user_id: r
             for r in registry.QUERIES["events_burst_windows"](spark, "x").collect()
         }
     finally:
-        registry.load_table = orig
+        owner.load_table = orig
     assert out[1].peak_burst == 5 and out[1].n_bursty == 1
     assert out[2].peak_burst == 1 and out[2].n_bursty == 0
     # every tied row sees the full group of 5 under a value-based frame
