@@ -1191,6 +1191,70 @@ SELECT 'unknown_lang',
         WHERE lang NOT IN ('en', 'es', 'fr', 'de', 'zh'))::BIGINT"""
 
 
+def release_dryrun(
+    docs: DataFrame, emb: DataFrame, shards: int = 16
+) -> DataFrame:
+    """`(shard, n_docs, n_kept, n_tokens_kept, n_kept_with_embedding,
+    release_ok)` — the end-to-end dataset-release dry-run a data-eng team
+    demos before shipping: the per-example manifest
+    (:func:`training_manifest` — quality decision, embedding
+    availability, deterministic shard) rolled up into the per-shard
+    export plan (what each shard file would contain once `keep` is
+    applied), stamped with the release gate from
+    :func:`integrity_audit` (`release_ok` = every violation count zero).
+
+    The composition is the point: one query answers "what would we ship,
+    shard by shard, and are we ALLOWED to ship it" — the two halves the
+    manifest/audit queries answer separately.
+
+    100 TB shape: the manifest is one doc scan + one id-equi join
+    (bucket-colocatable); the rollup shuffles |shards| groups of four
+    BIGINT partials; the audit is two anti-joins + map-side counts whose
+    single-row verdict broadcasts onto the shard report.  Rows are never
+    dropped or exported here — a dry-run RECORDS the plan.
+    """
+    man = training_manifest(docs, emb, shards)
+    per_shard = man.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("keep"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("n_tokens_kept"),
+        F.sum(
+            (F.col("keep") & F.col("has_embedding")).cast("long")
+        ).alias("n_kept_with_embedding"),
+    )
+    gate = integrity_audit(docs, emb).agg(
+        (F.sum("n_bad") == 0).alias("release_ok")
+    )
+    return per_shard.crossJoin(F.broadcast(gate)).select(
+        "shard",
+        "n_docs",
+        "n_kept",
+        "n_tokens_kept",
+        "n_kept_with_embedding",
+        "release_ok",
+    )
+
+
+def release_dryrun_oracle(shards: int = 16) -> str:
+    """DuckDB twin of :func:`release_dryrun` (composes the manifest and
+    integrity oracles verbatim)."""
+    return f"""WITH man AS ({training_manifest_oracle(shards)}),
+audit AS ({integrity_audit_oracle()}),
+gate AS (SELECT (SUM(n_bad) = 0) AS release_ok FROM audit)
+SELECT m.shard,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(m.keep::INT) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN m.keep THEN m.n_tokens ELSE 0 END) AS BIGINT)
+           AS n_tokens_kept,
+       CAST(SUM((m.keep AND m.has_embedding)::INT) AS BIGINT)
+           AS n_kept_with_embedding,
+       g.release_ok
+FROM man m CROSS JOIN gate g
+GROUP BY m.shard, g.release_ok"""
+
+
 # ---------------------------------------------------------------------------
 # temperature-scaled source mixture — the classic multilingual sampler
 # ---------------------------------------------------------------------------

@@ -337,6 +337,19 @@ def q_corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register("corpus_release_dryrun", corpus_ops.release_dryrun_oracle(16))
+def q_corpus_release_dryrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end release dry-run capstone: the training manifest rolled
+    up into the per-shard export plan (docs/kept/tokens/embeddings per
+    shard) stamped with the integrity-audit release gate — one query for
+    "what would we ship, and may we" (corpus.release_dryrun)."""
+    return corpus_ops.release_dryrun(
+        load_table(spark, "documents", sf_dir),
+        load_table(spark, "embeddings", sf_dir),
+        shards=16,
+    )
+
+
 @register("corpus_integrity_audit", corpus_ops.integrity_audit_oracle())
 def q_corpus_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-release integrity checks as one plan: anti-joins both ways

@@ -41,10 +41,12 @@ DRIVER_ORDER = [
     "stats_autocorrelation",
     "corpus_perplexity_buckets",
     "corpus_eval_decontaminate",
-    # -- new this round (slots 10-11): production cutpoint twin of the
-    #    NTILE perplexity split; star-CC twin of the cluster-size query --
+    # -- new this round (slots 10-12): production cutpoint twin of the
+    #    NTILE perplexity split; star-CC twin of the cluster-size query;
+    #    the manifest->export->audit release dry-run capstone ------------
     "corpus_perplexity_cutpoints",
     "dedup_cluster_sizes_star",
+    "corpus_release_dryrun",
     # -- green family representatives (rotate back as the window frees) ----
     "grep_pipeline",
     "filter_fanout_counts",
