@@ -1119,44 +1119,77 @@ def integrity_audit(docs: DataFrame, emb: DataFrame) -> DataFrame:
       with ``length(text)`` — a stale-derived-column detector;
     - ``unknown_lang``: lang codes outside the release vocabulary.
 
-    The dbt-style test suite as one relational plan: two anti-joins on
-    ids (co-locatable via bucketing), the rest map-side count aggs
-    unioned into a fixed-height report.
+    The dbt-style test suite fused for scale: ONE full-outer join of the
+    two pre-aggregated id-count tables answers all four id checks
+    (missing/orphaned by null side, duplication by count > 1), and ONE
+    scalar aggregate over the doc scan answers the three row checks —
+    3 table scans and 1 join total, where the naive per-check union
+    costs 7 scans and 2 anti-joins.  (Round 5: fused from the unioned
+    form; output rows identical, same oracle.)
     """
     langs = ["en", "es", "fr", "de", "zh"]
-    d_ids = docs.select("doc_id")
-    e_ids = emb.select(F.col("vec_id").alias("doc_id"))
-    checks = [
-        ("docs_missing_embedding", d_ids.join(e_ids, "doc_id", "left_anti")),
-        ("embeddings_orphaned", e_ids.join(d_ids, "doc_id", "left_anti")),
-        (
-            "dup_doc_ids",
-            docs.groupBy("doc_id").count().where(F.col("count") > 1),
-        ),
-        (
-            "dup_vec_ids",
-            emb.groupBy("vec_id").count().where(F.col("count") > 1),
-        ),
-        (
-            "empty_text",
-            docs.where(F.col("text").isNull() | (F.length("text") == 0)),
-        ),
-        (
-            "n_chars_mismatch",
-            docs.where(
-                F.coalesce(F.col("n_chars"), F.lit(-1))
-                != F.coalesce(F.length("text"), F.lit(-2))
-            ),
-        ),
-        ("unknown_lang", docs.where(~F.col("lang").isin(langs))),
-    ]
-    out = None
-    for name, df in checks:
-        row = df.agg(
-            F.lit(name).alias("check"), F.count(F.lit(1)).cast("long").alias("n_bad")
+    d_agg = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("d_cnt"))
+    e_agg = (
+        emb.select(F.col("vec_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("e_cnt"))
+    )
+    # missing = doc rows (WITH multiplicity) whose id has no embedding;
+    # orphaned symmetric; dup = ids appearing more than once.  SUM skips
+    # the null counts from the unmatched side; coalesce guards empty input
+    id_checks = (
+        d_agg.join(e_agg, "doc_id", "full_outer")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("e_cnt").isNull(), F.col("d_cnt"))),
+                F.lit(0),
+            ).alias("docs_missing_embedding"),
+            F.coalesce(
+                F.sum(F.when(F.col("d_cnt").isNull(), F.col("e_cnt"))),
+                F.lit(0),
+            ).alias("embeddings_orphaned"),
+            F.coalesce(
+                F.sum((F.col("d_cnt") > 1).cast("long")), F.lit(0)
+            ).alias("dup_doc_ids"),
+            F.coalesce(
+                F.sum((F.col("e_cnt") > 1).cast("long")), F.lit(0)
+            ).alias("dup_vec_ids"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    row_checks = docs.agg(
+        F.coalesce(
+            F.sum(
+                (F.col("text").isNull() | (F.length("text") == 0)).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
+        ).alias("empty_text"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.coalesce(F.col("n_chars"), F.lit(-1))
+                    != F.coalesce(F.length("text"), F.lit(-2))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_chars_mismatch"),
+        F.coalesce(
+            F.sum((~F.col("lang").isin(langs)).cast("long")), F.lit(0)
+        ).alias("unknown_lang"),
+    )
+    wide = id_checks.crossJoin(row_checks)  # 1-row x 1-row
+    return wide.selectExpr(
+        """stack(7,
+           'docs_missing_embedding', cast(docs_missing_embedding as long),
+           'embeddings_orphaned',    cast(embeddings_orphaned as long),
+           'dup_doc_ids',            cast(dup_doc_ids as long),
+           'dup_vec_ids',            cast(dup_vec_ids as long),
+           'empty_text',             cast(empty_text as long),
+           'n_chars_mismatch',       cast(n_chars_mismatch as long),
+           'unknown_lang',           cast(unknown_lang as long)
+        ) as (check, n_bad)"""
+    )
 
 
 def integrity_audit_oracle() -> str:
