@@ -443,10 +443,9 @@ GLOBAL_WINDOW_EXCEPTIONS = {
         "oracle-stable NTILE audit twin of corpus_perplexity_cutpoints "
         "(the production path, itself global-window-free)"
     ),
-    "events_zorder_locality": (
-        "offline layout-audit tool: the chunked ntile IS the measurement; "
-        "at scale it runs on a sampled slice, like events_key_skew"
-    ),
+    # events_zorder_locality no longer needs an entry: round 5 replaced
+    # its global ntile with layout._exact_ntile_chunks (two-level prefix
+    # sums over the value-domain-bounded key histogram), plan-pinned below
 }
 
 
@@ -483,6 +482,41 @@ def test_gate_has_no_unannotated_global_windows(spark, sf_dir):
     ), "corpus_perplexity_cutpoints grew a partition-less window"
     ntile = registry.QUERIES["corpus_perplexity_buckets"](spark, sf_dir)
     assert global_windows(ntile._jdf.queryExecution().explainString(mode))
+    # zorder lost its global ntile in round 5 (exact distributed twin)
+    zo = registry.QUERIES["events_zorder_locality"](spark, sf_dir)
+    assert not global_windows(
+        zo._jdf.queryExecution().explainString(mode)
+    ), "events_zorder_locality regressed to a partition-less window"
+
+
+def test_exact_ntile_chunks_matches_window_ntile(spark):
+    """layout._exact_ntile_chunks must reproduce
+    ntile(chunks) OVER (ORDER BY key, event_id) exactly — including the
+    uneven-tile boundary (N % chunks tiles get the extra row), heavy key
+    ties, and the N < chunks degenerate case."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cloudpelican_lsd_spark.operators.layout import _exact_ntile_chunks
+
+    rng = random.Random(11)
+    for n_rows, chunks, key_domain in ((137, 10, 16), (40, 7, 4), (3, 50, 8)):
+        rows = [(rng.randrange(key_domain), i) for i in range(n_rows)]
+        d = spark.createDataFrame(rows, "key long, event_id long")
+        got = {
+            (r.key, r.event_id): r.chunk
+            for r in _exact_ntile_chunks(d, chunks, key_domain).collect()
+        }
+        w = Window.orderBy("key", "event_id")
+        want = {
+            (r.key, r.event_id): r.chunk
+            for r in d.withColumn(
+                "chunk", F.ntile(chunks).over(w)
+            ).collect()
+        }
+        assert got == want, (n_rows, chunks, key_domain)
 
 
 def test_driver_window_outputs_are_hashable(spark, sf_dir):
