@@ -1709,6 +1709,191 @@ def perplexity_cutpoints(
     )
 
 
+def perplexity_by_lang(
+    docs: DataFrame, n_buckets: int = 3, coarse_bits: int = 16
+) -> DataFrame:
+    """`(lang, bucket, cut_head, cut_middle, n_docs, n_tokens, min_nll,
+    max_nll)` — the FAITHFUL CCNet split: head/middle/tail cutpoints
+    computed **per language** (Wenzek et al. 2020 trains one KenLM and
+    draws one threshold pair per language — a global split would judge
+    every language against the dominant one's fluency distribution).
+
+    Same exact two-level histogram machinery as
+    :func:`perplexity_cutpoints`, grouped: the coarse cumulative
+    theta-join and the target-rank arithmetic carry ``lang`` as a key
+    (the coarse table is ≤ |langs| · domain/2^coarse_bits rows — still
+    broadcastable), the fine window partitions by (lang, target rank),
+    and the ≤ |langs|·(n_buckets−1) cutpoints broadcast back for the
+    stateless per-doc bucket tag.  No partition-less window anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    from cloudpelican_lsd_spark.operators.textstats import unigram_microsums
+
+    B = 1 << coarse_bits
+    scored = (
+        unigram_microsums(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr("sum_micro div n_tokens").alias("score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hist = scored.groupBy("lang", "score").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    coarse = (
+        hist.withColumn("cb", F.expr(f"score div {B}"))
+        .groupBy("lang", "cb")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = coarse.alias("a")
+    b = coarse.alias("b")
+    coarse_cum = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.lang") == F.col("a.lang"))
+            & (F.col("b.cb") <= F.col("a.cb")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang"),
+            F.col("a.cb").alias("cb"),
+            F.col("a.cnt").alias("cnt"),
+        )
+        .agg(F.sum(F.col("b.cnt")).alias("cum"))
+        .withColumn("base", F.col("cum") - F.col("cnt"))
+    )
+    totals = coarse_cum.groupBy("lang").agg(F.max("cum").alias("n_total"))
+    spark = docs.sparkSession
+    targets = (
+        spark.range(1, n_buckets)
+        .select(F.col("id").alias("i"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "i",
+            F.expr(f"(i * n_total + {n_buckets} - 1) div {n_buckets}").alias(
+                "k"
+            ),
+        )
+    )
+    owner = (
+        targets.join(
+            F.broadcast(
+                coarse_cum.select(
+                    F.col("lang").alias("cl"), "cb", "cum", "base"
+                )
+            ),
+            (F.col("cl") == F.col("lang")) & (F.col("cum") >= F.col("k")),
+        )
+        .groupBy("lang", "i", "k")
+        .agg(F.min("cb").alias("cb"))
+        .join(
+            F.broadcast(
+                coarse_cum.select(
+                    F.col("lang").alias("lang"), "cb", "base"
+                )
+            ),
+            ["lang", "cb"],
+        )
+    )
+    fine = hist.withColumn("cb", F.expr(f"score div {B}")).join(
+        F.broadcast(owner), ["lang", "cb"]
+    )
+    wf = (
+        Window.partitionBy("lang", "i")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cut = (
+        fine.withColumn("fcum", F.sum("cnt").over(wf))
+        .where(F.col("base") + F.col("fcum") >= F.col("k"))
+        .groupBy("lang", "i")
+        .agg(F.min("score").alias("cut"))
+    )
+    cuts = cut.groupBy("lang").agg(
+        F.min(F.when(F.col("i") == 1, F.col("cut"))).alias("c_head"),
+        F.min(F.when(F.col("i") == n_buckets - 1, F.col("cut"))).alias(
+            "c_tail"
+        ),
+    )
+    tagged = scored.join(F.broadcast(cuts), "lang").withColumn(
+        "bucket",
+        F.when(F.col("score") <= F.col("c_head"), "head")
+        .when(F.col("score") > F.col("c_tail"), "tail")
+        .otherwise("middle"),
+    )
+    return (
+        tagged.groupBy("lang", "bucket")
+        .agg(
+            F.min("c_head").alias("cut_head"),
+            F.min("c_tail").alias("cut_middle"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.min("score") / 1e6, 6).alias("min_nll"),
+            F.round(F.max("score") / 1e6, 6).alias("max_nll"),
+        )
+        .select(
+            "lang", "bucket", "cut_head", "cut_middle",
+            "n_docs", "n_tokens", "min_nll", "max_nll",
+        )
+    )
+
+
+def perplexity_by_lang_oracle(n_buckets: int = 3) -> str:
+    """DuckDB twin of :func:`perplexity_by_lang` — per-language k-th
+    order statistics via a lang-partitioned row_number, same value-based
+    bucket rule."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY term),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+costs AS (
+  SELECT term,
+         CAST(ROUND(-ln(cnt / total) * 1e6, 0) AS BIGINT) AS micro_nll
+  FROM vocab CROSS JOIN tot
+),
+scored AS (
+  SELECT t.doc_id, d.lang,
+         COUNT(*)::BIGINT AS n_tokens,
+         CAST(SUM(c.micro_nll) // COUNT(*) AS BIGINT) AS score
+  FROM toks t JOIN costs c USING (term) JOIN documents d USING (doc_id)
+  GROUP BY t.doc_id, d.lang
+),
+n AS (SELECT lang, COUNT(*)::BIGINT AS n_total FROM scored GROUP BY lang),
+ranked AS (
+  SELECT lang, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score) AS rn
+  FROM scored
+),
+cuts AS (
+  SELECT r.lang,
+    MIN(CASE WHEN r.rn = (1 * n.n_total + {n_buckets} - 1) // {n_buckets}
+             THEN r.score END) AS c_head,
+    MIN(CASE WHEN r.rn = (({n_buckets} - 1) * n.n_total + {n_buckets} - 1)
+             // {n_buckets} THEN r.score END) AS c_tail
+  FROM ranked r JOIN n USING (lang)
+  GROUP BY r.lang
+)
+SELECT s.lang,
+       CASE WHEN s.score <= c.c_head THEN 'head'
+            WHEN s.score > c.c_tail THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       c.c_head AS cut_head,
+       c.c_tail AS cut_middle,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(s.n_tokens)::BIGINT AS n_tokens,
+       ROUND(MIN(s.score) / 1e6, 6) AS min_nll,
+       ROUND(MAX(s.score) / 1e6, 6) AS max_nll
+FROM scored s JOIN cuts c USING (lang)
+GROUP BY 1, 2, 3, 4"""
+
+
 def perplexity_cutpoints_oracle(n_buckets: int = 3) -> str:
     """DuckDB twin of :func:`perplexity_cutpoints`.  The oracle computes
     the same k-th-order-statistic cutpoints directly (row_number over the

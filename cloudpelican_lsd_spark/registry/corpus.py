@@ -416,6 +416,17 @@ def q_corpus_perplexity_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 
+@register("corpus_perplexity_by_lang", corpus_ops.perplexity_by_lang_oracle(3))
+def q_corpus_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The faithful CCNet split: head/middle/tail cutpoints PER LANGUAGE
+    (one threshold pair per language, as Wenzek et al. 2020 draw one per
+    KenLM) via the grouped two-level histogram machinery — no
+    partition-less window (corpus.perplexity_by_lang)."""
+    return corpus_ops.perplexity_by_lang(
+        load_table(spark, "documents", sf_dir), n_buckets=3
+    )
+
+
 @register("corpus_eval_decontaminate", corpus_ops.eval_decontaminate_oracle(8, 97))
 def q_corpus_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-vs-eval n-gram decontamination (GPT-3 appendix-C pattern):

@@ -47,6 +47,7 @@ DRIVER_ORDER = [
     "corpus_perplexity_cutpoints",
     "dedup_cluster_sizes_star",
     "corpus_release_dryrun",
+    "corpus_perplexity_by_lang",
     # -- green family representatives (rotate back as the window frees) ----
     "grep_pipeline",
     "filter_fanout_counts",
