@@ -1411,6 +1411,63 @@ def test_perplexity_cutpoints_closed_form_and_ties(spark):
     assert sum(r.n_docs for r in out2) == 7
 
 
+def test_perplexity_by_lang_independent_thresholds(spark):
+    """Two languages with very different fluency distributions: a global
+    split would dump ALL of the rare-token language into tail; the
+    per-language split must produce head/middle/tail WITHIN each
+    language, with each language's cutpoints drawn from its own score
+    range."""
+    from cloudpelican_lsd_spark.operators import corpus as C
+
+    rows = [
+        # en: common tokens, 6 docs spanning low NLL
+        (1, "the the the the", "en", "web", 0),
+        (2, "the the the cat", "en", "web", 0),
+        (3, "the cat sat mat", "en", "web", 0),
+        (4, "the cat ran far", "en", "web", 0),
+        (5, "the ran sat far", "en", "web", 0),
+        (6, "cat mat ran far", "en", "web", 0),
+        # fr: rarer tokens (higher NLL), 6 docs with DISTINCT score mixes
+        # (all-singleton docs would tie at the tercile boundary and the
+        # value rule would — correctly — leave tail empty)
+        (11, "fz1 fz1 fz1 fz1", "fr", "web", 0),
+        (12, "fz1 fz1 fz1 fz2", "fr", "web", 0),
+        (13, "fz1 fz1 fz2 fz2", "fr", "web", 0),
+        (14, "fz1 fz2 fz2 fz3", "fr", "web", 0),
+        (15, "fz2 fz3 fz4 fz5", "fr", "web", 0),
+        (16, "fz6 fz7 fz8 fz9", "fr", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = C.perplexity_by_lang(docs, n_buckets=3).collect()
+    per_lang = {}
+    for r in out:
+        per_lang.setdefault(r.lang, {})[r.bucket] = r
+    # BOTH languages got their own 2/2/2 terciles (a global split would
+    # put every fr doc in tail and every en doc in head)
+    for lang in ("en", "fr"):
+        assert set(per_lang[lang]) == {"head", "middle", "tail"}, lang
+        assert sum(r.n_docs for r in per_lang[lang].values()) == 6
+        rng = per_lang[lang]
+        assert rng["head"].max_nll <= rng["middle"].min_nll
+        assert rng["middle"].max_nll <= rng["tail"].min_nll
+        # cutpoints are per-language constants inside that language's range
+        ch = {r.cut_head for r in per_lang[lang].values()}
+        assert len(ch) == 1
+    # thresholds are drawn independently per language (a shared global
+    # pair would be identical), and each pair lies inside its own
+    # language's observed score range
+    assert (
+        per_lang["fr"]["head"].cut_head != per_lang["en"]["head"].cut_head
+    )
+    for lang in ("en", "fr"):
+        lo = per_lang[lang]["head"].min_nll * 1e6
+        hi = per_lang[lang]["tail"].max_nll * 1e6
+        c = per_lang[lang]["head"]
+        assert lo <= c.cut_head <= c.cut_middle <= hi, lang
+
+
 def test_eval_decontaminate_flags_exact_overlap_only(spark):
     """A train doc sharing an n-gram with the eval slice is contaminated;
     an unrelated train doc is clean; a too-short train doc can never be
