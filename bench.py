@@ -188,16 +188,25 @@ def _compare_with_last(sf: float, timings: dict[str, float]) -> None:
         print(f"  REGRESSED {n}: {old:.3f}s -> {new:.3f}s", file=sys.stderr)
 
 
-def _history_medians(sf: float) -> dict[str, float]:
-    """Per-query median runtime across ALL prior history entries at this
-    sf — the band a fresh measurement is judged against."""
-    import statistics
-
+def _history_samples(sf: float) -> dict[str, list[float]]:
+    """Per-query runtime samples across ALL prior history entries at
+    this sf — parsed ONCE and shared by the median band and the
+    re-measure-threshold selection."""
     samples: dict[str, list[float]] = {}
     for p in _load_history(sf):
         for n, t in p.get("queries", {}).items():
             samples.setdefault(n, []).append(t)
-    return {n: statistics.median(ts) for n, ts in samples.items()}
+    return samples
+
+
+def _history_medians(sf: float) -> dict[str, float]:
+    """Per-query median runtime — the band a fresh measurement is judged
+    against."""
+    import statistics
+
+    return {
+        n: statistics.median(ts) for n, ts in _history_samples(sf).items()
+    }
 
 
 def _remeasure_threshold(samples: list[float]) -> float:
@@ -215,16 +224,6 @@ def _remeasure_threshold(samples: list[float]) -> float:
     return 1.5
 
 
-def _history_thresholds(sf: float) -> dict[str, float]:
-    """Per-query re-measure multiplier (1.4x for low-variance histories,
-    1.5x otherwise)."""
-    samples: dict[str, list[float]] = {}
-    for p in _load_history(sf):
-        for n, t in p.get("queries", {}).items():
-            samples.setdefault(n, []).append(t)
-    return {n: _remeasure_threshold(ts) for n, ts in samples.items()}
-
-
 def _remeasure_to_band(
     spark, sf: float, sf_dir: str, timings: dict[str, float]
 ) -> tuple[object, list[str]]:
@@ -237,8 +236,11 @@ def _remeasure_to_band(
     because a real plan change reproduces in isolation.  Low-variance
     queries (rel stdev < 10% over >=3 history samples) trigger at 1.4x
     instead of 1.5x — see _remeasure_threshold."""
-    bands = _history_medians(sf)
-    thresholds = _history_thresholds(sf)
+    import statistics
+
+    samples = _history_samples(sf)  # one parse serves band AND threshold
+    bands = {n: statistics.median(ts) for n, ts in samples.items()}
+    thresholds = {n: _remeasure_threshold(ts) for n, ts in samples.items()}
     flagged = [
         n
         for n, t in timings.items()

@@ -531,8 +531,11 @@ class CloudPelicanEngine:
         UNION ALL in BigQuery legacy SQL but CROSS JOIN in ANSI), else
         None.  Operates on literal-stripped text; commas inside
         subqueries/function calls are at depth > 0 and ignored."""
+        # (?<![\w.$]) — a clause keyword only terminates the scan at a
+        # word START: table names ENDING in a keyword (person, my_union,
+        # db.on) must not abort the scan before the comma is seen
         stop = re.compile(
-            r"(?i)(WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|JOIN|ON)\b"
+            r"(?i)(?<![\w.$])(WHERE|GROUP|ORDER|HAVING|LIMIT|UNION|JOIN|ON)\b"
         )
         for m in re.finditer(r"(?i)\bFROM\b", sql_no_literals):
             depth, i = 0, m.end()

@@ -1242,7 +1242,8 @@ def release_dryrun(
 
     100 TB shape: the manifest is one doc scan + one id-equi join
     (bucket-colocatable); the rollup shuffles |shards| groups of four
-    BIGINT partials; the audit is two anti-joins + map-side counts whose
+    BIGINT partials; the audit is one full-outer join of id-count
+    pre-aggregates plus one scalar scan (see integrity_audit) whose
     single-row verdict broadcasts onto the shard report.  Rows are never
     dropped or exported here — a dry-run RECORDS the plan.
     """
@@ -1616,6 +1617,11 @@ def perplexity_cutpoints(
 
     from cloudpelican_lsd_spark.operators.textstats import unigram_microsums
 
+    if n_buckets < 2:
+        # the cutpoint machinery needs >=1 interior boundary; a 1-bucket
+        # split would silently diverge from the oracle (zero targets ->
+        # all-NULL cuts) instead of tagging everything 'head'
+        raise ValueError("perplexity_cutpoints: n_buckets must be >= 2")
     B = 1 << coarse_bits
     scored = (
         unigram_microsums(docs)
@@ -1730,6 +1736,10 @@ def perplexity_by_lang(
 
     from cloudpelican_lsd_spark.operators.textstats import unigram_microsums
 
+    if n_buckets < 2:
+        # see perplexity_cutpoints: zero targets would make the INNER
+        # join on cuts drop every row instead of tagging all 'head'
+        raise ValueError("perplexity_by_lang: n_buckets must be >= 2")
     B = 1 << coarse_bits
     scored = (
         unigram_microsums(docs)

@@ -53,7 +53,7 @@ def morton_sql(xcol: str, ycol: str, xbits: int, ybits: int, intdiv: str) -> str
 
 
 def _exact_ntile_chunks(
-    d: DataFrame, chunks: int, key_domain: int, coarse: int = 128
+    d: DataFrame, chunks: int, key_domain: int, coarse: int | None = None
 ) -> DataFrame:
     """``d`` (columns ``key``, ``event_id``, passthrough) + ``chunk`` =
     EXACT ``ntile(chunks) OVER (ORDER BY key, event_id)`` — computed
@@ -65,14 +65,24 @@ def _exact_ntile_chunks(
     (``2^(xbits+ybits)`` ≤ 8,192 at audit defaults), so a two-level
     prefix sum over it is cheap and bounded at ANY corpus size —
     coarse ``key div coarse`` buckets accumulate via a broadcast
-    self-theta-join (≤ 64² pairs, no window), fine keys via a window
-    PARTITIONED by coarse bucket (≤ ``coarse`` rows each).  Each row's
+    self-theta-join (~√domain² = domain lightweight pairs, no window),
+    fine keys via a window PARTITIONED by coarse bucket (≤ ``coarse``
+    rows each).  Each row's
     global rank is then ``cum_before(key) + row_number within key`` (a
     window partitioned by the 8,192-value key — the standard scalable
     shape), and NTILE's tile-size arithmetic is replicated in closed
     form: the first ``N % chunks`` tiles hold ``N div chunks + 1`` rows,
     the rest ``N div chunks``.
+
+    ``coarse`` (the coarse-bucket WIDTH) defaults to ``isqrt(key_domain)``
+    so both levels stay balanced at ~√domain rows whatever the domain —
+    the theta-join side and each fine partition grow as the square root,
+    never linearly.
     """
+    if coarse is None:
+        import math
+
+        coarse = max(1, math.isqrt(key_domain))
     hist = d.groupBy("key").agg(F.count(F.lit(1)).alias("kc"))
     ch = hist.withColumn("cb", F.expr(f"key div {coarse}")).groupBy("cb").agg(
         F.sum("kc").alias("cc")

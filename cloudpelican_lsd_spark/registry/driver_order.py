@@ -41,9 +41,10 @@ DRIVER_ORDER = [
     "stats_autocorrelation",
     "corpus_perplexity_buckets",
     "corpus_eval_decontaminate",
-    # -- new this round (slots 10-12): production cutpoint twin of the
+    # -- new this round (slots 10-13): production cutpoint twin of the
     #    NTILE perplexity split; star-CC twin of the cluster-size query;
-    #    the manifest->export->audit release dry-run capstone ------------
+    #    the manifest->export->audit release dry-run capstone; the
+    #    per-language (faithful CCNet) cutpoint split --------------------
     "corpus_perplexity_cutpoints",
     "dedup_cluster_sizes_star",
     "corpus_release_dryrun",

@@ -385,6 +385,12 @@ def test_search_legacy_rejected_constructs(engine):
         engine.search(
             "SELECT _raw FROM logs, events GROUP EACH BY _raw"
         )
+    # a table name ENDING in a clause keyword must not abort the FROM
+    # scan before the comma (the 'person' / 'my_union' word-boundary bug)
+    with pytest.raises(ValueError, match="UNION ALL"):
+        engine.search(
+            "SELECT REGEXP_MATCH(_raw, 'x') AS m FROM person, events"
+        )
     # pure-ANSI queries keep comma-join semantics (old-style inner join)
     n = engine.search(
         "SELECT count(*) AS n FROM events e, events e2 "

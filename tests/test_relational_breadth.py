@@ -489,6 +489,42 @@ def test_gate_has_no_unannotated_global_windows(spark, sf_dir):
     ), "events_zorder_locality regressed to a partition-less window"
 
 
+def test_global_window_detector_handles_nested_brackets():
+    """The lint must not be blinded by '[' inside a window expression
+    list (array indexing like col#5[0]): top-level bracket groups are
+    parsed balanced, not by a flat regex."""
+    from tools.plan_audit import global_windows
+
+    # partition-less window whose expr list contains an array index
+    dirty = (
+        "   +- Window [row_number() windowspecdefinition(parts#5[0] ASC "
+        "NULLS FIRST, ...) AS rn#9], [parts#5[0] ASC NULLS FIRST]"
+    )
+    assert global_windows(dirty), "nested-bracket global window missed"
+    # partitioned window with the same nested index: NOT flagged
+    clean = (
+        "   +- Window [sum(x#1L) windowspecdefinition(k#2, parts#5[0] ASC"
+        " NULLS FIRST, ...) AS s#7L], [k#2], [parts#5[0] ASC NULLS FIRST]"
+    )
+    assert not global_windows(clean)
+
+
+def test_perplexity_cutpoints_reject_degenerate_buckets(spark, sf_dir):
+    """n_buckets=1 has zero interior boundaries: both cutpoint operators
+    must refuse loudly instead of silently diverging from their oracles
+    (all-NULL cuts -> 'middle' / empty inner join)."""
+    import pytest
+
+    from cloudpelican_lsd_spark.operators import corpus as C
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    with pytest.raises(ValueError, match="n_buckets"):
+        C.perplexity_cutpoints(docs, n_buckets=1)
+    with pytest.raises(ValueError, match="n_buckets"):
+        C.perplexity_by_lang(docs, n_buckets=1)
+
+
 def test_exact_ntile_chunks_matches_window_ntile(spark):
     """layout._exact_ntile_chunks must reproduce
     ntile(chunks) OVER (ORDER BY key, event_id) exactly — including the
