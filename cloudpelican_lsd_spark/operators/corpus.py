@@ -2025,3 +2025,82 @@ SELECT d.source,
            AS n_clean
 FROM tr d LEFT JOIN hit h USING (doc_id)
 GROUP BY d.source"""
+
+
+# ---------------------------------------------------------------------------
+# Cluster-safe train/val/test split — leakage prevented by construction
+# ---------------------------------------------------------------------------
+
+
+def split_cluster_safe(
+    docs: DataFrame, pairs: DataFrame, buckets: tuple[int, int, int] = (8, 1, 1)
+) -> DataFrame:
+    """`(split, n_docs, n_clusters, leaky_clusters)` — train/val/test
+    assignment keyed on the near-dup CLUSTER id instead of the doc id,
+    so every member of a duplicate cluster lands in the SAME split.
+
+    This is the FIX for what `corpus_split_neardup_leakage` measures:
+    doc-level hashing (corpus_split_assign) puts ~`val%` of each dup
+    cluster's members into val, silently leaking train content into
+    eval.  Splitting on the connected-component label makes leakage
+    structurally impossible — `leaky_clusters` (clusters spanning >1
+    split) is the audited invariant and is 0 by construction.
+
+    Mechanics: connected components over the candidate-pair graph label
+    the clustered docs; unpaired docs are their own singleton cluster
+    (`coalesce(cluster_id, doc_id)`); the split is the md5-prefix of the
+    cluster id mod `sum(buckets)` (same stateless scheme as
+    corpus_split_assign — reproducible under any partitioning, no RNG
+    state).
+
+    100 TB shape: CC shuffles compact `(BIGINT, BIGINT)` labels (its own
+    scale story, dedup.connected_components); the label join is an
+    id-equi join (bucket-colocatable); hashing and bucketing are
+    stateless column math; the leak audit and per-split report are two
+    small aggregates over (cluster_id, split) pairs.
+    """
+    from cloudpelican_lsd_spark.operators.dedup import connected_components
+
+    cc = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    tot = sum(buckets)
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cs:"), F.col("cluster_id"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % tot
+    )
+    split = (
+        F.when(b < buckets[0], "train")
+        .when(b < buckets[0] + buckets[1], "val")
+        .otherwise("test")
+    )
+    tagged = labeled.withColumn("split", split)
+    leaky = (
+        tagged.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaky_clusters"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select("split", "n_docs", "n_clusters", "leaky_clusters")
+    )

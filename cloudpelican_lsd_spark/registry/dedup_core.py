@@ -87,6 +87,55 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_split_cluster_safe",
+    f"""WITH RECURSIVE {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+{dedup_ops.connected_components_oracle(_MINHASH_PAIRS_SQL)},
+cs_clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+cs_labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM docs_planted d LEFT JOIN cs_clusters c USING (doc_id)
+),
+cs_tagged AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *, ('0x' || substr(md5('cs:' || cluster_id), 1, 4))::BIGINT % 10
+              AS b
+    FROM cs_labeled
+  )
+),
+cs_leaky AS (
+  SELECT COUNT(*)::BIGINT AS leaky_clusters FROM (
+    SELECT cluster_id FROM cs_tagged
+    GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT t.split,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT t.cluster_id)::BIGINT AS n_clusters,
+       l.leaky_clusters
+FROM cs_tagged t CROSS JOIN cs_leaky l
+GROUP BY t.split, l.leaky_clusters""",
+)
+def q_corpus_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-safe train/val/test split: assignment hashed on the
+    near-dup CLUSTER id so whole duplicate groups land in one split —
+    the structural fix for the leakage `corpus_split_neardup_leakage`
+    measures; the `leaky_clusters` column audits the invariant (0 by
+    construction) (corpus.split_cluster_safe)."""
+    pairs = dedup_ops.lsh_candidate_pairs(
+        _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
+    )
+    return corpus_ops.split_cluster_safe(
+        _docs_with_dupes(spark, sf_dir), pairs
+    )
+
+
+@register(
     "dedup_ngram_jaccard_pairs",
     f"""WITH {_PLANTED_CTE},
 {dedup_ops.shingles_oracle_cte(3, base_table='docs_planted')},

@@ -49,6 +49,7 @@ DRIVER_ORDER = [
     "dedup_cluster_sizes_star",
     "corpus_release_dryrun",
     "corpus_perplexity_by_lang",
+    "corpus_split_cluster_safe",
     # -- green family representatives (rotate back as the window frees) ----
     "grep_pipeline",
     "filter_fanout_counts",

@@ -1468,6 +1468,35 @@ def test_perplexity_by_lang_independent_thresholds(spark):
         assert lo <= c.cut_head <= c.cut_middle <= hi, lang
 
 
+def test_split_cluster_safe_no_leakage_and_partition(spark):
+    """Planted chain a~b~c plus singletons: the whole chain lands in ONE
+    split (leakage impossible by construction), leaky_clusters is 0,
+    every doc is assigned exactly once, and singleton clusters count as
+    their own cluster."""
+    from cloudpelican_lsd_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 20, 30, 40)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = C.split_cluster_safe(docs, pairs).collect()
+    assert sum(r.n_docs for r in out) == 7
+    assert all(r.leaky_clusters == 0 for r in out)
+    # 1 chain cluster + 4 singletons = 5 clusters across all splits
+    assert sum(r.n_clusters for r in out) == 5
+    # the chain moved as a unit: some split holds >= 3 docs in 1 cluster?
+    # directly: re-derive the chain's split membership
+    from cloudpelican_lsd_spark.operators.dedup import connected_components
+
+    cc = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1}
+    # leakage really is structural: every doc with cluster 1 hashes from
+    # the SAME cluster id, so no split can separate them; the operator's
+    # leaky_clusters==0 assertion above is the audited invariant
+
+
 def test_eval_decontaminate_flags_exact_overlap_only(spark):
     """A train doc sharing an n-gram with the eval slice is contaminated;
     an unrelated train doc is clean; a too-short train doc can never be
