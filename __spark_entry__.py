@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship grep-pipeline query (the reference's own
 e2e smoke shape, cli/resources/tests/grep_sql.sh) at sf0.001.
 ``queries()``/``oracle_sql()`` are built from the engine's query registry
-(cloudpelican_lsd_spark/registry.py) — one entry per implemented operator
+(cloudpelican_lsd_spark/registry/ package) — one entry per implemented operator
 from SURVEY.md §2, each with its DuckDB oracle.
 """
 
