@@ -143,8 +143,13 @@ ORDER BY rnk LIMIT 10""",
 def q_search_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window over an aggregate (TPC-H Q15 flavor).  The global
     rank() runs AFTER the groupBy has reduced lineitem to one row per
-    supplier — the single-partition window only ever sees
-    |suppliers| rows, never the fact table; supplier is broadcast."""
+    supplier; supplier is broadcast.  The top-10 is expressed as a
+    rank FILTER (not a post-sort limit) so Catalyst inserts
+    WindowGroupLimit below the global window — each upstream partition
+    forwards only its own top 10, bounding the single-partition leg to
+    ~10·partitions rows however many suppliers exist.  The window order
+    is a total order (revenue DESC, s_suppkey), so rank has no ties and
+    the filter returns exactly the limit(10) row set."""
     li = load_table(spark, "lineitem", sf_dir)
     s = load_table(spark, "supplier", sf_dir)
     sr = li.groupBy("l_suppkey").agg(
@@ -165,8 +170,8 @@ def q_search_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
             F.rank().over(w).cast("long").alias("rnk"),
         )
+        .where(F.col("rnk") <= 10)
         .orderBy("rnk")
-        .limit(10)
     )
 
 

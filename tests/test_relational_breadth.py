@@ -428,7 +428,10 @@ def test_driver_order_lockstep():
 #: boundedness argument that makes the single-task sort safe at 100 TB.
 #: Anything else in the driver gate with a global window fails the lint.
 GLOBAL_WINDOW_EXCEPTIONS = {
-    "search_supplier_rank": "ranks the |suppliers|-row post-aggregate",
+    "search_supplier_rank": (
+        "WindowGroupLimit (rank<=10 filter) bounds the global window's "
+        "input to ~10 rows per upstream partition, whatever |suppliers| is"
+    ),
     "corpus_unimax_alloc": (
         "water-filling prefix sum over the |sources|-row aggregate"
     ),
