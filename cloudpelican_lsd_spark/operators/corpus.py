@@ -2056,8 +2056,11 @@ def split_cluster_safe(
     100 TB shape: CC shuffles compact `(BIGINT, BIGINT)` labels (its own
     scale story, dedup.connected_components); the label join is an
     id-equi join (bucket-colocatable); hashing and bucketing are
-    stateless column math; the leak audit and per-split report are two
-    small aggregates over (cluster_id, split) pairs.
+    stateless column math.  The docs scan + label join + hashing reduce
+    ONCE to the tiny `(cluster_id, split, n)` count table, which is
+    localCheckpoint-ed so the leak audit and the per-split report are
+    two aggregates over one materialization (not two evaluations of the
+    big subtree — the repo's documented two-consumer trap).
     """
     from cloudpelican_lsd_spark.operators.dedup import connected_components
 
@@ -2088,18 +2091,25 @@ def split_cluster_safe(
         .when(b < buckets[0] + buckets[1], "val")
         .otherwise("test")
     )
-    tagged = labeled.withColumn("split", split)
+    # one reduction of the heavy subtree; a cluster appears once per
+    # (cluster_id, split), so per-split cluster counts are row counts
+    cs = (
+        labeled.withColumn("split", split)
+        .groupBy("cluster_id", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     leaky = (
-        tagged.groupBy("cluster_id")
-        .agg(F.countDistinct("split").alias("ns"))
+        cs.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("ns"))
         .where(F.col("ns") > 1)
         .agg(F.count(F.lit(1)).cast("long").alias("leaky_clusters"))
     )
     return (
-        tagged.groupBy("split")
+        cs.groupBy("split")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
         )
         .crossJoin(F.broadcast(leaky))
         .select("split", "n_docs", "n_clusters", "leaky_clusters")
