@@ -137,6 +137,18 @@ class StreamingEngine:
         base_dir: str,
         max_msgs_per_filter: int = 10000,
     ) -> None:
+        # exactly-once here rests on LOCAL filesystem ops (epoch-dir
+        # rmtree before replay, rename-swap compaction, os.listdir TTL
+        # sweeps) — a scheme-prefixed URI would silently no-op all of
+        # them, degrading replay to duplication and disabling retention.
+        # Same guard (and reason) as NearDupSuppressor.
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", base_dir):
+            raise ValueError(
+                "StreamingEngine: base_dir must be a local filesystem "
+                f"path, got {base_dir!r} — the epoch-idempotent replay "
+                "and TTL sweeps use local fs ops; use a DFS-backed "
+                "transactional table format for remote storage"
+            )
         self.spark = spark
         self.catalog = catalog
         self.base_dir = base_dir
@@ -173,20 +185,34 @@ class StreamingEngine:
         ).withColumn("date", F.date_format(F.col("ts"), "yyyy-MM-dd"))
         matched.persist()
         epoch = int(epoch_id)
-        dyn = {"partitionOverwriteMode": "dynamic"}
         try:
             # results (S4/S5 analog).  row_id = epoch·2^40 + pid·2^25 + row
             # keeps ids unique and FIFO-ordered ACROSS batches
             # (monotonically_increasing_id alone restarts every batch, and
             # used raw it spends 2^33 per partition — 128 partitions would
             # overflow into the next epoch's range).  Caps: 2^15 partitions
-            # per batch, 2^25 rows per partition per batch, 2^23 epochs.
+            # per batch, 2^25 rows per partition per batch, 2^23 epochs —
+            # ENFORCED, not just documented: the epoch cap up front, the
+            # per-batch caps via observe() riding the write action (an
+            # overflow fails the batch BEFORE the checkpoint commits, so
+            # the replayed epoch is rewritten — loud stop, never a silent
+            # row_id collision).
             import shutil
 
+            from pyspark.sql import Observation
+
+            if epoch >= (1 << 23):
+                raise RuntimeError(
+                    f"process_batch: epoch {epoch} exceeds the 2^23 "
+                    "row_id epoch slot — widen the packing"
+                )
             epoch_dir = os.path.join(self.results_path, f"epoch={epoch}")
             if os.path.isdir(epoch_dir):
                 shutil.rmtree(epoch_dir)
             mono = F.monotonically_increasing_id()
+            pid_part = F.shiftright(mono, 33)
+            row_part = mono.bitwiseAND(F.lit((1 << 33) - 1))
+            caps = Observation(f"row_id_caps_{epoch}")
             (
                 matched.select(
                     "filter_id", "filter_name", "_raw", "ts", "ts_epoch", "date"
@@ -194,14 +220,30 @@ class StreamingEngine:
                 .withColumn(
                     "row_id",
                     F.lit(epoch * (1 << 40))
-                    + F.shiftright(mono, 33) * F.lit(1 << 25)
-                    + mono.bitwiseAND(F.lit((1 << 33) - 1)),
+                    + pid_part * F.lit(1 << 25)
+                    + row_part,
+                )
+                .observe(
+                    caps,
+                    F.max(pid_part).alias("max_pid"),
+                    F.max(row_part).alias("max_row"),
                 )
                 .withColumn("epoch", F.lit(epoch))
                 .write.partitionBy("epoch", "filter_id", "date")
                 .mode("append")
                 .parquet(self.results_path)
             )
+            got = caps.get
+            if (got["max_pid"] or 0) >= (1 << 15) or (got["max_row"] or 0) >= (
+                1 << 25
+            ):
+                raise RuntimeError(
+                    f"process_batch: row_id packing overflow (max_pid="
+                    f"{got['max_pid']}, max_row={got['max_row']}) — lower "
+                    "maxOffsetsPerTrigger or widen the packing; failing "
+                    "the batch before checkpoint commit so no collided "
+                    "ids are ever exposed"
+                )
             # stats: minutely partial counts, merge-on-read (A2/A3 analog)
             stats = (
                 matched.select(
@@ -223,11 +265,17 @@ class StreamingEngine:
                 )
                 .where(F.col("cnt") > 0)
             )
+            # same drop-epoch-then-append discipline as results: dynamic
+            # partition overwrite of an EMPTY replay batch (catalog
+            # hot-swapped between attempt and replay) writes no partitions
+            # and would leave the crashed attempt's epoch data alive
+            stats_epoch_dir = os.path.join(self.stats_path, f"epoch={epoch}")
+            if os.path.isdir(stats_epoch_dir):
+                shutil.rmtree(stats_epoch_dir)
             (
                 stats.withColumn("epoch", F.lit(epoch))
                 .write.partitionBy("epoch")
-                .options(**dyn)
-                .mode("overwrite")
+                .mode("append")
                 .parquet(self.stats_path)
             )
             # classifier training feed (ErrorClassifierBolt trains on
@@ -307,24 +355,33 @@ class StreamingEngine:
 
     # -- analytics reads ------------------------------------------------------
 
+    def _stats_series(self) -> DataFrame:
+        """The maintained minutely stats table keyed for the analyzers:
+        `(series_key, bucket, cnt)` with series_key = filter_id:metric —
+        the one series shape outliers() and analyzer_flags() share."""
+        return (
+            self.stats()
+            .withColumn(
+                "series_key",
+                F.concat_ws(
+                    ":", F.col("filter_id"), F.col("metric").cast("string")
+                ),
+            )
+            .select("series_key", "bucket", "cnt")
+        )
+
     def outliers(self, min_score: float = 0.5):
         """Consensus outlier pass over the maintained stats series —
         OutlierDetectionBolt's 60s-tick job as an on-demand batch over the
         streaming stats table (same applyInPandas analyzers)."""
         from cloudpelican_lsd_spark.operators.outliers import detect_outliers
 
-        series = (
-            self.stats()
-            .withColumn(
-                "series_key",
-                F.concat_ws(":", F.col("filter_id"), F.col("metric").cast("string")),
-            )
-            .select("series_key", "bucket", "cnt")
-        )
         # the maintained stats table is MINUTELY (bucket_col 60 in
         # process_batch) — the gap-fill grid must match or 4/5 of the
         # counts silently vanish into collapsed slots
-        return detect_outliers(series, min_score=min_score, bucket_sec=60)
+        return detect_outliers(
+            self._stats_series(), min_score=min_score, bucket_sec=60
+        )
 
     def analyzer_flags(self, min_points: int | None = None) -> DataFrame:
         """The five oracle-gated analyzer twins (moving-average, z-score,
@@ -344,19 +401,14 @@ class StreamingEngine:
             zscore_check,
         )
 
-        series = (
-            self.stats()
-            .withColumn(
-                "series_key",
-                F.concat_ws(":", F.col("filter_id"), F.col("metric").cast("string")),
-            )
-            .select("series_key", "bucket", "cnt")
-        )
+        # the five analyzer branches below each consume span; materialize
+        # it once (localCheckpoint) so the stats scan + merge + gap-fill
+        # run one time, not five (the documented two-consumer trap)
         span = analyzer_span(
-            series,
+            self._stats_series(),
             bucket_sec=60,
             min_points=MIN_POINTS if min_points is None else min_points,
-        )
+        ).localCheckpoint(eager=False)
         cols = ["series_key", "bucket", "actual", "is_outlier"]
         parts = [
             moving_average_check(span, bucket_sec=60)
@@ -406,12 +458,19 @@ class StreamingEngine:
             .groupBy("filter_id", "tok", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # drop-epoch-then-append (see the stats sink): dynamic overwrite
+        # of an empty replay batch would keep the crashed attempt's counts
+        import shutil
+
+        nb_path = os.path.join(self.base_dir, "nb_state")
+        nb_epoch_dir = os.path.join(nb_path, f"epoch={int(epoch)}")
+        if os.path.isdir(nb_epoch_dir):
+            shutil.rmtree(nb_epoch_dir)
         (
             toks.withColumn("epoch", F.lit(int(epoch)))
             .write.partitionBy("epoch")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(os.path.join(self.base_dir, "nb_state"))
+            .mode("append")
+            .parquet(nb_path)
         )
 
     #: classifier-state schema (empty reads before the first batch)
@@ -467,24 +526,59 @@ class StreamingEngine:
                 "would lose concurrently committed batches"
             )
 
+    @staticmethod
+    def _recover_swap(live: str) -> None:
+        """Heal an interrupted `_swap_table`: if a previous sweep died
+        between its two renames, the table sits whole at `<live>.old` —
+        restore it; if it died after the second rename, `.old` is a
+        finished-with copy — remove it."""
+        import shutil
+
+        old = live + ".old"
+        if os.path.isdir(old):
+            if not os.path.isdir(live):
+                os.rename(old, live)  # died between renames: restore
+            else:
+                shutil.rmtree(old)  # died before cleanup: finish it
+
+    @staticmethod
+    def _swap_table(live: str, tmp: str) -> None:
+        """Crash-safe replacement of `live` with `tmp`: the table is NEVER
+        unrecoverable — `live` moves aside to `.old` (rename, atomic)
+        before `tmp` moves in, so a crash at any step leaves a whole copy
+        at `live` or `.old` for `_recover_swap`.  (The old
+        rmtree-then-rename order stranded the data in `.compact` if the
+        driver died between the two steps, and the NEXT sweep's overwrite
+        of tmp destroyed it permanently.)"""
+        import shutil
+
+        old = live + ".old"
+        if not os.path.isdir(tmp):
+            return
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(tmp, live)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
     def expire_stats(self, before_bucket: int) -> None:
         """7-day stats purge (filter_manager.go:519-576, age check
         :541-542): compact the stats table to buckets >= `before_bucket`.
         At scale the stats table is date-partitioned like results and this
         is a partition drop; here it's a rewrite of a small table."""
+        self._recover_swap(self.stats_path)
         if not os.path.isdir(self.stats_path):
             return
         self._require_quiesced("expire_stats")
-        kept = self.spark.read.parquet(self.stats_path).where(
-            F.col("bucket") >= before_bucket
-        )
+        try:
+            kept = self.spark.read.parquet(self.stats_path).where(
+                F.col("bucket") >= before_bucket
+            )
+        except AnalysisException:
+            return  # directory exists but holds no parquet (fully purged)
         tmp = self.stats_path + ".compact"
         kept.write.partitionBy("epoch").mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(self.stats_path)
-        if os.path.isdir(tmp):
-            os.rename(tmp, self.stats_path)
+        self._swap_table(self.stats_path, tmp)
 
     def compact_results(self) -> None:
         """Ring-buffer truncation: keep only the newest
@@ -493,19 +587,21 @@ class StreamingEngine:
         cap supervisor.go:52).  One window rank per filter partition; at
         scale this runs per-partition with no global shuffle because the
         table is partitioned by filter_id."""
-        import shutil
-
         from pyspark.sql.window import Window
 
+        self._recover_swap(self.results_path)
         if not os.path.isdir(self.results_path):
             return
         self._require_quiesced("compact_results")
         w = Window.partitionBy("filter_id").orderBy(
             F.col("ts_epoch").desc(), F.col("row_id").desc()
         )
+        try:
+            src = self.spark.read.parquet(self.results_path)
+        except AnalysisException:
+            return  # directory exists but holds no parquet (fully expired)
         kept = (
-            self.spark.read.parquet(self.results_path)
-            .withColumn("_rn", F.row_number().over(w))
+            src.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= self.max_msgs_per_filter)
             .drop("_rn")
         )
@@ -513,9 +609,7 @@ class StreamingEngine:
         kept.write.partitionBy("epoch", "filter_id", "date").mode(
             "overwrite"
         ).parquet(tmp)
-        shutil.rmtree(self.results_path)
-        if os.path.isdir(tmp):
-            os.rename(tmp, self.results_path)
+        self._swap_table(self.results_path, tmp)
 
     def maintenance(self, now_unix: int) -> dict:
         """One maintenance tick = the reference's three TTL sweeps: temp
@@ -948,8 +1042,18 @@ class NearDupSuppressor:
         return writer.start()
 
     def kept(self) -> DataFrame:
-        """All documents that passed suppression so far."""
-        return self.spark.read.parquet(self.out_path)
+        """All documents that passed suppression so far.  Before the
+        first committed batch (or after a full expiry) the out table has
+        no parquet — return a typed empty frame carrying the id/epoch
+        contract columns (the doc payload schema is only known once a
+        batch has flowed), matching the guarded readers on
+        StreamingEngine."""
+        try:
+            return self.spark.read.parquet(self.out_path)
+        except AnalysisException:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} LONG, epoch INT"
+            )
 
     def expire(self, before_epoch: int) -> None:
         """Retention: drop store epochs older than the dedup horizon."""

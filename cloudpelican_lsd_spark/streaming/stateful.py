@@ -162,9 +162,10 @@ def outlier_state_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Per-filter 5-min count series kept in state (bounded: 24h lookback
-    = 288 buckets); the newest *complete* bucket is consensus-scored once
-    — the `lastAnalyzed` high-water mark skips series with no new data
-    exactly as OutlierDetectionBolt.java:164-170 does."""
+    = 288 buckets); every newly *complete* bucket is consensus-scored
+    exactly once — the `lastAnalyzed` high-water mark skips series with
+    no new data exactly as OutlierDetectionBolt.java:164-170 does, and a
+    catch-up batch that completes several buckets scores each of them."""
     import numpy as np
 
     if state.hasTimedOut:
@@ -188,8 +189,14 @@ def outlier_state_fn(
         lo = buckets[-1] - LOOKBACK_SEC
         st["counts"] = {k: v for k, v in st["counts"].items() if int(k) >= lo}
         buckets = sorted(int(k) for k in st["counts"])
-        # exclude the newest (still-filling) bucket; score its predecessor
-        if len(buckets) >= 2 and buckets[-2] > st["last"]:
+        # exclude the newest (still-filling) bucket; score EVERY observed
+        # complete bucket past the high-water mark — a catch-up batch
+        # (availableNow replay, post-downtime backlog) can complete
+        # several buckets at once, and scoring only buckets[-2] would
+        # skip the earlier ones forever (the reference's 60s tick scores
+        # each bucket as it completes)
+        pending = [b for b in buckets[:-1] if b > st["last"]]
+        if pending:
             # zero gap-fill like the batch detector (outliers.py): count
             # series only materialize buckets with events, so without it
             # an outage-to-zero bucket is skipped over and analyzers see
@@ -201,19 +208,21 @@ def outlier_state_fn(
             hist_b = np.arange(sparse_b[0], sparse_b[-1] + 1, BUCKET_SEC)
             hist_c = np.zeros(len(hist_b), dtype=float)
             hist_c[((sparse_b - sparse_b[0]) // BUCKET_SEC).astype(int)] = sparse_c
-            res = score_last_bucket(hist_b, hist_c)
+            for t in pending:
+                idx = int((t - int(hist_b[0])) // BUCKET_SEC)
+                res = score_last_bucket(hist_b[: idx + 1], hist_c[: idx + 1])
+                if res is not None:
+                    score, flags = res
+                    rows.append(
+                        {
+                            "filter_id": key[0],
+                            "bucket": int(t),
+                            "actual": float(hist_c[idx]),
+                            "score": float(score),
+                            "details": json.dumps(flags, sort_keys=True),
+                        }
+                    )
             st["last"] = buckets[-2]
-            if res is not None:
-                score, flags = res
-                rows.append(
-                    {
-                        "filter_id": key[0],
-                        "bucket": int(hist_b[-1]),
-                        "actual": float(hist_c[-1]),
-                        "score": float(score),
-                        "details": json.dumps(flags, sort_keys=True),
-                    }
-                )
     state.update((json.dumps(st),))
     _arm_ttl(state)
     yield pd.DataFrame(

@@ -88,17 +88,24 @@ class OnlineClassifierProcessor(StatefulProcessor):
         self._cap = capacity
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        t = self._ttl
+        # idle eviction is a per-key TIMER clearing the WHOLE model (the
+        # reference drops the entire per-filter classifier after 10 idle
+        # minutes).  Per-VALUE state TTL is the wrong granularity here:
+        # an individual ring slot expiring ahead of the head/tail
+        # counters makes its learn-time increments unforgettable
+        # (`old is None` on forget), permanently inflating n_err/n_reg
+        # and leaking feat/tok counts kept alive by other samples.
+        self._handle = handle
         self._meta = handle.getValueState(
             "meta",
             "head BIGINT, tail BIGINT, n_err BIGINT, n_reg BIGINT, vocab BIGINT",
-            t,
+            None,
         )
         self._mem = handle.getMapState(
-            "mem", "seq BIGINT", "label STRING, toks ARRAY<STRING>", t
+            "mem", "seq BIGINT", "label STRING, toks ARRAY<STRING>", None
         )
-        self._feat = handle.getMapState("feat", "k STRING", "cnt BIGINT", t)
-        self._tok = handle.getMapState("tok", "t STRING", "cnt BIGINT", t)
+        self._feat = handle.getMapState("feat", "k STRING", "cnt BIGINT", None)
+        self._tok = handle.getMapState("tok", "t STRING", "cnt BIGINT", None)
 
     @staticmethod
     def _load(
@@ -116,6 +123,13 @@ class OnlineClassifierProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
+        if self._ttl is not None:
+            # slide the idle-eviction timer: one live timer per key at
+            # now + ttl (reference: 10-min idle drops the whole model)
+            now = timerValues.getCurrentProcessingTimeInMs()
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(now + self._ttl)
         head, tail, n_err, n_reg, vocab = (
             tuple(self._meta.get()) if self._meta.exists() else (0, 0, 0, 0, 0)
         )
@@ -143,10 +157,14 @@ class OnlineClassifierProcessor(StatefulProcessor):
                     self._mem.removeKey((head,))
                     head += 1
                     if old is None:
-                        # per-entry TTL expired this ring slot ahead of the
-                        # head/tail counters (TTL is per state VALUE, not
-                        # per processor) — nothing left to forget
-                        continue
+                        # unreachable since idle eviction moved from
+                        # per-value TTL to a whole-model timer (init);
+                        # a missing ring slot now means corrupted state —
+                        # fail loudly rather than drift the counters
+                        raise RuntimeError(
+                            f"forget ring slot {head - 1} missing for "
+                            f"key {key!r}: state corruption"
+                        )
                     old_label, old_toks = old
                     if str(old_label) == CAT_ERROR:
                         n_err -= 1
@@ -188,6 +206,30 @@ class OnlineClassifierProcessor(StatefulProcessor):
             ]
         )
 
+    def handleExpiredTimer(
+        self, key: tuple, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        """Idle eviction: the per-key timer fired with no new rows since
+        it was armed — drop the ENTIRE per-filter model (ring, counts,
+        vocabulary), exactly the reference's 10-min whole-classifier
+        eviction.  Emits the zeroed contract row so downstream sees the
+        eviction."""
+        self._meta.clear()
+        self._mem.clear()
+        self._feat.clear()
+        self._tok.clear()
+        yield pd.DataFrame(
+            [
+                {
+                    "filter_id": key[0],
+                    "samples_in_memory": 0,
+                    "err_samples": 0,
+                    "reg_samples": 0,
+                    "vocab_size": 0,
+                }
+            ]
+        )
+
     def close(self) -> None:
         pass
 
@@ -205,7 +247,9 @@ def streaming_classifier_tws(
     (``spark.sql.streaming.stateStore.providerClass =
     ...RocksDBStateStoreProvider``) — transformWithState is only
     implemented there.  ``evict_stale=True`` applies the reference's
-    10-min idle eviction as native per-value state TTL."""
+    10-min idle eviction as a per-key processing-time TIMER that clears
+    the whole model (per-value TTL would let individual ring slots
+    expire ahead of the head/tail counters and drift the counts)."""
     return labeled_matched.groupBy("filter_id").transformWithStateInPandas(
         OnlineClassifierProcessor(
             STATE_TTL_MS if evict_stale else None, capacity

@@ -117,17 +117,26 @@ def test_streaming_outliers_high_water_mark(spark, tmp_path):
 
     run()
     rows = emitted
-    assert len(rows) == 1
-    assert rows[0].bucket == base + 300 * 11  # the spike bucket
-    assert rows[0].actual == 40.0
-    assert rows[0].score >= 0.5
+    # every bucket completed with >= MIN_POINTS of history is scored once
+    # (round 5: a catch-up batch scores EACH completed bucket, not just
+    # the newest — here buckets 10 and 11 have enough history)
+    by_bucket = {r.bucket: r for r in rows}
+    assert len(rows) == len(by_bucket)  # no bucket scored twice
+    spike = by_bucket[base + 300 * 11]
+    assert spike.actual == 40.0
+    assert spike.score >= 0.5
+    # the calm completed buckets score low — only the spike alerts
+    assert all(
+        r.score < 0.5 for r in rows if r.bucket != base + 300 * 11
+    )
 
-    # second batch: more lines in the newest bucket only -> target bucket
-    # unchanged -> high-water mark suppresses re-analysis
+    # second batch: more lines in the newest bucket only -> no NEWLY
+    # completed bucket -> high-water mark suppresses re-analysis
+    n_before = len(emitted)
     with open(os.path.join(src, "b.txt"), "w") as f:
         f.write(lines_a[-1] + "\n")
     run()
-    assert len(emitted) == 1
+    assert len(emitted) == n_before
 
 
 def test_timed_out_state_is_evicted():
@@ -207,3 +216,59 @@ def test_streaming_alert_suppressor_cooldown(spark, tmp_path):
         ("s1", base + 400, 2),
         ("s2", base, 0),
     ]
+
+
+def test_outlier_catchup_batch_scores_every_completed_bucket():
+    """A catch-up micro-batch completing SEVERAL buckets at once (replay
+    after downtime) must consensus-score each completed bucket, not just
+    the newest one — the round-5 review's skipped-bucket hole."""
+    import pandas as pd
+
+    from cloudpelican_lsd_spark.operators.outliers import BUCKET_SEC
+    from cloudpelican_lsd_spark.streaming.stateful import outlier_state_fn
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    base = 1706745600 - 1706745600 % BUCKET_SEC
+    st = FakeState()
+    # batch 1: 12 calm buckets (1 event each) build the history
+    calm = [base + i * BUCKET_SEC for i in range(12)]
+    pdf1 = pd.DataFrame({"ts_epoch": [t + 1 for t in calm]})
+    out1 = pd.concat(list(outlier_state_fn(("f-1",), iter([pdf1]), st)))
+    scored1 = set(out1["bucket"]) if len(out1) else set()
+
+    # batch 2 (catch-up): a 40-event spike bucket AND two further calm
+    # buckets arrive together — the spike bucket is NOT the newest
+    # complete one, and would be skipped under the old buckets[-2] logic
+    spike = base + 12 * BUCKET_SEC
+    later = [base + 13 * BUCKET_SEC, base + 14 * BUCKET_SEC]
+    pdf2 = pd.DataFrame(
+        {"ts_epoch": [spike + 1] * 40 + [t + 1 for t in later]}
+    )
+    out2 = pd.concat(list(outlier_state_fn(("f-1",), iter([pdf2]), st)))
+    scored2 = set(out2["bucket"])
+    assert spike in scored2, "catch-up batch skipped the spike bucket"
+    assert later[0] in scored2  # the other newly completed bucket too
+    assert later[1] not in scored2  # newest bucket still filling
+    assert scored1.isdisjoint(scored2)  # high-water mark: no re-scoring
+    spike_row = out2[out2["bucket"] == spike].iloc[0]
+    assert spike_row["actual"] == 40.0
+    assert spike_row["score"] >= 0.5

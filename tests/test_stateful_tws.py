@@ -344,3 +344,62 @@ def test_tws_classifier_streaming(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_tws_idle_eviction_timer_clears_whole_model():
+    """evict_stale semantics: the ttl arms a per-key TIMER (slid on every
+    batch) and expiry clears the ENTIRE model — per-value TTL would let
+    individual ring slots expire ahead of the counters and drift
+    n_err/n_reg/feat (the round-5 review finding)."""
+
+    class TimerFakeHandle(FakeHandle):
+        def __init__(self):
+            super().__init__()
+            self.timers: list[int] = []
+
+        def listTimers(self):
+            return list(self.timers)
+
+        def deleteTimer(self, ts):
+            self.timers.remove(ts)
+
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+
+    class FakeTimerValues:
+        def __init__(self, now_ms):
+            self._now = now_ms
+
+        def getCurrentProcessingTimeInMs(self):
+            return self._now
+
+    proc = OnlineClassifierProcessor(ttl_ms=600_000)
+    handle = TimerFakeHandle()
+    proc.init(handle)
+    b = [pd.DataFrame({"_raw": ["error failed"], "label": ["error"]})]
+    out = list(proc.handleInputRows(("f-1",), iter(b), FakeTimerValues(1_000)))
+    assert handle.timers == [601_000]  # armed at now + ttl
+    # a later batch SLIDES the timer (old one deleted, one live timer)
+    out = list(proc.handleInputRows(("f-1",), iter(b), FakeTimerValues(5_000)))
+    assert handle.timers == [605_000]
+    assert pd.concat(out).iloc[-1]["samples_in_memory"] == 2
+
+    # expiry clears every state and emits the zeroed contract row
+    class FakeClearable:
+        def __init__(self, st):
+            self._st = st
+
+    for st in handle.states.values():
+        st.clear = lambda s=st: (
+            s.__dict__.update({"_v": None}) if hasattr(s, "_v")
+            else s._m.clear()
+        )
+    rows = pd.concat(
+        list(proc.handleExpiredTimer(("f-1",), FakeTimerValues(605_000), None))
+    )
+    assert rows.iloc[0]["samples_in_memory"] == 0
+    assert rows.iloc[0]["vocab_size"] == 0
+    assert not handle.states["mem"]._m and not handle.states["feat"]._m
+    # the model restarts cleanly after eviction
+    out = list(proc.handleInputRows(("f-1",), iter(b), FakeTimerValues(9_000)))
+    assert pd.concat(out).iloc[-1]["samples_in_memory"] == 1

@@ -882,3 +882,110 @@ def test_near_dup_suppressor_streaming_e2e(spark, tmp_path):
     q = sup.attach(stream, str(tmp_path / "ckpt"), trigger={"availableNow": True})
     q.awaitTermination(120)
     assert {r.doc_id for r in sup.kept().collect()} == {10, 11, 13}
+
+
+def test_replay_with_empty_batch_drops_stale_epoch_state(spark, tmp_path):
+    """The crash-replay hole the round-5 review found: if the filter
+    catalog hot-swapped between the crashed attempt and the replay so
+    the replayed epoch matches NOTHING, the stale epoch's stats and
+    classifier counts must still disappear (dynamic partition overwrite
+    of an empty frame writes no partitions — the sinks now drop the
+    epoch dir explicitly, like the results sink always did)."""
+    base = str(tmp_path / "engine_replay_empty")
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, base)
+    raw = spark.createDataFrame(
+        [("2024-02-01T10:00:00.000+00:00 h app: error n=1",)], "_raw STRING"
+    )
+    eng.process_batch(sp.parse_stream(raw), epoch_id=0)
+    assert eng.results().count() == 1
+    assert eng.stats().count() > 0
+    assert eng.classifier_model().count() > 0
+
+    # hot-swap: the filter now matches nothing; replay the SAME epoch
+    cat.drop("errors")
+    cat.create("nothing", "zzz_never_matches")
+    eng.process_batch(sp.parse_stream(raw), epoch_id=0)
+    assert eng.results().count() == 0
+    assert eng.stats().count() == 0, "stale stats epoch survived replay"
+    assert (
+        eng.classifier_model().count() == 0
+    ), "stale classifier epoch survived replay"
+
+
+def test_engine_rejects_remote_base_dir(spark):
+    cat = FilterCatalog()
+    import pytest
+
+    for bad in ("hdfs://nn/pelican", "s3a://bucket/x", "file:///tmp/x"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            sp.StreamingEngine(spark, cat, bad)
+
+
+def test_process_batch_rejects_epoch_beyond_packing(spark, tmp_path):
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, str(tmp_path / "engine_cap"))
+    raw = spark.createDataFrame(
+        [("2024-02-01T10:00:00.000+00:00 h app: error n=1",)], "_raw STRING"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="2\\^23"):
+        eng.process_batch(sp.parse_stream(raw), epoch_id=1 << 23)
+
+
+def test_sweeps_survive_empty_tables_and_interrupted_swap(spark, tmp_path):
+    """maintenance() must keep working after everything expires (the
+    directory exists but holds no parquet) and must heal an interrupted
+    compaction swap (table stranded at .old)."""
+    import os
+    import shutil
+
+    base = str(tmp_path / "engine_sweep")
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, base)
+    raw = spark.createDataFrame(
+        [("2024-02-01T10:00:00.000+00:00 h app: error n=1",)], "_raw STRING"
+    )
+    eng.process_batch(sp.parse_stream(raw), epoch_id=0)
+    assert eng.results().count() == 1
+
+    # expire EVERYTHING (far-future cutoffs), then sweep again: the
+    # empty-table second sweep must not raise (the old AnalysisException
+    # crash permanently broke maintenance once data aged out)
+    out1 = eng.maintenance(now_unix=4_000_000_000)
+    out2 = eng.maintenance(now_unix=4_000_000_001)
+    assert out1["results_before"] and out2["results_before"]
+    assert eng.results().count() == 0
+
+    # interrupted swap: a previous compact died between its two renames,
+    # leaving the whole table at .old and nothing live — recovery must
+    # restore it before the next sweep reads
+    eng2 = sp.StreamingEngine(spark, cat, str(tmp_path / "engine_swap"))
+    eng2.process_batch(sp.parse_stream(raw), epoch_id=0)
+    assert eng2.results().count() == 1
+    os.rename(eng2.results_path, eng2.results_path + ".old")
+    assert not os.path.isdir(eng2.results_path)
+    eng2.compact_results()
+    assert eng2.results().count() == 1, "interrupted swap not recovered"
+    assert not os.path.isdir(eng2.results_path + ".old")
+
+    # finished-but-uncleaned swap: .old left beside a live table is
+    # removed, live data wins
+    shutil.copytree(eng2.results_path, eng2.results_path + ".old")
+    eng2.compact_results()
+    assert eng2.results().count() == 1
+    assert not os.path.isdir(eng2.results_path + ".old")
+
+
+def test_suppressor_kept_before_first_batch(spark, tmp_path):
+    sup = sp.NearDupSuppressor(
+        spark,
+        store_path=str(tmp_path / "store"),
+        out_path=str(tmp_path / "out"),
+    )
+    df = sup.kept()
+    assert df.count() == 0 and "doc_id" in df.columns
