@@ -22,10 +22,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_NAME_RE = re.compile(r"^[a-z0-9_]+$")
-# \Z, not $: Python's $ also matches before a trailing newline, which would
-# misclassify e.g. "err\n" as a plain word (fullmatch semantics required).
-_PLAIN_RE = re.compile(r"[A-Za-z0-9_-]+\Z")
+# \A..\Z, not ^..$: Python's $ also matches before a trailing newline, so
+# "err\n" would pass the Go-CLI name rule it is meant to mirror (RE2
+# fullmatch semantics required)
+_NAME_RE = re.compile(r"\A[a-z0-9_]+\Z")
 _CI_PREFIX = "(?i)"
 
 FILTER_SCHEMA = T.StructType(
@@ -43,10 +43,15 @@ FILTER_SCHEMA = T.StructType(
 
 
 def compile_fast_path(regex: str) -> tuple[str | None, bool]:
-    """(?i)-hoist + plain-word detection (Filter.java:33-52)."""
+    """(?i)-hoist + plain-word detection (Filter.java:33-52).  The
+    plain-word eligibility rule is SHARED with the grep predicates
+    (functions/predicates.is_plain_word) so the contains-vs-regex fast
+    path can never fork between the catalog and the grep pipeline."""
+    from cloudpelican_lsd_spark.functions.predicates import is_plain_word
+
     ci = regex.startswith(_CI_PREFIX)
     body = regex[len(_CI_PREFIX):] if ci else regex
-    if _PLAIN_RE.match(body):
+    if is_plain_word(body):
         return (body.lower() if ci else body), ci
     return None, ci
 
@@ -87,7 +92,14 @@ class FilterCatalog:
 
     def create_temp(self, regex: str, unix_ts: int) -> Filter:
         """``__tmp__<unix>`` auto-filter for `select ... where '<re>'`
-        (cli/cloudpelican-lsd.go:507-523)."""
+        (cli/cloudpelican-lsd.go:507-523).  Two selects within the same
+        second must NOT collide (a dict overwrite would orphan the first
+        filter's id while its results rows still reference it), so the
+        timestamp is bumped to the next free second — the name stays
+        all-digits for expire_temp's TTL parse, expiring ≤ a few seconds
+        late."""
+        while f"__tmp__{unix_ts}" in self._filters:
+            unix_ts += 1
         f = Filter(name=f"__tmp__{unix_ts}", regex=regex)
         self._filters[f.name] = f
         return f

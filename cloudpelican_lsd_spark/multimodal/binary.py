@@ -119,35 +119,46 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one output row per sampled frame offset.
 
-    The offsets come from pure column math (`sequence`), so the expensive
-    per-frame decode (stubbed) only sees rows it will actually decode.
+    The offsets come from pure column math (`sequence`) and stay an ARRAY
+    until inside the Python boundary, so each video blob crosses Arrow
+    ONCE however many frames are sampled (exploding first would ship one
+    full copy of the blob per frame — 60× transfer for a minute of video
+    at 1 fps; frame_sample_real established this shape).  A zero-duration
+    video has no frames: its offsets array is empty and it contributes no
+    rows (the old `sequence(0, greatest(dur-1, 0))` emitted a phantom
+    frame at offset 0).
     """
-    frames = media.where(F.col("modality") == "video").select(
+    vids = media.where(F.col("modality") == "video").select(
         "media_id",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
-            )
-        ).alias("frame_ms"),
         "content",
+        F.expr(
+            f"CASE WHEN duration_ms > 0 THEN "
+            f"sequence(0, duration_ms - 1, {int(every_ms)}) "
+            f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        ).alias("offsets"),
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "frame_ms": pdf["frame_ms"],
+            mids, offs, shas = [], [], []
+            for mid, blob, offsets in zip(
+                pdf["media_id"], pdf["content"], pdf["offsets"]
+            ):
+                payload = None if blob is None else bytes(blob)
+                for ms in offsets:
+                    ms = int(ms)
+                    mids.append(int(mid))
+                    offs.append(ms)
                     # stub: real impl seeks to frame_ms and decodes
-                    "frame_sha256": [
+                    shas.append(
                         None
-                        if b is None
+                        if payload is None
                         else hashlib.sha256(
-                            bytes(b) + int(m).to_bytes(8, "big")
+                            payload + ms.to_bytes(8, "big")
                         ).hexdigest()
-                        for b, m in zip(pdf["content"], pdf["frame_ms"])
-                    ],
-                }
+                    )
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_ms": offs, "frame_sha256": shas}
             )
 
     schema = T.StructType(
@@ -157,7 +168,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             T.StructField("frame_sha256", T.StringType(), True),
         ]
     )
-    return frames.mapInPandas(decode, schema)
+    return vids.mapInPandas(decode, schema)
 
 
 def resize_dims(
@@ -170,7 +181,10 @@ def resize_dims(
     The binding side is chosen by cross-multiplication
     (``w*max_h >= h*max_w`` ⇔ width's scale factor is the smaller), and
     the scaled dimension is exact integer ``div`` — both reproducible
-    bit-for-bit in the DuckDB oracle, unlike float scale factors."""
+    bit-for-bit in the DuckDB oracle, unlike float scale factors.  The
+    scaled side is clamped to ≥1 (an extreme aspect ratio like 1×10000
+    would otherwise floor-divide to a zero-width target, which no real
+    resizer emits)."""
     w, h = F.col("width"), F.col("height")
     fits = (w <= max_w) & (h <= max_h)
     width_binds = w * max_h >= h * max_w
@@ -178,12 +192,17 @@ def resize_dims(
         "new_w",
         F.when(fits, w)
         .when(width_binds, F.lit(max_w))
-        .otherwise(F.expr(f"width * {max_h} div height"))
+        .otherwise(
+            F.greatest(F.expr(f"width * {max_h} div height"), F.lit(1))
+        )
         .cast("int"),
     ).withColumn(
         "new_h",
         F.when(fits, h)
-        .when(width_binds, F.expr(f"height * {max_w} div width"))
+        .when(
+            width_binds,
+            F.greatest(F.expr(f"height * {max_w} div width"), F.lit(1)),
+        )
         .otherwise(F.lit(max_h))
         .cast("int"),
     )
@@ -216,7 +235,12 @@ def resize(
     which is the stubbed decode point (real impl: decode → resample to
     (new_w, new_h) → re-encode; fake: sha256(content + dims) digest
     bytes, deterministic).  Rows with NULL dims can't be resized and
-    pass through unchanged."""
+    pass through unchanged.
+
+    The two branches are separate consumers of ``media`` — if the input
+    is itself an expensive computed DataFrame (a synthesizer, a decode
+    pass), localCheckpoint/persist it first or that subtree evaluates
+    twice; a parquet-backed table needs nothing (double scan, pruned)."""
     dims = resize_dims(media, max_w, max_h)
     needs = (F.col("new_w") < F.col("width")) | (
         F.col("new_h") < F.col("height")

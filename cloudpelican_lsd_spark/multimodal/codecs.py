@@ -329,8 +329,12 @@ def frame_sample_real(media: DataFrame, every_ms: int = 500) -> DataFrame:
     vids = media.where(F.col("modality") == "video").select(
         "media_id",
         "content",
+        # zero-duration video = zero frames (an unconditional
+        # sequence(0, greatest(dur-1, 0)) would emit a phantom offset-0)
         F.expr(
-            f"sequence(0, greatest(duration_ms - 1, 0), {int(every_ms)})"
+            f"CASE WHEN duration_ms > 0 THEN "
+            f"sequence(0, duration_ms - 1, {int(every_ms)}) "
+            f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
         ).alias("offsets"),
     )
 
@@ -396,6 +400,11 @@ def resize_real(media: DataFrame, max_w: int = 64, max_h: int = 48) -> DataFrame
             for mid, blob, nw, nh in zip(
                 pdf["media_id"], pdf["content"], pdf["new_w"], pdf["new_h"]
             ):
+                if blob is None:
+                    # content is nullable; bytes(None) would kill the
+                    # whole task — skip like frame_sample_real does (the
+                    # row had nothing to resample)
+                    continue
                 mid, nw, nh = int(mid), int(nw), int(nh)
                 d = decode_bmp(bytes(blob))
                 px = d["pixels"]
@@ -489,6 +498,8 @@ def ahash_fingerprints(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue  # nullable content: no bytes, no fingerprint
                 bits = ahash_64(decode_bmp(bytes(blob))["pixels"])
                 rows.append(
                     (

@@ -90,7 +90,7 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT media_id, CAST(f AS BIGINT) AS frame_ms,
        CAST(CASE WHEN f < dur THEN (media_id + f) % 256 END AS BIGINT) AS frame_val
 FROM m, unnest(generate_series(0, CAST(greatest(dur - 1, 0) AS BIGINT), 500)) AS t(f)
-WHERE kind = 2""",
+WHERE kind = 2 AND dur > 0""",
 )
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling by REAL seek into the decoded video stream (offsets
@@ -110,9 +110,10 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT media_id, width AS orig_w, height AS orig_h,
   CAST(CASE WHEN width <= 256 AND height <= 192 THEN width
             WHEN width * 192 >= height * 256 THEN 256
-            ELSE width * 192 // height END AS INT) AS new_w,
+            ELSE GREATEST(width * 192 // height, 1) END AS INT) AS new_w,
   CAST(CASE WHEN width <= 256 AND height <= 192 THEN height
-            WHEN width * 192 >= height * 256 THEN height * 256 // width
+            WHEN width * 192 >= height * 256
+              THEN GREATEST(height * 256 // width, 1)
             ELSE 192 END AS INT) AS new_h
 FROM media""",
 )
@@ -137,9 +138,9 @@ d AS (
   SELECT media_id, w, h,
     CASE WHEN w <= 64 AND h <= 48 THEN w
          WHEN w * 48 >= h * 64 THEN 64
-         ELSE w * 48 // h END AS new_w,
+         ELSE GREATEST(w * 48 // h, 1) END AS new_w,
     CASE WHEN w <= 64 AND h <= 48 THEN h
-         WHEN w * 48 >= h * 64 THEN h * 64 // w
+         WHEN w * 48 >= h * 64 THEN GREATEST(h * 64 // w, 1)
          ELSE 48 END AS new_h
   FROM m WHERE kind = 0
 ),
@@ -166,8 +167,15 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encode → decode the artifact back for the gate statistic, so the
     oracle pins the whole round-trip.  Within-bounds images and all
     audio/video rows bypass Python entirely (their blob never crosses
-    Arrow — px_sum NULL for exactly those rows)."""
-    media = mm_codecs.synthesize_real_media(load_table(spark, "documents", sf_dir))
+    Arrow — px_sum NULL for exactly those rows).  The synthesized media
+    fixture is localCheckpoint-ed because resize's two branches
+    (passthrough / shrink) are separate consumers — without it the
+    expensive mapInPandas ENCODER would run twice (two-consumer trap);
+    a real parquet-backed media table doesn't need this (a double scan
+    is cheap and pruned)."""
+    media = mm_codecs.synthesize_real_media(
+        load_table(spark, "documents", sf_dir)
+    ).localCheckpoint(eager=False)
     return mm_codecs.resize_real(media, max_w=64, max_h=48).drop("content")
 
 

@@ -272,6 +272,26 @@ def test_catalog_rejects_reserved_and_duplicate_names():
         cat.create("mine", "y")
     with pytest.raises(ValueError, match="reserved"):
         cat.create("__tmp__1700000000", "x")
+    # $-vs-\Z: a trailing-newline name must fail the Go fullmatch rule
+    # (Python's $ matches before the newline; \A..\Z does not)
+    with pytest.raises(ValueError, match="invalid"):
+        cat.create("errs\n", "x")
+
+
+def test_catalog_temp_filters_never_collide_within_a_second():
+    """Two `select ... where` temp filters created in the SAME second get
+    distinct names and both survive (a dict overwrite would orphan the
+    first filter's id while results rows still reference it); both stay
+    TTL-parseable and expire."""
+    from cloudpelican_lsd_spark.catalog import FilterCatalog
+
+    cat = FilterCatalog()
+    a = cat.create_temp("foo", 1700000000)
+    b = cat.create_temp("bar", 1700000000)
+    assert a.name != b.name
+    assert cat.get(a.name).id == a.id and cat.get(b.name).id == b.id
+    dropped = cat.expire_temp(1700000000 + 3700)
+    assert sorted(dropped) == sorted([a.name, b.name])
 
 
 def test_search_legacy_regexp_match(engine):

@@ -36,12 +36,18 @@ def test_frame_sample_counts(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 30)
     media = mm.synthesize_media(docs)
     frames = mm.frame_sample(media, every_ms=1000)
-    got = frames.groupBy("media_id").count().collect()
-    durations = {r.media_id: r.duration_ms for r in media.collect()}
-    for r in got:
-        d = durations[r.media_id]
-        expected = len(range(0, max(d - 1, 0) + 1, 1000))
-        assert r["count"] == expected
+    counts = {
+        r.media_id: r["count"]
+        for r in frames.groupBy("media_id").count().collect()
+    }
+    vids = {
+        r.media_id: r.duration_ms
+        for r in media.where(F.col("modality") == "video").collect()
+    }
+    for mid, d in vids.items():
+        # zero-duration video = zero frames (no phantom offset-0 row)
+        expected = len(range(0, d, 1000)) if d > 0 else 0
+        assert counts.get(mid, 0) == expected, (mid, d)
 
 
 def test_metadata_scan_prunes_binary_column(spark, sf_dir):
