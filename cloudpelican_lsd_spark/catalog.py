@@ -16,6 +16,7 @@ Name rules follow the CLI: ``^[a-z0-9_]+$`` (cli/cloudpelican-lsd.go:394);
 from __future__ import annotations
 
 import re
+import threading
 import uuid
 from dataclasses import dataclass, field
 
@@ -69,9 +70,15 @@ class Filter:
 
 
 class FilterCatalog:
-    """In-memory registry; persistable as a parquet dimension table."""
+    """In-memory registry; persistable as a parquet dimension table.
+
+    Thread-safe: the supervisor serves HTTP from a ThreadingHTTPServer,
+    so a POST /filter (create) can race a GET /filter iterating the dict
+    — every mutation and every snapshot takes the internal lock (the
+    reference locks its filter manager the same way)."""
 
     def __init__(self) -> None:
+        self._lock = threading.RLock()
         self._filters: dict[str, Filter] = {}
 
     def create(self, name: str, regex: str, client_host: str | None = None) -> Filter:
@@ -82,13 +89,14 @@ class FilterCatalog:
             # hidden from `show filters` and silently reaped by the 1h
             # expire_temp maintenance tick
             raise ValueError(f"reserved name prefix '__tmp__': {name!r}")
-        if name in self._filters:
-            # replacing would mint a fresh UUID and orphan results rows
-            # keyed by the old filter_id
-            raise ValueError(f"filter exists: {name!r} (drop it first)")
-        f = Filter(name=name, regex=regex, client_host=client_host)
-        self._filters[name] = f
-        return f
+        with self._lock:
+            if name in self._filters:
+                # replacing would mint a fresh UUID and orphan results
+                # rows keyed by the old filter_id
+                raise ValueError(f"filter exists: {name!r} (drop it first)")
+            f = Filter(name=name, regex=regex, client_host=client_host)
+            self._filters[name] = f
+            return f
 
     def create_temp(self, regex: str, unix_ts: int) -> Filter:
         """``__tmp__<unix>`` auto-filter for `select ... where '<re>'`
@@ -98,48 +106,59 @@ class FilterCatalog:
         timestamp is bumped to the next free second — the name stays
         all-digits for expire_temp's TTL parse, expiring ≤ a few seconds
         late."""
-        while f"__tmp__{unix_ts}" in self._filters:
-            unix_ts += 1
-        f = Filter(name=f"__tmp__{unix_ts}", regex=regex)
-        self._filters[f.name] = f
-        return f
+        with self._lock:
+            while f"__tmp__{unix_ts}" in self._filters:
+                unix_ts += 1
+            f = Filter(name=f"__tmp__{unix_ts}", regex=regex)
+            self._filters[f.name] = f
+            return f
 
     def drop(self, name: str) -> None:
-        self._filters.pop(name, None)
+        with self._lock:
+            self._filters.pop(name, None)
 
     def expire_temp(self, now_unix: int, ttl_sec: int = 3600) -> list[str]:
         """Drop ``__tmp__<unix>`` filters older than `ttl_sec` (1h,
         Filter.java:64-75; purge tick filter_manager.go:519-576).  Returns
         the dropped names."""
-        dropped = [
-            name
-            for name in self._filters
-            if name.startswith("__tmp__")
-            and name[len("__tmp__"):].isdigit()
-            and int(name[len("__tmp__"):]) < now_unix - ttl_sec
-        ]
-        for name in dropped:
-            del self._filters[name]
-        return dropped
+        with self._lock:
+            dropped = [
+                name
+                for name in self._filters
+                if name.startswith("__tmp__")
+                and name[len("__tmp__"):].isdigit()
+                and int(name[len("__tmp__"):]) < now_unix - ttl_sec
+            ]
+            for name in dropped:
+                del self._filters[name]
+            return dropped
 
     def get(self, name: str) -> Filter:
         return self._filters[name]
 
     def list(self, include_temp: bool = False) -> list[Filter]:
-        return [
-            f
-            for f in self._filters.values()
-            if include_temp or not f.name.startswith("__tmp__")
-        ]
+        with self._lock:  # snapshot: creates may race the iteration
+            return [
+                f
+                for f in self._filters.values()
+                if include_temp or not f.name.startswith("__tmp__")
+            ]
 
     def to_df(self, spark: SparkSession, include_temp: bool = True) -> DataFrame:
-        rows = [f.row() for f in self._filters.values() if include_temp or not f.name.startswith("__tmp__")]
+        with self._lock:
+            rows = [
+                f.row()
+                for f in self._filters.values()
+                if include_temp or not f.name.startswith("__tmp__")
+            ]
         return spark.createDataFrame(rows, FILTER_SCHEMA)
 
     def to_values_sql(self, include_temp: bool = True) -> str:
         """DuckDB VALUES CTE body mirroring ``to_df`` for oracle SQL."""
         rows = []
-        for f in self._filters.values():
+        with self._lock:
+            filters = list(self._filters.values())
+        for f in filters:
             if not include_temp and f.name.startswith("__tmp__"):
                 continue
             plain, ci = compile_fast_path(f.regex)

@@ -260,13 +260,20 @@ class CloudPelicanEngine:
         inner_cmd = cmd[len("explain "):].strip()
         if not self._routes_to_query(inner_cmd):
             raise ValueError("explain: command does not produce a query")
-        inner = self.execute(inner_cmd)
+        try:
+            inner = self.execute(inner_cmd)
+        finally:
+            # the recursive execute() recorded the inner command BEFORE
+            # dispatch; pop it even when the inner command RAISES — one
+            # user keystroke = one history entry, and a later
+            # `history -1` must replay the explain, not a failing inner
+            if (
+                self.session["history"]
+                and self.session["history"][-1] == inner_cmd
+            ):
+                self.session["history"].pop()
         if not isinstance(inner, DataFrame):
             raise ValueError("explain: command does not produce a query")
-        # the recursive execute() recorded the inner command; one user
-        # keystroke = one history entry
-        if self.session["history"] and self.session["history"][-1] == inner_cmd:
-            self.session["history"].pop()
         return inner._sc._jvm.PythonSQLUtils.explainString(
             inner._jdf.queryExecution(), "formatted"
         )
@@ -317,6 +324,9 @@ class CloudPelicanEngine:
         return self.catalog.create(name, regex)
 
     def drop_filter(self, name: str) -> None:
+        # a typo'd drop must not print ok while the filter keeps matching
+        if name not in {f.name for f in self.catalog.list(include_temp=True)}:
+            raise ValueError(f"unknown filter: {name!r}")
         self.catalog.drop(name)
 
     def show_filters(self) -> DataFrame:
@@ -324,14 +334,24 @@ class CloudPelicanEngine:
             "id", "name", "regex"
         )
 
+    def _get_filter(self, name: str):
+        """catalog.get with the engine's error contract: a ValueError
+        naming the filter, not a bare KeyError (select/cat established
+        the 'unknown filter: ...' message; tail/stats/describe must
+        match)."""
+        try:
+            return self.catalog.get(name)
+        except KeyError:
+            raise ValueError(f"unknown filter: {name!r}") from None
+
     def describe_filter(self, name: str) -> dict:
-        f = self.catalog.get(name)
+        f = self._get_filter(name)
         return {"id": f.id, "name": f.name, "regex": f.regex}
 
     # -- matched stream for one filter ---------------------------------------
 
     def _matched(self, name: str) -> DataFrame:
-        f = self.catalog.get(name)
+        f = self._get_filter(name)
         return match_filters_compiled(self.logs, [f])
 
     # -- cat pipeline ---------------------------------------------------------
@@ -361,10 +381,19 @@ class CloudPelicanEngine:
         known = {f.name for f in self.catalog.list(include_temp=True)}
         if name in known:
             df = self._matched(name)
-        elif where_regex:
+        elif name == "stream:default" and where_regex:
+            # ONLY the literal stream:default form auto-creates the temp
+            # filter (cloudpelican-lsd.go:508-511 rejects every other
+            # unknown name) — a typo'd filter name must not silently
+            # become a full-stream scan on the where-regex
             tmp = self.catalog.create_temp(where_regex, int(time.time()))
             df = match_filters_compiled(self.logs, [tmp])
             where_regex = None  # already applied as the temp filter
+        elif name.startswith("stream:") and where_regex:
+            raise ValueError(
+                "can not create temporary filter from stream "
+                f"{name!r}, try 'select * from stream:default'"
+            )
         else:
             # the reference fails on a missing per-filter results table;
             # silently returning the whole stream would mask typos

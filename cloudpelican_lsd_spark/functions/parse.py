@@ -56,7 +56,12 @@ def normalize_lines(df: DataFrame, raw: str = "_raw") -> DataFrame:
 
 
 def extract_event_time(raw: Column) -> Column:
-    """ISO-8601 timestamp substring → TIMESTAMP_NTZ; NULL when absent.
+    """ISO-8601 timestamp substring → TIMESTAMP_NTZ; NULL when absent OR
+    regex-matched but invalid (month 13, hour 99 — the digit classes
+    admit them), so such lines take the caller's processing-time
+    fallback instead of aborting the whole query under ANSI mode
+    (try_to_timestamp_ntz, the same reason sources/formats.py uses
+    try_to_timestamp).
 
     Callers add the processing-time fallback with
     ``coalesce(extract_event_time(c), current_timestamp())``
@@ -78,8 +83,14 @@ def extract_event_time(raw: Column) -> Column:
     ).otherwise(
         F.concat(base, F.lit("."), F.rpad(F.substring(frac, 1, 6), 6, "0"))
     )
-    return F.to_timestamp_ntz(
-        norm, F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+    # Spark has try_to_timestamp but no try_to_timestamp_ntz; gate the
+    # NTZ parse on the try-variant's validity (same calendar parser —
+    # the timezone only affects the epoch conversion, not validity) so
+    # the CASE stays lazy and the result stays session-tz-independent.
+    fmt = F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+    return F.when(
+        F.try_to_timestamp(norm, fmt).isNotNull(),
+        F.to_timestamp_ntz(norm, fmt),
     )
 
 

@@ -66,15 +66,21 @@ class _BodyError(Exception):
 class SupervisorState:
     """Bounded in-memory stores behind the REST surface (thread-safe)."""
 
+    #: newest stats buckets kept per (filter, metric) — 14 days of
+    #: minutes; older keys are evicted so a long-lived supervisor's
+    #: memory stays bounded (the table TTL analog of the 10k result ring)
+    MAX_STATS_BUCKETS = 20160
+
     def __init__(self, max_msg_memory: int = 10000) -> None:
         self.lock = threading.Lock()
         self.max_msg_memory = max_msg_memory
         #: filter_id -> deque[(monotonic id, raw line)] — 10k FIFO ring
         self.results: dict[str, deque] = {}
         self._next_id = 0
-        #: filter_id -> metric -> bucket -> count
+        #: filter_id -> metric -> bucket -> count (bucket set capped)
         self.stats: dict[str, dict[int, dict[int, int]]] = {}
-        self.outliers: list[dict] = []
+        #: bounded like the result ring — oldest alerts roll off
+        self.outliers: deque = deque(maxlen=max_msg_memory)
 
     def add_results(self, filter_id: str, lines: list[str]) -> bool:
         with self.lock:
@@ -90,6 +96,10 @@ class SupervisorState:
         with self.lock:
             buf = list(self.results.get(filter_id, ()))
         lines = [line for rid, line in buf if rid > offset]
+        # drained buffer -> result_offset 0, EXACTLY like the reference
+        # (supervisor.go:492-508 returns resultsMaxOffset=0 when nothing
+        # is newer); a polling client must keep ITS OWN high-water mark,
+        # the reference CLI does (supervisorcon.go keeps the max it saw)
         max_off = max((rid for rid, _ in buf if rid > offset), default=0)
         return max_off, lines
 
@@ -97,6 +107,13 @@ class SupervisorState:
         with self.lock:
             m = self.stats.setdefault(filter_id, {}).setdefault(metric, {})
             m[bucket] = m.get(bucket, 0) + count
+            # bound the bucket set: evict the OLDEST buckets past the cap
+            # (matches the reference's 7d stats purge; without this a
+            # long-lived supervisor leaks one dict entry per new minute
+            # forever)
+            if len(m) > self.MAX_STATS_BUCKETS:
+                for b in sorted(m)[: len(m) - self.MAX_STATS_BUCKETS]:
+                    del m[b]
         return True
 
 
@@ -219,10 +236,14 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
         return True
 
     def _admin_auth(self, q) -> bool:
-        """supervisor.go:812-819 — no password configured = open."""
+        """supervisor.go:812-819 — no password configured = open.
+        Constant-time compare for the same reason _basic_auth uses it."""
         if not self.sup.admin_password:
             return True
-        return q.get("admin_password", [""])[0] == self.sup.admin_password
+        return hmac.compare_digest(
+            q.get("admin_password", [""])[0].encode(),
+            self.sup.admin_password.encode(),
+        )
 
     def _body(self) -> bytes:
         """Read (and maybe gunzip) the request body.
@@ -449,7 +470,10 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
         supervisor.go:276) — executes on Spark via engine.search."""
         from cloudpelican_lsd_spark.engine import df_to_tsv
 
-        sql = self._body().decode("utf-8").strip()
+        # errors="replace": a stray invalid byte must produce the error
+        # envelope (or a parse error), never an uncaught UnicodeDecodeError
+        # dropping the connection (same hardening as _put_results)
+        sql = self._body().decode("utf-8", errors="replace").strip()
         if not sql:
             return self._send("empty query", 400, "text/plain")
         try:
@@ -459,13 +483,17 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
         return self._send(body, 200, "text/tab-separated-values")
 
     def _post_slack(self):
-        body = self._body().decode("utf-8")
+        body = self._body().decode("utf-8", errors="replace")
         form = {k: v[0] for k, v in parse_qs(body).items()}
         # secure default: with no token CONFIGURED the endpoint is closed —
         # the reference reads slack_token via GetNotEmpty (config required);
         # an unset token must not mean "accept anything" on the one route
         # that bypasses basic auth
-        if not self.sup.slack_token or form.get("token") != self.sup.slack_token:
+        # constant-time compare: this is the one route that BYPASSES
+        # basic auth, gated solely by this token
+        if not self.sup.slack_token or not hmac.compare_digest(
+            form.get("token", "").encode(), self.sup.slack_token.encode()
+        ):
             return self._send("invalid token", 401, "text/plain")
         text = form.get("text", "")
         out = slack_command(self.sup.engine, text)  # 12 KB cap inside

@@ -261,6 +261,46 @@ def test_malformed_commands_raise_usage_errors(engine):
             engine.execute(bad)
 
 
+def test_unknown_filter_names_fail_loudly_everywhere(engine):
+    """No silent fallbacks and no bare KeyErrors: a typo'd filter name
+    raises ValueError('unknown filter: ...') on EVERY path — including
+    select-with-where (which previously scanned the full stream on the
+    where-regex, discarding the name), drop (which previously printed
+    ok), and tail/stats/describe (which previously leaked KeyError)."""
+    import pytest
+
+    for cmd in (
+        "select * from erors where 'disk' limit 3",  # typo + where-regex
+        "drop filter erors",
+        "tail erors",
+        "stats erors",
+        "describe filter erors",
+        "drop filter ERRORS",  # case-mismatch: names are lowercase-only
+    ):
+        with pytest.raises(ValueError, match="unknown filter"):
+            engine.execute(cmd)
+    # only the literal stream:default form auto-creates the temp filter
+    # (cloudpelican-lsd.go:508-511); other stream: forms get guidance
+    with pytest.raises(ValueError, match="stream:default"):
+        engine.execute("select * from stream:other where 'x' limit 1")
+
+
+def test_explain_failing_inner_command_leaves_one_history_entry(engine):
+    """`explain <failing query command>`: the recursive execute records
+    the inner command before dispatch; it must be popped on FAILURE too,
+    or `history -1` replays the failing inner command instead of the
+    user's keystroke."""
+    import pytest
+
+    before = list(engine.execute("history"))
+    with pytest.raises(ValueError):
+        engine.execute("explain stats nosuchfilter window")
+    after = list(engine.execute("history"))
+    # exactly ONE new entry: the explain command itself
+    assert after[: len(before)] == before
+    assert after[len(before):] == ["explain stats nosuchfilter window"]
+
+
 def test_catalog_rejects_reserved_and_duplicate_names():
     import pytest
 

@@ -98,6 +98,28 @@ def test_extract_event_time_tolerates_any_fraction_width(spark):
     assert got[4].ts is None
 
 
+def test_extract_event_time_invalid_calendar_is_null_not_crash(spark):
+    """The digit classes in ISO8601_RE admit month 13 / hour 99 / Feb 31;
+    under ANSI mode (Spark 4 default) an unguarded to_timestamp_ntz
+    aborts the WHOLE query on one such line.  Invalid-but-matched
+    timestamps must parse to NULL (the processing-time fallback) instead."""
+    from pyspark.sql import functions as F
+
+    from cloudpelican_lsd_spark.functions.parse import extract_event_time
+
+    df = spark.createDataFrame(
+        [
+            ("x 2024-13-45T99:99:99 y",),   # month 13, hour 99
+            ("2024-02-31T10:00:00 feb31",),  # calendar-invalid day
+            ("ok 2024-02-01T10:00:00Z",),
+        ],
+        ["_raw"],
+    )
+    got = df.select(extract_event_time(F.col("_raw")).alias("ts")).collect()
+    assert got[0].ts is None and got[1].ts is None
+    assert str(got[2].ts) == "2024-02-01 10:00:00"
+
+
 def test_sniff_log_type_reference_semantics(spark):
     from cloudpelican_lsd_spark.functions.parse import sniff_log_type
     from pyspark.sql import functions as F

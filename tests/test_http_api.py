@@ -146,7 +146,7 @@ def test_stats_merge_and_outliers_and_admin(server):
     code, text = call(f"{url}/admin/truncate/outliers", "DELETE")
     assert (code, text) == (401, "authorization failed")
     r = jcall(f"{url}/admin/truncate/outliers?admin_password=adm", "DELETE")
-    assert r["truncated"] == 1 and sup.state.outliers == []
+    assert r["truncated"] == 1 and list(sup.state.outliers) == []
     r = jcall(f"{url}/admin/truncate/stats?admin_password=adm", "DELETE")
     assert r["truncated"] >= 1
     assert jcall(f"{url}/filter/{fid}/stats")["stats"] == {}
@@ -187,6 +187,22 @@ def test_slack_endpoint(server):
         auth=None,
     )
     assert code == 200 and text.startswith("error:")
+
+
+def test_invalid_utf8_bodies_never_drop_the_connection(server):
+    """A stray invalid byte in /slack or /bigquery/query must produce a
+    normal HTTP answer (errors='replace'), never an uncaught
+    UnicodeDecodeError killing the handler thread mid-response."""
+    _, url = server
+    code, _ = call(
+        f"{url}/slack", "POST", body=b"\xff\xfetoken=x&text=ping", auth=None
+    )
+    assert code == 401  # replaced bytes -> wrong token -> clean 401
+    code, text = call(
+        f"{url}/bigquery/query", "POST", body=b"\xff\xfeSELECT 1"
+    )
+    assert code in (200, 400)  # parsed-with-replacement or clean error
+    assert text  # a real response body, not a reset connection
 
 
 def test_stats_put_skips_malformed_counts(server):
