@@ -9,137 +9,23 @@ from cloudpelican_lsd_spark.registry._core import ORACLES, QUERIES
 # Driver evaluation order
 #
 # The round driver hash-gates the FIRST 50 registry entries (insertion
-# order).  Rounds 1-3 put 120 of the queries on the hard signal (every
-# checked row green; the one r3 "err" was the rows-only HLL sketch, since
-# demoted to UNGATED so the gate can be 50/50).  Round 4 rotates in 50 of
-# the 57 queries that have never had a CORRECTNESS row:
-#   slots 1-50:  never-driver-checked queries, all fully oracle-gated.
-#                7 near-twins are deferred to round 5 (their siblings in
-#                the window carry the family signal this round):
-#                text_perceptron_calibration (perceptron_step in),
-#                dedup_substring_clean (substring_spans in),
-#                multimodal_phash_near_pairs (phash_groups in),
-#                corpus_c4_by_source (c4_audit green r3),
-#                dedup_cluster_sizes (cluster_keepers green r3),
-#                text_vocab_coverage (char_entropy in),
-#                stats_autocorrelation (series_correlation in).
-#   slots 51+:   the deferred 7 first (round-5 priority), then green
-#                family representatives, then everything green in r01-r03.
-# Every operator family keeps hard signal: the lockstep test checks family
-# coverage over (this window ∪ all prior CORRECTNESS_r0N rows).
+# order).  After round 5 every gated query has a lifetime green row
+# (184/184).  Round 6 is a FRESHNESS rotation (VERDICT r5 item 1): the
+# window is the 50 stalest hard signals -- every query whose only green
+# row predates round 3 (32 r01-only + 18 of the 39 r02-only, chosen for
+# family spread).  Their code paths were touched by the r5 registry
+# split, the ANSI parse-path fix, and the predicate de-fork, and the
+# gate has never re-checked them since.
+#   slots 1-32:  r01-only signals (stalest).
+#   slots 33-50: r02-only signals, family-diverse picks.
+#   slots 51+:   the remaining 21 r02-only (round-7 priority), then
+#                r03, r04, r05 greens in staleness order.
+# Every operator family keeps hard signal: the lockstep test checks
+# family coverage over (this window + all CORRECTNESS_r0N rows).
 # ===========================================================================
 
 DRIVER_ORDER = [
-    # -- never-driver-checked (slots 1-9, round-5 priority; all oracle-gated,
-    #    parity-verified locally and by the round-4 judge) ------------------
-    "text_perceptron_calibration",
-    "dedup_substring_clean",
-    "multimodal_phash_near_pairs",
-    "corpus_c4_by_source",
-    "dedup_cluster_sizes",
-    "text_vocab_coverage",
-    "stats_autocorrelation",
-    "corpus_perplexity_buckets",
-    "corpus_eval_decontaminate",
-    # -- new this round (slots 10-13): production cutpoint twin of the
-    #    NTILE perplexity split; star-CC twin of the cluster-size query;
-    #    the manifest->export->audit release dry-run capstone; the
-    #    per-language (faithful CCNet) cutpoint split --------------------
-    "corpus_perplexity_cutpoints",
-    "dedup_cluster_sizes_star",
-    "corpus_release_dryrun",
-    "corpus_perplexity_by_lang",
-    "corpus_split_cluster_safe",
-    # -- green family representatives (rotate back as the window frees) ----
-    "grep_pipeline",
-    "filter_fanout_counts",
-    "show_filters",
-    "select_where_limit",
-    "tail_last_n",
-    "parse_normalize",
-    "naive_bayes_confusion",
-    "outlier_random_walk",
-    "simhash_near_pairs",
-    "logs_pii_redact",
-    "multimodal_features",
-    "json_props_extract",
-    "dedup_semantic_prune",
-    "corpus_c4_audit",
-    # -- green in r01-r03 ---------------------------------------------------
-    "search_large_volume_customers",
-    "search_idle_rich_customers",
-    "emb_pq_recall",
-    "events_cube_day_type",
-    "events_grouping_sets",
-    "events_rollup_day_type",
-    "events_stratified_sample",
-    "events_transition_matrix",
-    "events_burst_windows",
-    "topk_per_group_salted",
-    "stats_moving_zscore",
-    "stats_rate_of_change",
-    "user_day_setops_all",
-    "corpus_split_assign",
-    "corpus_lang_drift",
-    "corpus_pack_sequences",
-    "corpus_source_mixture",
-    "corpus_token_budget_sample",
-    "corpus_shingle_contamination",
-    "corpus_clean_yield",
-    "emb_centroid_per_label",
-    "emb_ivf_recall",
-    "emb_kmeans_assign",
-    "emb_kmeans_step_shift",
-    "emb_quantize_audit",
-    "emb_rank_fusion",
-    "emb_dim_health",
-    "dedup_cluster_keepers",
-    "dedup_minhash_est_vs_true",
-    "dedup_pair_edit_distance",
-    "text_repetition_ratio",
-    "text_length_quartiles",
-    "text_length_histogram",
-    "text_len_correlation",
-    "text_unigram_logprob",
-    "outlier_zscore",
-    "corpus_clean_v2",
-    "stats_rollup_minutely",
-    "emb_pq_topk",
-    "dedup_cdc_overlap",
-    "search_order_priority",
-    "search_stalled_orders",
-    "search_promo_revenue",
-    "search_supplier_rank",
-    "search_small_qty_revenue",
-    "search_disjunctive_revenue",
-    "search_custdist",
-    "search_returned_revenue",
-    "events_asof_attribution",
-    "events_range_join",
-    "events_sessionize",
-    "events_funnel_daily",
-    "events_retention_cohorts",
-    "events_user_top3",
-    "events_rolling_wau",
-    "events_first_last_touch",
-    "events_value_percentiles",
-    "topk_per_group",
-    "distinct_users_per_type",
-    "user_day_setops",
-    "outlier_moving_avg",
-    "outlier_regression",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh_pairs",
-    "corpus_split_neardup_leakage",
-    "emb_cosine_topk",
-    "text_quality_score",
-    "text_tfidf_topk",
-    "text_bigram_topk",
-    "text_line_dedup",
-    "logs_template_mining",
-    "parse_sniff_types",
-    "multimodal_frame_sample",
-    "multimodal_resize",
+    # -- only green row is r01 (slots 1-32)
     "corpus_clean_pipeline",
     "search_pricing_summary",
     "stats_gapfill",
@@ -172,7 +58,62 @@ DRIVER_ORDER = [
     "multimodal_content_hash",
     "multimodal_resize_dims",
     "json_props_agg",
-    # -- green in r04 (previous window, rotates down) -----------------------
+    # -- only green row is r02, family-diverse picks (slots 33-50)
+    "stats_rollup_minutely",
+    "events_asof_attribution",
+    "events_range_join",
+    "events_sessionize",
+    "events_funnel_daily",
+    "events_retention_cohorts",
+    "search_order_priority",
+    "search_supplier_rank",
+    "search_custdist",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "dedup_cdc_overlap",
+    "emb_pq_topk",
+    "emb_cosine_topk",
+    "text_quality_score",
+    "text_tfidf_topk",
+    "outlier_zscore",
+    "corpus_clean_v2",
+    # -- remaining r02-only signals (round-7 window priority)
+    "search_stalled_orders",
+    "search_promo_revenue",
+    "search_small_qty_revenue",
+    "search_disjunctive_revenue",
+    "search_returned_revenue",
+    "events_user_top3",
+    "events_rolling_wau",
+    "events_first_last_touch",
+    "events_value_percentiles",
+    "topk_per_group",
+    "distinct_users_per_type",
+    "user_day_setops",
+    "outlier_moving_avg",
+    "outlier_regression",
+    "corpus_split_neardup_leakage",
+    "text_bigram_topk",
+    "text_line_dedup",
+    "logs_template_mining",
+    "parse_sniff_types",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # -- latest green r03
+    "emb_kmeans_assign",
+    "emb_kmeans_step_shift",
+    "emb_quantize_audit",
+    "emb_rank_fusion",
+    "emb_dim_health",
+    "dedup_cluster_keepers",
+    "dedup_minhash_est_vs_true",
+    "dedup_pair_edit_distance",
+    "text_repetition_ratio",
+    "text_length_quartiles",
+    "text_length_histogram",
+    "text_len_correlation",
+    "text_unigram_logprob",
+    # -- latest green r04
     "dedup_cross_source_matrix",
     "corpus_source_divergence",
     "dedup_incremental_vs_index",
@@ -223,6 +164,57 @@ DRIVER_ORDER = [
     "outlier_time_bucket",
     "outlier_iqr",
     "corpus_clean_v3",
+    # -- latest green r05
+    "text_perceptron_calibration",
+    "dedup_substring_clean",
+    "multimodal_phash_near_pairs",
+    "corpus_c4_by_source",
+    "dedup_cluster_sizes",
+    "text_vocab_coverage",
+    "stats_autocorrelation",
+    "corpus_perplexity_buckets",
+    "corpus_eval_decontaminate",
+    "corpus_perplexity_cutpoints",
+    "dedup_cluster_sizes_star",
+    "corpus_release_dryrun",
+    "corpus_perplexity_by_lang",
+    "corpus_split_cluster_safe",
+    "grep_pipeline",
+    "filter_fanout_counts",
+    "show_filters",
+    "select_where_limit",
+    "tail_last_n",
+    "parse_normalize",
+    "naive_bayes_confusion",
+    "outlier_random_walk",
+    "simhash_near_pairs",
+    "logs_pii_redact",
+    "multimodal_features",
+    "json_props_extract",
+    "dedup_semantic_prune",
+    "corpus_c4_audit",
+    "search_large_volume_customers",
+    "search_idle_rich_customers",
+    "emb_pq_recall",
+    "events_cube_day_type",
+    "events_grouping_sets",
+    "events_rollup_day_type",
+    "events_stratified_sample",
+    "events_transition_matrix",
+    "events_burst_windows",
+    "topk_per_group_salted",
+    "stats_moving_zscore",
+    "stats_rate_of_change",
+    "user_day_setops_all",
+    "corpus_split_assign",
+    "corpus_lang_drift",
+    "corpus_pack_sequences",
+    "corpus_source_mixture",
+    "corpus_token_budget_sample",
+    "corpus_shingle_contamination",
+    "corpus_clean_yield",
+    "emb_centroid_per_label",
+    "emb_ivf_recall",
 ]
 
 
