@@ -322,6 +322,10 @@ class StreamingEngine:
     )
 
     def results(self, filter_id: str | None = None) -> DataFrame:
+        # Heal a mid-swap crash (live moved to .old, tmp not yet moved in)
+        # on first read — otherwise reads silently return empty data until
+        # the next maintenance sweep runs.
+        self._recover_swap(self.results_path)
         try:
             df = self.spark.read.parquet(self.results_path)
         except AnalysisException:
@@ -342,6 +346,7 @@ class StreamingEngine:
 
     def stats(self, filter_id: str | None = None) -> DataFrame:
         """Merged stats view: sum the appended partials (merge-on-read)."""
+        self._recover_swap(self.stats_path)  # heal a mid-swap crash on read
         try:
             df = self.spark.read.parquet(self.stats_path)
         except AnalysisException:
@@ -1014,12 +1019,20 @@ class NearDupSuppressor:
             else:
                 dup_ids = in_batch_dup
             novel = docs.join(dup_ids.distinct(), "doc_id", "left_anti")
+            novel_out = novel.withColumn("epoch", F.lit(epoch).cast("int"))
             (
-                novel.withColumn("epoch", F.lit(epoch))
+                novel_out
                 .write.partitionBy("epoch")
                 .mode("append")
                 .parquet(self.out_path)
             )
+            # persist the full output schema once so kept() can return a
+            # correctly-typed empty frame before the first batch is
+            # readable again (underscore-prefixed → invisible to readers)
+            schema_file = os.path.join(self.out_path, "_kept_schema.json")
+            if not os.path.exists(schema_file):
+                with open(schema_file, "w") as fh:
+                    fh.write(novel_out.schema.json())
             (
                 sigs.join(novel.select("doc_id"), "doc_id", "left_semi")
                 .select("band", "sig", "doc_id")
@@ -1044,16 +1057,25 @@ class NearDupSuppressor:
     def kept(self) -> DataFrame:
         """All documents that passed suppression so far.  Before the
         first committed batch (or after a full expiry) the out table has
-        no parquet — return a typed empty frame carrying the id/epoch
-        contract columns (the doc payload schema is only known once a
-        batch has flowed), matching the guarded readers on
-        StreamingEngine."""
+        no parquet — return a typed empty frame with the FULL output
+        schema persisted at first write (so callers selecting payload
+        columns don't hit an AnalysisException on the empty table); if no
+        batch has ever flowed, fall back to the id/epoch contract
+        columns, matching the guarded readers on StreamingEngine."""
         try:
             return self.spark.read.parquet(self.out_path)
         except AnalysisException:
-            return self.spark.createDataFrame(
-                [], f"{self.id_col} LONG, epoch INT"
-            )
+            schema_file = os.path.join(self.out_path, "_kept_schema.json")
+            if os.path.exists(schema_file):
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                with open(schema_file) as fh:
+                    schema = StructType.fromJson(_json.load(fh))
+                return self.spark.createDataFrame([], schema)
+            # output columns are always aliased to doc_id in process_batch
+            return self.spark.createDataFrame([], "doc_id LONG, epoch INT")
 
     def expire(self, before_epoch: int) -> None:
         """Retention: drop store epochs older than the dedup horizon."""

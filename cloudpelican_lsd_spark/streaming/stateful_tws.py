@@ -106,6 +106,11 @@ class OnlineClassifierProcessor(StatefulProcessor):
         )
         self._feat = handle.getMapState("feat", "k STRING", "cnt BIGINT", None)
         self._tok = handle.getMapState("tok", "t STRING", "cnt BIGINT", None)
+        # state-layout version marker: absent on checkpoints written under
+        # the old per-VALUE-TTL scheme (where expired ring slots are
+        # legitimate), present (=2) once the whole-model-timer scheme has
+        # touched the key — gates the missing-slot corruption check below
+        self._ver = handle.getValueState("ver", "v INT", None)
 
     @staticmethod
     def _load(
@@ -130,9 +135,22 @@ class OnlineClassifierProcessor(StatefulProcessor):
             for t in self._handle.listTimers():
                 self._handle.deleteTimer(t)
             self._handle.registerTimer(now + self._ttl)
+        has_meta = self._meta.exists()
         head, tail, n_err, n_reg, vocab = (
-            tuple(self._meta.get()) if self._meta.exists() else (0, 0, 0, 0, 0)
+            tuple(self._meta.get()) if has_meta else (0, 0, 0, 0, 0)
         )
+        # Version marker: keys first touched by the whole-model-timer
+        # scheme get v2 (strict: a missing ring slot is corruption); keys
+        # resumed from a pre-marker checkpoint get v1 PERMANENTLY — their
+        # ring may hold slots that legitimately expired under the old
+        # per-value TTL, and those can surface many batches later, so the
+        # tolerance must survive restarts (idle eviction clears the whole
+        # key, after which it is re-created strict at v2).
+        if self._ver.exists():
+            legacy_state = tuple(self._ver.get())[0] < 2
+        else:
+            legacy_state = has_meta
+            self._ver.update((1,) if has_meta else (2,))
         feat_d: dict = {}
         feat_p: dict = {}
         tok_d: dict = {}
@@ -157,14 +175,30 @@ class OnlineClassifierProcessor(StatefulProcessor):
                     self._mem.removeKey((head,))
                     head += 1
                     if old is None:
-                        # unreachable since idle eviction moved from
-                        # per-value TTL to a whole-model timer (init);
-                        # a missing ring slot now means corrupted state —
-                        # fail loudly rather than drift the counters
-                        raise RuntimeError(
-                            f"forget ring slot {head - 1} missing for "
-                            f"key {key!r}: state corruption"
+                        if not legacy_state:
+                            # unreachable since idle eviction moved from
+                            # per-value TTL to a whole-model timer (init);
+                            # a missing ring slot in versioned state means
+                            # corruption — fail loudly, don't drift
+                            raise RuntimeError(
+                                f"forget ring slot {head - 1} missing for "
+                                f"key {key!r}: state corruption"
+                            )
+                        # checkpoint resumed from the pre-timer per-VALUE
+                        # TTL scheme: expired slots are legitimate there
+                        # and their counts cannot be reconstructed — skip
+                        # the decrement (with a warning) instead of
+                        # turning the upgrade into a batch-retry loop
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "legacy (pre-v2) state for key %r: ring slot "
+                            "%d expired under the old per-value TTL; "
+                            "skipping its decrement",
+                            key,
+                            head - 1,
                         )
+                        continue
                     old_label, old_toks = old
                     if str(old_label) == CAT_ERROR:
                         n_err -= 1
@@ -218,6 +252,7 @@ class OnlineClassifierProcessor(StatefulProcessor):
         self._mem.clear()
         self._feat.clear()
         self._tok.clear()
+        self._ver.clear()
         yield pd.DataFrame(
             [
                 {

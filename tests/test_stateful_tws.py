@@ -53,13 +53,14 @@ class FakeMapState:
         return tuple(k) in self._m
 
     def getValue(self, k):
-        return self._m[tuple(k)]
+        # real MapState.getValue returns Optional: None when absent
+        return self._m.get(tuple(k))
 
     def updateValue(self, k, v):
         self._m[tuple(k)] = tuple(v)
 
     def removeKey(self, k):
-        del self._m[tuple(k)]
+        self._m.pop(tuple(k), None)  # real removeKey tolerates absence
 
 
 class FakeHandle:
@@ -403,3 +404,57 @@ def test_tws_idle_eviction_timer_clears_whole_model():
     # the model restarts cleanly after eviction
     out = list(proc.handleInputRows(("f-1",), iter(b), FakeTimerValues(9_000)))
     assert pd.concat(out).iloc[-1]["samples_in_memory"] == 1
+
+def test_tws_legacy_checkpoint_missing_ring_slot_tolerated():
+    """A checkpoint written under the old per-VALUE-TTL scheme has no
+    version marker and may hold legitimately-expired ring slots; resuming
+    it must skip the un-reconstructable decrement (warn) instead of
+    raising — and the tolerance must survive a SECOND restart (the marker
+    pins the key at v1), since expired slots can surface batches later."""
+    proc = OnlineClassifierProcessor(capacity=3)
+    handle = FakeHandle()
+    proc.init(handle)
+    batches = [
+        [pd.DataFrame({"_raw": [f"w{i}"], "label": ["regular"]})]
+        for i in range(3)
+    ]
+    _run(proc, batches)
+    # simulate the pre-marker checkpoint: no version row, slot 0 expired
+    handle.states["ver"]._v = None
+    del handle.states["mem"]._m[(0,)]
+
+    proc2 = OnlineClassifierProcessor(capacity=3)
+    proc2.init(handle)
+    out = _run(proc2, [[pd.DataFrame({"_raw": ["w3"], "label": ["regular"]})]])
+    # no raise; ring advances past the expired slot; its counts stay
+    # (documented drift for legacy slots only)
+    assert out[-1]["samples_in_memory"] == 3
+    assert handle.states["ver"]._v == (1,)  # pinned legacy, survives restarts
+
+    # second restart, another pre-upgrade slot surfaces later: still tolerated
+    del handle.states["mem"]._m[(1,)]
+    proc3 = OnlineClassifierProcessor(capacity=3)
+    proc3.init(handle)
+    out = _run(proc3, [[pd.DataFrame({"_raw": ["w4"], "label": ["regular"]})]])
+    assert out[-1]["samples_in_memory"] == 3
+
+
+def test_tws_v2_state_missing_ring_slot_raises():
+    """Keys first touched under the whole-model-timer scheme are v2: a
+    missing ring slot there is real corruption and must fail loudly."""
+    import pytest
+
+    proc = OnlineClassifierProcessor(capacity=3)
+    handle = FakeHandle()
+    proc.init(handle)
+    _run(
+        proc,
+        [
+            [pd.DataFrame({"_raw": [f"w{i}"], "label": ["regular"]})]
+            for i in range(3)
+        ],
+    )
+    assert handle.states["ver"]._v == (2,)
+    del handle.states["mem"]._m[(0,)]
+    with pytest.raises(RuntimeError, match="state corruption"):
+        _run(proc, [[pd.DataFrame({"_raw": ["w3"], "label": ["regular"]})]])

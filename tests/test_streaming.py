@@ -989,3 +989,54 @@ def test_suppressor_kept_before_first_batch(spark, tmp_path):
     )
     df = sup.kept()
     assert df.count() == 0 and "doc_id" in df.columns
+
+def test_read_paths_heal_interrupted_swap(spark, tmp_path):
+    """results()/stats() must heal a mid-swap crash on FIRST READ — not
+    wait for the next maintenance sweep — or reads silently return empty
+    data while the whole table sits at .old (round-5 advice item)."""
+    import os
+
+    cat = FilterCatalog()
+    cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, str(tmp_path / "engine_readheal"))
+    raw = spark.createDataFrame(
+        [("2024-02-01T10:00:00.000+00:00 h app: error n=1",)], "_raw STRING"
+    )
+    eng.process_batch(sp.parse_stream(raw), epoch_id=0)
+    assert eng.results().count() == 1
+    assert eng.stats().count() > 0
+
+    # simulate a sweep that died between its two renames on BOTH tables
+    os.rename(eng.results_path, eng.results_path + ".old")
+    os.rename(eng.stats_path, eng.stats_path + ".old")
+    assert eng.results().count() == 1, "results() did not heal the swap"
+    assert eng.stats().count() > 0, "stats() did not heal the swap"
+    assert not os.path.isdir(eng.results_path + ".old")
+    assert not os.path.isdir(eng.stats_path + ".old")
+
+
+def test_suppressor_kept_full_schema_after_first_batch(spark, tmp_path):
+    """kept() on an empty-again table (all epochs expired) must expose the
+    FULL output schema persisted at first write, so callers selecting
+    payload columns don't hit AnalysisException (round-5 advice item)."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    sup = sp.NearDupSuppressor(
+        spark, store_path=str(tmp_path / "store"), out_path=out
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "wholly different text here")],
+        "doc_id LONG, text STRING",
+    )
+    sup.process_batch(docs, epoch_id=0)
+    assert sup.kept().count() == 2
+
+    # expire every epoch: only the schema sidecar remains
+    for name in os.listdir(out):
+        if name.startswith("epoch="):
+            shutil.rmtree(os.path.join(out, name))
+    df = sup.kept()
+    assert df.count() == 0
+    assert set(df.columns) >= {"doc_id", "text", "epoch"}
+    df.select("text").collect()  # payload column selectable on empty table
