@@ -362,6 +362,272 @@ GROUP BY bf.qid"""
 
 
 # ---------------------------------------------------------------------------
+# Persisted IVF index + incremental query path
+# ---------------------------------------------------------------------------
+
+
+def _score_against_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Cross every vector with the broadcast centroid set and score the
+    rounded cosine (`ccos`) — the one expression shared by index build
+    and query probing, so the two can never disagree on an assignment."""
+    return vecs.join(F.broadcast(cents)).withColumn(
+        "ccos",
+        F.round(
+            F.expr(_DOT.format(a="emb", b="cemb"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ),
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame, n_centroids: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """`(centroids, assignments)` — the embedding analogue of the dedup
+    band-signature index (dedup.incremental_near_dup_pairs): built ONCE
+    over the corpus, persisted, and equi-joined by every later query
+    batch instead of re-scanning raw embeddings.
+
+    - centroids `(cent_id, cemb, cnrm)`: ``n_centroids`` rows, broadcast
+      at query time.  Deterministic (the first ``n_centroids`` vectors)
+      so the DuckDB oracle replays the exact same index; production
+      swaps in trained k-means centroids with an identical plan shape.
+    - assignments `(cent_id, vec_id, emb, nrm)`: one row per corpus
+      vector with its nearest-centroid list id, embedding, and
+      precomputed norm.  Persist with :func:`write_ivf_index` (bucketed
+      on `cent_id`) and the daily query join reads the index co-located
+      with ZERO index-side shuffle.
+
+    At 100 TB: re-running ivf_topk over corpus+batch re-normalizes and
+    re-assigns the entire history every day; this index is written once
+    (the norms and assignments are the expensive full scans) and each
+    1000×-smaller query batch probes it incrementally.
+    """
+    base = _with_norm(emb)
+    cents = base.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = _score_against_centroids(
+        base.select("vec_id", "emb", "nrm"), cents
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("cent_id", "vec_id", "emb", "nrm")
+    )
+    return cents, assign
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    table: str,
+    path: str,
+    n_centroids: int = 8,
+    num_buckets: int = 8,
+) -> None:
+    """Persist the IVF index: centroids as plain parquet under
+    ``<path>/centroids`` (tiny, broadcast on read) and assignments
+    hash-bucketed on `cent_id` as catalog table ``table`` under
+    ``<path>/assign`` — the bucketing is what makes every later
+    :func:`ivf_index_topk` join read the index with no Exchange on the
+    index side (same layout contract as the dedup band index,
+    sources/bucketed.py)."""
+    from cloudpelican_lsd_spark.sources.bucketed import write_bucketed
+
+    cents, assign = build_ivf_index(emb, n_centroids)
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    write_bucketed(
+        assign, table, ["cent_id"], num_buckets, path=path + "/assign",
+        sort=True,
+    )
+
+
+def read_ivf_index(
+    spark, table: str, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read back a persisted IVF index: `(centroids, assignments)`.
+    Assignments come through the catalog (``spark.table``) so the
+    bucketed output partitioning survives — a plain ``read.parquet``
+    would see the same rows but lose the zero-shuffle join contract."""
+    return spark.read.parquet(path + "/centroids"), spark.table(table)
+
+
+def assert_ivf_index_compatible(
+    cents: DataFrame,
+    assign: DataFrame,
+    n_centroids: int = 8,
+    dim: int = 64,
+) -> None:
+    """Fail fast when a persisted IVF index doesn't match what the query
+    side is about to assume — a dimension mismatch makes every dot
+    product raise (or worse, silently score garbage if dims coincide),
+    and a centroid-count mismatch probes the wrong lists so recall
+    silently collapses.  Mirrors dedup.assert_band_index_compatible:
+    one bounded collect on the (tiny) centroid side + one limit(1)
+    sample of the assignment side; run once at job startup."""
+    crows = cents.select("cent_id", F.size("cemb").alias("d")).collect()
+    if len(crows) != n_centroids:
+        raise ValueError(
+            f"IVF index incompatible: {len(crows)} centroids persisted, "
+            f"caller expects n_centroids={n_centroids}"
+        )
+    bad = [r for r in crows if r.d != dim]
+    if bad:
+        raise ValueError(
+            f"IVF index incompatible: centroid {bad[0].cent_id} has "
+            f"dim {bad[0].d}, caller expects dim={dim}"
+        )
+    sample = assign.select(
+        "cent_id", F.size("emb").alias("d")
+    ).limit(1).collect()
+    if not sample:
+        return  # empty index: vacuously compatible
+    if sample[0].d != dim:
+        raise ValueError(
+            f"IVF index incompatible: assignment vectors have dim "
+            f"{sample[0].d}, caller expects dim={dim}"
+        )
+    if not (0 <= sample[0].cent_id < n_centroids):
+        raise ValueError(
+            f"IVF index incompatible: assignment cent_id "
+            f"{sample[0].cent_id} outside [0, {n_centroids})"
+        )
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    cents: DataFrame,
+    assign: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """`(qid, cid, cos)` — top-k neighbors of a NEW query batch against
+    the **persisted IVF index**, the incremental production retrieval
+    shape.  ``queries`` is `(qid, embedding)` — vectors not in the index
+    (a fresh ingestion batch, user queries); only they are normalized
+    and scored here, the corpus contributes its index rows untouched.
+
+    Plan: queries × broadcast centroids → top-``nprobe`` probe list per
+    query (a window over the small batch), then the probe list
+    equi-joins the assignment table on `cent_id`.  The join strategy is
+    deliberately left to Catalyst/AQE: a typical (small) query batch
+    broadcasts at runtime — zero index-side movement; a huge backfill
+    batch degrades to a sort-merge join, where the index persisted via
+    :func:`write_ivf_index` (bucketed + bucket-sorted on `cent_id`)
+    contributes NO Exchange and NO Sort — only the batch side shuffles
+    (plan-pinned in tests).  Each query touches ~nprobe/n_centroids of
+    the corpus.  Guard a param/layout mismatch with
+    :func:`assert_ivf_index_compatible`."""
+    qn = queries.select(
+        "qid",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.expr(
+            "sqrt(" + _DOT.format(a="cast(embedding as array<double>)",
+                                  b="cast(embedding as array<double>)") + ")"
+        ).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    scored = _score_against_centroids(qn, cents)
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        scored.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            "qid", "cent_id",
+            F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm"),
+        )
+    )
+    cands = assign.join(probes, "cent_id")
+    pairs = cands.withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="qemb", b="emb"))
+            / (F.col("qnrm") * F.col("nrm")),
+            6,
+        ),
+    ).select("qid", F.col("vec_id").alias("cid"), "cos")
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("cid").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= k)
+        .select("qid", "cid", "cos")
+    )
+
+
+def ivf_index_topk_oracle(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    num_queries: int = 10,
+    k: int = 10,
+    id_offset: int = 100_000,
+) -> str:
+    """Oracle for the incremental index query with the batch = the first
+    ``num_queries`` corpus vectors re-ingested under ids shifted by
+    ``id_offset`` (each must at minimum retrieve its byte-identical
+    origin at cos 1.0 — the same planted lower bound the dedup
+    incremental query uses)."""
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb, sqrt({dot.format(a='emb', b='emb')}) AS nrm FROM e
+  WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
+),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM n
+  WHERE vec_id < {n_centroids}
+),
+assign AS (
+  SELECT cent_id, vec_id, emb, nrm FROM (
+    SELECT n.vec_id, n.emb, n.nrm, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY ROUND({dot.format(a='n.emb', b='c.cemb')}
+                            / (n.nrm * c.cnrm), 6) DESC,
+                      c.cent_id ASC) AS rn
+    FROM n, cents c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id + {id_offset} AS qid, emb AS qemb, nrm AS qnrm FROM n
+  WHERE vec_id < {num_queries}
+),
+probes AS (
+  SELECT qid, cent_id, qemb, qnrm FROM (
+    SELECT q.qid, q.qemb, q.qnrm, c.cent_id,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND({dot.format(a='q.qemb', b='c.cemb')}
+                            / (q.qnrm * c.cnrm), 6) DESC,
+                      c.cent_id ASC) AS rn
+    FROM q, cents c
+  ) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT p.qid, a.vec_id AS cid,
+         ROUND({dot.format(a='p.qemb', b='a.emb')} / (p.qnrm * a.nrm), 6) AS cos
+  FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+)
+SELECT qid, cid, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cos DESC, cid ASC) AS rn
+  FROM pairs
+) WHERE rn <= {k}"""
+
+
+# ---------------------------------------------------------------------------
 # k-means assignment step (cluster prototypes → nearest-centroid)
 # ---------------------------------------------------------------------------
 

@@ -16,16 +16,22 @@ from cloudpelican_lsd_spark.registry._core import ORACLES, QUERIES
 # family spread).  Their code paths were touched by the r5 registry
 # split, the ANSI parse-path fix, and the predicate de-fork, and the
 # gate has never re-checked them since.
-#   slots 1-32:  r01-only signals (stalest).
-#   slots 33-50: r02-only signals, family-diverse picks.
-#   slots 51+:   the remaining 21 r02-only (round-7 priority), then
+#   slot  1:     emb_ivf_index_incremental (new, no signal yet).
+#   slots 2-33:  r01-only signals (stalest).
+#   slots 34-50: r02-only signals, family-diverse picks (the 18th pick,
+#                corpus_clean_v2, slides to slot 51).
+#   slots 51+:   corpus_clean_v2 + the remaining 21 r02-only (round-7
+#                priority), then
 #                r03, r04, r05 greens in staleness order.
 # Every operator family keeps hard signal: the lockstep test checks
 # family coverage over (this window + all CORRECTNESS_r0N rows).
 # ===========================================================================
 
 DRIVER_ORDER = [
-    # -- only green row is r01 (slots 1-32)
+    # -- new this round (slot 1): persisted-IVF-index incremental query —
+    #    no lifetime driver row yet, so it leads the freshness window
+    "emb_ivf_index_incremental",
+    # -- only green row is r01 (slots 2-33)
     "corpus_clean_pipeline",
     "search_pricing_summary",
     "stats_gapfill",
@@ -58,7 +64,7 @@ DRIVER_ORDER = [
     "multimodal_content_hash",
     "multimodal_resize_dims",
     "json_props_agg",
-    # -- only green row is r02, family-diverse picks (slots 33-50)
+    # -- only green row is r02, family-diverse picks (slots 34-50 + 51)
     "stats_rollup_minutely",
     "events_asof_attribution",
     "events_range_join",

@@ -94,6 +94,30 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "emb_ivf_index_incremental",
+    sim_ops.ivf_index_topk_oracle(8, 2, 10, 10),
+)
+def q_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental retrieval against the PERSISTED IVF index
+    (similarity.build_ivf_index / ivf_index_topk) — the embedding
+    analogue of dedup_incremental_vs_index: the corpus is indexed once
+    (centroids + per-vector assignment + norms), and a new query batch
+    (the first 10 vectors re-ingested under shifted ids) probes only
+    its nprobe=2 nearest centroid lists.  Each re-ingested query must
+    at minimum retrieve its byte-identical origin at cos 1.0 — the
+    planted lower bound.  The bucketed-persistence layout (zero
+    index-side shuffle) is plan-pinned in tests; here the index is
+    built inline so the oracle replays it exactly."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents, assign = sim_ops.build_ivf_index(emb, n_centroids=8)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    return sim_ops.ivf_index_topk(queries, cents, assign, nprobe=2, k=10)
+
+
+
 @register("emb_pq_topk", sim_ops.pq_topk_oracle(8, 16, 10, 10, 64))
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (similarity.pq_topk): m=8 subspace

@@ -1329,3 +1329,96 @@ def test_ngram_novelty_first_claim(spark):
     # doc 3: shingles {a b c, b c x, c x y, x y z}; only 'a b c' is old
     assert got[3].n_shingles == 4 and got[3].n_novel == 3
     assert got[3].novelty_ppm == 750000
+
+def test_ivf_index_incremental_retrieves_planted_origins(spark, sf_dir):
+    """Every re-ingested query vector must retrieve its byte-identical
+    origin from the persisted index at cos 1.0 — the planted lower
+    bound (same contract as the dedup incremental index)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents, assign = sim_ops.build_ivf_index(emb, n_centroids=8)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    top = sim_ops.ivf_index_topk(queries, cents, assign, nprobe=2, k=10)
+    rows = top.collect()
+    assert len(rows) == 100  # 10 queries x k=10
+    got = {(r.qid, r.cid) for r in rows if r.cos == 1.0}
+    for q in range(10):
+        assert (q + 100000, q) in got, f"query {q} missed its origin"
+
+
+def test_ivf_index_bucketed_layout_skips_index_shuffle(spark, sf_dir, tmp_path):
+    """The IVF assignment table persisted BUCKETED on cent_id answers the
+    incremental query with strictly fewer Exchanges than a plain parquet
+    index — the corpus side is read co-located, only the (tiny) probe
+    side moves (the write_ivf_index layout contract, plan-pinned like
+    the dedup band index)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    cents, assign = sim_ops.build_ivf_index(emb, n_centroids=8)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge regime (a huge backfill batch) — with a
+        # broadcastable batch the index side never moves in either layout
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # plain parquet index
+        assign.write.parquet(str(tmp_path / "assign_plain"))
+        cents_p = cents
+        plain = sim_ops.ivf_index_topk(
+            queries, cents_p, spark.read.parquet(str(tmp_path / "assign_plain")),
+            nprobe=2, k=10,
+        )
+        rows_p = plain.collect()
+        n_plain = (
+            plain._jdf.queryExecution().executedPlan().toString()
+        ).count("Exchange")
+
+        # persisted bucketed index through the write/read helpers
+        sim_ops.write_ivf_index(
+            emb, "t_ivf_assign_b", str(tmp_path / "ivf_idx"),
+            n_centroids=8, num_buckets=4,
+        )
+        cents_b, assign_b = sim_ops.read_ivf_index(
+            spark, "t_ivf_assign_b", str(tmp_path / "ivf_idx")
+        )
+        sim_ops.assert_ivf_index_compatible(cents_b, assign_b, 8, 64)
+        bucketed = sim_ops.ivf_index_topk(
+            queries, cents_b, assign_b, nprobe=2, k=10
+        )
+        rows_b = bucketed.collect()
+        n_bucketed = (
+            bucketed._jdf.queryExecution().executedPlan().toString()
+        ).count("Exchange")
+
+        assert n_bucketed < n_plain, (n_bucketed, n_plain)
+        assert {(r.qid, r.cid, r.cos) for r in rows_b} == {
+            (r.qid, r.cid, r.cos) for r in rows_p
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_ivf_assign_b")
+
+
+def test_ivf_index_compat_checker(spark, sf_dir):
+    """assert_ivf_index_compatible fails fast on centroid-count and
+    dimension mismatches, and passes a matching index."""
+    import pytest as _pytest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents, assign = sim_ops.build_ivf_index(emb, n_centroids=8)
+    sim_ops.assert_ivf_index_compatible(cents, assign, 8, 64)  # no raise
+    with _pytest.raises(ValueError, match="centroids persisted"):
+        sim_ops.assert_ivf_index_compatible(cents, assign, 16, 64)
+    with _pytest.raises(ValueError, match="dim"):
+        sim_ops.assert_ivf_index_compatible(cents, assign, 8, 32)
+    # truncated assignment vectors (index built for a different model)
+    assign32 = assign.withColumn("emb", F.slice("emb", 1, 32))
+    with _pytest.raises(ValueError, match="assignment vectors"):
+        cents32ok = cents  # centroids pass at 64; assignment side trips
+        sim_ops.assert_ivf_index_compatible(cents32ok, assign32, 8, 64)
+    # empty index: vacuously compatible
+    sim_ops.assert_ivf_index_compatible(
+        cents, assign.where(F.lit(False)), 8, 64
+    )
