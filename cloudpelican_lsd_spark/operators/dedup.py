@@ -62,6 +62,28 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def _spread_explode_input(df: DataFrame) -> DataFrame:
+    """Unconditional round-robin repartition ahead of a row-AMPLIFYING
+    explode whose input is a post-shuffle stage.
+
+    AQE coalesces post-shuffle partitions by input BYTES, which
+    undercounts an exploding stage's work by the amplification factor:
+    on the 10x-scaled corpus (tools/scale_testdata.py) the compact
+    fingerprint-pair rows coalesced to 2 partitions and the doc-pair
+    expansion then materialized 82M rows in those 2 tasks (measured; 32
+    even tasks after this repartition).  ``_spread`` cannot help here —
+    its static-partition-count probe reads the pre-AQE count, which is
+    already >= defaultParallelism for any post-shuffle input.  An
+    EXPLICIT-count round-robin exchange is exempt from AQE coalescing,
+    and the rows being shuffled are the compact pre-explosion ones, so
+    the cost is small and scale-independent of the output size.  The
+    residual bound is one input row's own explosion (|ia| x |ib| for one
+    fingerprint pair), which no row-level repartition can split."""
+    return df.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -788,20 +810,60 @@ def simhash_near_pairs(
     """Candidate near-dup pairs: same high-16-bit prefix block AND
     hamming(simhash) <= max_hamming.  Prefix bucketing keeps the join an
     equi-join (no cross product); at scale use 4 rotated prefix blocks to
-    guarantee recall for hamming <= 3 per the pigeonhole principle."""
-    # per-bucket pair generation (see _group_pairs): the simhash pipeline
-    # is computed once and shuffled once; the struct carries the
-    # fingerprint so hamming needs no lookup join
-    sh = simhash(docs).withColumn("prefix", F.expr("simhash >> 16"))
-    return (
-        _group_pairs(sh, ["prefix"], ["doc_id", "simhash"], max_group=max_group)
+    guarantee recall for hamming <= 3 per the pigeonhole principle.
+
+    Pairs are generated over DISTINCT fingerprints and expanded to doc
+    pairs only at the end — the same scale move
+    :func:`simhash_near_pairs_complete` documents.  Bucketing doc rows
+    directly makes the skewed prefix bucket a single-task pair bomb:
+    on a 10x-scaled corpus (tools/scale_testdata.py) the top prefix
+    bucket held 8,554 DOC rows (~37M pairs materialized in ONE task,
+    measured) but only 752 distinct fingerprints (~280k fp pairs) —
+    collision multiplicity belongs in the final explode, where it is
+    the actual output, not in the per-bucket quadratic.  ``max_group``
+    therefore caps DISTINCT FINGERPRINTS per prefix bucket, not docs.
+    """
+    grp = simhash(docs).groupBy("simhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    # hamming-0: ordered doc pairs within one fingerprint group (two docs
+    # sharing a fingerprint trivially share its prefix)
+    within = (
+        _spread_explode_input(grp.where(F.size("ids") >= 2))
+        .select("ids", F.posexplode("ids").alias("i", "a"))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            F.col("a").alias("doc_a"),
+            F.explode(
+                F.expr("slice(ids, i + 2, size(ids) - i - 1)")
+            ).alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    buckets = grp.withColumn("prefix", F.expr("simhash >> 16"))
+    # each fingerprint occupies exactly one prefix bucket, so fp pairs
+    # are unique by construction (no doc-level distinct needed)
+    fp_pairs = (
+        _group_pairs(
+            buckets, ["prefix"], ["simhash", "ids"], max_group=max_group
+        )
+        .select(
+            F.col("x.ids").alias("ia"),
+            F.col("y.ids").alias("ib"),
             F.expr("bit_count(x.simhash ^ y.simhash)").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )
+    cross = (
+        _spread_explode_input(fp_pairs)
+        .select(F.explode("ia").alias("a"), "ib", "hamming")
+        .select("a", F.explode("ib").alias("b"), "hamming")
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+    return within.unionByName(cross)
 
 
 def simhash_near_pairs_complete(
@@ -844,7 +906,7 @@ def simhash_near_pairs_complete(
     # hamming-0 pairs: ordered doc pairs within one fingerprint group
     # (chained-generate, same shape as _group_pairs' pair explosion)
     within = (
-        grp.where(F.size("ids") >= 2)
+        _spread_explode_input(grp.where(F.size("ids") >= 2))
         .select("ids", F.posexplode("ids").alias("i", "a"))
         .select(
             F.col("a").alias("doc_a"),
@@ -881,7 +943,8 @@ def simhash_near_pairs_complete(
         .dropDuplicates(["sa", "sb"])
     )
     cross = (
-        fp_pairs.select(F.explode("ia").alias("a"), "ib", "hamming")
+        _spread_explode_input(fp_pairs)
+        .select(F.explode("ia").alias("a"), "ib", "hamming")
         .select("a", F.explode("ib").alias("b"), "hamming")
         .select(
             F.least("a", "b").alias("doc_a"),
