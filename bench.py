@@ -124,6 +124,20 @@ HEADLINE = [
 ALL_QUERIES = {**registry.QUERIES, **registry.UNGATED}
 
 
+def headline_names(all_queries) -> list[str]:
+    """The headline set, validated LOUD: a renamed/removed registry query
+    left in HEADLINE used to be silently dropped, silently shrinking the
+    published headline total and breaking cross-round history
+    comparability (round-6 measurement-stack review)."""
+    missing = [n for n in HEADLINE if n not in all_queries]
+    if missing:
+        raise SystemExit(
+            f"bench: HEADLINE names not in the registry: {missing} — "
+            "fix HEADLINE or the registry before publishing a bench"
+        )
+    return list(HEADLINE)
+
+
 def run_one(spark, name: str, sf_dir: str) -> float:
     """Steady-state runtime: one untimed warm-up run (codegen compile,
     broadcast build, shuffle-file caches), then the MIN of two measured
@@ -269,12 +283,25 @@ def _remeasure_to_band(
     return spark, flagged
 
 
+def parse_sf(sf_dir: str) -> float:
+    """Scale factor from the data-dir name, LOUD on failure: defaulting a
+    pattern-less dir to 0.1 would append foreign-scale timings into the
+    sf=0.1 history and silently poison every later regression band
+    (round-6 measurement-stack review)."""
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
+    if not m:
+        raise SystemExit(
+            f"bench: cannot parse a scale factor from {sf_dir!r} — name "
+            "the data dir sf<N> so history entries stay band-comparable"
+        )
+    return float(m.group(1))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.1
+    sf = parse_sf(sf_dir)
     spark = get_spark("bench")
-    names = [n for n in HEADLINE if n in ALL_QUERIES]
+    names = headline_names(ALL_QUERIES)
     # warm-up: JVM + parquet footer caches, one light pass
     ALL_QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
         "overwrite"

@@ -159,3 +159,56 @@ def test_stdout_line_mass_remeasure_still_fits():
     assert obj["n_remeasured"] == 200
     assert len(obj["remeasured"]) < 200  # truncated to fit
     assert obj["value"] == 9.9  # summary keys always survive
+
+
+def test_headline_names_fail_loud_on_unknown():
+    """A renamed/removed registry query left in HEADLINE must abort the
+    bench, not silently shrink the published headline total (round-6
+    measurement-stack review)."""
+    import pytest
+
+    ok = {n: object() for n in bench.HEADLINE}
+    assert bench.headline_names(ok) == list(bench.HEADLINE)
+    broken = dict(ok)
+    broken.pop(bench.HEADLINE[3])
+    with pytest.raises(SystemExit, match="HEADLINE names not in the registry"):
+        bench.headline_names(broken)
+
+
+def test_parity_rejects_unknown_query_names():
+    """A typo'd name on the parity command line used to match nothing and
+    print PARITY: PASS — the false green the whole correctness story
+    would have leaned on (round-6 measurement-stack review)."""
+    import pytest
+
+    from tools.parity import validate_only
+
+    validate_only(set(), {"a": 1})          # no subset: fine
+    validate_only({"a"}, {"a": 1, "b": 2})  # known subset: fine
+    with pytest.raises(SystemExit, match="unknown query name"):
+        validate_only({"a", "typo_name"}, {"a": 1})
+
+
+def test_parity_norm_cell_hashes_binary_and_floats():
+    """norm_cell must produce hashable, engine-agnostic keys: Spark hands
+    back bytearray (unhashable as-is) where DuckDB hands bytes."""
+    from collections import Counter
+
+    from tools.parity import multiset, norm_cell
+
+    assert norm_cell(bytearray(b"\x01x")) == norm_cell(b"\x01x")
+    assert multiset([(bytearray(b"z"),)], ["c"]) == Counter({(b"z",): 1})
+    assert norm_cell(float("nan")) == "NaN"
+    assert norm_cell(0.1) == repr(0.1)
+
+
+def test_bench_parse_sf_loud_on_patternless_dir():
+    """An sf-less data dir must abort, not silently label timings sf=0.1
+    and poison the regression bands (round-6 measurement-stack review)."""
+    import pytest
+
+    assert bench.parse_sf("/root/testdata/sf0.1") == 0.1
+    assert bench.parse_sf("/root/repo/testdata_sf1") == 1.0
+    assert bench.parse_sf("/x/sf0.001/") == 0.001
+    with pytest.raises(SystemExit, match="cannot parse a scale factor"):
+        bench.parse_sf("/data/mylake")

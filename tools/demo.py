@@ -69,7 +69,9 @@ def main() -> None:
             fh.write("\n".join(lines))
         seng = StreamingEngine(spark, eng.catalog, base_dir=f"{td}/state")
         q = seng.start(file_source(spark, src), trigger={"availableNow": True})
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise SystemExit("demo stream did not drain within 120s")
         print("results per filter:")
         seng.results().groupBy("filter_id").count().show(truncate=False)
         print("minutely stats sample:")

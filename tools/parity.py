@@ -32,6 +32,8 @@ def norm_cell(v):
         return v.isoformat()
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
+    if isinstance(v, bytearray):
+        return bytes(v)  # Spark returns bytearray (unhashable), DuckDB bytes
     return v
 
 
@@ -40,9 +42,23 @@ def multiset(rows, colnames):
     return Counter(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def validate_only(only: set[str], known) -> None:
+    """Fail LOUD on unknown query names.  Without this, a typo'd name on
+    the command line matched nothing, the loop ran zero queries, and the
+    tool printed `PARITY: PASS` — a false green from the exact tool the
+    whole correctness story leans on (round-6 measurement-stack review)."""
+    unknown = only - set(known)
+    if unknown:
+        raise SystemExit(
+            f"parity: unknown query name(s): {sorted(unknown)} — "
+            "not in __spark_entry__.queries()"
+        )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    validate_only(only, entry_mod.queries())
     spark = get_spark("parity")
     con = duckdb.connect()
     for t in TABLES:
