@@ -240,7 +240,7 @@ def _remeasure_threshold(samples: list[float]) -> float:
 
 def _remeasure_to_band(
     spark, sf: float, sf_dir: str, timings: dict[str, float]
-) -> tuple[object, list[str]]:
+) -> tuple[object, list[str], dict[str, dict]]:
     """Unconditional re-measure-to-band (VERDICT r3): any query whose
     fresh time exceeds its history-median band by >=1.5x (and >=0.3s
     absolute) is re-run in an ISOLATED session — a fresh JVM-side
@@ -263,7 +263,7 @@ def _remeasure_to_band(
         and t - bands[n] > 0.3
     ]
     if not flagged:
-        return spark, []
+        return spark, [], {}
     print(
         f"re-measure-to-band: {len(flagged)} queries exceed their "
         f"history-median band (1.4x low-variance / 1.5x default); "
@@ -272,6 +272,10 @@ def _remeasure_to_band(
     )
     spark.stop()
     spark = get_spark("bench-remeasure")
+    # band_policy: per-flagged-query audit trail (which threshold fired,
+    # against what median, and both measurements) — lands in the bench
+    # artifacts so band decisions are auditable from the JSON alone
+    policy: dict[str, dict] = {}
     for n in flagged:
         fresh = round(run_one(spark, n, sf_dir), 4)
         print(
@@ -279,8 +283,14 @@ def _remeasure_to_band(
             f"(band median {bands[n]:.3f}s)",
             file=sys.stderr,
         )
+        policy[n] = {
+            "threshold": thresholds.get(n, 1.5),
+            "median": round(bands[n], 4),
+            "session": timings[n],
+            "isolated": fresh,
+        }
         timings[n] = min(timings[n], fresh)
-    return spark, flagged
+    return spark, flagged, policy
 
 
 def parse_sf(sf_dir: str) -> float:
@@ -316,7 +326,9 @@ def main() -> None:
         if name not in timings:
             extras[name] = round(run_one(spark, name, sf_dir), 4)
     merged = {**timings, **extras}
-    spark, remeasured = _remeasure_to_band(spark, sf, sf_dir, merged)
+    spark, remeasured, band_policy = _remeasure_to_band(
+        spark, sf, sf_dir, merged
+    )
     timings = {n: merged[n] for n in timings}
     extras = {n: merged[n] for n in extras}
     total = round(sum(timings.values()), 4)
@@ -330,6 +342,7 @@ def main() -> None:
                         "sf": sf,
                         "value": total,
                         "remeasured": remeasured,
+                        "band_policy": band_policy,
                         "queries": merged,
                     }
                 )
@@ -357,6 +370,7 @@ def main() -> None:
                     "queries": timings,
                     "extra_queries": extras,
                     "remeasured": remeasured,
+                    "band_policy": band_policy,
                     "sf": sf,
                 },
                 fh,
@@ -364,7 +378,12 @@ def main() -> None:
             )
     except OSError:
         pass
-    print(_fit_stdout_line(timings, len(extras), remeasured, sf, total))
+    print(
+        _fit_stdout_line(
+            timings, len(extras), remeasured, sf, total,
+            band_policy=band_policy,
+        )
+    )
     spark.stop()
 
 
@@ -375,6 +394,7 @@ def _fit_stdout_line(
     sf: float,
     total: float,
     limit: int = 1900,
+    band_policy: dict[str, dict] | None = None,
 ) -> str:
     """Stdout contract line, guaranteed standalone-parseable.  The
     driver's log capture keeps only the LAST ~2000 bytes (BENCH_r01.json:
@@ -388,6 +408,7 @@ def _fit_stdout_line(
     by_cost = sorted(timings, key=timings.get, reverse=True)
     keep = len(by_cost)
     keep_rm = len(remeasured)
+    bp = band_policy or {}
     while True:
         line = json.dumps(
             {
@@ -398,6 +419,12 @@ def _fit_stdout_line(
                 "full_results": "BENCH_LOCAL.json",
                 "remeasured": remeasured[:keep_rm],
                 "n_remeasured": len(remeasured),
+                # which threshold fired per re-measured query (auditable
+                # from the captured artifact alone); trimmed in lockstep
+                # with the remeasured list under the tail-capture budget
+                "band_policy": {
+                    n: bp[n] for n in remeasured[:keep_rm] if n in bp
+                },
                 "metric": "headline_queries_total_runtime",
                 "unit": "sec",
                 "sf": sf,

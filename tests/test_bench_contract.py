@@ -53,7 +53,7 @@ def test_remeasure_to_band_flags_and_takes_min(tmp_path, monkeypatch):
     )
 
     timings = {"hot": 2.5, "cool": 1.2}
-    spark, remeasured = bench._remeasure_to_band(
+    spark, remeasured, band_policy = bench._remeasure_to_band(
         FakeSpark(), 0.1, "/dev/null", timings
     )
     assert remeasured == ["hot"]
@@ -67,7 +67,7 @@ def test_remeasure_to_band_flags_and_takes_min(tmp_path, monkeypatch):
     )
     monkeypatch.setattr(bench, "run_one", lambda spark, n, sf_dir: 2.4)
     timings = {"hot": 2.5}
-    _, remeasured = bench._remeasure_to_band(
+    _, remeasured, band_policy = bench._remeasure_to_band(
         FakeSpark(), 0.1, "/dev/null", timings
     )
     assert remeasured == ["hot"] and timings["hot"] == 2.4
@@ -103,7 +103,7 @@ def test_remeasure_band_low_variance_flags_at_14x(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "get_spark", lambda name: FakeSpark())
     monkeypatch.setattr(bench, "run_one", lambda spark, n, sf_dir: 1.0)
     timings = {"flat": 1.45, "young": 1.45}
-    _, remeasured = bench._remeasure_to_band(
+    _, remeasured, band_policy = bench._remeasure_to_band(
         FakeSpark(), 0.1, "/dev/null", timings
     )
     assert remeasured == ["flat"]
@@ -114,7 +114,7 @@ def test_remeasure_noop_without_history(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "HISTORY_PATH", str(tmp_path / "none.jsonl"))
     sentinel = object()
     timings = {"a": 100.0}
-    spark, remeasured = bench._remeasure_to_band(
+    spark, remeasured, band_policy = bench._remeasure_to_band(
         sentinel, 0.1, "/dev/null", timings
     )
     assert spark is sentinel and remeasured == [] and timings == {"a": 100.0}
@@ -212,3 +212,39 @@ def test_bench_parse_sf_loud_on_patternless_dir():
     assert bench.parse_sf("/x/sf0.001/") == 0.001
     with pytest.raises(SystemExit, match="cannot parse a scale factor"):
         bench.parse_sf("/data/mylake")
+
+
+def test_band_policy_recorded_per_remeasured_query(tmp_path, monkeypatch):
+    """Every isolated re-measure records which threshold fired, against
+    what median, and both measurements — auditable from the artifact
+    alone (VERDICT r5 item 8)."""
+    hist = tmp_path / "h.jsonl"
+    rows = [
+        {"sf": 0.1, "queries": {"q1": 1.0, "q2": 1.0}} for _ in range(4)
+    ]
+    hist.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: _FakeSpark())
+    monkeypatch.setattr(bench, "run_one", lambda s, n, d: 1.0)
+    timings = {"q1": 1.45, "q2": 1.0}  # q1 over the 1.4x low-variance band
+
+    class _FakeSpark:
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(bench, "get_spark", lambda *a, **k: _FakeSpark())
+    _, remeasured, policy = bench._remeasure_to_band(
+        _FakeSpark(), 0.1, "d", timings
+    )
+    assert remeasured == ["q1"]
+    assert policy["q1"]["threshold"] == 1.4
+    assert policy["q1"]["median"] == 1.0
+    assert policy["q1"]["session"] == 1.45
+    assert policy["q1"]["isolated"] == 1.0
+    assert timings["q1"] == 1.0  # min published
+    # the stdout line carries it, trimmed with the remeasured list
+    line = bench._fit_stdout_line(
+        timings, 0, remeasured, 0.1, 2.45, band_policy=policy
+    )
+    obj = json.loads(line)
+    assert obj["band_policy"]["q1"]["threshold"] == 1.4
