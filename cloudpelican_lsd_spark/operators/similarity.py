@@ -1333,6 +1333,195 @@ def pq_topk_oracle(
 SELECT qid, cid, adc FROM pq WHERE rn <= {k}"""
 
 
+def build_pq_index(
+    emb: DataFrame, m: int = 8, n_codes: int = 16, dim: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """`(codebook, codes)` — the persisted-PQ analogue of
+    :func:`build_ivf_index`, closing the same recompute gap for the
+    memory-bound ANN tier: :func:`pq_topk` re-encodes the whole corpus
+    per call, this builds the artifacts ONCE.
+
+    - codebook `(code, pos, qcb)`: ``n_codes × dim`` fixed-point rows
+      (deterministic: the first ``n_codes`` vectors' subvectors, so the
+      DuckDB oracle replays the exact index; production swaps in
+      trained sub-quantizers with the identical plan shape).  Tiny —
+      broadcast at query time.
+    - codes `(vec_id, s, code)`: the encoded corpus, ``m`` rows per
+      vector — the "8 bytes per vector" table that replaces raw
+      embeddings on the query path entirely.
+
+    All arithmetic is exact fixed-point BIGINT (floor(v·1e7)), so the
+    index and every query against it are hash-reproducible."""
+    d2 = _pq_d2(emb, m, n_codes, dim)
+    w_enc = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        d2.withColumn("rn", F.row_number().over(w_enc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    sub_dim = dim // m
+    codebook = (
+        emb.where(F.col("vec_id") < n_codes)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "v"
+            ),
+        )
+        .select(
+            "code",
+            (F.col("pos0") + 1).alias("pos"),
+            (F.col("pos0") / sub_dim).cast("int").alias("s"),
+            F.floor(F.col("v") * 10000000).cast("long").alias("qcb"),
+        )
+    )
+    return codebook, codes
+
+
+def assert_pq_index_compatible(
+    codebook: DataFrame,
+    codes: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> None:
+    """Fail fast when a persisted PQ index disagrees with the query
+    side's (m, n_codes, dim): a mismatched codebook silently scores
+    garbage ADC distances (the joins still match on (s, code)).  One
+    bounded aggregate on the (tiny) codebook + one limit(1) sample of
+    the code table; run once at job startup."""
+    agg = codebook.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("code").alias("max_code"),
+        F.max("pos").alias("max_pos"),
+        F.max("s").alias("max_s"),
+    ).collect()[0]
+    if agg.n != n_codes * dim:
+        raise ValueError(
+            f"PQ index incompatible: codebook has {agg.n} rows, caller "
+            f"expects n_codes*dim = {n_codes * dim}"
+        )
+    if agg.max_code >= n_codes or agg.max_pos != dim or agg.max_s != m - 1:
+        raise ValueError(
+            f"PQ index incompatible: codebook (max_code={agg.max_code}, "
+            f"max_pos={agg.max_pos}, max_s={agg.max_s}) vs caller "
+            f"(n_codes={n_codes}, dim={dim}, m={m})"
+        )
+    sample = codes.limit(1).collect()
+    if sample and not (
+        0 <= sample[0].s < m and 0 <= sample[0].code < n_codes
+    ):
+        raise ValueError(
+            f"PQ index incompatible: code row (s={sample[0].s}, "
+            f"code={sample[0].code}) outside m={m}/n_codes={n_codes}"
+        )
+
+
+def pq_index_topk(
+    queries: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """`(qid, cid, adc)` — asymmetric-distance top-k of a NEW query
+    batch against the **persisted PQ index**: only the queries are
+    exploded and quantized; the corpus contributes its compact code
+    table (m rows/vector, no raw embeddings anywhere on this path).
+
+    Plan: queries × broadcast codebook → per-query LUT
+    (|batch|·m·n_codes fixed-point rows, broadcast), equi-joined to the
+    code table on (s, code); the only corpus-sized shuffle carries
+    (qid, vec_id, partial-ADC) longs for the final sum.  Guard layout
+    mismatches with :func:`assert_pq_index_compatible`."""
+    sub_dim = dim // m
+    qx = queries.select(
+        "qid",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        ),
+    ).select(
+        "qid",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v") * 10000000).cast("long").alias("qv"),
+    )
+    lut = (
+        qx.join(F.broadcast(codebook), "pos")
+        .groupBy("qid", "s", "code")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("qcb")) * (F.col("qv") - F.col("qcb"))
+            ).alias("qd2")
+        )
+    )
+    dist = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        dist.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("cid"), "adc")
+    )
+
+
+def pq_index_topk_oracle(
+    m: int = 8,
+    n_codes: int = 16,
+    num_queries: int = 10,
+    k: int = 10,
+    dim: int = 64,
+    id_offset: int = 100_000,
+) -> str:
+    """Oracle for the incremental PQ index query: batch = the first
+    ``num_queries`` vectors re-ingested under shifted ids, scored
+    against the full persisted code table (their originals included)."""
+    sub_dim = dim // m
+    return f"""WITH ex AS (
+  SELECT vec_id, i AS pos, CAST((i - 1) // {sub_dim} AS INT) AS s,
+         floor(embedding[i]::DOUBLE * 10000000)::BIGINT AS qv
+  FROM embeddings, generate_series(1, {dim}) t(i)
+),
+cb AS (SELECT vec_id AS code, pos, s, qv AS qcb FROM ex WHERE vec_id < {n_codes}),
+d2 AS (
+  SELECT e.vec_id, e.s, c.code,
+         CAST(SUM((e.qv - c.qcb) * (e.qv - c.qcb)) AS BIGINT) AS d2
+  FROM ex e JOIN cb c ON c.pos = e.pos
+  GROUP BY e.vec_id, e.s, c.code
+),
+assign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM d2) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id + {id_offset} AS qid, q.s, c.code,
+         CAST(SUM((q.qv - c.qcb) * (q.qv - c.qcb)) AS BIGINT) AS qd2
+  FROM ex q JOIN cb c ON c.pos = q.pos
+  WHERE q.vec_id < {num_queries}
+  GROUP BY q.vec_id, q.s, c.code
+),
+dist AS (
+  SELECT l.qid, a.vec_id AS cid, CAST(SUM(l.qd2) AS BIGINT) AS adc
+  FROM assign a JOIN lut l ON l.s = a.s AND l.code = a.code
+  GROUP BY l.qid, a.vec_id
+)
+SELECT qid, cid, adc FROM (
+  SELECT qid, cid, adc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc ASC, cid ASC) AS rn
+  FROM dist) WHERE rn <= {k}"""
+
+
 def pq_recall(
     emb: DataFrame,
     m: int = 8,

@@ -16,22 +16,25 @@ from cloudpelican_lsd_spark.registry._core import ORACLES, QUERIES
 # family spread).  Their code paths were touched by the r5 registry
 # split, the ANSI parse-path fix, and the predicate de-fork, and the
 # gate has never re-checked them since.
-#   slot  1:     emb_ivf_index_incremental (new, no signal yet).
-#   slots 2-33:  r01-only signals (stalest).
-#   slots 34-50: r02-only signals, family-diverse picks (the 18th pick,
-#                corpus_clean_v2, slides to slot 51).
-#   slots 51+:   corpus_clean_v2 + the remaining 21 r02-only (round-7
-#                priority), then
+#   slots 1-2:   emb_ivf_index_incremental + emb_pq_index_incremental
+#                (new this round, no signal yet).
+#   slots 3-34:  r01-only signals (stalest).
+#   slots 35-50: r02-only signals, family-diverse picks (the 17th and
+#                18th picks, outlier_zscore + corpus_clean_v2, slide to
+#                slots 51-52).
+#   slots 51+:   outlier_zscore + corpus_clean_v2 + the remaining 21
+#                r02-only (round-7 priority), then
 #                r03, r04, r05 greens in staleness order.
 # Every operator family keeps hard signal: the lockstep test checks
 # family coverage over (this window + all CORRECTNESS_r0N rows).
 # ===========================================================================
 
 DRIVER_ORDER = [
-    # -- new this round (slot 1): persisted-IVF-index incremental query —
-    #    no lifetime driver row yet, so it leads the freshness window
+    # -- new this round (slots 1-2): persisted IVF + PQ index incremental
+    #    queries — no lifetime driver row yet, so they lead the window
     "emb_ivf_index_incremental",
-    # -- only green row is r01 (slots 2-33)
+    "emb_pq_index_incremental",
+    # -- only green row is r01 (slots 3-34)
     "corpus_clean_pipeline",
     "search_pricing_summary",
     "stats_gapfill",
@@ -64,7 +67,7 @@ DRIVER_ORDER = [
     "multimodal_content_hash",
     "multimodal_resize_dims",
     "json_props_agg",
-    # -- only green row is r02, family-diverse picks (slots 34-50 + 51)
+    # -- only green row is r02, family-diverse picks (slots 35-50 + 51-52)
     "stats_rollup_minutely",
     "events_asof_attribution",
     "events_range_join",

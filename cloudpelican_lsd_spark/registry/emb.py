@@ -118,6 +118,28 @@ def q_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "emb_pq_index_incremental",
+    sim_ops.pq_index_topk_oracle(8, 16, 10, 10, 64),
+)
+def q_pq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ADC retrieval against the PERSISTED PQ index
+    (similarity.build_pq_index / pq_index_topk): the corpus is encoded
+    once into the compact (vec_id, s, code) table, and a new query
+    batch (the first 10 vectors re-ingested under shifted ids) builds
+    only its own lookup tables and joins the codes — no raw corpus
+    embedding is touched on the query path.  Exact fixed-point BIGINT
+    end to end; completes the persisted-index pair with
+    emb_ivf_index_incremental."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    codebook, codes = sim_ops.build_pq_index(emb, m=8, n_codes=16, dim=64)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    return sim_ops.pq_index_topk(queries, codebook, codes, m=8, dim=64, k=10)
+
+
+
 @register("emb_pq_topk", sim_ops.pq_topk_oracle(8, 16, 10, 10, 64))
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (similarity.pq_topk): m=8 subspace

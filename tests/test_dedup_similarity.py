@@ -1422,3 +1422,46 @@ def test_ivf_index_compat_checker(spark, sf_dir):
     sim_ops.assert_ivf_index_compatible(
         cents, assign.where(F.lit(False)), 8, 64
     )
+
+
+def test_pq_index_incremental_origin_achieves_min_adc(spark, sf_dir):
+    """A re-ingested query vector's origin achieves the GLOBAL minimum
+    possible ADC (its own per-subspace argmin codes), so with cid-asc
+    tiebreak each origin must appear in its query's top-k."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    codebook, codes = sim_ops.build_pq_index(emb, m=8, n_codes=16, dim=64)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    top = sim_ops.pq_index_topk(queries, codebook, codes, m=8, dim=64, k=10)
+    rows = top.collect()
+    assert len(rows) == 100
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.adc, r.cid))
+    for q in range(10):
+        got = by_q[q + 100000]
+        min_adc = min(a for a, _ in got)
+        assert (min_adc, q) in [
+            (a, c) for a, c in got
+        ], f"query {q} origin missing from top-k"
+        # origin sits at the global minimum ADC
+        assert any(a == min_adc and c == q for a, c in got)
+
+
+def test_pq_index_compat_checker(spark, sf_dir):
+    import pytest as _pytest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    codebook, codes = sim_ops.build_pq_index(emb, m=8, n_codes=16, dim=64)
+    sim_ops.assert_pq_index_compatible(codebook, codes, 8, 16, 64)  # ok
+    with _pytest.raises(ValueError, match="codebook has"):
+        sim_ops.assert_pq_index_compatible(codebook, codes, 8, 32, 64)
+    with _pytest.raises(ValueError, match="vs caller"):
+        # same row count (n_codes*dim) but different geometry: m=16
+        # implies max_s=15 while the persisted codebook has max_s=7
+        sim_ops.assert_pq_index_compatible(codebook, codes, 16, 16, 64)
+    # corrupted code table: subspace id outside m
+    bad = codes.withColumn("s", F.col("s") + 100)
+    with _pytest.raises(ValueError, match="code row"):
+        sim_ops.assert_pq_index_compatible(codebook, bad, 8, 16, 64)
