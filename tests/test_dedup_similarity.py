@@ -1465,3 +1465,22 @@ def test_pq_index_compat_checker(spark, sf_dir):
     bad = codes.withColumn("s", F.col("s") + 100)
     with _pytest.raises(ValueError, match="code row"):
         sim_ops.assert_pq_index_compatible(codebook, bad, 8, 16, 64)
+
+
+def test_simhash_pair_explodes_carry_explicit_spread_exchange(spark, sf_dir):
+    """Plan pin for the sf1-revealed fix: both simhash pair operators
+    must keep an EXPLICIT-count round-robin exchange ahead of their
+    row-amplifying explodes (AQE sizes post-shuffle partitions by input
+    bytes, so without it the compact fp-pair rows coalesce to 1-2 tasks
+    and the doc-pair expansion single-threads — measured 91.6M pairs in
+    ONE task on the 10x corpus)."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    for fn in (
+        lambda d: dedup_ops.simhash_near_pairs(d, max_hamming=6),
+        lambda d: dedup_ops.simhash_near_pairs_complete(d, 3, 4),
+    ):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        # two spread points per operator: the within-group explode and
+        # the cross-group expansion (plan prints twice under AQE; just
+        # require presence)
+        assert "RoundRobinPartitioning" in plan, plan[:2000]

@@ -62,6 +62,12 @@ def main() -> None:
 
     ops = {
         "minhash_lsh": lambda d: dedup.lsh_candidate_pairs(d),
+        # replicas are exact copies → hamming-0 groups grow 10x and the
+        # pair OUTPUT grows ~k^2 (data property); the probe guards the
+        # round-6 explode-spread fix — the pair expansion must stay
+        # distributed (explicit round-robin exchange), so wall-clock
+        # tracks the output volume, not a single straggler task
+        "simhash_near_pairs": lambda d: dedup.simhash_near_pairs(d),
         "ngram_jaccard(max_df=50)": lambda d: dedup.ngram_jaccard_pairs(
             d, n=3, threshold_num=1, threshold_den=5, max_df=50
         ),
