@@ -1118,3 +1118,56 @@ def test_streaming_replay_hash_equals_batch_oracles(spark, sf_dir, tmp_path):
     assert {r._raw for r in eng_tail if r.ts_epoch > boundary} == {
         r[0] for r in oracle_tail if r[1] > boundary
     }
+
+def test_streaming_classifier_state_hash_equals_batch_oracle(spark, sf_dir, tmp_path):
+    """DuckDB-grade signal for the remaining oracle-less streaming
+    surface: replay the log stream through process_batch in 3 epochs and
+    hash-compare the merged classifier frequency table (nb_state,
+    merge-on-read) against a DuckDB computation of the same
+    (token, heuristic-label) counts over the matched rows."""
+    from collections import Counter
+
+    import duckdb
+
+    from cloudpelican_lsd_spark.functions.parse import is_likely_error_sql
+    from cloudpelican_lsd_spark.sources.tables import (
+        LOGS_ORACLE_CTE,
+        logs_view,
+    )
+
+    cat = FilterCatalog()
+    f_err = cat.create("errors", "error")
+    eng = sp.StreamingEngine(spark, cat, str(tmp_path / "eng_nb"))
+    lines = [r._raw for r in logs_view(spark, sf_dir).select("_raw").collect()]
+    for e in range(3):
+        chunk = [(ln,) for i, ln in enumerate(lines) if i % 3 == e]
+        eng.process_batch(
+            sp.parse_stream(spark.createDataFrame(chunk, "_raw STRING")),
+            epoch_id=e,
+        )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    oracle = Counter(
+        tuple(r)
+        for r in con.sql(
+            f"""WITH {LOGS_ORACLE_CTE},
+m AS (
+  SELECT _raw,
+         CASE WHEN {is_likely_error_sql('_raw')} THEN 'error'
+              ELSE 'regular' END AS label
+  FROM logs WHERE contains(_raw, 'error')
+),
+t AS (SELECT label, unnest(string_split(_raw, ' ')) AS tok FROM m)
+SELECT tok, label, COUNT(*)::BIGINT AS cnt FROM t GROUP BY tok, label"""
+        ).fetchall()
+    )
+    got = Counter(
+        (r.tok, r.label, r.cnt)
+        for r in eng.classifier_model(f_err.id)
+        .select("tok", "label", "cnt")
+        .collect()
+    )
+    assert got == oracle
