@@ -1484,3 +1484,34 @@ def test_simhash_pair_explodes_carry_explicit_spread_exchange(spark, sf_dir):
         # the cross-group expansion (plan prints twice under AQE; just
         # require presence)
         assert "RoundRobinPartitioning" in plan, plan[:2000]
+
+
+def test_ivf_index_topk_consistent_with_ivf_topk(spark, sf_dir):
+    """Cross-operator consistency: a re-ingested corpus vector queried
+    through the PERSISTED index must rank exactly like ivf_topk ranks
+    the original vector (same centroids, same probes), once its own
+    cos-1.0 origin hit is removed — the two paths may never disagree on
+    neighbor order."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = sim_ops.ivf_topk(
+        emb, n_centroids=8, nprobe=2, num_queries=5, k=10
+    ).collect()
+    cents, assign = sim_ops.build_ivf_index(emb, n_centroids=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    # k+1 so dropping the origin hit leaves a full k to compare
+    inc = sim_ops.ivf_index_topk(queries, cents, assign, nprobe=2, k=11)
+    got = {}
+    for r in inc.collect():
+        q = r.qid - 100000
+        if r.cid == q:
+            continue  # the origin's own cos-1.0 hit
+        got.setdefault(q, []).append((r.cos, r.cid))
+    want = {}
+    for r in base:
+        want.setdefault(r.qid, []).append((r.cos, r.cid))
+    for q in range(5):
+        got_sorted = sorted(got[q], key=lambda t: (-t[0], t[1]))[:10]
+        want_sorted = sorted(want[q], key=lambda t: (-t[0], t[1]))
+        assert got_sorted == want_sorted, f"query {q} ranking diverged"
