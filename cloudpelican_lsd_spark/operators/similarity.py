@@ -447,6 +447,48 @@ def write_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    batch: DataFrame, cents: DataFrame, table: str, num_buckets: int = 8
+) -> None:
+    """Index MAINTENANCE: assign a NEW ingestion batch `(vec_id,
+    embedding)` to the EXISTING centroids and append its rows to the
+    persisted bucketed assignment table — tomorrow's query batch then
+    sees today's vectors without any corpus re-scan (the embedding
+    analogue of appending the day's bands to the dedup band index).
+
+    Only the batch is normalized and scored (broadcast centroids); the
+    append writes with the SAME bucketBy/sortBy spec, so the table's
+    co-location contract survives (Spark rejects a mismatched spec
+    loudly).  Centroids stay fixed between retrains — the standard IVF
+    maintenance trade: assignment drift is an audit concern
+    (ivf_recall), not a correctness one, since probing uses the same
+    centroids the rows were assigned under."""
+    qn = batch.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.expr(
+            "sqrt(" + _DOT.format(a="cast(embedding as array<double>)",
+                                  b="cast(embedding as array<double>)") + ")"
+        ).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    scored = _score_against_centroids(qn, cents)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("cent_id", "vec_id", "emb", "nrm")
+    )
+    (
+        assign.write.bucketBy(num_buckets, "cent_id")
+        .sortBy("cent_id")
+        .format("parquet")
+        .mode("append")
+        .saveAsTable(table)
+    )
+
+
 def read_ivf_index(
     spark, table: str, path: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -1515,3 +1515,57 @@ def test_ivf_index_topk_consistent_with_ivf_topk(spark, sf_dir):
         got_sorted = sorted(got[q], key=lambda t: (-t[0], t[1]))[:10]
         want_sorted = sorted(want[q], key=lambda t: (-t[0], t[1]))
         assert got_sorted == want_sorted, f"query {q} ranking diverged"
+
+
+def test_ivf_index_append_maintenance(spark, sf_dir, tmp_path):
+    """Daily index maintenance: a new batch assigned to the EXISTING
+    centroids and appended to the bucketed table becomes retrievable by
+    the next incremental query, and the co-location contract survives
+    the append (same Exchange count before and after)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    try:
+        # index over the corpus MINUS vectors 100-109 (the "new" batch)
+        old = emb.where(
+            (F.col("vec_id") < 100) | (F.col("vec_id") >= 110)
+        )
+        sim_ops.write_ivf_index(
+            old, "t_ivf_appendable", str(tmp_path / "idx"),
+            n_centroids=8, num_buckets=4,
+        )
+        cents, assign = sim_ops.read_ivf_index(
+            spark, "t_ivf_appendable", str(tmp_path / "idx")
+        )
+        n_before = assign.count()
+        queries = emb.where(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+        ).select((F.col("vec_id") + 100000).alias("qid"), "embedding")
+        top_before = sim_ops.ivf_index_topk(queries, cents, assign, 2, 10)
+        n_ex_before = (
+            top_before._jdf.queryExecution().executedPlan().toString()
+        ).count("Exchange")
+        hits_before = {
+            (r.qid, r.cid) for r in top_before.collect() if r.cos == 1.0
+        }
+        assert not any(q + 100000 == qid and q == cid
+                       for q in range(100, 110) for qid, cid in hits_before)
+
+        # append the batch, re-read, re-query: origins now retrievable
+        batch = emb.where(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+        ).select("vec_id", "embedding")
+        sim_ops.append_to_ivf_index(batch, cents, "t_ivf_appendable", 4)
+        cents2, assign2 = sim_ops.read_ivf_index(
+            spark, "t_ivf_appendable", str(tmp_path / "idx")
+        )
+        assert assign2.count() == n_before + 10
+        top_after = sim_ops.ivf_index_topk(queries, cents2, assign2, 2, 10)
+        n_ex_after = (
+            top_after._jdf.queryExecution().executedPlan().toString()
+        ).count("Exchange")
+        got = {(r.qid, r.cid) for r in top_after.collect() if r.cos == 1.0}
+        for q in range(100, 110):
+            assert (q + 100000, q) in got, f"appended vector {q} not found"
+        # bucketed co-location survives the append
+        assert n_ex_after == n_ex_before, (n_ex_before, n_ex_after)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_appendable")
