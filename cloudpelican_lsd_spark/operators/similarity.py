@@ -429,26 +429,54 @@ def write_ivf_index(
     path: str,
     n_centroids: int = 8,
     num_buckets: int = 8,
+    layout: str = "partitioned",
 ) -> None:
     """Persist the IVF index: centroids as plain parquet under
-    ``<path>/centroids`` (tiny, broadcast on read) and assignments
-    hash-bucketed on `cent_id` as catalog table ``table`` under
-    ``<path>/assign`` — the bucketing is what makes every later
-    :func:`ivf_index_topk` join read the index with no Exchange on the
-    index side (same layout contract as the dedup band index,
-    sources/bucketed.py)."""
-    from cloudpelican_lsd_spark.sources.bucketed import write_bucketed
+    ``<path>/centroids`` (tiny, broadcast on read) and assignments as
+    catalog table ``table`` under ``<path>/assign`` in one of two
+    layouts:
 
+    - ``"partitioned"`` (default): directory-PARTITIONED by `cent_id` —
+      the true IVF scan contract.  A query batch probes nprobe cells,
+      and Spark's dynamic partition pruning (the probe side broadcasts)
+      restricts the index SCAN to exactly those cells: at production
+      shape (thousands of centroids, nprobe in the dozens) each batch
+      reads ~nprobe/n_centroids of a corpus-sized table instead of all
+      of it — the dominant cost at 100 TB.  DPP is plan-pinned in
+      tests.  Appends are partition-local file adds.
+    - ``"bucketed"``: hash-bucketed + bucket-sorted on `cent_id` — no
+      scan pruning, but a HUGE backfill batch that degrades the join to
+      sort-merge meets the index with no Exchange and no Sort on the
+      index side (same contract as the dedup band index).  Pick this
+      only when query batches are routinely too big to broadcast AND
+      probe most cells anyway."""
     cents, assign = build_ivf_index(emb, n_centroids)
     cents.write.mode("overwrite").parquet(path + "/centroids")
-    write_bucketed(
-        assign, table, ["cent_id"], num_buckets, path=path + "/assign",
-        sort=True,
-    )
+    if layout == "partitioned":
+        (
+            assign.write.partitionBy("cent_id")
+            .option("path", path + "/assign")
+            .format("parquet")
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    elif layout == "bucketed":
+        from cloudpelican_lsd_spark.sources.bucketed import write_bucketed
+
+        write_bucketed(
+            assign, table, ["cent_id"], num_buckets, path=path + "/assign",
+            sort=True,
+        )
+    else:
+        raise ValueError(f"unknown IVF index layout: {layout!r}")
 
 
 def append_to_ivf_index(
-    batch: DataFrame, cents: DataFrame, table: str, num_buckets: int = 8
+    batch: DataFrame,
+    cents: DataFrame,
+    table: str,
+    num_buckets: int = 8,
+    layout: str = "partitioned",
 ) -> None:
     """Index MAINTENANCE: assign a NEW ingestion batch `(vec_id,
     embedding)` to the EXISTING centroids and append its rows to the
@@ -457,12 +485,13 @@ def append_to_ivf_index(
     analogue of appending the day's bands to the dedup band index).
 
     Only the batch is normalized and scored (broadcast centroids); the
-    append writes with the SAME bucketBy/sortBy spec, so the table's
-    co-location contract survives (Spark rejects a mismatched spec
-    loudly).  Centroids stay fixed between retrains — the standard IVF
-    maintenance trade: assignment drift is an audit concern
-    (ivf_recall), not a correctness one, since probing uses the same
-    centroids the rows were assigned under."""
+    append writes with the SAME layout spec, so the table's contract
+    survives — partition-local file adds for the partitioned layout,
+    matching bucketBy/sortBy for the bucketed one (Spark rejects a
+    mismatched spec loudly).  Centroids stay fixed between retrains —
+    the standard IVF maintenance trade: assignment drift is an audit
+    concern (ivf_recall), not a correctness one, since probing uses the
+    same centroids the rows were assigned under."""
     qn = batch.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -480,13 +509,23 @@ def append_to_ivf_index(
         .where(F.col("rn") == 1)
         .select("cent_id", "vec_id", "emb", "nrm")
     )
-    (
-        assign.write.bucketBy(num_buckets, "cent_id")
-        .sortBy("cent_id")
-        .format("parquet")
-        .mode("append")
-        .saveAsTable(table)
-    )
+    if layout == "partitioned":
+        (
+            assign.write.partitionBy("cent_id")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(table)
+        )
+    elif layout == "bucketed":
+        (
+            assign.write.bucketBy(num_buckets, "cent_id")
+            .sortBy("cent_id")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(table)
+        )
+    else:
+        raise ValueError(f"unknown IVF index layout: {layout!r}")
 
 
 def read_ivf_index(
@@ -558,12 +597,14 @@ def ivf_index_topk(
     query (a window over the small batch), then the probe list
     equi-joins the assignment table on `cent_id`.  The join strategy is
     deliberately left to Catalyst/AQE: a typical (small) query batch
-    broadcasts at runtime — zero index-side movement; a huge backfill
-    batch degrades to a sort-merge join, where the index persisted via
-    :func:`write_ivf_index` (bucketed + bucket-sorted on `cent_id`)
-    contributes NO Exchange and NO Sort — only the batch side shuffles
-    (plan-pinned in tests).  Each query touches ~nprobe/n_centroids of
-    the corpus.  Guard a param/layout mismatch with
+    broadcasts at runtime — zero index-side movement — and against the
+    default PARTITIONED layout of :func:`write_ivf_index` dynamic
+    partition pruning restricts the index SCAN to the probed cells
+    (plan-pinned), so each batch reads ~nprobe/n_centroids of the
+    corpus table instead of scanning it all; a huge backfill batch
+    degrades to a sort-merge join, where the alternative bucketed
+    layout contributes NO Exchange and NO Sort on the index side (also
+    plan-pinned).  Guard a param/layout mismatch with
     :func:`assert_ivf_index_compatible`."""
     qn = queries.select(
         "qid",

@@ -1378,7 +1378,7 @@ def test_ivf_index_bucketed_layout_skips_index_shuffle(spark, sf_dir, tmp_path):
         # persisted bucketed index through the write/read helpers
         sim_ops.write_ivf_index(
             emb, "t_ivf_assign_b", str(tmp_path / "ivf_idx"),
-            n_centroids=8, num_buckets=4,
+            n_centroids=8, num_buckets=4, layout="bucketed",
         )
         cents_b, assign_b = sim_ops.read_ivf_index(
             spark, "t_ivf_assign_b", str(tmp_path / "ivf_idx")
@@ -1569,3 +1569,40 @@ def test_ivf_index_append_maintenance(spark, sf_dir, tmp_path):
         assert n_ex_after == n_ex_before, (n_ex_before, n_ex_after)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_appendable")
+
+
+def test_ivf_partitioned_layout_prunes_scan_to_probed_cells(spark, sf_dir, tmp_path):
+    """The DEFAULT partitioned layout's contract: dynamic partition
+    pruning restricts the index scan to the probed cells, so each query
+    batch reads ~nprobe/n_centroids of the corpus table — the actual
+    IVF promise, realized by the Spark-native DPP mechanism."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    try:
+        sim_ops.write_ivf_index(
+            emb, "t_ivf_part", str(tmp_path / "ivf_part"), n_centroids=8
+        )
+        cents, assign = sim_ops.read_ivf_index(
+            spark, "t_ivf_part", str(tmp_path / "ivf_part")
+        )
+        sim_ops.assert_ivf_index_compatible(cents, assign, 8, 64)
+        # ONE query → at most nprobe=2 of the 8 cells are probed
+        queries = emb.where(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 100000).alias("qid"), "embedding"
+        )
+        top = sim_ops.ivf_index_topk(queries, cents, assign, 2, 10)
+        rows = top.collect()
+        assert len(rows) == 10
+        assert any(r.cid == 0 and r.cos == 1.0 for r in rows)
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:1500]
+        # appends stay partition-local and readable (count the table
+        # BEFORE the append — the DataFrame is lazy and would re-read)
+        n_before = assign.count()
+        batch = emb.where(F.col("vec_id") == 1).select("vec_id", "embedding")
+        sim_ops.append_to_ivf_index(batch, cents, "t_ivf_part")
+        _, assign2 = sim_ops.read_ivf_index(
+            spark, "t_ivf_part", str(tmp_path / "ivf_part")
+        )
+        assert assign2.count() == n_before + 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_part")
