@@ -380,6 +380,36 @@ def _score_against_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def normalize_vectors(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """`(<id_col>, emb DOUBLE[], nrm)` from an `(<id_col>, embedding)`
+    frame — the one normalization used by index build, append, and
+    query paths (zero-norm vectors dropped; cosine is undefined for
+    them and ANSI mode would abort the division)."""
+    return df.select(
+        id_col,
+        F.col("embedding").cast("array<double>").alias("emb"),
+        F.expr(
+            "sqrt(" + _DOT.format(a="cast(embedding as array<double>)",
+                                  b="cast(embedding as array<double>)") + ")"
+        ).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+
+
+def assign_to_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """`(cent_id, vec_id, emb, nrm)` — nearest-centroid assignment of
+    already-normalized vectors, shared by the one-time index build and
+    every incremental append so the two can never fork."""
+    scored = _score_against_centroids(vecs, cents)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("cent_id", "vec_id", "emb", "nrm")
+    )
+
+
 def build_ivf_index(
     emb: DataFrame, n_centroids: int = 8
 ) -> tuple[DataFrame, DataFrame]:
@@ -409,17 +439,7 @@ def build_ivf_index(
         F.col("emb").alias("cemb"),
         F.col("nrm").alias("cnrm"),
     )
-    scored = _score_against_centroids(
-        base.select("vec_id", "emb", "nrm"), cents
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cent_id").asc()
-    )
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("cent_id", "vec_id", "emb", "nrm")
-    )
+    assign = assign_to_centroids(base.select("vec_id", "emb", "nrm"), cents)
     return cents, assign
 
 
@@ -492,23 +512,7 @@ def append_to_ivf_index(
     the standard IVF maintenance trade: assignment drift is an audit
     concern (ivf_recall), not a correctness one, since probing uses the
     same centroids the rows were assigned under."""
-    qn = batch.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        F.expr(
-            "sqrt(" + _DOT.format(a="cast(embedding as array<double>)",
-                                  b="cast(embedding as array<double>)") + ")"
-        ).alias("nrm"),
-    ).where(F.col("nrm") > 0)
-    scored = _score_against_centroids(qn, cents)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cent_id").asc()
-    )
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("cent_id", "vec_id", "emb", "nrm")
-    )
+    assign = assign_to_centroids(normalize_vectors(batch), cents)
     if layout == "partitioned":
         (
             assign.write.partitionBy("cent_id")
@@ -606,14 +610,7 @@ def ivf_index_topk(
     layout contributes NO Exchange and NO Sort on the index side (also
     plan-pinned).  Guard a param/layout mismatch with
     :func:`assert_ivf_index_compatible`."""
-    qn = queries.select(
-        "qid",
-        F.col("embedding").cast("array<double>").alias("emb"),
-        F.expr(
-            "sqrt(" + _DOT.format(a="cast(embedding as array<double>)",
-                                  b="cast(embedding as array<double>)") + ")"
-        ).alias("nrm"),
-    ).where(F.col("nrm") > 0)
+    qn = normalize_vectors(queries, id_col="qid")
     scored = _score_against_centroids(qn, cents)
     w_probe = Window.partitionBy("qid").orderBy(
         F.col("ccos").desc(), F.col("cent_id").asc()

@@ -1,0 +1,139 @@
+"""Streaming ANN index maintenance — embeddings arrive as a stream and
+the persisted IVF index stays current without corpus re-scans.
+
+The embedding analogue of :class:`~cloudpelican_lsd_spark.streaming.
+pipeline.NearDupSuppressor`'s band store: the index is BOOTSTRAPPED once
+from a seed corpus (centroids + initial assignments,
+`similarity.build_ivf_index`), then every micro-batch of new vectors is
+assigned to the FIXED broadcast centroids and appended
+EPOCH-IDEMPOTENTLY into the assignment table.  Retrieval at any point
+runs the same incremental probe join the batch path uses
+(`similarity.ivf_index_topk`) against the merged table.
+
+Layout: ``<base>/assign/epoch=<N>/cent_id=<M>/`` — epoch-MAJOR so a
+replayed micro-batch (Spark's at-least-once redelivery between write
+and checkpoint commit) replaces exactly its own epoch's files, the same
+exactly-once upgrade every pipeline sink uses (pipeline.process_batch);
+`cent_id` stays a partition column, so dynamic partition pruning still
+restricts retrieval scans to the probed cells.  Centroids are fixed
+between retrains — the standard IVF maintenance trade; drift is
+audited by `similarity.ivf_recall`, not silently absorbed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from cloudpelican_lsd_spark.operators.similarity import (
+    assign_to_centroids,
+    ivf_index_topk,
+    normalize_vectors,
+)
+
+
+class StreamingIvfIndexer:
+    """foreachBatch sink maintaining a cent_id-partitioned IVF index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        n_centroids: int = 8,
+    ) -> None:
+        # exactly-once rests on LOCAL filesystem epoch-dir replacement —
+        # same guard (and reason) as NearDupSuppressor / StreamingEngine
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", base_dir):
+            raise ValueError(
+                f"StreamingIvfIndexer base_dir={base_dir!r}: epoch "
+                "replacement deletes via the local filesystem; a "
+                "scheme-prefixed URI (even file://) would silently "
+                "degrade replay to duplication. Use a plain local path."
+            )
+        self.spark = spark
+        self.n_centroids = n_centroids
+        self.cent_path = os.path.join(base_dir, "centroids")
+        self.assign_path = os.path.join(base_dir, "assign")
+
+    # -- build ---------------------------------------------------------------
+
+    def bootstrap(self, corpus: DataFrame) -> None:
+        """Train-time build from a seed corpus `(vec_id, embedding)`:
+        centroids (deterministic, `similarity.build_ivf_index`) + the
+        corpus assignments under the reserved bootstrap epoch -1."""
+        from cloudpelican_lsd_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        cents, assign = build_ivf_index(corpus, self.n_centroids)
+        cents.write.mode("overwrite").parquet(self.cent_path)
+        (
+            assign.withColumn("epoch", F.lit(-1))
+            .write.partitionBy("epoch", "cent_id")
+            .mode("overwrite")
+            .parquet(self.assign_path)
+        )
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self.cent_path)
+
+    # -- maintain ------------------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Assign a micro-batch of new `(vec_id, embedding)` rows to the
+        fixed centroids and append under its own epoch partition —
+        whole-epoch-idempotent on redelivery (drop-epoch-then-append,
+        the pipeline sink discipline)."""
+        epoch = int(epoch_id)
+        if epoch < 0:
+            raise ValueError(
+                f"epoch {epoch} is reserved for the bootstrap assignments"
+            )
+        epoch_dir = os.path.join(self.assign_path, f"epoch={epoch}")
+        if os.path.isdir(epoch_dir):
+            shutil.rmtree(epoch_dir)
+        assign = assign_to_centroids(
+            normalize_vectors(batch_df), self.centroids()
+        )
+        (
+            assign.withColumn("epoch", F.lit(epoch))
+            .write.partitionBy("epoch", "cent_id")
+            .mode("append")
+            .parquet(self.assign_path)
+        )
+
+    def attach(self, stream: DataFrame, checkpoint: str, trigger=None):
+        """Wire onto a streaming `(vec_id, embedding)` DataFrame."""
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
+    # -- read ----------------------------------------------------------------
+
+    def assignments(self) -> DataFrame:
+        """The merged assignment table (bootstrap + every appended epoch)."""
+        try:
+            return self.spark.read.parquet(self.assign_path).drop("epoch")
+        except AnalysisException:
+            return self.spark.createDataFrame(
+                [], "cent_id BIGINT, vec_id BIGINT, emb ARRAY<DOUBLE>,"
+                " nrm DOUBLE"
+            )
+
+    def topk(
+        self, queries: DataFrame, nprobe: int = 2, k: int = 10
+    ) -> DataFrame:
+        """`(qid, cid, cos)` — incremental retrieval against everything
+        indexed so far (same plan as the batch path: broadcast probes,
+        cent_id partition pruning)."""
+        return ivf_index_topk(
+            queries, self.centroids(), self.assignments(), nprobe, k
+        )

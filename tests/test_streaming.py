@@ -1171,3 +1171,92 @@ SELECT tok, label, COUNT(*)::BIGINT AS cnt FROM t GROUP BY tok, label"""
         .collect()
     )
     assert got == oracle
+
+def test_streaming_ivf_indexer_epochs_replay_and_retrieval(spark, sf_dir, tmp_path):
+    """StreamingIvfIndexer: bootstrap + two epochs of new vectors, a
+    replayed epoch must not duplicate (drop-epoch-then-append), and
+    retrieval sees every indexed vector at cos 1.0 when queried with
+    itself."""
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from cloudpelican_lsd_spark.streaming.ann_index import (
+        StreamingIvfIndexer,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    seed = emb.where(F.col("vec_id") < 400).select("vec_id", "embedding")
+    idx = StreamingIvfIndexer(spark, str(tmp_path / "ivf_stream"))
+    idx.bootstrap(seed)
+    n_seed = idx.assignments().count()
+    assert n_seed == 400
+
+    b1 = emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 420)).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    b2 = emb.where((F.col("vec_id") >= 420) & (F.col("vec_id") < 430)).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    idx.process_batch(b1, epoch_id=0)
+    idx.process_batch(b2, epoch_id=1)
+    assert idx.assignments().count() == n_seed + 30
+    # redelivered epoch replaces itself exactly (no duplication)
+    idx.process_batch(b1, epoch_id=0)
+    assert idx.assignments().count() == n_seed + 30
+
+    # retrieval: a batch vector queried with itself comes back at 1.0
+    queries = b1.limit(3).select(
+        (F.col("vec_id") + 1000000).alias("qid"), "embedding"
+    )
+    got = {(r.qid, r.cid) for r in idx.topk(queries, 2, 5).collect()
+           if r.cos == 1.0}
+    for r in queries.collect():
+        assert (r.qid, r.qid - 1000000) in got
+
+    # bootstrap epoch is reserved
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        idx.process_batch(b2, epoch_id=-1)
+
+    # scheme-prefixed paths rejected like every other streaming sink
+    with _pytest.raises(ValueError, match="local"):
+        StreamingIvfIndexer(spark, "file:///tmp/x")
+
+
+def test_streaming_ivf_indexer_e2e_file_stream(spark, sf_dir, tmp_path):
+    """End-to-end through a real streaming query: JSONL vector stream →
+    foreachBatch indexer (availableNow) → retrieval."""
+    import json as _json
+
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from cloudpelican_lsd_spark.streaming.ann_index import (
+        StreamingIvfIndexer,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = StreamingIvfIndexer(spark, str(tmp_path / "ivf_e2e"))
+    idx.bootstrap(emb.where(F.col("vec_id") < 100).select("vec_id", "embedding"))
+
+    src = tmp_path / "vec_in"
+    src.mkdir()
+    rows = emb.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    ).collect()
+    with open(src / "batch.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(
+                {"vec_id": r.vec_id + 500000,
+                 "embedding": [float(x) for x in r.embedding]}) + "\n")
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<FLOAT>"
+    ).json(str(src))
+    q = idx.attach(stream, str(tmp_path / "ckpt"),
+                   trigger={"availableNow": True})
+    assert q.awaitTermination(120), "indexer stream did not drain"
+    assert idx.assignments().count() == 110
+    queries = spark.createDataFrame(
+        [(1, [float(x) for x in rows[0].embedding])],
+        "qid LONG, embedding ARRAY<FLOAT>",
+    )
+    top = idx.topk(queries, 2, 5).collect()
+    assert any(r.cid == rows[0].vec_id + 500000 and r.cos == 1.0
+               for r in top)
