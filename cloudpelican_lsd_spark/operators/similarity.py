@@ -433,6 +433,12 @@ def build_ivf_index(
     (the norms and assignments are the expensive full scans) and each
     1000×-smaller query batch probes it incrementally.
     """
+    if n_centroids < 1:
+        raise ValueError(
+            f"n_centroids={n_centroids}: an IVF index needs at least one "
+            "centroid — an empty centroid set would build an empty index "
+            "and every query would silently return nothing"
+        )
     base = _with_norm(emb)
     cents = base.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"),
@@ -610,6 +616,11 @@ def ivf_index_topk(
     layout contributes NO Exchange and NO Sort on the index side (also
     plan-pinned).  Guard a param/layout mismatch with
     :func:`assert_ivf_index_compatible`."""
+    if nprobe < 1 or k < 1:
+        raise ValueError(
+            f"nprobe={nprobe}, k={k}: both must be >= 1 — zero probes or "
+            "zero results silently return an empty frame for every query"
+        )
     qn = normalize_vectors(queries, id_col="qid")
     scored = _score_against_centroids(qn, cents)
     w_probe = Window.partitionBy("qid").orderBy(
@@ -1295,6 +1306,12 @@ def _pq_d2(emb: DataFrame, m: int, n_codes: int, dim: int) -> DataFrame:
     centroids).  Elements quantize to floor(v·1e7) BIGINTs, so d2 is an
     exact integer — PQ assignment and ADC sums are hash-reproducible
     across engines with NO float rounding anywhere."""
+    if m < 1 or n_codes < 1 or dim % m != 0:
+        raise ValueError(
+            f"m={m}, n_codes={n_codes}, dim={dim}: m and n_codes must be "
+            ">= 1 and m must divide dim — a non-dividing m silently "
+            "mis-buckets the trailing dimensions into a phantom subspace"
+        )
     sub_dim = dim // m
     ex = emb.select(
         "vec_id",
@@ -1517,6 +1534,12 @@ def pq_index_topk(
     code table on (s, code); the only corpus-sized shuffle carries
     (qid, vec_id, partial-ADC) longs for the final sum.  Guard layout
     mismatches with :func:`assert_pq_index_compatible`."""
+    if m < 1 or k < 1 or dim % m != 0:
+        raise ValueError(
+            f"m={m}, k={k}, dim={dim}: m and k must be >= 1 and m must "
+            "divide dim — a non-dividing m silently builds lookup tables "
+            "for a phantom subspace the code table never matches"
+        )
     sub_dim = dim // m
     qx = queries.select(
         "qid",

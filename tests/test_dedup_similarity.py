@@ -1606,3 +1606,30 @@ def test_ivf_partitioned_layout_prunes_scan_to_probed_cells(spark, sf_dir, tmp_p
         assert assign2.count() == n_before + 1
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_part")
+
+
+def test_index_operators_reject_silent_empty_params(spark, sf_dir):
+    """Parameter guards on the index operators: values that would
+    silently return empty results (or mis-bucket dimensions into a
+    phantom subspace) must raise, per the engine's loud-failure
+    contract."""
+    import pytest as _pytest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    with _pytest.raises(ValueError, match="at least one"):
+        sim_ops.build_ivf_index(emb, n_centroids=0)
+    cents, assign = sim_ops.build_ivf_index(emb, 8)
+    q = emb.where(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="nprobe"):
+        sim_ops.ivf_index_topk(q, cents, assign, nprobe=0, k=10)
+    with _pytest.raises(ValueError, match="k="):
+        sim_ops.ivf_index_topk(q, cents, assign, nprobe=2, k=0)
+    with _pytest.raises(ValueError, match="must divide dim"):
+        sim_ops.build_pq_index(emb, m=7, n_codes=16, dim=64)
+    with _pytest.raises(ValueError, match="n_codes"):
+        sim_ops.build_pq_index(emb, m=8, n_codes=0, dim=64)
+    cb, codes = sim_ops.build_pq_index(emb, 8, 16, 64)
+    with _pytest.raises(ValueError, match="must divide dim"):
+        sim_ops.pq_index_topk(q, cb, codes, m=7, dim=64, k=10)
