@@ -1625,6 +1625,399 @@ SELECT qid, cid, adc FROM (
   FROM dist) WHERE rn <= {k}"""
 
 
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ residual index (coarse quantizer + PQ over residuals —
+# the combined production ANN shape: IVF's scan pruning AND PQ's compact
+# memory-bound codes in one index)
+# ---------------------------------------------------------------------------
+
+
+def _quantize_elements(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """`(<id_col>, pos, qv)` — one row per vector element in exact fixed
+    point (floor(v·1e7) BIGINT), the shared element explosion under the
+    IVF-PQ coarse scorer, residual encoder, and query LUT builder so the
+    three can never disagree on quantization."""
+    return df.select(
+        id_col,
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        ),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v") * 10000000).cast("long").alias("qv"),
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """`(centroids, codebook, codes)` — the combined IVF-PQ residual
+    index (the FAISS ``IVFPQ`` shape): each vector is coarse-assigned to
+    its nearest centroid by exact integer L2, and its RESIDUAL (vector −
+    centroid) is product-quantized into ``m`` sub-space codes against a
+    codebook shared across cells.  Completes the persisted-index family:
+    :func:`build_ivf_index` gives scan pruning but ships raw vectors;
+    :func:`build_pq_index` gives 8-byte codes but scans every code; this
+    gives BOTH — a query probes ``nprobe`` cells (partition-pruned scan)
+    and scores only compact codes inside them.
+
+    - centroids `(cent_id, pos, qc)`: ``n_centroids × dim`` fixed-point
+      element rows (deterministic: the first ``n_centroids`` vectors, so
+      the DuckDB oracle replays the exact index; production swaps in
+      trained centroids with the identical plan shape).  Tiny —
+      broadcast everywhere.
+    - codebook `(code, s, pos, rcb)`: ``n_codes × dim`` RESIDUAL-space
+      rows — the first ``n_codes`` vectors' residuals relative to their
+      own assigned centroids (deterministic stand-in for trained
+      sub-quantizers).  Tiny — broadcast at query time.
+    - codes `(cent_id, vec_id, s, code)`: the encoded corpus, ``m`` rows
+      per vector, carrying the coarse cell id — persist partitioned by
+      `cent_id` (:func:`write_ivfpq_index`) and the query's probe list
+      prunes the scan to ~nprobe/n_centroids of the table while the ADC
+      join touches no raw embedding.
+
+    All arithmetic is exact fixed-point BIGINT (floor(v·1e7); residuals
+    stay exact under subtraction), so index build and every query are
+    hash-reproducible across engines.  Residual magnitudes are ≤ 2·1e7
+    and LUT terms ≤ (4·1e7)² · dim ≈ 1e17 — three orders below BIGINT
+    overflow at dim 64.
+    """
+    if n_centroids < 1 or m < 1 or n_codes < 1 or dim % m != 0:
+        raise ValueError(
+            f"n_centroids={n_centroids}, m={m}, n_codes={n_codes}, "
+            f"dim={dim}: all must be >= 1 and m must divide dim — a "
+            "non-dividing m silently mis-buckets the trailing dimensions "
+            "into a phantom subspace and an empty centroid set builds an "
+            "index every query misses"
+        )
+    sub_dim = dim // m
+    ex = _quantize_elements(emb)
+    cents = ex.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), "pos", F.col("qv").alias("qc")
+    )
+    cd2 = (
+        ex.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cent_id")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("qc")) * (F.col("qv") - F.col("qc"))
+            ).alias("cd2")
+        )
+    )
+    w_coarse = Window.partitionBy("vec_id").orderBy(
+        F.col("cd2").asc(), F.col("cent_id").asc()
+    )
+    coarse = (
+        cd2.withColumn("rn", F.row_number().over(w_coarse))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    rv = (
+        ex.join(coarse, "vec_id")
+        .join(F.broadcast(cents), ["cent_id", "pos"])
+        .select(
+            "vec_id",
+            "cent_id",
+            "pos",
+            ((F.col("pos") - 1) / sub_dim).cast("int").alias("s"),
+            (F.col("qv") - F.col("qc")).alias("rv"),
+        )
+    )
+    codebook = rv.where(F.col("vec_id") < n_codes).select(
+        F.col("vec_id").alias("code"), "s", "pos", F.col("rv").alias("rcb")
+    )
+    enc = (
+        rv.join(
+            F.broadcast(codebook.select("code", "pos", "rcb")), "pos"
+        )
+        .groupBy("vec_id", "cent_id", "s", "code")
+        .agg(
+            F.sum(
+                (F.col("rv") - F.col("rcb")) * (F.col("rv") - F.col("rcb"))
+            ).alias("d2")
+        )
+    )
+    w_enc = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    codes = (
+        enc.withColumn("rn", F.row_number().over(w_enc))
+        .where(F.col("rn") == 1)
+        .select("cent_id", "vec_id", "s", "code")
+    )
+    return cents, codebook, codes
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    table: str,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> None:
+    """Persist the IVF-PQ index: centroids and codebook as plain parquet
+    (tiny, broadcast on read) and the code table directory-PARTITIONED
+    by `cent_id` — the same DPP-pruned scan contract as
+    :func:`write_ivf_index`'s default layout, but each pruned cell now
+    holds 8-byte codes instead of raw vectors, so the per-probe read is
+    ~dim·8/m× smaller again."""
+    cents, codebook, codes = build_ivfpq_index(emb, n_centroids, m, n_codes, dim)
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    codebook.write.mode("overwrite").parquet(path + "/codebook")
+    (
+        codes.write.partitionBy("cent_id")
+        .option("path", path + "/codes")
+        .format("parquet")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def read_ivfpq_index(
+    spark, table: str, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read back a persisted IVF-PQ index: `(centroids, codebook,
+    codes)` — codes through the catalog so the partitioned layout's
+    pruning contract survives."""
+    return (
+        spark.read.parquet(path + "/centroids"),
+        spark.read.parquet(path + "/codebook"),
+        spark.table(table),
+    )
+
+
+def assert_ivfpq_index_compatible(
+    cents: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+) -> None:
+    """Fail fast when a persisted IVF-PQ index disagrees with the query
+    side's (n_centroids, m, n_codes, dim): the joins still match on
+    (cent_id, s, code), so a mismatch silently scores garbage ADC.  Two
+    bounded aggregates on the tiny artifacts + one limit(1) sample of
+    the code table; run once at job startup."""
+    cagg = cents.agg(
+        F.count(F.lit(1)).alias("n"), F.max("cent_id").alias("max_c"),
+        F.max("pos").alias("max_pos"),
+    ).collect()[0]
+    if cagg.n != n_centroids * dim or cagg.max_pos != dim:
+        raise ValueError(
+            f"IVF-PQ index incompatible: centroids have {cagg.n} element "
+            f"rows / max_pos={cagg.max_pos}, caller expects "
+            f"n_centroids*dim = {n_centroids * dim} / dim={dim}"
+        )
+    bagg = codebook.agg(
+        F.count(F.lit(1)).alias("n"), F.max("code").alias("max_code"),
+        F.max("s").alias("max_s"),
+    ).collect()[0]
+    if bagg.n != n_codes * dim or bagg.max_code >= n_codes or bagg.max_s != m - 1:
+        raise ValueError(
+            f"IVF-PQ index incompatible: codebook (rows={bagg.n}, "
+            f"max_code={bagg.max_code}, max_s={bagg.max_s}) vs caller "
+            f"(n_codes={n_codes}, dim={dim}, m={m})"
+        )
+    sample = codes.limit(1).collect()
+    if sample and not (
+        0 <= sample[0].s < m
+        and 0 <= sample[0].code < n_codes
+        and 0 <= sample[0].cent_id < n_centroids
+    ):
+        raise ValueError(
+            f"IVF-PQ index incompatible: code row (cent_id="
+            f"{sample[0].cent_id}, s={sample[0].s}, code={sample[0].code}) "
+            f"outside n_centroids={n_centroids}/m={m}/n_codes={n_codes}"
+        )
+
+
+def ivfpq_index_topk(
+    queries: DataFrame,
+    cents: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    nprobe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """`(qid, cid, adc)` — top-k by asymmetric distance of a NEW query
+    batch against the **persisted IVF-PQ index**: the full production
+    retrieval shape.  Only the queries are exploded and quantized; the
+    corpus contributes its compact partitioned code table.
+
+    Plan: queries × broadcast centroids → exact-integer coarse scores →
+    top-``nprobe`` probe cells per query; per probed cell the query's
+    RESIDUAL builds a lookup table against the broadcast codebook
+    (|batch|·nprobe·m·n_codes BIGINT rows); the LUT (keyed by cent_id)
+    equi-joins the code table on (cent_id, s, code) — against the
+    partitioned layout of :func:`write_ivfpq_index` dynamic partition
+    pruning restricts the index SCAN to the probed cells, and the only
+    corpus-sized shuffle carries (qid, vec_id, partial-ADC) longs.
+    Guard layout mismatches with :func:`assert_ivfpq_index_compatible`."""
+    if nprobe < 1 or k < 1:
+        raise ValueError(
+            f"nprobe={nprobe}, k={k}: both must be >= 1 — zero probes or "
+            "zero results silently return an empty frame for every query"
+        )
+    qx = _quantize_elements(queries, id_col="qid")
+    qcd2 = (
+        qx.join(F.broadcast(cents), "pos")
+        .groupBy("qid", "cent_id")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("qc")) * (F.col("qv") - F.col("qc"))
+            ).alias("cd2")
+        )
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("cd2").asc(), F.col("cent_id").asc()
+    )
+    probes = (
+        qcd2.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "cent_id")
+    )
+    lut = (
+        qx.join(probes, "qid")
+        .join(F.broadcast(cents), ["cent_id", "pos"])
+        .join(
+            F.broadcast(codebook.select("code", "s", "pos", "rcb")), "pos"
+        )
+        .groupBy("qid", "cent_id", "s", "code")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("qc") - F.col("rcb"))
+                * (F.col("qv") - F.col("qc") - F.col("rcb"))
+            ).alias("qd2")
+        )
+    )
+    dist = (
+        codes.join(F.broadcast(lut), ["cent_id", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        dist.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("cid"), "adc")
+    )
+
+
+def ivfpq_index_topk_oracle(
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    nprobe: int = 2,
+    num_queries: int = 10,
+    k: int = 10,
+    dim: int = 64,
+    id_offset: int = 100_000,
+) -> str:
+    """Oracle for the incremental IVF-PQ query: batch = the first
+    ``num_queries`` corpus vectors re-ingested under shifted ids.  A
+    re-ingested query's nearest probe cell is its origin's cell (the
+    coarse scores are the same exact integers), and inside it the origin
+    achieves the global-minimum ADC (its codes are the per-subspace
+    argmins of exactly the query's residual LUT), so with cid-asc
+    tie-break every origin lands in its query's top-k — the planted
+    lower bound."""
+    sub_dim = dim // m
+    return f"""WITH ex AS (
+  SELECT vec_id, i AS pos,
+         floor(embedding[i]::DOUBLE * 10000000)::BIGINT AS qv
+  FROM embeddings, generate_series(1, {dim}) t(i)
+),
+cents AS (
+  SELECT vec_id AS cent_id, pos, qv AS qc FROM ex WHERE vec_id < {n_centroids}
+),
+cd2 AS (
+  SELECT e.vec_id, c.cent_id,
+         CAST(SUM((e.qv - c.qc) * (e.qv - c.qc)) AS BIGINT) AS cd2
+  FROM ex e JOIN cents c ON c.pos = e.pos
+  GROUP BY e.vec_id, c.cent_id
+),
+coarse AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cd2 ASC, cent_id ASC) AS rn
+    FROM cd2) WHERE rn = 1
+),
+rv AS (
+  SELECT e.vec_id, a.cent_id, e.pos,
+         CAST((e.pos - 1) // {sub_dim} AS INT) AS s,
+         e.qv - c.qc AS rv
+  FROM ex e
+  JOIN coarse a ON a.vec_id = e.vec_id
+  JOIN cents c ON c.cent_id = a.cent_id AND c.pos = e.pos
+),
+cb AS (
+  SELECT vec_id AS code, s, pos, rv AS rcb FROM rv WHERE vec_id < {n_codes}
+),
+enc AS (
+  SELECT r.vec_id, r.cent_id, r.s, b.code,
+         CAST(SUM((r.rv - b.rcb) * (r.rv - b.rcb)) AS BIGINT) AS d2
+  FROM rv r JOIN cb b ON b.pos = r.pos
+  GROUP BY r.vec_id, r.cent_id, r.s, b.code
+),
+codes AS (
+  SELECT cent_id, vec_id, s, code FROM (
+    SELECT cent_id, vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, code ASC) AS rn
+    FROM enc) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id + {id_offset} AS qid, pos, qv FROM ex
+  WHERE vec_id < {num_queries}
+),
+qcd2 AS (
+  SELECT q.qid, c.cent_id,
+         CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS cd2
+  FROM q JOIN cents c ON c.pos = q.pos
+  GROUP BY q.qid, c.cent_id
+),
+probes AS (
+  SELECT qid, cent_id FROM (
+    SELECT qid, cent_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cd2 ASC, cent_id ASC) AS rn
+    FROM qcd2) WHERE rn <= {nprobe}
+),
+lut AS (
+  SELECT q.qid, p.cent_id, b.s, b.code,
+         CAST(SUM((q.qv - c.qc - b.rcb) * (q.qv - c.qc - b.rcb))
+              AS BIGINT) AS qd2
+  FROM q
+  JOIN probes p ON p.qid = q.qid
+  JOIN cents c ON c.cent_id = p.cent_id AND c.pos = q.pos
+  JOIN cb b ON b.pos = q.pos
+  GROUP BY q.qid, p.cent_id, b.s, b.code
+),
+dist AS (
+  SELECT l.qid, t.vec_id AS cid, CAST(SUM(l.qd2) AS BIGINT) AS adc
+  FROM codes t
+  JOIN lut l ON l.cent_id = t.cent_id AND l.s = t.s AND l.code = t.code
+  GROUP BY l.qid, t.vec_id
+)
+SELECT qid, cid, adc FROM (
+  SELECT qid, cid, adc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc ASC, cid ASC) AS rn
+  FROM dist) WHERE rn <= {k}"""
+
+
 def pq_recall(
     emb: DataFrame,
     m: int = 8,

@@ -140,6 +140,35 @@ def q_pq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "emb_ivfpq_index_incremental",
+    sim_ops.ivfpq_index_topk_oracle(8, 8, 16, 2, 10, 10, 64),
+)
+def q_ivfpq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental retrieval against the PERSISTED **IVF-PQ residual
+    index** (similarity.build_ivfpq_index / ivfpq_index_topk) — the
+    combined production ANN shape: the corpus is coarse-assigned to 8
+    centroids and its residuals product-quantized ONCE (m=8 subspaces,
+    16-entry shared codebook); a new query batch (the first 10 vectors
+    re-ingested under shifted ids) probes its nprobe=2 nearest cells and
+    ADC-scores only the compact codes inside them.  Exact fixed-point
+    BIGINT end to end; each re-ingested query's origin achieves the
+    global-minimum ADC inside its own (always-probed) cell — the planted
+    lower bound.  Unites emb_ivf_index_incremental's pruned scan with
+    emb_pq_index_incremental's code-only query path."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents, codebook, codes = sim_ops.build_ivfpq_index(
+        emb, n_centroids=8, m=8, n_codes=16, dim=64
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    return sim_ops.ivfpq_index_topk(
+        queries, cents, codebook, codes, nprobe=2, k=10
+    )
+
+
+
 @register("emb_pq_topk", sim_ops.pq_topk_oracle(8, 16, 10, 10, 64))
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (similarity.pq_topk): m=8 subspace

@@ -1633,3 +1633,116 @@ def test_index_operators_reject_silent_empty_params(spark, sf_dir):
     cb, codes = sim_ops.build_pq_index(emb, 8, 16, 64)
     with _pytest.raises(ValueError, match="must divide dim"):
         sim_ops.pq_index_topk(q, cb, codes, m=7, dim=64, k=10)
+
+
+def test_ivfpq_index_origin_achieves_min_adc_in_probed_cell(spark, sf_dir):
+    """A re-ingested query's nearest probe cell is its origin's cell
+    (identical exact-integer coarse scores), and inside it the origin's
+    codes are the per-subspace argmins of exactly the query's residual
+    LUT — so the origin achieves the global-minimum ADC and must appear
+    in the top-k (the planted lower bound of the combined index)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents, codebook, codes = sim_ops.build_ivfpq_index(
+        emb, n_centroids=8, m=8, n_codes=16, dim=64
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    top = sim_ops.ivfpq_index_topk(queries, cents, codebook, codes, 2, 10)
+    rows = top.collect()
+    assert len(rows) == 100
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.adc, r.cid))
+    for q in range(10):
+        got = by_q[q + 100000]
+        min_adc = min(a for a, _ in got)
+        assert any(
+            a == min_adc and c == q for a, c in got
+        ), f"query {q} origin missing or not at the global-minimum ADC"
+
+
+def test_ivfpq_partitioned_layout_prunes_scan_to_probed_cells(
+    spark, sf_dir, tmp_path
+):
+    """The persisted IVF-PQ code table keeps the IVF layout contract:
+    dynamic partition pruning restricts the code-table scan to the
+    probed cells, while the scan rows themselves are 8-byte codes —
+    both index wins in one plan."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    try:
+        sim_ops.write_ivfpq_index(
+            emb, "t_ivfpq_codes", str(tmp_path / "ivfpq"),
+            n_centroids=8, m=8, n_codes=16, dim=64,
+        )
+        cents, codebook, codes = sim_ops.read_ivfpq_index(
+            spark, "t_ivfpq_codes", str(tmp_path / "ivfpq")
+        )
+        sim_ops.assert_ivfpq_index_compatible(
+            cents, codebook, codes, 8, 8, 16, 64
+        )
+        queries = emb.where(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 100000).alias("qid"), "embedding"
+        )
+        top = sim_ops.ivfpq_index_topk(queries, cents, codebook, codes, 2, 10)
+        rows = top.collect()
+        assert len(rows) == 10
+        # the origin tops the ranking at its query's minimum ADC
+        assert min(rows, key=lambda r: (r.adc, r.cid)).cid == 0
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:1500]
+        # the persisted code table carries no vector column — the query
+        # path never touches a raw corpus embedding
+        assert "vec_id" in codes.columns and "emb" not in codes.columns
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivfpq_codes")
+
+
+def test_ivfpq_index_matches_inline_build_and_compat_checker(
+    spark, sf_dir, tmp_path
+):
+    """Persisted artifacts answer identically to the inline build, and
+    the compat checker trips on every (n_centroids, m, n_codes, dim)
+    mismatch while passing the matching index."""
+    import pytest as _pytest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents, codebook, codes = sim_ops.build_ivfpq_index(emb, 8, 8, 16, 64)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("qid"), "embedding"
+    )
+    inline = {
+        (r.qid, r.cid, r.adc)
+        for r in sim_ops.ivfpq_index_topk(
+            queries, cents, codebook, codes, 2, 10
+        ).collect()
+    }
+    try:
+        sim_ops.write_ivfpq_index(
+            emb, "t_ivfpq_m", str(tmp_path / "ivfpq_m"), 8, 8, 16, 64
+        )
+        c2, b2, k2 = sim_ops.read_ivfpq_index(
+            spark, "t_ivfpq_m", str(tmp_path / "ivfpq_m")
+        )
+        persisted = {
+            (r.qid, r.cid, r.adc)
+            for r in sim_ops.ivfpq_index_topk(queries, c2, b2, k2, 2, 10).collect()
+        }
+        assert persisted == inline
+        sim_ops.assert_ivfpq_index_compatible(c2, b2, k2, 8, 8, 16, 64)
+        with _pytest.raises(ValueError, match="centroids have"):
+            sim_ops.assert_ivfpq_index_compatible(c2, b2, k2, 16, 8, 16, 64)
+        with _pytest.raises(ValueError, match="codebook"):
+            sim_ops.assert_ivfpq_index_compatible(c2, b2, k2, 8, 8, 32, 64)
+        with _pytest.raises(ValueError, match="codebook"):
+            sim_ops.assert_ivfpq_index_compatible(c2, b2, k2, 8, 4, 16, 64)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivfpq_m")
+    with _pytest.raises(ValueError, match="must divide dim"):
+        sim_ops.build_ivfpq_index(emb, 8, 7, 16, 64)
+    with _pytest.raises(ValueError, match=">= 1"):
+        sim_ops.build_ivfpq_index(emb, 0, 8, 16, 64)
+    with _pytest.raises(ValueError, match="nprobe"):
+        sim_ops.ivfpq_index_topk(queries, cents, codebook, codes, 0, 10)
+    with _pytest.raises(ValueError, match="k="):
+        sim_ops.ivfpq_index_topk(queries, cents, codebook, codes, 2, 0)
