@@ -1695,11 +1695,22 @@ def build_ivfpq_index(
             "into a phantom subspace and an empty centroid set builds an "
             "index every query misses"
         )
-    sub_dim = dim // m
     ex = _quantize_elements(emb)
     cents = ex.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), "pos", F.col("qv").alias("qc")
     )
+    rv = _ivfpq_residuals(ex, cents, dim // m)
+    codebook = rv.where(F.col("vec_id") < n_codes).select(
+        F.col("vec_id").alias("code"), "s", "pos", F.col("rv").alias("rcb")
+    )
+    return cents, codebook, _ivfpq_encode(rv, codebook)
+
+
+def _ivfpq_residuals(ex: DataFrame, cents: DataFrame, sub_dim: int) -> DataFrame:
+    """`(vec_id, cent_id, pos, s, rv)` — coarse-assign quantized elements
+    to their nearest centroid by exact integer L2 and subtract it.  The
+    ONE assignment+residual rule, shared by the index build and every
+    incremental append so the two can never fork."""
     cd2 = (
         ex.join(F.broadcast(cents), "pos")
         .groupBy("vec_id", "cent_id")
@@ -1717,7 +1728,7 @@ def build_ivfpq_index(
         .where(F.col("rn") == 1)
         .select("vec_id", "cent_id")
     )
-    rv = (
+    return (
         ex.join(coarse, "vec_id")
         .join(F.broadcast(cents), ["cent_id", "pos"])
         .select(
@@ -1728,9 +1739,12 @@ def build_ivfpq_index(
             (F.col("qv") - F.col("qc")).alias("rv"),
         )
     )
-    codebook = rv.where(F.col("vec_id") < n_codes).select(
-        F.col("vec_id").alias("code"), "s", "pos", F.col("rv").alias("rcb")
-    )
+
+
+def _ivfpq_encode(rv: DataFrame, codebook: DataFrame) -> DataFrame:
+    """`(cent_id, vec_id, s, code)` — per-subspace argmin encoding of
+    residuals against the broadcast codebook, shared by build and
+    append (same tie rule: d2 asc, code asc)."""
     enc = (
         rv.join(
             F.broadcast(codebook.select("code", "pos", "rcb")), "pos"
@@ -1745,12 +1759,43 @@ def build_ivfpq_index(
     w_enc = Window.partitionBy("vec_id", "s").orderBy(
         F.col("d2").asc(), F.col("code").asc()
     )
-    codes = (
+    return (
         enc.withColumn("rn", F.row_number().over(w_enc))
         .where(F.col("rn") == 1)
         .select("cent_id", "vec_id", "s", "code")
     )
-    return cents, codebook, codes
+
+
+def append_to_ivfpq_index(
+    batch: DataFrame,
+    cents: DataFrame,
+    codebook: DataFrame,
+    table: str,
+    m: int = 8,
+    dim: int = 64,
+) -> None:
+    """Index MAINTENANCE for the combined index: assign a NEW ingestion
+    batch `(vec_id, embedding)` to the EXISTING centroids, encode its
+    residuals against the EXISTING codebook (both via the exact helpers
+    the build used — the assignment and tie rules cannot fork), and
+    append the compact code rows partition-locally.  Tomorrow's query
+    batch sees today's vectors with no corpus re-encode; centroids and
+    codebook stay fixed between retrains (drift is an audit concern —
+    :func:`ivfpq_recall` — not a correctness one, since queries score
+    against the same artifacts the rows were encoded under)."""
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"m={m}, dim={dim}: m must be >= 1 and divide dim — a "
+            "non-dividing m silently mis-buckets the trailing dimensions"
+        )
+    rv = _ivfpq_residuals(_quantize_elements(batch), cents, dim // m)
+    codes = _ivfpq_encode(rv, codebook)
+    (
+        codes.write.partitionBy("cent_id")
+        .format("parquet")
+        .mode("append")
+        .saveAsTable(table)
+    )
 
 
 def write_ivfpq_index(
@@ -1847,11 +1892,14 @@ def ivfpq_index_topk(
     codes: DataFrame,
     nprobe: int = 2,
     k: int = 10,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """`(qid, cid, adc)` — top-k by asymmetric distance of a NEW query
     batch against the **persisted IVF-PQ index**: the full production
     retrieval shape.  Only the queries are exploded and quantized; the
     corpus contributes its compact partitioned code table.
+    ``exclude_self`` drops `qid == vec_id` BEFORE ranking — for audits
+    that query the corpus with its own (un-shifted) ids.
 
     Plan: queries × broadcast centroids → exact-integer coarse scores →
     top-``nprobe`` probe cells per query; per probed cell the query's
@@ -1899,11 +1947,10 @@ def ivfpq_index_topk(
             ).alias("qd2")
         )
     )
-    dist = (
-        codes.join(F.broadcast(lut), ["cent_id", "s", "code"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("qd2").alias("adc"))
-    )
+    cands = codes.join(F.broadcast(lut), ["cent_id", "s", "code"])
+    if exclude_self:
+        cands = cands.where(F.col("qid") != F.col("vec_id"))
+    dist = cands.groupBy("qid", "vec_id").agg(F.sum("qd2").alias("adc"))
     w_top = Window.partitionBy("qid").orderBy(
         F.col("adc").asc(), F.col("vec_id").asc()
     )
@@ -2016,6 +2063,134 @@ SELECT qid, cid, adc FROM (
          row_number() OVER (PARTITION BY qid
                             ORDER BY adc ASC, cid ASC) AS rn
   FROM dist) WHERE rn <= {k}"""
+
+
+def ivfpq_recall(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    nprobe: int = 2,
+    num_queries: int = 10,
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """`(qid, hits, recall)` — the combined index's accuracy audit
+    against the EXACT fixed-point L2 top-k (self excluded, identical
+    tie rules): the tuning loop for (n_centroids, nprobe, m, n_codes)
+    before a large run.  IVF-PQ stacks BOTH loss sources — probing
+    misses cells AND the residual codes blur distances — which is
+    exactly why the audit ships with the index: the combined loss is a
+    data property to measure, not assume (compare against
+    :func:`ivf_recall` and :func:`pq_recall` to attribute it)."""
+    cents, codebook, codes = build_ivfpq_index(emb, n_centroids, m, n_codes, dim)
+    queries = emb.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = ivfpq_index_topk(
+        queries, cents, codebook, codes, nprobe, k, exclude_self=True
+    )
+    ex = _quantize_elements(emb)
+    q = ex.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("qv").alias("qqv")
+    )
+    d2 = (
+        ex.join(F.broadcast(q), "pos")
+        .where(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("qqv")) * (F.col("qv") - F.col("qqv"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    exact = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+    hits = (
+        approx.select("qid", "cid")
+        .join(exact, ["qid", "cid"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact")).join(
+        hits, "qid", "left"
+    ).select(
+        "qid",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact"), 4
+        ).alias("recall"),
+    )
+
+
+def ivfpq_recall_oracle(
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    nprobe: int = 2,
+    num_queries: int = 10,
+    k: int = 10,
+    dim: int = 64,
+) -> str:
+    approx = ivfpq_index_topk_oracle(
+        n_centroids, m, n_codes, nprobe, num_queries, k, dim, id_offset=0
+    )
+    # id_offset=0 makes qid share the corpus id space; the audit then
+    # needs self-exclusion, which the incremental oracle doesn't have —
+    # wrap it and drop qid == cid BEFORE re-ranking to k.  The final
+    # rank clause must be unique in the inner SQL or the lift below
+    # would also rewrite the probe clause (k == nprobe collides).
+    if approx.count(f"WHERE rn <= {k}") != 1:
+        raise ValueError(
+            f"k={k} collides with nprobe={nprobe} in the generated SQL — "
+            "pick distinct values for the recall audit"
+        )
+    return f"""WITH approx_all AS (
+  SELECT qid, cid, adc FROM (
+    SELECT qid, cid, adc,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY adc ASC, cid ASC) AS rn
+    FROM (SELECT a.qid, a.cid, a.adc
+          FROM ({approx.replace(f"WHERE rn <= {k}", "WHERE rn >= 1")}) a
+          WHERE a.qid <> a.cid) t
+  ) WHERE rn <= {k}
+),
+ex2 AS (
+  SELECT vec_id, i AS pos,
+         floor(embedding[i]::DOUBLE * 10000000)::BIGINT AS qv
+  FROM embeddings, generate_series(1, {dim}) t(i)
+),
+qq AS (
+  SELECT vec_id AS qid, pos, qv AS qqv FROM ex2 WHERE vec_id < {num_queries}
+),
+xd2 AS (
+  SELECT q.qid, e.vec_id,
+         CAST(SUM((e.qv - q.qqv) * (e.qv - q.qqv)) AS BIGINT) AS d2
+  FROM ex2 e JOIN qq q ON q.pos = e.pos
+  WHERE q.qid <> e.vec_id
+  GROUP BY q.qid, e.vec_id
+),
+exact AS (
+  SELECT qid, vec_id AS cid FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY d2 ASC, vec_id ASC) AS rn
+    FROM xd2) WHERE rn <= {k}
+),
+h AS (
+  SELECT a.qid, CAST(COUNT(*) AS BIGINT) AS hits
+  FROM approx_all a JOIN exact x ON x.qid = a.qid AND x.cid = a.cid
+  GROUP BY a.qid
+)
+SELECT e.qid,
+       COALESCE(h.hits, 0) AS hits,
+       ROUND(COALESCE(h.hits, 0)::DOUBLE / COUNT(*), 4) AS recall
+FROM exact e LEFT JOIN h ON h.qid = e.qid
+GROUP BY e.qid, h.hits"""
 
 
 def pq_recall(

