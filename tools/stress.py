@@ -188,6 +188,29 @@ def main() -> None:
         f"  ratio={t['3x'] / max(t['1x'], 1e-9):5.2f} (pairs~quadratic: 9)"
     )
 
+    # ivfpq end to end: a FIXED 10-vector query batch vs a replicated
+    # corpus index.  Build is ~linear (element explode, broadcast coarse
+    # scores, per-(vec,s) argmin windows — all keyed by vec_id, replicas
+    # spread evenly); the query's candidate volume grows linearly inside
+    # the probed cells and the output stays top-k-bounded.
+    big_emb10 = replicate(emb, "vec_id", factor, n_emb)
+    t = {}
+    for label, dset in (("1x", emb), (f"{factor}x", big_emb10)):
+        t0 = time.time()
+        cents, cb, codes = similarity.build_ivfpq_index(dset)
+        qb = emb.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 10_000_000).alias("qid"), "embedding"
+        )
+        similarity.ivfpq_index_topk(qb, cents, cb, codes, 2, 10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t[label] = time.time() - t0
+    print(
+        f"{'ivfpq_build+query':28s} 1x={t['1x']:6.2f}s "
+        f"{factor}x={t[f'{factor}x']:6.2f}s"
+        f"  ratio={t[f'{factor}x'] / max(t['1x'], 1e-9):5.2f} (linear={factor})"
+    )
+
     t0 = time.time()
     classifier.train_and_classify(big_logs).write.format("noop").mode(
         "overwrite"
