@@ -1974,11 +1974,12 @@ def ivfpq_index_topk_oracle(
     """Oracle for the incremental IVF-PQ query: batch = the first
     ``num_queries`` corpus vectors re-ingested under shifted ids.  A
     re-ingested query's nearest probe cell is its origin's cell (the
-    coarse scores are the same exact integers), and inside it the origin
-    achieves the global-minimum ADC (its codes are the per-subspace
-    argmins of exactly the query's residual LUT), so with cid-asc
-    tie-break every origin lands in its query's top-k — the planted
-    lower bound."""
+    coarse scores are the same exact integers), and AMONG THAT CELL'S
+    candidates the origin achieves the minimum ADC (its codes are the
+    per-subspace argmins of exactly the query's residual LUT).  The
+    bound is per-cell, not global: the other probed cells score against
+    different residual LUTs and can legitimately undercut the origin's
+    own quantization error."""
     sub_dim = dim // m
     return f"""WITH ex AS (
   SELECT vec_id, i AS pos,

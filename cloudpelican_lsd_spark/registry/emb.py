@@ -153,9 +153,9 @@ def q_ivfpq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ingested under shifted ids) probes its nprobe=2 nearest cells and
     ADC-scores only the compact codes inside them.  Exact fixed-point
     BIGINT end to end; each re-ingested query's origin achieves the
-    global-minimum ADC inside its own (always-probed) cell — the planted
-    lower bound.  Unites emb_ivf_index_incremental's pruned scan with
-    emb_pq_index_incremental's code-only query path."""
+    minimum ADC among its own (always-probed) cell's candidates — the
+    per-cell planted lower bound.  Unites emb_ivf_index_incremental's
+    pruned scan with emb_pq_index_incremental's code-only query path."""
     emb = load_table(spark, "embeddings", sf_dir)
     cents, codebook, codes = sim_ops.build_ivfpq_index(
         emb, n_centroids=8, m=8, n_codes=16, dim=64

@@ -137,3 +137,113 @@ class StreamingIvfIndexer:
         return ivf_index_topk(
             queries, self.centroids(), self.assignments(), nprobe, k
         )
+
+
+class StreamingIvfPqIndexer(StreamingIvfIndexer):
+    """foreachBatch sink maintaining a cent_id-partitioned **IVF-PQ
+    code table** — the streaming maintenance of the combined index
+    (similarity.build_ivfpq_index): same epoch-idempotent sink
+    discipline as the plain IVF indexer, but each appended row is an
+    m-subspace residual CODE, so the maintained table stays ~dim·8/m×
+    smaller than the raw-vector assignment store while retrieval keeps
+    the pruned-scan + ADC-only query plan (similarity.ivfpq_index_topk).
+    Centroids AND codebook are fixed between retrains; drift is audited
+    by `similarity.ivfpq_recall`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        n_centroids: int = 8,
+        m: int = 8,
+        n_codes: int = 16,
+        dim: int = 64,
+    ) -> None:
+        super().__init__(spark, base_dir, n_centroids)
+        if m < 1 or n_codes < 1 or dim % m != 0:
+            raise ValueError(
+                f"m={m}, n_codes={n_codes}, dim={dim}: all must be >= 1 "
+                "and m must divide dim — a non-dividing m silently "
+                "mis-buckets the trailing dimensions"
+            )
+        self.m, self.n_codes, self.dim = m, n_codes, dim
+        self.codebook_path = os.path.join(base_dir, "codebook")
+        # epoch dirs hold codes, not raw assignments
+        self.assign_path = os.path.join(base_dir, "codes")
+
+    def bootstrap(self, corpus: DataFrame) -> None:
+        """Train-time build: centroid elements + residual codebook +
+        the seed corpus codes under the reserved bootstrap epoch -1."""
+        from cloudpelican_lsd_spark.operators.similarity import (
+            build_ivfpq_index,
+        )
+
+        cents, codebook, codes = build_ivfpq_index(
+            corpus, self.n_centroids, self.m, self.n_codes, self.dim
+        )
+        cents.write.mode("overwrite").parquet(self.cent_path)
+        codebook.write.mode("overwrite").parquet(self.codebook_path)
+        (
+            codes.withColumn("epoch", F.lit(-1))
+            .write.partitionBy("epoch", "cent_id")
+            .mode("overwrite")
+            .parquet(self.assign_path)
+        )
+
+    def codebook(self) -> DataFrame:
+        return self.spark.read.parquet(self.codebook_path)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Encode a micro-batch of new `(vec_id, embedding)` rows through
+        the SAME residual/encode helpers the bootstrap used (fixed
+        centroids + codebook) and append its codes under its own epoch
+        partition — whole-epoch-idempotent on redelivery."""
+        from cloudpelican_lsd_spark.operators.similarity import (
+            _ivfpq_encode,
+            _ivfpq_residuals,
+            _quantize_elements,
+        )
+
+        epoch = int(epoch_id)
+        if epoch < 0:
+            raise ValueError(
+                f"epoch {epoch} is reserved for the bootstrap codes"
+            )
+        epoch_dir = os.path.join(self.assign_path, f"epoch={epoch}")
+        if os.path.isdir(epoch_dir):
+            shutil.rmtree(epoch_dir)
+        rv = _ivfpq_residuals(
+            _quantize_elements(batch_df), self.centroids(),
+            self.dim // self.m,
+        )
+        (
+            _ivfpq_encode(rv, self.codebook())
+            .withColumn("epoch", F.lit(epoch))
+            .write.partitionBy("epoch", "cent_id")
+            .mode("append")
+            .parquet(self.assign_path)
+        )
+
+    def assignments(self) -> DataFrame:
+        """The merged code table (bootstrap + every appended epoch)."""
+        try:
+            return self.spark.read.parquet(self.assign_path).drop("epoch")
+        except AnalysisException:
+            return self.spark.createDataFrame(
+                [], "cent_id BIGINT, vec_id BIGINT, s INT, code BIGINT"
+            )
+
+    def topk(
+        self, queries: DataFrame, nprobe: int = 2, k: int = 10
+    ) -> DataFrame:
+        """`(qid, cid, adc)` — ADC retrieval against everything indexed
+        so far (same plan as the batch path: broadcast residual LUTs,
+        cent_id partition pruning, codes-only scan)."""
+        from cloudpelican_lsd_spark.operators.similarity import (
+            ivfpq_index_topk,
+        )
+
+        return ivfpq_index_topk(
+            queries, self.centroids(), self.codebook(),
+            self.assignments(), nprobe, k,
+        )

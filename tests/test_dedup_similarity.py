@@ -1637,10 +1637,12 @@ def test_index_operators_reject_silent_empty_params(spark, sf_dir):
 
 def test_ivfpq_index_origin_achieves_min_adc_in_probed_cell(spark, sf_dir):
     """A re-ingested query's nearest probe cell is its origin's cell
-    (identical exact-integer coarse scores), and inside it the origin's
-    codes are the per-subspace argmins of exactly the query's residual
-    LUT — so the origin achieves the global-minimum ADC and must appear
-    in the top-k (the planted lower bound of the combined index)."""
+    (identical exact-integer coarse scores), and AMONG THAT CELL'S
+    candidates the origin's codes are the per-subspace argmins of
+    exactly the query's residual LUT — the per-cell planted lower
+    bound.  The bound is NOT global: the other probed cell scores
+    against a different residual LUT and can legitimately undercut the
+    origin's quantization error."""
     emb = load_table(spark, "embeddings", sf_dir)
     cents, codebook, codes = sim_ops.build_ivfpq_index(
         emb, n_centroids=8, m=8, n_codes=16, dim=64
@@ -1651,15 +1653,21 @@ def test_ivfpq_index_origin_achieves_min_adc_in_probed_cell(spark, sf_dir):
     top = sim_ops.ivfpq_index_topk(queries, cents, codebook, codes, 2, 10)
     rows = top.collect()
     assert len(rows) == 100
+    cell_of = {
+        r.vec_id: r.cent_id
+        for r in codes.select("vec_id", "cent_id").distinct().collect()
+    }
     by_q = {}
     for r in rows:
         by_q.setdefault(r.qid, []).append((r.adc, r.cid))
     for q in range(10):
         got = by_q[q + 100000]
-        min_adc = min(a for a, _ in got)
-        assert any(
-            a == min_adc and c == q for a, c in got
-        ), f"query {q} origin missing or not at the global-minimum ADC"
+        assert any(c == q for _, c in got), f"query {q} origin missing"
+        origin_adc = min(a for a, c in got if c == q)
+        same_cell = [a for a, c in got if cell_of[c] == cell_of[q]]
+        assert origin_adc == min(same_cell), (
+            f"query {q}: origin not at its cell's minimum ADC"
+        )
 
 
 def test_ivfpq_partitioned_layout_prunes_scan_to_probed_cells(
@@ -1687,8 +1695,9 @@ def test_ivfpq_partitioned_layout_prunes_scan_to_probed_cells(
         top = sim_ops.ivfpq_index_topk(queries, cents, codebook, codes, 2, 10)
         rows = top.collect()
         assert len(rows) == 10
-        # the origin tops the ranking at its query's minimum ADC
-        assert min(rows, key=lambda r: (r.adc, r.cid)).cid == 0
+        # the origin is retrieved (per-cell lower bound; cross-cell
+        # candidates may legitimately rank above it)
+        assert any(r.cid == 0 for r in rows)
         plan = top._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan.lower(), plan[:1500]
         # the persisted code table carries no vector column — the query
@@ -1751,8 +1760,8 @@ def test_ivfpq_index_matches_inline_build_and_compat_checker(
 def test_ivfpq_index_append_maintenance(spark, sf_dir, tmp_path):
     """The maintenance cycle of the combined index: a vector absent from
     the persisted code table is appended (assigned + encoded via the
-    SAME helpers the build used) and becomes retrievable at the
-    global-minimum ADC, with the query plan unchanged."""
+    SAME helpers the build used) and becomes retrievable, with the query
+    plan unchanged."""
     emb = load_table(spark, "embeddings", sf_dir)
     seed = emb.where(F.col("vec_id") != 42)
     try:
@@ -1779,8 +1788,9 @@ def test_ivfpq_index_append_maintenance(spark, sf_dir, tmp_path):
         assert codes2.count() == n_before + 8  # m rows per vector
         after = sim_ops.ivfpq_index_topk(q42, cents, codebook, codes2, 2, 10)
         rows = after.collect()
-        # origin now present and at its query's minimum ADC
-        assert min(rows, key=lambda r: (r.adc, r.cid)).cid == 42
+        # origin now retrieved (per-cell lower bound — cross-cell
+        # candidates may rank above it; before the append it was absent)
+        assert any(r.cid == 42 for r in rows)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivfpq_app")
 

@@ -1260,3 +1260,114 @@ def test_streaming_ivf_indexer_e2e_file_stream(spark, sf_dir, tmp_path):
     top = idx.topk(queries, 2, 5).collect()
     assert any(r.cid == rows[0].vec_id + 500000 and r.cos == 1.0
                for r in top)
+
+
+def test_streaming_ivfpq_indexer_epochs_replay_and_retrieval(
+    spark, sf_dir, tmp_path
+):
+    """StreamingIvfPqIndexer: bootstrap + two epochs of new vectors, a
+    replayed epoch must not duplicate, and every indexed vector queried
+    with itself must come back at its query's global-minimum ADC (the
+    per-subspace-argmin planted lower bound)."""
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from cloudpelican_lsd_spark.streaming.ann_index import (
+        StreamingIvfPqIndexer,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    seed = emb.where(F.col("vec_id") < 400).select("vec_id", "embedding")
+    idx = StreamingIvfPqIndexer(spark, str(tmp_path / "ivfpq_stream"))
+    idx.bootstrap(seed)
+    n_seed = idx.assignments().count()
+    assert n_seed == 400 * 8  # m code rows per vector
+
+    b1 = emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 420)).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    b2 = emb.where((F.col("vec_id") >= 420) & (F.col("vec_id") < 430)).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    idx.process_batch(b1, epoch_id=0)
+    idx.process_batch(b2, epoch_id=1)
+    assert idx.assignments().count() == n_seed + 30 * 8
+    # redelivered epoch replaces itself exactly (no duplication)
+    idx.process_batch(b1, epoch_id=0)
+    assert idx.assignments().count() == n_seed + 30 * 8
+
+    # retrieval: a batch vector queried with itself appears in the
+    # top-k, and among candidates ENCODED IN ITS OWN CELL it has the
+    # minimum ADC (per-subspace-argmin bound — per-cell, NOT global:
+    # the other probed cell scores against a different residual LUT
+    # and can legitimately undercut the origin's quantization error)
+    queries = b1.limit(3).select(
+        (F.col("vec_id") + 1000000).alias("qid"), "embedding"
+    )
+    rows = idx.topk(queries, 2, 5).collect()
+    cell_of = {
+        r.vec_id: r.cent_id
+        for r in idx.assignments().select("vec_id", "cent_id").distinct().collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.adc, r.cid))
+    for r in queries.collect():
+        origin = r.qid - 1000000
+        got = by_q[r.qid]
+        assert any(c == origin for _, c in got), f"{origin} missing from top-k"
+        origin_adc = min(a for a, c in got if c == origin)
+        same_cell = [a for a, c in got if cell_of[c] == cell_of[origin]]
+        assert origin_adc == min(same_cell)
+
+    # bootstrap epoch reserved; scheme URIs rejected; bad m rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="reserved"):
+        idx.process_batch(b2, epoch_id=-1)
+    with _pytest.raises(ValueError, match="local"):
+        StreamingIvfPqIndexer(spark, "file:///tmp/x")
+    with _pytest.raises(ValueError, match="divide dim"):
+        StreamingIvfPqIndexer(spark, str(tmp_path / "bad"), m=7)
+
+
+def test_streaming_ivfpq_indexer_e2e_file_stream(spark, sf_dir, tmp_path):
+    """End-to-end through a real streaming query: JSONL vector stream →
+    foreachBatch IVF-PQ indexer (availableNow) → ADC retrieval, and the
+    maintained table carries codes only (no raw vectors)."""
+    import json as _json
+
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from cloudpelican_lsd_spark.streaming.ann_index import (
+        StreamingIvfPqIndexer,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = StreamingIvfPqIndexer(spark, str(tmp_path / "ivfpq_e2e"))
+    idx.bootstrap(
+        emb.where(F.col("vec_id") < 100).select("vec_id", "embedding")
+    )
+
+    src = tmp_path / "vec_in_pq"
+    src.mkdir()
+    rows = emb.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    ).collect()
+    with open(src / "batch.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(
+                {"vec_id": r.vec_id + 500000,
+                 "embedding": [float(x) for x in r.embedding]}) + "\n")
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<FLOAT>"
+    ).json(str(src))
+    q = idx.attach(stream, str(tmp_path / "ckpt_pq"),
+                   trigger={"availableNow": True})
+    assert q.awaitTermination(120), "indexer stream did not drain"
+    merged = idx.assignments()
+    assert merged.count() == 110 * 8
+    assert set(merged.columns) == {"cent_id", "vec_id", "s", "code"}
+    queries = spark.createDataFrame(
+        [(1, [float(x) for x in rows[0].embedding])],
+        "qid LONG, embedding ARRAY<FLOAT>",
+    )
+    top = idx.topk(queries, 2, 5).collect()
+    assert any(r.cid == rows[0].vec_id + 500000 for r in top)
