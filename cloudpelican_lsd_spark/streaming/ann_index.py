@@ -40,6 +40,12 @@ from cloudpelican_lsd_spark.operators.similarity import (
 class StreamingIvfIndexer:
     """foreachBatch sink maintaining a cent_id-partitioned IVF index."""
 
+    #: sidecar recording the highest epoch folded into the bootstrap
+    #: partition by :meth:`compact` (underscore name: Spark's parquet
+    #: reader ignores it, same convention as the suppressor's
+    #: `_kept_schema.json`)
+    _COMPACT_MARK = "_compacted_through.json"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -84,16 +90,87 @@ class StreamingIvfIndexer:
 
     # -- maintain ------------------------------------------------------------
 
+    def compacted_through(self) -> int:
+        """Highest epoch already folded into the bootstrap partition by
+        :meth:`compact` (-1 if never compacted)."""
+        import json
+
+        try:
+            with open(
+                os.path.join(self.assign_path, self._COMPACT_MARK)
+            ) as fh:
+                return int(json.load(fh)["epoch"])
+        except (FileNotFoundError, ValueError, KeyError, TypeError):
+            return -1
+
+    def _replay_of_compacted(self, epoch: int) -> bool:
+        """True when a redelivered epoch was already folded into the
+        bootstrap partition: its epoch dir no longer exists, so the
+        drop-epoch-then-append upgrade can't see it — appending would
+        DUPLICATE rows already merged.  Skipping is the exactly-once
+        answer (the epoch's rows are fully present in epoch=-1)."""
+        return epoch <= self.compacted_through()
+
+    def compact(self) -> None:
+        """Fold every appended epoch into the reserved bootstrap
+        partition — streaming appends accumulate one directory tree per
+        micro-batch (the small-files problem at scale; at one epoch per
+        minute a day adds 1 440 trees × n_centroids cells), and
+        compaction rewrites the merged table as one healthy file set per
+        cell.  Crash-safe via the pipeline's swap discipline (live →
+        `.old` → in; heal with `_recover_swap` on every entry point);
+        the high-water sidecar rides inside the new table directory so
+        the swap publishes data and watermark atomically.
+
+        MUST run quiesced (between micro-batches or with the stream
+        stopped): a batch landing mid-rewrite would be dropped by the
+        swap.  The watermark pins the CHECKPOINT LINEAGE — epoch ids
+        restart at 0 under a fresh checkpoint, so a re-pointed stream
+        needs a fresh base_dir (or delete the sidecar after wiping the
+        epochs), exactly like every other epoch-idempotent sink here."""
+        import json
+
+        from cloudpelican_lsd_spark.streaming.pipeline import StreamingEngine
+
+        StreamingEngine._recover_swap(self.assign_path)
+        if not os.path.isdir(self.assign_path):
+            return
+        df = self.spark.read.parquet(self.assign_path)
+        hi = df.agg(F.max("epoch").alias("hi")).collect()[0].hi
+        if hi is None or hi < 0:
+            return  # bootstrap-only (or empty): nothing to fold
+        tmp = self.assign_path + ".compact"
+        (
+            df.drop("epoch")
+            .withColumn("epoch", F.lit(-1))
+            .write.partitionBy("epoch", "cent_id")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        with open(os.path.join(tmp, self._COMPACT_MARK), "w") as fh:
+            json.dump(
+                {"epoch": max(int(hi), self.compacted_through())}, fh
+            )
+        StreamingEngine._swap_table(self.assign_path, tmp)
+
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """Assign a micro-batch of new `(vec_id, embedding)` rows to the
         fixed centroids and append under its own epoch partition —
         whole-epoch-idempotent on redelivery (drop-epoch-then-append,
-        the pipeline sink discipline)."""
+        the pipeline sink discipline; epochs already folded into the
+        bootstrap partition by :meth:`compact` are skipped, which is the
+        exactly-once answer for a redelivery that arrives after
+        compaction)."""
+        from cloudpelican_lsd_spark.streaming.pipeline import StreamingEngine
+
         epoch = int(epoch_id)
         if epoch < 0:
             raise ValueError(
                 f"epoch {epoch} is reserved for the bootstrap assignments"
             )
+        StreamingEngine._recover_swap(self.assign_path)
+        if self._replay_of_compacted(epoch):
+            return
         epoch_dir = os.path.join(self.assign_path, f"epoch={epoch}")
         if os.path.isdir(epoch_dir):
             shutil.rmtree(epoch_dir)
@@ -120,6 +197,9 @@ class StreamingIvfIndexer:
 
     def assignments(self) -> DataFrame:
         """The merged assignment table (bootstrap + every appended epoch)."""
+        from cloudpelican_lsd_spark.streaming.pipeline import StreamingEngine
+
+        StreamingEngine._recover_swap(self.assign_path)
         try:
             return self.spark.read.parquet(self.assign_path).drop("epoch")
         except AnalysisException:
@@ -203,12 +283,16 @@ class StreamingIvfPqIndexer(StreamingIvfIndexer):
             _ivfpq_residuals,
             _quantize_elements,
         )
+        from cloudpelican_lsd_spark.streaming.pipeline import StreamingEngine
 
         epoch = int(epoch_id)
         if epoch < 0:
             raise ValueError(
                 f"epoch {epoch} is reserved for the bootstrap codes"
             )
+        StreamingEngine._recover_swap(self.assign_path)
+        if self._replay_of_compacted(epoch):
+            return
         epoch_dir = os.path.join(self.assign_path, f"epoch={epoch}")
         if os.path.isdir(epoch_dir):
             shutil.rmtree(epoch_dir)
@@ -226,6 +310,9 @@ class StreamingIvfPqIndexer(StreamingIvfIndexer):
 
     def assignments(self) -> DataFrame:
         """The merged code table (bootstrap + every appended epoch)."""
+        from cloudpelican_lsd_spark.streaming.pipeline import StreamingEngine
+
+        StreamingEngine._recover_swap(self.assign_path)
         try:
             return self.spark.read.parquet(self.assign_path).drop("epoch")
         except AnalysisException:

@@ -1371,3 +1371,105 @@ def test_streaming_ivfpq_indexer_e2e_file_stream(spark, sf_dir, tmp_path):
     )
     top = idx.topk(queries, 2, 5).collect()
     assert any(r.cid == rows[0].vec_id + 500000 for r in top)
+
+
+def test_streaming_index_compaction_folds_epochs_and_skips_replays(
+    spark, sf_dir, tmp_path
+):
+    """compact(): every appended epoch folds into the bootstrap
+    partition (small-files fix — fewer parquet files after, identical
+    merged rows), the high-water sidecar rides the swap atomically, a
+    post-compaction redelivery of a folded epoch is SKIPPED instead of
+    duplicated, and NEW epochs keep appending normally.  Also: a
+    mid-swap crash (live at `.old`, tmp renamed in) heals on the next
+    entry point."""
+    import os as _os
+
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from cloudpelican_lsd_spark.streaming.ann_index import (
+        StreamingIvfIndexer,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = StreamingIvfIndexer(spark, str(tmp_path / "ivf_cmp"))
+    idx.bootstrap(emb.where(F.col("vec_id") < 100).select("vec_id", "embedding"))
+    b1 = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    b2 = emb.where((F.col("vec_id") >= 120) & (F.col("vec_id") < 130)).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    idx.process_batch(b1, epoch_id=0)
+    idx.process_batch(b2, epoch_id=1)
+    before_rows = {
+        (r.vec_id, r.cent_id) for r in idx.assignments().collect()
+    }
+
+    def n_files(p):
+        return sum(
+            1 for root, _d, files in _os.walk(p)
+            for f in files if f.endswith(".parquet")
+        )
+
+    files_before = n_files(idx.assign_path)
+    assert idx.compacted_through() == -1
+    idx.compact()
+    assert idx.compacted_through() == 1
+    after_rows = {
+        (r.vec_id, r.cent_id) for r in idx.assignments().collect()
+    }
+    assert after_rows == before_rows
+    assert n_files(idx.assign_path) < files_before
+    # every row now sits in the bootstrap partition
+    assert [
+        r.epoch
+        for r in spark.read.parquet(idx.assign_path)
+        .select("epoch").distinct().collect()
+    ] == [-1]
+
+    # a redelivery of a folded epoch is skipped, not duplicated
+    idx.process_batch(b1, epoch_id=0)
+    assert idx.assignments().count() == len(before_rows)
+    # compacting again with nothing new is a no-op that keeps the mark
+    idx.compact()
+    assert idx.compacted_through() == 1
+    # new epochs append normally after compaction
+    b3 = emb.where((F.col("vec_id") >= 130) & (F.col("vec_id") < 135)).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    idx.process_batch(b3, epoch_id=2)
+    assert idx.assignments().count() == len(before_rows) + 5
+
+    # mid-swap crash: live moved aside, tmp never moved in → reads heal
+    _os.rename(idx.assign_path, idx.assign_path + ".old")
+    assert idx.assignments().count() == len(before_rows) + 5
+    assert not _os.path.isdir(idx.assign_path + ".old")
+
+
+def test_streaming_ivfpq_compaction_inherited(spark, sf_dir, tmp_path):
+    """The PQ subclass inherits compaction over its code table: epochs
+    fold, the watermark skips folded replays, retrieval unchanged."""
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from cloudpelican_lsd_spark.streaming.ann_index import (
+        StreamingIvfPqIndexer,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = StreamingIvfPqIndexer(spark, str(tmp_path / "ivfpq_cmp"))
+    idx.bootstrap(emb.where(F.col("vec_id") < 100).select("vec_id", "embedding"))
+    b1 = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    idx.process_batch(b1, epoch_id=0)
+    n = idx.assignments().count()
+    assert n == 110 * 8
+    queries = b1.limit(2).select(
+        (F.col("vec_id") + 1000000).alias("qid"), "embedding"
+    )
+    before = {(r.qid, r.cid, r.adc) for r in idx.topk(queries, 2, 5).collect()}
+    idx.compact()
+    assert idx.compacted_through() == 0
+    idx.process_batch(b1, epoch_id=0)  # folded replay: skipped
+    assert idx.assignments().count() == n
+    after = {(r.qid, r.cid, r.adc) for r in idx.topk(queries, 2, 5).collect()}
+    assert after == before
