@@ -2114,3 +2114,146 @@ def split_cluster_safe(
         .crossJoin(F.broadcast(leaky))
         .select("split", "n_docs", "n_clusters", "leaky_clusters")
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (one exponentiated-gradient step)
+# ---------------------------------------------------------------------------
+
+
+def doremi_step(
+    docs: DataFrame, eta_num: int = 1, eta_den: int = 2
+) -> DataFrame:
+    """`(source, n_tokens, fail_ppm, factor_micro, weight_ppm)` — one
+    DoReMi-style exponentiated-gradient domain-reweighting step over
+    sources (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds
+    Up Language Model Pretraining" — public): domains whose documents
+    fail the shared C4/Gopher panel more often (the deterministic
+    stand-in for DoReMi's proxy-vs-reference excess loss; production
+    plugs measured per-domain losses into the same plan) are up-weighted
+    multiplicatively from the token-share baseline:
+
+        w_i' ∝ n_tokens_i · e(η · fail_i),   η = eta_num/eta_den
+
+    Completes the mixture-family triptych: temperature_mixture
+    (frequency-smoothed), unimax_allocation (epoch-capped), doremi_step
+    (hardness-driven) — three published allocators auditable on the
+    same corpus.
+
+    Exactness: true exp is a libm transcendental that is NOT
+    bit-identical across engines (the reason log_normal has no oracle
+    twin), so the update uses the 3rd-order integer polynomial in
+    micro-units
+
+        e(x) = 1e6 + x + x² div 2e6 + x³ div 6e12
+
+    which is all-BIGINT, STRICTLY monotone in x (the property an EG
+    update needs), and within 0.3 % of true exp for x = η·fail_ppm ≤
+    5e5.  The weight normalization cross-multiplies in DECIMAL(38,0) so
+    a 100 TB token total (wᵢ ≈ 1e13·1.65e6, ×1e6 ≈ 1.6e25) stays three
+    orders under the 38-digit ceiling.
+
+    Scale shape: ONE scan computing token count + the fused any-rule
+    flag per row, map-side-collapsed to |sources| rows; the mixture
+    math is a broadcast crossJoin of one aggregate row.
+    """
+    if eta_num < 0 or eta_den < 1:
+        raise ValueError(
+            f"eta={eta_num}/{eta_den}: need eta >= 0 and a positive "
+            "denominator — a negative learning rate silently inverts the "
+            "update (down-weighting hard domains)"
+        )
+    if eta_num * 1_000_000 > eta_den * 500_000:
+        raise ValueError(
+            f"eta={eta_num}/{eta_den} puts x = eta*fail_ppm beyond 5e5 "
+            "micro-units, where the 3rd-order exp surrogate leaves its "
+            "documented 0.3% envelope — keep eta <= 1/2"
+        )
+    flags = c4_flag_exprs()
+    any_fail = F.greatest(*[expr.cast("int") for expr in flags.values()])
+    per_src = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+            any_fail.alias("fail"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("fail").cast("long").alias("n_fail"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("(n_fail * 1000000) div n_docs").alias("fail_ppm"),
+        )
+    )
+    m = per_src.select(
+        "source",
+        "n_tokens",
+        "fail_ppm",
+        F.expr(f"(fail_ppm * {int(eta_num)}) div {int(eta_den)}").alias("x"),
+    ).select(
+        "source",
+        "n_tokens",
+        "fail_ppm",
+        F.expr(
+            "1000000 + x + (x * x) div 2000000"
+            " + (x * x * x) div 6000000000000"
+        ).alias("factor_micro"),
+    )
+    w = m.select(
+        "*",
+        F.expr(
+            "CAST(n_tokens AS DECIMAL(38,0)) * factor_micro"
+        ).alias("w_raw"),
+    )
+    tot = w.agg(F.sum("w_raw").alias("w_tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "fail_ppm",
+            "factor_micro",
+            F.expr(
+                "CAST(w_raw * 1000000 div w_tot AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+    )
+
+
+def doremi_step_oracle(eta_num: int = 1, eta_den: int = 2) -> str:
+    """DuckDB twin of :func:`doremi_step` — HUGEINT carries the exact
+    products DECIMAL(38,0) carries on the Spark side."""
+    flag_sql = c4_flag_sql("n")
+    any_rule = (
+        "GREATEST(" + ", ".join(f"{e}::INT" for e in flag_sql.values()) + ")"
+    )
+    return f"""WITH base AS (
+  SELECT source, len(string_split(text, ' '))::BIGINT AS n,
+         {any_rule} AS fail
+  FROM documents
+),
+per_src AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         (CAST(SUM(fail) AS BIGINT) * 1000000) // COUNT(*) AS fail_ppm
+  FROM base GROUP BY source
+),
+m AS (
+  SELECT source, n_tokens, fail_ppm,
+         1000000 + x + (x * x) // 2000000
+           + (x * x * x) // 6000000000000 AS factor_micro
+  FROM (SELECT *, (fail_ppm * {int(eta_num)}) // {int(eta_den)} AS x
+        FROM per_src)
+),
+w AS (
+  SELECT *, n_tokens::HUGEINT * factor_micro AS w_raw FROM m
+),
+tot AS (SELECT SUM(w_raw) AS w_tot FROM w)
+SELECT source, n_tokens, CAST(fail_ppm AS BIGINT) AS fail_ppm,
+       CAST(factor_micro AS BIGINT) AS factor_micro,
+       CAST(w_raw * 1000000 // w_tot AS BIGINT) AS weight_ppm
+FROM w, tot"""

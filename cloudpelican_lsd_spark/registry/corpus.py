@@ -438,6 +438,20 @@ def q_corpus_eval_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register("corpus_doremi_step", corpus_ops.doremi_step_oracle(1, 2))
+def q_corpus_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient domain-reweighting step
+    (Xie et al. 2023): sources whose documents fail the shared C4/Gopher
+    panel more often are up-weighted multiplicatively from token share,
+    via an exact 3rd-order integer exp surrogate (corpus.doremi_step) —
+    completes the mixture triptych with corpus_temperature_mixture and
+    corpus_unimax_alloc."""
+    return corpus_ops.doremi_step(
+        load_table(spark, "documents", sf_dir), eta_num=1, eta_den=2
+    )
+
+
+
 @register("corpus_temperature_mixture", corpus_ops.temperature_mixture_oracle(2, 5))
 def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source sampling (T=2, the mBERT/XLM-R mixer)

@@ -228,6 +228,7 @@ DRIVER_ORDER = [
     #    in the round-7 rotation; local parity green at sf0.01 + sf0.1
     "emb_ivfpq_index_incremental",
     "emb_ivfpq_recall",
+    "corpus_doremi_step",
 ]
 
 

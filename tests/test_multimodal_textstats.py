@@ -1542,3 +1542,55 @@ def test_eval_decontaminate_broadcasts_eval_side(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_doremi_step_properties(spark, sf_dir):
+    """The EG update's load-bearing invariants: weights form a ppm
+    simplex (sum within integer-floor slack of 1e6), the factor is
+    strictly monotone in fail_ppm (the property the polynomial exp
+    surrogate must preserve), eta=0 degenerates to exact token share,
+    and out-of-envelope etas are rejected loudly."""
+    import pytest as _pytest
+
+    from cloudpelican_lsd_spark.operators import corpus as corpus_ops
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = corpus_ops.doremi_step(docs).collect()
+    n_src = docs.select("source").distinct().count()
+    assert len(rows) == n_src
+    total = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - n_src <= total <= 1_000_000  # floor-div slack
+    # strict monotonicity of the surrogate: sort by fail_ppm, factors
+    # must be non-decreasing, and strictly increasing on distinct x
+    by_fail = sorted(rows, key=lambda r: r.fail_ppm)
+    for a, b in zip(by_fail, by_fail[1:]):
+        assert a.factor_micro <= b.factor_micro
+        if (a.fail_ppm // 2) != (b.fail_ppm // 2):  # distinct x at eta=1/2
+            assert a.factor_micro < b.factor_micro
+    # surrogate accuracy: within 0.3% of true exp at every point
+    import math
+
+    for r in rows:
+        x = (r.fail_ppm * 1) // 2
+        true = math.exp(x / 1e6) * 1e6
+        assert abs(r.factor_micro - true) / true < 0.003
+    # eta=0: factor == 1e6 everywhere, weights == exact token share
+    flat = corpus_ops.doremi_step(docs, eta_num=0, eta_den=1).collect()
+    tot_tokens = sum(r.n_tokens for r in flat)
+    for r in flat:
+        assert r.factor_micro == 1_000_000
+        assert r.weight_ppm == (r.n_tokens * 1_000_000) // tot_tokens
+    # domains whose factor exceeds the token-weighted MEAN factor end
+    # up above their token share (the exact EG renormalization law)
+    share = {r.source: r.weight_ppm for r in flat}
+    wmean = sum(r.n_tokens * r.factor_micro for r in rows) / tot_tokens
+    for r in rows:
+        if r.factor_micro > wmean:
+            assert r.weight_ppm >= share[r.source]
+        elif r.factor_micro < wmean:
+            assert r.weight_ppm <= share[r.source] + 1  # floor-div slack
+    with _pytest.raises(ValueError, match="negative learning rate"):
+        corpus_ops.doremi_step(docs, eta_num=-1, eta_den=2)
+    with _pytest.raises(ValueError, match="envelope"):
+        corpus_ops.doremi_step(docs, eta_num=1, eta_den=1)
