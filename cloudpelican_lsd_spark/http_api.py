@@ -437,7 +437,11 @@ class _SupervisorHandler(BaseHTTPRequestHandler):
     def _put_stats(self):
         try:
             data = json.loads(self._body().decode("utf-8"))
-            assert isinstance(data, dict)
+            if not isinstance(data, dict):
+                # a real raise, not assert: `python -O` strips asserts
+                # and a JSON array body would then crash below as a 500
+                # instead of this clean 4xx
+                raise ValueError("stats body must be a JSON object")
         except Exception as ex:
             return self._jresp_err(f"Invalid request JSON: {ex}")
         updates = 0

@@ -202,7 +202,13 @@ def minhash_signatures(
     num_hashes (md5 is the hot loop, and the only digest DuckDB
     reproduces bit-for-bit).
     """
-    assert num_hashes * 5 <= 64, "sliced-md5 scheme supports <= 12 hashes"
+    if not (1 <= num_hashes and num_hashes * 5 <= 64):
+        # a real raise, not assert: `python -O` strips asserts and the
+        # 13th slice would silently read past the 64-hex digest pair
+        raise ValueError(
+            f"num_hashes={num_hashes}: the sliced-md5 scheme supports "
+            "1..12 hashes (12 disjoint 5-hex slices of two md5s)"
+        )
     # shingle_rows keeps duplicate n-grams — MIN is duplicate-insensitive,
     # so skipping the dedup avoids a per-row array_distinct entirely
     sh = shingle_rows(_spread(docs), n)
@@ -246,7 +252,18 @@ def bands_from_signatures(
     """`(doc_id, band, sig)` from a wide signature table — split out so a
     caller that also needs the signatures (e.g. the estimate-vs-true
     audit) can build both from ONE aggregate and let Spark reuse the
-    exchange instead of recomputing the corpus scan."""
+    exchange instead of recomputing the corpus scan.
+
+    ``num_hashes`` that is not a multiple of ``rows_per_band`` drops the
+    trailing hashes from banding (standard LSH: only full bands bucket);
+    a combination yielding ZERO bands is rejected loudly — `stack(0)`
+    would otherwise fail with an unrelated AnalysisException."""
+    if rows_per_band < 1 or num_hashes < rows_per_band:
+        raise ValueError(
+            f"num_hashes={num_hashes}, rows_per_band={rows_per_band}: "
+            "need 1 <= rows_per_band <= num_hashes — this combination "
+            "yields zero bands, so every query would match nothing"
+        )
     n_bands = num_hashes // rows_per_band
     band_args = ", ".join(
         f"{b}, concat_ws('|', {', '.join(f'm{b * rows_per_band + r}' for r in range(rows_per_band))})"
@@ -889,7 +906,15 @@ def simhash_near_pairs_complete(
     doc-level distinct over the full candidate set, which is the
     quadratic shuffle this rewrite removes.
     """
-    assert 32 % n_blocks == 0
+    if n_blocks < 1 or 32 % n_blocks != 0:
+        # a real raise, not assert (`python -O` strips asserts): a
+        # non-dividing block count silently truncates the fingerprint
+        # and the pigeonhole guarantee (hamming<=k pairs share a block)
+        # no longer holds — pairs would be MISSED, not just slower
+        raise ValueError(
+            f"n_blocks={n_blocks} must divide 32 (the simhash width) "
+            "for the pigeonhole block split to be exhaustive"
+        )
     width = 32 // n_blocks
     mask = (1 << width) - 1
     # Fingerprint dedup FIRST (the scale move this corpus shape forces):

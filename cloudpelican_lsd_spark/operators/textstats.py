@@ -973,7 +973,15 @@ def chunk_windows(
     documents for training); chunking stays WITHIN the document for
     retrieval.
     """
-    assert 0 <= overlap < chunk_tokens
+    if not (0 <= overlap < chunk_tokens):
+        # a real raise, not assert (`python -O` strips asserts): an
+        # overlap >= chunk size makes the stride non-positive and the
+        # chunk grid loops forever conceptually — here it would emit a
+        # garbage descending sequence instead
+        raise ValueError(
+            f"overlap={overlap} must satisfy 0 <= overlap < "
+            f"chunk_tokens={chunk_tokens}"
+        )
     stride = chunk_tokens - overlap
     # empty/whitespace-only docs (split yields ['']) emit ZERO chunks —
     # without the guard a RAG pipeline would embed empty chunk_text rows.

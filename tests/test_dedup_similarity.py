@@ -1807,3 +1807,29 @@ def test_ivfpq_recall_bounds_and_exact_self_consistency(spark, sf_dir):
         assert 0 <= r.hits <= 10
         assert 0.0 <= r.recall <= 1.0
         assert abs(r.recall - r.hits / 10) < 1e-9
+
+
+def test_dedup_param_guards_raise_not_assert(spark, sf_dir):
+    """Parameter guards on the dedup surface are real raises, not
+    asserts (`python -O` strips asserts): out-of-envelope num_hashes,
+    zero-band combinations, and non-dividing simhash blocks all fail
+    loudly instead of silently reading past the digest / building an
+    empty LSH table / breaking the pigeonhole guarantee."""
+    import pytest as _pytest
+
+    docs = load_table(spark, "documents", sf_dir)
+    with _pytest.raises(ValueError, match="sliced-md5"):
+        dedup_ops.minhash_signatures(docs, num_hashes=13)
+    with _pytest.raises(ValueError, match="sliced-md5"):
+        dedup_ops.minhash_signatures(docs, num_hashes=0)
+    mins = dedup_ops.minhash_signatures(docs, num_hashes=12)
+    with _pytest.raises(ValueError, match="zero bands"):
+        dedup_ops.bands_from_signatures(mins, num_hashes=2, rows_per_band=3)
+    with _pytest.raises(ValueError, match="zero bands"):
+        dedup_ops.bands_from_signatures(mins, 12, rows_per_band=0)
+    with _pytest.raises(ValueError, match="divide 32"):
+        dedup_ops.simhash_near_pairs_complete(docs, n_blocks=5)
+    from cloudpelican_lsd_spark.operators import textstats as ts_ops
+
+    with _pytest.raises(ValueError, match="overlap"):
+        ts_ops.chunk_windows(docs, 24, overlap=24).count()
