@@ -2194,6 +2194,109 @@ FROM exact e LEFT JOIN h ON h.qid = e.qid
 GROUP BY e.qid, h.hits"""
 
 
+def semantic_decontaminate(
+    emb: DataFrame,
+    min_cos_num: int = 2,
+    min_cos_den: int = 5,
+    eval_mod: int = 97,
+) -> DataFrame:
+    """`(label, n_train_vecs, n_contaminated, n_clean)` — EMBEDDING-space
+    benchmark decontamination, the semantic complement of the shingle
+    rule (corpus.eval_decontaminate): training vectors whose cosine to
+    ANY held-out eval vector reaches num/den are flagged — paraphrased
+    or translated eval leakage that shares no n-gram still sits next to
+    the benchmark in embedding space (the Llama/GPT-4-report-style
+    semantic dedup-vs-eval pass).  The eval set is the deterministic
+    ``vec_id % eval_mod == 0`` slice standing in for an external
+    benchmark table, same convention as the shingle twin.
+
+    Scale shape: benchmarks are tiny, so the eval side (normalized) is
+    BROADCAST and the 100 TB train side streams through ONE scan —
+    exact cosine against every eval vector with no self-join, no LSH
+    recall loss, and no shuffle of train vectors; the per-label summary
+    is a |labels|-row aggregate.  (Only when the eval side outgrows the
+    broadcast budget does this degrade to the bucketed
+    :func:`lsh_near_pairs` plan.)  Zero-norm vectors are dropped on
+    BOTH sides (cosine undefined; `_with_norm`'s documented rule)."""
+    if min_cos_den < 1:
+        raise ValueError(
+            f"min_cos_den={min_cos_den}: the threshold denominator must "
+            "be positive — a zero denominator flags everything"
+        )
+    base = _with_norm(emb)
+    is_eval = F.col("vec_id") % eval_mod == 0
+    ev = base.where(is_eval).select(
+        F.col("emb").alias("eemb"), F.col("nrm").alias("enrm")
+    )
+    tr = base.where(~is_eval)
+    hit = (
+        tr.select("vec_id", "emb", "nrm")
+        .join(F.broadcast(ev))
+        .where(
+            F.round(
+                F.expr(_DOT.format(a="emb", b="eemb"))
+                / (F.col("nrm") * F.col("enrm")),
+                6,
+            )
+            * min_cos_den
+            >= min_cos_num
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr.select("vec_id", "label")
+        .join(hit, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_vecs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "label",
+            "n_train_vecs",
+            "n_contaminated",
+            (F.col("n_train_vecs") - F.col("n_contaminated")).alias(
+                "n_clean"
+            ),
+        )
+    )
+
+
+def semantic_decontaminate_oracle(
+    min_cos_num: int = 2, min_cos_den: int = 5, eval_mod: int = 97
+) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, emb,
+         sqrt({dot.format(a='emb', b='emb')}) AS nrm
+  FROM e WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
+),
+ev AS (SELECT emb AS eemb, nrm AS enrm FROM n WHERE vec_id % {eval_mod} = 0),
+tr AS (SELECT * FROM n WHERE vec_id % {eval_mod} <> 0),
+hit AS (
+  SELECT DISTINCT t.vec_id
+  FROM tr t, ev
+  WHERE ROUND({dot.format(a='t.emb', b='ev.eemb')} / (t.nrm * ev.enrm), 6)
+        * {min_cos_den} >= {min_cos_num}
+)
+SELECT t.label,
+       COUNT(*)::BIGINT AS n_train_vecs,
+       CAST(COUNT(h.vec_id) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(*) - COUNT(h.vec_id) AS BIGINT) AS n_clean
+FROM tr t LEFT JOIN hit h ON h.vec_id = t.vec_id
+GROUP BY t.label"""
+
+
 def pq_recall(
     emb: DataFrame,
     m: int = 8,

@@ -229,6 +229,7 @@ DRIVER_ORDER = [
     "emb_ivfpq_index_incremental",
     "emb_ivfpq_recall",
     "corpus_doremi_step",
+    "emb_semantic_decontaminate",
 ]
 
 

@@ -1833,3 +1833,27 @@ def test_dedup_param_guards_raise_not_assert(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="overlap"):
         ts_ops.chunk_windows(docs, 24, overlap=24).count()
+
+
+def test_semantic_decontaminate_broadcast_plan_and_contract(spark, sf_dir):
+    """The eval side broadcasts (no sort-merge join anywhere — the train
+    side never shuffles for the contamination probe), counts are
+    consistent (contaminated + clean == train), eval vectors are
+    excluded from the train side, and a degenerate threshold
+    denominator is rejected."""
+    import pytest as _pytest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = sim_ops.semantic_decontaminate(emb)
+    rows = out.collect()
+    assert rows, "expected at least one label row"
+    n_eval = emb.where((F.col("vec_id") % 97) == 0).count()
+    total = sum(r.n_train_vecs for r in rows)
+    assert total == emb.count() - n_eval  # sf0.001 has no zero-norm rows
+    for r in rows:
+        assert r.n_contaminated + r.n_clean == r.n_train_vecs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("AdaptiveSparkPlan")[0]
+    with _pytest.raises(ValueError, match="denominator"):
+        sim_ops.semantic_decontaminate(emb, min_cos_den=0)
