@@ -176,11 +176,12 @@ def q_ivfpq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space benchmark decontamination
     (similarity.semantic_decontaminate): training vectors within cosine
-    2/5 of ANY held-out eval vector (the deterministic vec_id % 97
-    slice) are flagged per label — the semantic complement of the
-    n-gram rule in corpus_eval_decontaminate, catching paraphrased eval
-    leakage that shares no shingle.  Eval side broadcast, train side
-    one exact scan (no LSH recall loss, no shuffle of train vectors)."""
+    2/5 of ANY held-out eval vector (the deterministic BOUNDED slice:
+    first 20 multiples of 97, fixed-size like a real benchmark) are
+    flagged per label — the semantic complement of the n-gram rule in
+    corpus_eval_decontaminate, catching paraphrased eval leakage that
+    shares no shingle.  Eval side broadcast, train side one exact
+    LINEAR scan (no LSH recall loss, no shuffle of train vectors)."""
     return sim_ops.semantic_decontaminate(
         load_table(spark, "embeddings", sf_dir)
     )

@@ -1847,7 +1847,9 @@ def test_semantic_decontaminate_broadcast_plan_and_contract(spark, sf_dir):
     out = sim_ops.semantic_decontaminate(emb)
     rows = out.collect()
     assert rows, "expected at least one label row"
-    n_eval = emb.where((F.col("vec_id") % 97) == 0).count()
+    n_eval = emb.where(
+        ((F.col("vec_id") % 97) == 0) & (F.col("vec_id") < 97 * 20)
+    ).count()
     total = sum(r.n_train_vecs for r in rows)
     assert total == emb.count() - n_eval  # sf0.001 has no zero-norm rows
     for r in rows:
