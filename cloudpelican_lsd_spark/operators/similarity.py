@@ -2194,6 +2194,160 @@ FROM exact e LEFT JOIN h ON h.qid = e.qid
 GROUP BY e.qid, h.hits"""
 
 
+def margin_scoring(
+    emb: DataFrame, num_queries: int = 10, k: int = 10
+) -> DataFrame:
+    """`(qid, cid, cos, margin)` — ratio-margin scoring of each query's
+    top-k candidates (Artetxe & Schwenk 2019, "Margin-based Parallel
+    Corpus Mining with Multilingual Sentence Embeddings" — public): the
+    hubness correction used by large-scale mining pipelines
+    (CCMatrix/LASER).  A raw cosine threshold over-selects hub vectors
+    that are close to EVERYTHING; the margin divides each pair's cosine
+    by the mean of both endpoints' top-k neighborhoods,
+
+        margin(q,c) = cos(q,c) / ((avgK(q) + avgK(c)) / 2)
+
+    so a candidate only scores high if it is close to the query
+    RELATIVE to how close each of them is to everything else.
+
+    Determinism: cosines are the engine-identical round-6 values;
+    they are lifted to exact micro-unit BIGINTs, neighborhood sums are
+    exact integer sums, and the margin is ONE correctly-rounded double
+    division of two BIGINTs, rounded to 6dp — bit-identical across
+    engines.  Pairs whose combined neighborhood sum is non-positive
+    (possible with signed cosines) are dropped: the ratio margin is
+    undefined there, exactly like cosine on zero-norm vectors.
+
+    Scale shape: the query-side top-k is the brute-force audit tier
+    (broadcast queries, one corpus scan); the candidate side scores
+    only the ≤ num_queries·k DISTINCT retrieved ids — a second
+    broadcast-probe scan, NOT an n² pass.  At 100 TB swap both scans
+    for :func:`ivf_index_topk` probes; the margin algebra is unchanged.
+    """
+    if num_queries < 1 or k < 1:
+        raise ValueError(
+            f"num_queries={num_queries}, k={k}: both must be >= 1 — an "
+            "empty query or neighborhood set scores nothing"
+        )
+    base = _with_norm(emb).select("vec_id", "emb", "nrm")
+
+    def topk_for(probe_ids: DataFrame) -> DataFrame:
+        """(qid, cid, cos) — brute-force top-k of each probe id, self
+        excluded; probe side broadcast (bounded), corpus scanned once."""
+        q = base.join(
+            F.broadcast(probe_ids), base["vec_id"] == probe_ids["pid"]
+        ).select(
+            F.col("pid").alias("qid"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+        pairs = (
+            base.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+            .withColumn(
+                "cos",
+                F.round(
+                    F.expr(_DOT.format(a="qemb", b="emb"))
+                    / (F.col("qnrm") * F.col("nrm")),
+                    6,
+                ),
+            )
+            .select("qid", F.col("vec_id").alias("cid"), "cos")
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("cid").asc()
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("qid", "cid", "cos")
+        )
+
+    qids = base.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("pid")
+    )
+    qtop = topk_for(qids).withColumn(
+        "cos_micro", F.expr("CAST(round(cos * 1000000, 0) AS BIGINT)")
+    )
+    cids = qtop.select(F.col("cid").alias("pid")).distinct()
+    ctop = topk_for(cids).withColumn(
+        "cos_micro", F.expr("CAST(round(cos * 1000000, 0) AS BIGINT)")
+    )
+    qsum = qtop.groupBy("qid").agg(F.sum("cos_micro").alias("sum_q"))
+    csum = ctop.groupBy(F.col("qid").alias("cid")).agg(
+        F.sum("cos_micro").alias("sum_c")
+    )
+    return (
+        qtop.join(qsum, "qid")
+        .join(csum, "cid")
+        .where(F.col("sum_q") + F.col("sum_c") > 0)
+        .select(
+            "qid",
+            "cid",
+            "cos",
+            F.round(
+                (F.col("cos_micro") * 2 * k)
+                / (F.col("sum_q") + F.col("sum_c")),
+                6,
+            ).alias("margin"),
+        )
+    )
+
+
+def margin_scoring_oracle(num_queries: int = 10, k: int = 10) -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb, sqrt({dot.format(a='emb', b='emb')}) AS nrm FROM e
+  WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
+),
+qtop AS (
+  SELECT qid, cid, cos,
+         CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro
+  FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           ROUND({dot.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 6)
+             AS cos,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({dot.format(a='q.emb', b='c.emb')}
+                            / (q.nrm * c.nrm), 6) DESC,
+                      c.vec_id ASC) AS rn
+    FROM n q JOIN n c ON q.vec_id < {num_queries} AND q.vec_id <> c.vec_id
+  ) WHERE rn <= {k}
+),
+cands AS (SELECT DISTINCT cid AS pid FROM qtop),
+ctop AS (
+  SELECT qid, CAST(round(cos * 1000000, 0) AS BIGINT) AS cos_micro
+  FROM (
+    SELECT p.pid AS qid, c.vec_id AS cid,
+           ROUND({dot.format(a='q.emb', b='c.emb')} / (q.nrm * c.nrm), 6)
+             AS cos,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY ROUND({dot.format(a='q.emb', b='c.emb')}
+                            / (q.nrm * c.nrm), 6) DESC,
+                      c.vec_id ASC) AS rn
+    FROM cands p
+    JOIN n q ON q.vec_id = p.pid
+    JOIN n c ON c.vec_id <> p.pid
+  ) WHERE rn <= {k}
+),
+qsum AS (SELECT qid, CAST(SUM(cos_micro) AS BIGINT) AS sum_q
+         FROM qtop GROUP BY qid),
+csum AS (SELECT qid AS cid, CAST(SUM(cos_micro) AS BIGINT) AS sum_c
+         FROM ctop GROUP BY qid)
+SELECT t.qid, t.cid, t.cos,
+       ROUND((t.cos_micro * 2 * {k})::DOUBLE / (s.sum_q + c.sum_c), 6)
+         AS margin
+FROM qtop t JOIN qsum s ON s.qid = t.qid JOIN csum c ON c.cid = t.cid
+WHERE s.sum_q + c.sum_c > 0"""
+
+
 def semantic_decontaminate(
     emb: DataFrame,
     min_cos_num: int = 2,

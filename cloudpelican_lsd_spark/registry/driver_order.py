@@ -230,6 +230,7 @@ DRIVER_ORDER = [
     "emb_ivfpq_recall",
     "corpus_doremi_step",
     "emb_semantic_decontaminate",
+    "emb_margin_scoring",
 ]
 
 

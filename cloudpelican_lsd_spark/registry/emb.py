@@ -170,6 +170,21 @@ def q_ivfpq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_margin_scoring",
+    sim_ops.margin_scoring_oracle(10, 10),
+)
+def q_margin_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-margin scoring of each query's top-10 candidates
+    (similarity.margin_scoring, after Artetxe & Schwenk 2019): the
+    hubness correction production mining pipelines apply on top of raw
+    cosine — a pair only scores high if the endpoints are close
+    RELATIVE to their own neighborhoods.  Exact micro-unit sums + one
+    correctly-rounded division, hash-identical across engines."""
+    return sim_ops.margin_scoring(load_table(spark, "embeddings", sf_dir))
+
+
+
+@register(
     "emb_semantic_decontaminate",
     sim_ops.semantic_decontaminate_oracle(2, 5, 97),
 )

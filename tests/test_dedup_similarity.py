@@ -1859,3 +1859,23 @@ def test_semantic_decontaminate_broadcast_plan_and_contract(spark, sf_dir):
     assert "SortMergeJoin" not in plan.split("AdaptiveSparkPlan")[0]
     with _pytest.raises(ValueError, match="denominator"):
         sim_ops.semantic_decontaminate(emb, min_cos_den=0)
+
+
+def test_margin_scoring_contract(spark, sf_dir):
+    """Margin rows cover exactly the query-side top-k (none dropped on
+    this corpus — neighborhood sums are positive), each row carries its
+    unchanged raw cosine alongside the corrected margin, and degenerate
+    params are rejected."""
+    import pytest as _pytest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = sim_ops.margin_scoring(emb).collect()
+    base = {(r.qid, r.cid): r.cos for r in sim_ops.cosine_topk(emb).collect()}
+    assert {(r.qid, r.cid) for r in rows} == set(base)
+    for r in rows:
+        assert r.cos == base[(r.qid, r.cid)]
+        assert r.margin > 0  # top-k cosines are positive on this corpus
+    with _pytest.raises(ValueError, match="num_queries"):
+        sim_ops.margin_scoring(emb, num_queries=0)
+    with _pytest.raises(ValueError, match="k="):
+        sim_ops.margin_scoring(emb, k=0)
