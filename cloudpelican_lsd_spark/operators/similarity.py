@@ -2194,6 +2194,100 @@ FROM exact e LEFT JOIN h ON h.qid = e.qid
 GROUP BY e.qid, h.hits"""
 
 
+def prototype_pruning(
+    emb: DataFrame, drop_num: int = 1, drop_den: int = 4
+) -> DataFrame:
+    """`(vec_id, label, cos, action)` — prototypicality-based data
+    pruning (Sorscher et al. 2022, "Beyond neural scaling laws: beating
+    power law scaling via data pruning" — public): within each label
+    cluster, the ``drop_num/drop_den`` most PROTOTYPICAL vectors (highest
+    cosine to their own label centroid) are marked ``drop_easy`` — the
+    large-dataset regime of the paper, where easy/redundant examples
+    contribute least; the hard tail is kept.  Centroids and cosines are
+    the kmeans family's exact fixed-point values (`_fixed_point_scores`),
+    so the decision is hash-identical across engines.
+
+    Scale shape (the corpus_perplexity_cutpoints pattern, NOT a
+    per-vector window over the corpus): per-(label, cos_micro) histogram
+    first — the running-sum window then runs over the BOUNDED histogram
+    (≤ 2e6+1 possible rounded-cosine values per label), never over raw
+    vectors — and each vector joins its bucket's decision back.  Ties
+    decide at bucket granularity: a cosine bucket is dropped only if the
+    cumulative count through it stays within the target, so the
+    realized drop count under-shoots rather than splitting a tie
+    nondeterministically."""
+    if drop_den < 1 or drop_num < 0 or drop_num > drop_den:
+        raise ValueError(
+            f"drop fraction {drop_num}/{drop_den}: need 0 <= num <= den "
+            "and a positive denominator"
+        )
+    own = _fixed_point_scores(emb).where(
+        F.col("clabel") == F.col("label")
+    ).select(
+        "vec_id",
+        "label",
+        "cos",
+        F.expr("CAST(round(cos * 1000000, 0) AS BIGINT)").alias("cm"),
+    )
+    hist = own.groupBy("label", "cm").agg(F.count(F.lit(1)).alias("cnt"))
+    n_lbl = own.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    w = (
+        Window.partitionBy("label")
+        .orderBy(F.col("cm").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buckets = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .join(n_lbl, "label")
+        .select(
+            "label",
+            "cm",
+            (
+                F.col("cum") * drop_den <= F.col("n_label") * drop_num
+            ).alias("is_drop"),
+        )
+    )
+    return own.join(buckets, ["label", "cm"]).select(
+        "vec_id",
+        "label",
+        "cos",
+        F.when(F.col("is_drop"), F.lit("drop_easy"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+
+
+def prototype_pruning_oracle(
+    drop_num: int = 1, drop_den: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin — shares the exact fixed-point score CTEs by
+    extracting them from kmeans_assign_oracle (the
+    centroid_outliers_oracle pattern: one definition of the centroid
+    arithmetic, every consumer slices it)."""
+    base = kmeans_assign_oracle(dim)
+    ctes = base[: base.rindex("\nassigned AS (")].rstrip().rstrip(",")
+    return f"""{ctes},
+own AS (
+  SELECT vec_id, label, cos,
+         CAST(round(cos * 1000000, 0) AS BIGINT) AS cm
+  FROM scored WHERE clabel = label
+),
+hist AS (
+  SELECT label, cm, COUNT(*)::BIGINT AS cnt FROM own GROUP BY label, cm
+),
+nl AS (SELECT label, COUNT(*)::BIGINT AS n_label FROM own GROUP BY label),
+buckets AS (
+  SELECT h.label, h.cm,
+         (SUM(h.cnt) OVER (PARTITION BY h.label ORDER BY h.cm DESC
+                           ROWS UNBOUNDED PRECEDING) * {drop_den}
+          <= nl.n_label * {drop_num}) AS is_drop
+  FROM hist h JOIN nl ON nl.label = h.label
+)
+SELECT o.vec_id, o.label, o.cos,
+       CASE WHEN b.is_drop THEN 'drop_easy' ELSE 'keep' END AS action
+FROM own o JOIN buckets b ON b.label = o.label AND b.cm = o.cm"""
+
+
 def margin_scoring(
     emb: DataFrame, num_queries: int = 10, k: int = 10
 ) -> DataFrame:

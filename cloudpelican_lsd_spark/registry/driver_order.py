@@ -231,6 +231,7 @@ DRIVER_ORDER = [
     "corpus_doremi_step",
     "emb_semantic_decontaminate",
     "emb_margin_scoring",
+    "emb_prototype_pruning",
 ]
 
 

@@ -170,6 +170,25 @@ def q_ivfpq_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_prototype_pruning",
+    sim_ops.prototype_pruning_oracle(1, 4, 64),
+)
+def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning
+    (similarity.prototype_pruning, after Sorscher et al. 2022): the 25%
+    most prototypical vectors of each label cluster — highest exact
+    fixed-point cosine to their own centroid — are marked drop_easy,
+    the large-dataset regime where redundant easy examples contribute
+    least.  Scale-safe: the rank threshold runs over the bounded
+    rounded-cosine histogram (the perplexity-cutpoints pattern), never
+    a per-vector window over the corpus."""
+    return sim_ops.prototype_pruning(
+        load_table(spark, "embeddings", sf_dir), drop_num=1, drop_den=4
+    )
+
+
+
+@register(
     "emb_margin_scoring",
     sim_ops.margin_scoring_oracle(10, 10),
 )

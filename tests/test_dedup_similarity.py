@@ -1879,3 +1879,32 @@ def test_margin_scoring_contract(spark, sf_dir):
         sim_ops.margin_scoring(emb, num_queries=0)
     with _pytest.raises(ValueError, match="k="):
         sim_ops.margin_scoring(emb, k=0)
+
+
+def test_prototype_pruning_fraction_and_tie_rule(spark, sf_dir):
+    """Per label: the realized drop count never exceeds the exact
+    floor(n/4) target (ties under-drop at bucket granularity), every
+    dropped vector's cosine is >= every kept vector's cosine within its
+    label, and degenerate fractions are rejected."""
+    import pytest as _pytest
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rows = sim_ops.prototype_pruning(emb).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    assert by_label
+    for lbl, members in by_label.items():
+        dropped = [r for r in members if r.action == "drop_easy"]
+        kept = [r for r in members if r.action == "keep"]
+        assert len(dropped) + len(kept) == len(members)
+        assert len(dropped) * 4 <= len(members)  # never over-drops
+        if dropped and kept:
+            # dropped buckets form a prefix of the descending cosine
+            # order, so the invariant is clean: every dropped cosine is
+            # >= every kept cosine (a tied bucket is never split)
+            assert min(r.cos for r in dropped) >= max(r.cos for r in kept)
+    with _pytest.raises(ValueError, match="drop fraction"):
+        sim_ops.prototype_pruning(emb, drop_num=3, drop_den=2)
+    with _pytest.raises(ValueError, match="drop fraction"):
+        sim_ops.prototype_pruning(emb, drop_num=1, drop_den=0)
