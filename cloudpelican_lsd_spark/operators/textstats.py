@@ -2079,3 +2079,472 @@ SELECT s.doc_id, s.n_shingles,
        CAST(COALESCE(v.n_novel, 0) * 1000000 // s.n_shingles AS BIGINT)
            AS novelty_ppm
 FROM nv_sizes s LEFT JOIN nv_novel v USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition panel (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+#: Rae et al. 2021 Table A1 removal thresholds: a document fails the
+#: repetition gate when any signal EXCEEDS its threshold.  (Paragraph
+#: rows are served by the line rows here: the corpus's derived unit of
+#: structure is the line — see gopher_repetition.)
+GOPHER_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+#: top-n-gram tie-break encoding: key = count * _GOPHER_LEN_M + length;
+#: valid while every n-gram is shorter than _GOPHER_LEN_M characters
+#: (the engine's 4096-char normalize cap guarantees it).
+_GOPHER_LEN_M = 100_000
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """`(doc_id, dup_line_frac, dup_line_char_frac, top_{2,3,4}gram_char_frac,
+    dup_{5..10}gram_char_frac, pass_gopher)` — the full Gopher repetition
+    panel (Rae et al. 2021 Table A1): the production quality gate MassiveText,
+    RefinedWeb and most open corpus pipelines apply before training.
+
+    Inputs: `text` with '\\n' line structure (corpora without natural
+    lines derive them via :func:`split_into_lines`, the registry path).
+    Signal definitions (documented exactly because open reproductions
+    vary):
+
+    - ``dup_line_frac`` — occurrences beyond the first of each distinct
+      line / total lines; ``dup_line_char_frac`` — same, char-weighted.
+      The corpus's one structural unit stands in for both the paper's
+      line AND paragraph rows.
+    - ``top_ngram_char_frac`` (n=2..4) — count(top n-gram) * len(top
+      n-gram) / doc chars, where "top" is the most frequent word n-gram,
+      ties broken to the longest (integer key `c * 100000 + len`, so the
+      tie-break is engine-exact, never a float argmax).
+    - ``dup_ngram_char_frac`` (n=5..10) — sum over n-grams seen more
+      than once of (count-1) * len / doc chars: characters in repeated
+      occurrences beyond the first (the standard non-overlap-corrected
+      approximation).
+    - ``pass_gopher`` — 1 iff every rounded signal is at or under its
+      Table A1 threshold (:data:`GOPHER_THRESHOLDS`).
+
+    100 TB shape: ONE n-gram chain serves all nine n's — a single scan
+    position-explodes tokens once into (doc_id, n, gram) rows (~9x token
+    stream, the same order as running the n's separately but one pass
+    over the text), partial-aggregates map-side, and reduces per (doc,n)
+    then per doc; the line chain is a second, far smaller explode.  All
+    joins are doc_id-keyed co-partitions; nothing unbounded broadcasts.
+    Fractions are single BIGINT/BIGINT double divisions rounded to 6
+    decimals — both engines divide identical exact integers, so the
+    hashes can't drift.
+    """
+    d = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.split(F.col("text"), "[ \n]").alias("w"),
+        F.length("text").alias("n_chars"),
+    ).where(F.length("text") > 0)
+
+    # --- line chain -------------------------------------------------------
+    lc = (
+        d.select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"), F.length("line").alias("l"))
+    )
+    ldoc = lc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_lines"),
+        F.sum(F.col("c") - 1).cast("long").alias("dup_lines"),
+        F.sum((F.col("c") - 1) * F.col("l")).cast("long").alias("dup_line_chars"),
+        F.sum(F.col("c") * F.col("l")).cast("long").alias("tot_line_chars"),
+    )
+
+    # --- fused n-gram chain (n = 2..10 in one explode) ---------------------
+    grams = (
+        d.select(
+            "doc_id",
+            "w",
+            F.explode(F.expr("sequence(1, size(w))")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "w",
+            "i",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) - i + 1 >= 2"
+                    " THEN sequence(2, least(10, size(w) - i + 1))"
+                    " ELSE array() END"
+                )
+            ).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.concat_ws(" ", F.expr("slice(w, i, n)")).alias("g"),
+        )
+    )
+    gc = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    gn = gc.groupBy("doc_id", "n").agg(
+        F.max(
+            F.col("c") * _GOPHER_LEN_M + F.length("g")
+        ).alias("topkey"),
+        F.sum(
+            F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("g")).otherwise(0)
+        ).alias("dupchars"),
+    )
+    top_chars = F.expr(f"(topkey DIV {_GOPHER_LEN_M}) * (topkey % {_GOPHER_LEN_M})")
+    piv_aggs = [
+        F.max(F.when(F.col("n") == n, top_chars)).alias(f"top{n}")
+        for n in (2, 3, 4)
+    ] + [
+        F.max(F.when(F.col("n") == n, F.col("dupchars"))).alias(f"dup{n}")
+        for n in range(5, 11)
+    ]
+    piv = gn.groupBy("doc_id").agg(*piv_aggs)
+
+    out = (
+        ldoc.join(piv, "doc_id", "left")
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+    )
+    frac_cols = [
+        F.round(F.col("dup_lines") / F.col("n_lines"), 6).alias("dup_line_frac"),
+        F.when(F.col("tot_line_chars") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("dup_line_chars") / F.col("tot_line_chars"), 6))
+        .alias("dup_line_char_frac"),
+    ]
+    for n in (2, 3, 4):
+        frac_cols.append(
+            F.round(F.coalesce(F.col(f"top{n}"), F.lit(0)) / F.col("n_chars"), 6)
+            .alias(f"top_{n}gram_char_frac")
+        )
+    for n in range(5, 11):
+        frac_cols.append(
+            F.round(F.coalesce(F.col(f"dup{n}"), F.lit(0)) / F.col("n_chars"), 6)
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    out = out.select("doc_id", *frac_cols)
+    gate = None
+    for name, thr in GOPHER_THRESHOLDS.items():
+        cond = F.col(name) <= F.lit(thr)
+        gate = cond if gate is None else (gate & cond)
+    return out.withColumn("pass_gopher", gate.cast("int"))
+
+
+def gopher_repetition_oracle(words_per_line: int = 10) -> str:
+    """DuckDB twin of :func:`gopher_repetition` over the
+    ``words_per_line``-derived line view of `documents` (the registry
+    fixture path; the operator itself consumes real '\\n' lines)."""
+    wpl = int(words_per_line)
+    m = _GOPHER_LEN_M
+    tops = ",\n    ".join(
+        f"MAX(CASE WHEN n = {n} THEN (topkey // {m}) * (topkey % {m}) END) AS top{n}"
+        for n in (2, 3, 4)
+    )
+    dups = ",\n    ".join(
+        f"MAX(CASE WHEN n = {n} THEN dupchars END) AS dup{n}"
+        for n in range(5, 11)
+    )
+    top_fracs = "\n  ".join(
+        f"ROUND(COALESCE(p.top{n}, 0) / d.n_chars, 6) AS top_{n}gram_char_frac,"
+        for n in (2, 3, 4)
+    )
+    dup_fracs = "\n  ".join(
+        f"ROUND(COALESCE(p.dup{n}, 0) / d.n_chars, 6) AS dup_{n}gram_char_frac,"
+        for n in range(5, 11)
+    )
+    gate = " AND ".join(
+        f"{name} <= {thr}" for name, thr in GOPHER_THRESHOLDS.items()
+    )
+    return f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
+  FROM documents WHERE length(text) > 0
+),
+lines AS (
+  SELECT doc_id, array_to_string(w[i*{wpl}+1 : i*{wpl}+{wpl}], ' ') AS line
+  FROM d, unnest(generate_series(0, CAST(ceil(len(w) / {wpl}.0) AS BIGINT) - 1)) AS t(i)
+),
+lc AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS l
+  FROM lines GROUP BY doc_id, line
+),
+ldoc AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_lines, SUM(c - 1)::BIGINT AS dup_lines,
+         SUM((c - 1) * l)::BIGINT AS dup_line_chars,
+         SUM(c * l)::BIGINT AS tot_line_chars
+  FROM lc GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id, n, array_to_string(w[i : i + n - 1], ' ') AS g
+  FROM d, unnest(generate_series(1, len(w))) AS t1(i),
+       unnest(generate_series(2, 10)) AS t2(n)
+  WHERE i + n - 1 <= len(w)
+),
+gc AS (SELECT doc_id, n, g, COUNT(*) AS c, length(g) AS l
+       FROM grams GROUP BY doc_id, n, g),
+gn AS (
+  SELECT doc_id, n, MAX(c * {m} + l) AS topkey,
+         SUM(CASE WHEN c > 1 THEN (c - 1) * l ELSE 0 END) AS dupchars
+  FROM gc GROUP BY doc_id, n
+),
+piv AS (
+  SELECT doc_id,
+    {tops},
+    {dups}
+  FROM gn GROUP BY doc_id
+),
+fr AS (
+SELECT ld.doc_id,
+  ROUND(ld.dup_lines / ld.n_lines, 6) AS dup_line_frac,
+  CASE WHEN ld.tot_line_chars = 0 THEN 0.0
+       ELSE ROUND(ld.dup_line_chars / ld.tot_line_chars, 6)
+  END AS dup_line_char_frac,
+  {top_fracs}
+  {dup_fracs}
+  1 AS _one
+FROM ldoc ld JOIN d USING (doc_id) LEFT JOIN piv p USING (doc_id)
+)
+SELECT doc_id, dup_line_frac, dup_line_char_frac,
+       top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+       dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
+       dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac,
+       CAST(({gate}) AS INT) AS pass_gopher
+FROM fr"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local document-fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+#: position tie-break modulus for the winnowing window-min key:
+#: key = hash * _WINNOW_M + (_WINNOW_M - position).  Valid while every
+#: k-gram position is < _WINNOW_M (the engine's 4096-char normalize cap
+#: guarantees it; longer inputs must be truncated first — documented
+#: contract, same class as the bucket-alignment contract in outliers).
+_WINNOW_M = 8192
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """`(doc_id, fph, fpos)` — winnowing-selected k-gram fingerprints
+    (Schleimer et al. 2003, the MOSS algorithm): in every window of `w`
+    consecutive char-k-gram hashes keep the minimum, ties to the
+    RIGHTMOST occurrence.  Guarantee: any substring match of length
+    >= w + k - 1 between two documents shares at least one selected
+    fingerprint; expected density 2/(w+1) of positions.
+
+    Selection is relational, not sequential: hash and position are
+    packed into one integer key (`h * 8192 + (8192 - pos)`, so MIN(key)
+    = min hash with ties to the largest position), a per-doc window MIN
+    over ``ROWS BETWEEN CURRENT AND w-1 FOLLOWING`` evaluates every
+    window in one pass, and DISTINCT over the decoded (hash, pos) keeps
+    each selected fingerprint once.  Docs shorter than w k-grams form a
+    single window (the frame truncates at the partition end).
+
+    100 TB shape: the explode is ~len(text) rows per doc but every
+    window is PARTITIONED BY doc_id and bounded by the 4096-char cap —
+    no global window, no shuffle wider than the token stream; the
+    per-position md5 recompute trades CPU for exact cross-engine
+    reproducibility and embarrassing parallelism (same trade as
+    cdc_chunks; a true rolling hash only helps a sequential scanner).
+    """
+    from pyspark.sql import Window
+
+    m = _WINNOW_M
+    d = docs.select(
+        "doc_id",
+        F.col(text_col).alias("text"),
+        (F.length(text_col) - k + 1).alias("L"),
+    ).where(F.col("L") >= 1)
+    pos = d.select(
+        "doc_id",
+        "L",
+        F.explode(F.expr("sequence(1, L)")).alias("i"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "L",
+        "i",
+        (
+            F.conv(F.substring(F.md5(F.expr(f"substring(text, i, {k})")), 1, 7), 16, 10)
+            .cast("long") * m + (m - F.col("i"))
+        ).alias("key"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    wmin = pos.select(
+        "doc_id", "L", "i", F.min("key").over(win).alias("kmin")
+    )
+    return (
+        wmin.where(F.col("i") <= F.greatest(F.col("L") - (w - 1), F.lit(1)))
+        .select(
+            "doc_id",
+            F.expr(f"kmin DIV {m}").alias("fph"),
+            (F.lit(m) - F.expr(f"kmin % {m}")).alias("fpos"),
+        )
+        .distinct()
+    )
+
+
+def winnowing_fp_cte(k: int = 8, w: int = 4, table: str = "documents") -> str:
+    """DuckDB CTE chain ending in ``fp (doc_id, fph, fpos)`` — the oracle
+    twin of :func:`winnowing_fingerprints`."""
+    m = _WINNOW_M
+    return f"""d AS (
+  SELECT doc_id, text, length(text) - {k} + 1 AS L FROM {table}
+  WHERE length(text) >= {k}
+),
+pos AS (
+  SELECT doc_id, L, i,
+         CAST(('0x' || substring(md5(substring(text, i, {k})), 1, 7)) AS BIGINT)
+           * {m} + ({m} - i) AS key
+  FROM d, unnest(generate_series(1, L)) AS t(i)
+),
+wmin AS (
+  SELECT doc_id, L, i,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS kmin
+  FROM pos
+),
+fp AS (
+  SELECT DISTINCT doc_id, kmin // {m} AS fph, {m} - (kmin % {m}) AS fpos
+  FROM wmin WHERE i <= greatest(L - {w - 1}, 1)
+)"""
+
+
+def winnowing_density(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """`(doc_id, n_kgrams, n_windows, n_fingerprints, n_distinct_hashes,
+    density)` — the per-document winnowing audit: selected-fingerprint
+    density versus the paper's expected 2/(w+1) of windows (an
+    implementation returning 1/w — one per window with no cross-window
+    sharing — or ~1.0 — no windowing at all — fails loudly here).
+    Plan: the fingerprint chain plus one doc-keyed count agg and a
+    broadcast-sized join back to per-doc lengths."""
+    fp = winnowing_fingerprints(docs, k=k, w=w)
+    per_doc = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.countDistinct("fph").alias("n_distinct_hashes"),
+    )
+    lens = docs.select(
+        "doc_id", (F.length("text") - k + 1).alias("n_kgrams")
+    ).where(F.col("n_kgrams") >= 1)
+    return (
+        lens.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_kgrams").cast("long").alias("n_kgrams"),
+            F.greatest(F.col("n_kgrams") - (w - 1), F.lit(1))
+            .cast("long")
+            .alias("n_windows"),
+            F.col("n_fingerprints").cast("long").alias("n_fingerprints"),
+            F.col("n_distinct_hashes").cast("long").alias("n_distinct_hashes"),
+        )
+        .withColumn(
+            "density",
+            F.round(F.col("n_fingerprints") / F.col("n_windows"), 6),
+        )
+    )
+
+
+def winnowing_density_oracle(k: int = 8, w: int = 4) -> str:
+    return f"""WITH {winnowing_fp_cte(k, w)},
+per_doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_fingerprints,
+         COUNT(DISTINCT fph)::BIGINT AS n_distinct_hashes
+  FROM fp GROUP BY doc_id
+)
+SELECT d.doc_id, d.L::BIGINT AS n_kgrams,
+       greatest(d.L - {w - 1}, 1)::BIGINT AS n_windows,
+       p.n_fingerprints, p.n_distinct_hashes,
+       ROUND(p.n_fingerprints / greatest(d.L - {w - 1}, 1), 6) AS density
+FROM d JOIN per_doc p USING (doc_id)"""
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """`(doc_a, doc_b, shared_fp, n_fp_a, n_fp_b, moss_sim)` — MOSS-style
+    plagiarism/overlap candidates: document pairs sharing >= `min_shared`
+    winnowed fingerprint hashes, scored `shared_fp / min(n_fp_a, n_fp_b)`
+    over each side's distinct-hash total.
+
+    `max_df` drops fingerprints present in more than that many documents
+    before pairing (boilerplate k-grams — navigation chrome, licence
+    headers — would otherwise quadratically explode the join, the same
+    df-pruning discipline as dedup_jaccard_df_pruned), so `shared_fp`
+    counts RARE shared hashes and `moss_sim` is a lower bound on the
+    unpruned MOSS score — the production trade every fingerprint-join
+    system makes.
+
+    100 TB shape: the fingerprint table is ~2/(w+1) of the char stream;
+    ONE hash-keyed exchange serves the df count and both join probes
+    (ReuseExchange), the pair aggregate is keyed on compact (BIGINT,
+    BIGINT), and nothing all-pairs ever materializes — worst-case join
+    fan-out per hash is max_df².
+    """
+    fp = winnowing_fingerprints(docs, k=k, w=w)
+    docfp = fp.select("doc_id", "fph").distinct()
+    totals = docfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    rare = (
+        docfp.groupBy("fph")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fph")
+    )
+    a = docfp.join(rare, "fph").select(F.col("doc_id").alias("doc_a"), "fph")
+    b = docfp.select(F.col("doc_id").alias("doc_b"), "fph")
+    pairs = (
+        a.join(b, "fph")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared_fp").cast("long").alias("shared_fp"),
+            F.col("n_fp_a").cast("long").alias("n_fp_a"),
+            F.col("n_fp_b").cast("long").alias("n_fp_b"),
+            F.round(
+                F.col("shared_fp") / F.least(F.col("n_fp_a"), F.col("n_fp_b")), 6
+            ).alias("moss_sim"),
+        )
+    )
+
+
+def winnowing_pairs_oracle(
+    k: int = 8, w: int = 4, max_df: int = 8, min_shared: int = 3
+) -> str:
+    return f"""WITH {winnowing_fp_cte(k, w)},
+docfp AS (SELECT DISTINCT doc_id, fph FROM fp),
+totals AS (SELECT doc_id, COUNT(*)::BIGINT AS n_fp FROM docfp GROUP BY doc_id),
+rare AS (SELECT fph FROM docfp GROUP BY fph HAVING COUNT(*) <= {max_df}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared_fp
+  FROM docfp a JOIN rare r ON a.fph = r.fph
+  JOIN docfp b ON a.fph = b.fph AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+)
+SELECT p.doc_a, p.doc_b, p.shared_fp,
+       ta.n_fp AS n_fp_a, tb.n_fp AS n_fp_b,
+       ROUND(p.shared_fp / least(ta.n_fp, tb.n_fp), 6) AS moss_sim
+FROM pairs p
+JOIN totals ta ON p.doc_a = ta.doc_id
+JOIN totals tb ON p.doc_b = tb.doc_id"""

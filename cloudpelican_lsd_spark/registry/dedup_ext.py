@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from cloudpelican_lsd_spark.operators import dedup as dedup_ops
 from cloudpelican_lsd_spark.operators import similarity as sim_ops
+from cloudpelican_lsd_spark.operators import textstats as text_ops
 from cloudpelican_lsd_spark.sources.tables import load_table
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -247,3 +248,21 @@ def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, reingest.unionByName(edited), k=3, bits_log2=16
     )
 
+
+
+@register(
+    "dedup_winnowing_pairs",
+    text_ops.winnowing_pairs_oracle(8, 4, 8, 3),
+)
+def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap candidates over winnowed fingerprints
+    (textstats.winnowing_pairs; k=8, w=4, df<=8, shared>=3): the
+    guarantee-bearing complement of the minhash/simhash pair generators —
+    any >=11-char shared substring leaves a shared fingerprint, so near-
+    verbatim reuse cannot hide from this family the way it can from
+    bag-of-shingles sketches.  df-pruned before pairing (boilerplate
+    k-grams would explode the join quadratically); one hash-keyed
+    exchange serves df count and both probes."""
+    return text_ops.winnowing_pairs(
+        load_table(spark, "documents", sf_dir), k=8, w=4, max_df=8, min_shared=3
+    )

@@ -232,6 +232,9 @@ DRIVER_ORDER = [
     "emb_semantic_decontaminate",
     "emb_margin_scoring",
     "emb_prototype_pruning",
+    "text_gopher_repetition",
+    "text_winnowing_density",
+    "dedup_winnowing_pairs",
 ]
 
 

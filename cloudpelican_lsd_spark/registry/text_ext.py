@@ -382,3 +382,33 @@ def q_text_len_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pearson_r"),
     )
 
+
+
+@register("text_gopher_repetition", text_ops.gopher_repetition_oracle(10))
+def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher repetition panel (Rae et al. 2021 Table A1):
+    dup-line fraction/char-fraction, top-{2,3,4}-gram char fraction,
+    dup-{5..10}-gram char fraction, plus the paper-threshold pass flag
+    (textstats.gopher_repetition) — completing text_repetition_ratio's
+    top-word/top-bigram pair into the production MassiveText gate.  The
+    corpus has no newlines, so the fixture derives deterministic 10-word
+    lines first (split_into_lines); the operator itself is the
+    production '\\n' path.  One fused explode serves all nine n-gram
+    sizes; every join is doc_id-co-partitioned."""
+    d = load_table(spark, "documents", sf_dir)
+    return text_ops.gopher_repetition(
+        text_ops.split_into_lines(d, words_per_line=10)
+    )
+
+
+@register("text_winnowing_density", text_ops.winnowing_density_oracle(8, 4))
+def q_text_winnowing_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    algorithm; k=8, w=4) audited per document: selected density must sit
+    near the paper's expected 2/(w+1) of windows
+    (textstats.winnowing_density).  The window-min selection is packed
+    into one integer key so rightmost-tie-break is engine-exact; all
+    windows are doc_id-partitioned and bounded by the 4096-char cap."""
+    return text_ops.winnowing_density(
+        load_table(spark, "documents", sf_dir), k=8, w=4
+    )

@@ -1594,3 +1594,173 @@ def test_doremi_step_properties(spark, sf_dir):
         corpus_ops.doremi_step(docs, eta_num=-1, eta_den=2)
     with _pytest.raises(ValueError, match="envelope"):
         corpus_ops.doremi_step(docs, eta_num=1, eta_den=1)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition panel (Rae et al. 2021 Table A1)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_closed_form(spark):
+    # doc 1: line "a b" repeated 3x -> dup_line_frac = 2/3, dup chars
+    # 2*3/9; the top 2-gram "a b" occurs 3x of len 3 over 11 chars of
+    # text ("a b\na b\na b") -> wait chars: text length = 11.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\na b"),
+            # long enough that a single long-n-gram occurrence is a small
+            # char fraction (the panel is calibrated for web-scale docs:
+            # a 10-word doc "fails" top_3gram at a single occurrence)
+            (2, " ".join(f"w{i:02d}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ts.gopher_repetition(docs).collect()}
+    r1 = rows[1]
+    assert r1["dup_line_frac"] == round(2 / 3, 6)
+    # each line is 3 chars; 2 duplicate occurrences of 3 chars / 9 line chars
+    assert r1["dup_line_char_frac"] == round(6 / 9, 6)
+    # tokens: a b a b a b -> top 2-gram is "b a" or "a b", both count..
+    # "a b" occurs 3x (positions 1,3,5), "b a" occurs 2x -> top is "a b"
+    # chars = 3*3=9 over n_chars=11
+    assert r1["top_2gram_char_frac"] == round(9 / 11, 6)
+    # 5-grams: "a b a b a" x1, "b a b a b" x1 -> no dups
+    assert r1["dup_5gram_char_frac"] == 0.0
+    assert r1["pass_gopher"] == 0  # top_2gram 0.818 > 0.20
+    r2 = rows[2]
+    assert r2["dup_line_frac"] == 0.0
+    assert r2["dup_5gram_char_frac"] == 0.0
+    assert r2["pass_gopher"] == 1
+
+
+def test_gopher_repetition_dup_ngram_and_tiebreak(spark):
+    # "c c c c c c" -> 5-gram "c c c c c" occurs twice: dup chars =
+    # (2-1)*9 over n_chars=11.  Top 2-gram "c c" count 5, len 3.
+    docs = spark.createDataFrame(
+        [(7, "c c c c c c")], "doc_id long, text string"
+    )
+    r = ts.gopher_repetition(docs).collect()[0]
+    assert r["dup_5gram_char_frac"] == round(9 / 11, 6)
+    assert r["top_2gram_char_frac"] == round(5 * 3 / 11, 6)
+    # ties to the LONGEST top n-gram: "aa b aa b aa" has 2-grams
+    # "aa b" (2x, len 4), "b aa" (2x, len 4) -> max len wins either way;
+    # pin the encoded key path with equal counts, different lengths
+    docs2 = spark.createDataFrame(
+        [(8, "zz y zz y w")], "doc_id long, text string"
+    )
+    r2 = ts.gopher_repetition(docs2).collect()[0]
+    # 2-grams: "zz y"x2(len4), "y zz"x1, "y w"x1 -> top = "zz y", 2*4=8
+    assert r2["top_2gram_char_frac"] == round(8 / 11, 6)
+
+
+def test_gopher_thresholds_verbatim():
+    # the Table A1 constants, pinned so a refactor can't drift them
+    assert ts.GOPHER_THRESHOLDS["dup_line_frac"] == 0.30
+    assert ts.GOPHER_THRESHOLDS["top_2gram_char_frac"] == 0.20
+    assert ts.GOPHER_THRESHOLDS["top_4gram_char_frac"] == 0.16
+    assert ts.GOPHER_THRESHOLDS["dup_5gram_char_frac"] == 0.15
+    assert ts.GOPHER_THRESHOLDS["dup_10gram_char_frac"] == 0.10
+    assert len(ts.GOPHER_THRESHOLDS) == 11
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def _brute_winnow(text: str, k: int, w: int):
+    """Reference implementation straight from the paper: per window of w
+    k-gram hashes select the min, ties to the rightmost; distinct
+    (pos, hash)."""
+    import hashlib as _h
+
+    L = len(text) - k + 1
+    if L < 1:
+        return set()
+    hs = [
+        int(_h.md5(text[i : i + k].encode()).hexdigest()[:7], 16)
+        for i in range(L)
+    ]
+    sel = set()
+    n_windows = max(L - w + 1, 1)
+    for s in range(n_windows):
+        window = hs[s : s + w]
+        m = min(window)
+        # rightmost occurrence of the min
+        j = max(i for i, h in enumerate(window) if h == m)
+        sel.add((s + j + 1, m))  # 1-based position
+    return sel
+
+
+def test_winnowing_matches_bruteforce(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "aaaaaaaaaaaaaaaaaaaa"),  # degenerate: all k-grams equal
+        (3, "ab" * 30),
+        (4, "short"),  # shorter than k -> no fingerprints
+        (5, "exactly8"),  # exactly k chars -> one k-gram, one window
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fpos"], r["fph"])
+        for r in ts.winnowing_fingerprints(docs, k=8, w=4).collect()
+    }
+    want = set()
+    for doc_id, text in texts:
+        for pos, h in _brute_winnow(text, 8, 4):
+            want.add((doc_id, pos, h))
+    assert got == want
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    # the paper's guarantee: any shared substring of length >= w+k-1
+    # (= 11 here) yields at least one shared fingerprint hash
+    import random
+
+    rng = random.Random(42)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    shared = "".join(rng.choice(alpha) for _ in range(11))
+    a = "".join(rng.choice(alpha) for _ in range(40)) + shared
+    b = shared + "".join(rng.choice(alpha) for _ in range(40))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    fp = ts.winnowing_fingerprints(docs, k=8, w=4)
+    h1 = {r["fph"] for r in fp.where(F.col("doc_id") == 1).collect()}
+    h2 = {r["fph"] for r in fp.where(F.col("doc_id") == 2).collect()}
+    assert h1 & h2, "shared 11-char substring must share a fingerprint"
+
+
+def test_winnowing_density_bounds(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    rows = ts.winnowing_density(docs, k=8, w=4).collect()
+    assert rows
+    for r in rows:
+        # at least one fingerprint per w consecutive windows, at most one
+        # per window
+        assert 1 / 4 <= r["density"] <= 1.0
+        assert r["n_distinct_hashes"] <= r["n_fingerprints"]
+        assert r["n_windows"] == max(r["n_kgrams"] - 3, 1)
+
+
+def test_winnowing_pairs_planted_overlap(spark):
+    # two docs sharing a long rare substring pair up; unrelated docs
+    # don't; the boilerplate k-gram (shared by ALL docs) is df-pruned
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    plagiarized = "".join(rng.choice(alpha) for _ in range(60))
+    rows = [
+        (1, plagiarized + " tail one"),
+        (2, "head two " + plagiarized),
+    ] + [
+        (i, "".join(rng.choice(alpha) for _ in range(80))) for i in range(3, 40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ts.winnowing_pairs(docs, k=8, w=4, max_df=8, min_shared=3).collect()
+    keys = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in keys
+    p = next(r for r in pairs if (r["doc_a"], r["doc_b"]) == (1, 2))
+    assert p["moss_sim"] > 0.3
+    assert p["shared_fp"] <= min(p["n_fp_a"], p["n_fp_b"])
