@@ -2548,3 +2548,181 @@ SELECT p.doc_a, p.doc_b, p.shared_fp,
 FROM pairs p
 JOIN totals ta ON p.doc_a = ta.doc_id
 JOIN totals tb ON p.doc_b = tb.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring (the Jelinek-Mercer step up from the
+# unigram CCNet stand-in)
+# ---------------------------------------------------------------------------
+
+#: Jelinek-Mercer interpolation weight on the bigram ML term; 3/4 is
+#: exact in binary so the mixture arithmetic is engine-identical.
+BIGRAM_LAMBDA = 0.75
+
+
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_tokens, mean_nll_bi_micro, mean_nll_uni_micro,
+    lm_gain_micro)` — mean per-token negative log-likelihood in integer
+    MICRO-NATS under a Jelinek-Mercer interpolated bigram LM trained on
+    the corpus itself:
+
+        p(w_i | w_{i-1}) = 0.75 * c(w_{i-1} w_i)/c(w_{i-1} ·)
+                         + 0.25 * c(w_i)/N
+
+    with each document's first token scored by the unigram term alone.
+    `mean_nll_uni_micro` is the unigram baseline on the same tokens and
+    `lm_gain_micro` their difference — the per-doc micro-nats/token the
+    context model saves: near zero for shuffled/degenerate text, large
+    for natural prose, which makes the GAIN itself a quality signal the
+    unigram model cannot express (CCNet's LM filter intuition, one order
+    up).
+
+    Exactness: all probabilities are single double divisions/products of
+    exact BIGINT counts (0.75/0.25 are exact binary), per-type costs are
+    micro-nat integers via ROUND(-ln(p)*1e6) — the proven unigram_logprob
+    convention — and per-doc sums are exact integer sums, so output
+    order can't drift the hash.
+
+    100 TB shape: ONE position-explode of the token stream serves both
+    the bigram-type counts and the occurrence stream (ReuseExchange on
+    the (prev, cur) key); context totals reduce from the bigram types
+    (never a second text scan); the cost join back to occurrences is
+    (prev, cur)-co-partitioned with the count build.  Unigram costs ride
+    the same stream keyed by cur.  Nothing unbounded broadcasts.
+    """
+    d = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    ).where(F.size("w") >= 1)
+    occ = d.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(w))")).alias("i"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        F.element_at("w", F.col("i")).alias("cur"),
+        F.when(F.col("i") > 1, F.element_at("w", F.col("i") - 1)).alias("prev"),
+    )
+    uni = occ.groupBy("cur").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").alias("total"))
+    bi = (
+        occ.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx = bi.groupBy("prev").agg(F.sum("c2").alias("cprev"))
+    ucost = uni.crossJoin(F.broadcast(total)).select(
+        "cur",
+        F.round(-F.log(F.col("c1") / F.col("total")) * 1e6, 0)
+        .cast("long")
+        .alias("u_micro"),
+    )
+    bcost = (
+        bi.join(ctx, "prev")
+        .join(uni, "cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                -F.log(
+                    F.lit(BIGRAM_LAMBDA) * (F.col("c2") / F.col("cprev"))
+                    + F.lit(1 - BIGRAM_LAMBDA) * (F.col("c1") / F.col("total"))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("b_micro"),
+        )
+    )
+    first = (
+        occ.where(F.col("prev").isNull())
+        .join(ucost, "cur")
+        .select("doc_id", F.col("u_micro").alias("bi_micro"), F.col("u_micro").alias("un_micro"))
+    )
+    rest = (
+        occ.where(F.col("prev").isNotNull())
+        .join(bcost, ["prev", "cur"])
+        .join(ucost, "cur")
+        .select("doc_id", F.col("b_micro").alias("bi_micro"), F.col("u_micro").alias("un_micro"))
+    )
+    # means stay INTEGER micro-nats: (2*sum + n) DIV (2*n) is exact
+    # half-up rounding both engines floor identically (positive ints) —
+    # a double ROUND(sum/n/1e6, 6) here lands exactly on the .5
+    # boundary whenever sum % n == n/2 (~1/n of docs) and Spark's
+    # shortest-string HALF_UP vs DuckDB's multiply-based round disagree
+    # on which side the nearest double sits; the gain is a difference
+    # of the two rounded means, so no negative-division semantics
+    # enter.
+    return (
+        first.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bi_micro").alias("sb"),
+            F.sum("un_micro").alias("su"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("(2 * sb + n_tokens) DIV (2 * n_tokens)").alias(
+                "mean_nll_bi_micro"
+            ),
+            F.expr("(2 * su + n_tokens) DIV (2 * n_tokens)").alias(
+                "mean_nll_uni_micro"
+            ),
+        )
+        .withColumn(
+            "lm_gain_micro",
+            F.col("mean_nll_uni_micro") - F.col("mean_nll_bi_micro"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = f"""\
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 1
+),
+occ AS (
+  SELECT doc_id, w[i] AS cur,
+         CASE WHEN i > 1 THEN w[i - 1] END AS prev
+  FROM d, unnest(generate_series(1, len(w))) AS t(i)
+),
+uni AS (SELECT cur, COUNT(*)::BIGINT AS c1 FROM occ GROUP BY cur),
+tot AS (SELECT SUM(c1) AS total FROM uni),
+bi AS (
+  SELECT prev, cur, COUNT(*)::BIGINT AS c2
+  FROM occ WHERE prev IS NOT NULL GROUP BY prev, cur
+),
+ctx AS (SELECT prev, SUM(c2)::BIGINT AS cprev FROM bi GROUP BY prev),
+ucost AS (
+  SELECT cur, CAST(ROUND(-ln(c1 / total) * 1e6, 0) AS BIGINT) AS u_micro
+  FROM uni CROSS JOIN tot
+),
+bcost AS (
+  SELECT b.prev, b.cur,
+         CAST(ROUND(-ln({BIGRAM_LAMBDA} * (b.c2 / x.cprev)
+                        + {1 - BIGRAM_LAMBDA} * (u.c1 / t.total)) * 1e6, 0)
+              AS BIGINT) AS b_micro
+  FROM bi b JOIN ctx x USING (prev) JOIN uni u USING (cur) CROSS JOIN tot t
+),
+scored AS (
+  SELECT o.doc_id, u.u_micro AS bi_micro, u.u_micro AS un_micro
+  FROM occ o JOIN ucost u USING (cur) WHERE o.prev IS NULL
+  UNION ALL
+  SELECT o.doc_id, b.b_micro, u.u_micro
+  FROM occ o
+  JOIN bcost b ON o.prev = b.prev AND o.cur = b.cur
+  JOIN ucost u ON o.cur = u.cur
+  WHERE o.prev IS NOT NULL
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       CAST((2 * SUM(bi_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS mean_nll_bi_micro,
+       CAST((2 * SUM(un_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS mean_nll_uni_micro,
+       CAST((2 * SUM(un_micro) + COUNT(*)) // (2 * COUNT(*))
+            - (2 * SUM(bi_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS lm_gain_micro
+FROM scored GROUP BY doc_id"""

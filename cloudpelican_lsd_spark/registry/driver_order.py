@@ -235,6 +235,7 @@ DRIVER_ORDER = [
     "text_gopher_repetition",
     "text_winnowing_density",
     "dedup_winnowing_pairs",
+    "text_bigram_logprob",
 ]
 
 

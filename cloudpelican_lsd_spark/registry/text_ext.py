@@ -412,3 +412,14 @@ def q_text_winnowing_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.winnowing_density(
         load_table(spark, "documents", sf_dir), k=8, w=4
     )
+
+
+@register("text_bigram_logprob", text_ops.BIGRAM_LOGPROB_ORACLE)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring
+    (textstats.bigram_logprob): per-doc mean NLL under the corpus's own
+    bigram model, the unigram baseline on the same tokens, and the
+    context gain between them — the CCNet LM-quality filter one order up
+    from text_unigram_logprob, with lm_gain as the shuffled-text
+    detector the unigram model cannot express."""
+    return text_ops.bigram_logprob(load_table(spark, "documents", sf_dir))

@@ -1764,3 +1764,51 @@ def test_winnowing_pairs_planted_overlap(spark):
     p = next(r for r in pairs if (r["doc_a"], r["doc_b"]) == (1, 2))
     assert p["moss_sim"] > 0.3
     assert p["shared_fp"] <= min(p["n_fp_a"], p["n_fp_b"])
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    texts = [(1, "a b a b a b"), (2, "a a b b c c"), (3, "c b a")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ts.bigram_logprob(docs).collect()}
+
+    # reference: same model, same micro-nat rounding
+    toks = {i: t.split(" ") for i, t in texts}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    total = sum(uni.values())
+    bi = Counter(
+        (ws[i - 1], ws[i]) for ws in toks.values() for i in range(1, len(ws))
+    )
+    ctx = Counter()
+    for (p, _c), n in bi.items():
+        ctx[p] += n
+    lam = ts.BIGRAM_LAMBDA
+    for doc_id, ws in toks.items():
+        sb = su = 0
+        for i, w in enumerate(ws):
+            u = round(-math.log(uni[w] / total) * 1e6)
+            su += u
+            if i == 0:
+                sb += u
+            else:
+                p = lam * (bi[(ws[i - 1], w)] / ctx[ws[i - 1]]) + (1 - lam) * (
+                    uni[w] / total
+                )
+                sb += round(-math.log(p) * 1e6)
+        n = len(ws)
+        mb = (2 * sb + n) // (2 * n)
+        mu = (2 * su + n) // (2 * n)
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["mean_nll_bi_micro"] == mb, doc_id
+        assert r["mean_nll_uni_micro"] == mu, doc_id
+        assert r["lm_gain_micro"] == mu - mb
+    # "a b a b a b": p(b|a) ~ 1 -> strong positive context gain
+    assert got[1]["lm_gain_micro"] > 0
