@@ -2726,3 +2726,200 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
             - (2 * SUM(bi_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
            AS lm_gain_micro
 FROM scored GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k retrieval audit (graded relevance — the metric step up from
+# known_item_mrr's binary self-retrieval)
+# ---------------------------------------------------------------------------
+
+#: exact ppm inverse discounts 1e6/log2(1+r) for ranks 1..10, precomputed
+#: once so BOTH engines consume identical integer literals and no
+#: transcendental is evaluated at query time (log2 of small ints is the
+#: only irrational in DCG; freezing it as ppm constants makes the whole
+#: metric exact BIGINT arithmetic).
+NDCG_DISC_PPM = {
+    1: 1_000_000,
+    2: 630_930,
+    3: 500_000,
+    4: 430_677,
+    5: 386_853,
+    6: 356_207,
+    7: 333_333,
+    8: 315_465,
+    9: 301_030,
+    10: 289_065,
+}
+
+
+def _ndcg_disc_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {rank_col} = {r} THEN {d}" for r, d in NDCG_DISC_PPM.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def ndcg_topk(
+    docs: DataFrame, probe_mod: int = 25, q_tokens: int = 4, topk: int = 10
+) -> DataFrame:
+    """`(qid, n_candidates, dcg_micro, idcg_micro, ndcg_ppm)` — nDCG@k
+    over the same synthetic known-item query set as
+    :func:`known_item_mrr` (probe docs, top-idf bigram query terms,
+    tf·idf ranking), with GRADED relevance independent of the scorer:
+    rel(doc) = min(distinct query terms the doc contains, 3), gain
+    2^rel - 1.  DCG sums gains of the tf·idf top-``topk`` at frozen ppm
+    discounts (:data:`NDCG_DISC_PPM`); IDCG re-ranks the same candidate
+    set by relevance itself (ties by doc_id); ndcg_ppm = 1e6·DCG DIV
+    IDCG.  The pair (MRR, nDCG) is the standard per-release retrieval
+    dashboard: MRR tracks the known item, nDCG tracks whole-list
+    quality.
+
+    Exactness: gains, discounts, DCG/IDCG and the final ppm ratio are
+    all BIGINT (no transcendental evaluated at query time, no float
+    division), so the output is partition- and engine-invariant.
+
+    Plan shape: one inverted-index explode (shared shape with
+    known_item_mrr), the tiny query-term table broadcast onto it, one
+    (qid, doc) aggregate producing BOTH score and relevance (a single
+    shuffle serves DCG and IDCG — the two rankings are two windows over
+    the same candidate frame), and two qid-partitioned top-k windows.
+    At 100 TB the candidate set per query is bounded by the query
+    terms' document frequency (high-idf terms are rare by
+    construction; add a max_df guard for adversarial corpora, as in
+    ngram_jaccard_pairs).
+    """
+    from pyspark.sql import Window
+
+    from cloudpelican_lsd_spark.operators.dedup import shingle_rows
+
+    inv = (
+        shingle_rows(docs, n=2)
+        .groupBy("doc_id", F.col("shingle").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        inv.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.expr(
+                "GREATEST(CAST(ROUND(ln(n_docs / df) * 1e6, 0) AS BIGINT),"
+                " CAST(0 AS BIGINT))"
+            ).alias("idf_micro"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("idf_micro").desc(), F.col("term").asc()
+    )
+    qterms = (
+        inv.where(F.col("doc_id") % probe_mod == 0)
+        .select(F.col("doc_id").alias("qid"), "term")
+        .join(idf, "term")
+        .withColumn("qrn", F.row_number().over(wq))
+        .where(F.col("qrn") <= q_tokens)
+        .select("qid", "term")
+    )
+    cand = (
+        inv.join(idf, "term")
+        .join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf_micro")).alias("score"),
+            F.least(F.countDistinct("term"), F.lit(3)).alias("rel"),
+        )
+        .withColumn(
+            "gain", F.expr("CAST(shiftleft(1, CAST(rel AS INT)) - 1 AS BIGINT)")
+        )
+    )
+    w_score = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_ideal = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ranked = cand.select(
+        "qid",
+        "gain",
+        F.row_number().over(w_score).alias("rk"),
+        F.row_number().over(w_ideal).alias("irk"),
+    )
+    disc_rk = F.expr(_ndcg_disc_case("rk"))
+    disc_irk = F.expr(_ndcg_disc_case("irk"))
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(
+                F.when(F.col("rk") <= topk, F.col("gain") * disc_rk).otherwise(0)
+            ).alias("dcg_micro"),
+            F.sum(
+                F.when(F.col("irk") <= topk, F.col("gain") * disc_irk).otherwise(0)
+            ).alias("idcg_micro"),
+        )
+        .select(
+            "qid",
+            "n_candidates",
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("(1000000 * dcg_micro) DIV idcg_micro").alias("ndcg_ppm"),
+        )
+    )
+
+
+def ndcg_topk_oracle(
+    probe_mod: int = 25, q_tokens: int = 4, topk: int = 10
+) -> str:
+    from cloudpelican_lsd_spark.operators.dedup import shingles_oracle_cte
+
+    disc_rk = _ndcg_disc_case("rk")
+    disc_irk = _ndcg_disc_case("irk")
+    return f"""WITH {shingles_oracle_cte(2, "documents", "nd")},
+nd_inv AS (
+  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS term,
+         COUNT(*)::BIGINT AS tf
+  FROM ndpos GROUP BY doc_id, term
+),
+nd_n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+nd_idf AS (
+  SELECT term,
+         GREATEST(CAST(ROUND(ln(n_docs / COUNT(*)) * 1e6, 0) AS BIGINT),
+                  0) AS idf_micro
+  FROM nd_inv, nd_n GROUP BY term, n_docs
+),
+nd_q AS (
+  SELECT qid, term FROM (
+    SELECT i.doc_id AS qid, i.term,
+           row_number() OVER (PARTITION BY i.doc_id
+                              ORDER BY d.idf_micro DESC, i.term ASC) AS qrn
+    FROM nd_inv i JOIN nd_idf d USING (term)
+    WHERE i.doc_id % {probe_mod} = 0
+  ) WHERE qrn <= {q_tokens}
+),
+nd_cand AS (
+  SELECT q.qid, i.doc_id,
+         SUM(i.tf * d.idf_micro)::BIGINT AS score,
+         least(COUNT(DISTINCT i.term), 3)::BIGINT AS rel
+  FROM nd_inv i JOIN nd_idf d USING (term) JOIN nd_q q USING (term)
+  GROUP BY q.qid, i.doc_id
+),
+nd_ranked AS (
+  SELECT qid, (1 << rel) - 1 AS gain,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rk,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY rel DESC, doc_id ASC) AS irk
+  FROM nd_cand
+),
+nd_agg AS (
+  SELECT qid, COUNT(*)::BIGINT AS n_candidates,
+         SUM(CASE WHEN rk <= {topk} THEN gain * ({disc_rk}) ELSE 0 END)::BIGINT
+             AS dcg_micro,
+         SUM(CASE WHEN irk <= {topk} THEN gain * ({disc_irk}) ELSE 0 END)::BIGINT
+             AS idcg_micro
+  FROM nd_ranked GROUP BY qid
+)
+SELECT qid, n_candidates, dcg_micro, idcg_micro,
+       CAST((1000000 * dcg_micro) // idcg_micro AS BIGINT) AS ndcg_ppm
+FROM nd_agg"""

@@ -236,6 +236,7 @@ DRIVER_ORDER = [
     "text_winnowing_density",
     "dedup_winnowing_pairs",
     "text_bigram_logprob",
+    "text_ndcg_topk",
 ]
 
 

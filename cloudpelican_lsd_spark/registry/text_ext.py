@@ -423,3 +423,15 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_unigram_logprob, with lm_gain as the shuffled-text
     detector the unigram model cannot express."""
     return text_ops.bigram_logprob(load_table(spark, "documents", sf_dir))
+
+
+@register("text_ndcg_topk", text_ops.ndcg_topk_oracle(25, 4, 10))
+def q_text_ndcg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 over the known-item synthetic query set with graded
+    scorer-independent relevance (textstats.ndcg_topk) — whole-list
+    retrieval quality alongside text_known_item_mrr's known-item rank;
+    discounts frozen as exact ppm constants so the metric is BIGINT end
+    to end."""
+    return text_ops.ndcg_topk(
+        load_table(spark, "documents", sf_dir), probe_mod=25, q_tokens=4, topk=10
+    )

@@ -1812,3 +1812,47 @@ def test_bigram_logprob_matches_python_reference(spark):
         assert r["lm_gain_micro"] == mu - mb
     # "a b a b a b": p(b|a) ~ 1 -> strong positive context gain
     assert got[1]["lm_gain_micro"] > 0
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_disc_constants_are_exact():
+    import math
+
+    for r, d in ts.NDCG_DISC_PPM.items():
+        assert d == round(1e6 / math.log2(1 + r)), r
+    assert len(ts.NDCG_DISC_PPM) == 10
+
+
+def test_ndcg_topk_properties(spark, sf_dir):
+    rows = ts.ndcg_topk(
+        load_table(spark, "documents", sf_dir), probe_mod=25, q_tokens=4, topk=10
+    ).collect()
+    assert rows
+    for r in rows:
+        # nDCG in [0, 1]; IDCG >= DCG by construction of the ideal order
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000, r
+        assert r["idcg_micro"] >= r["dcg_micro"] >= 0
+        # the probe itself matches all its query terms -> at least one
+        # candidate exists for every emitted qid
+        assert r["n_candidates"] >= 1
+
+
+def test_ndcg_perfect_ranking_scores_one(spark):
+    # corpus where the scorer's ranking IS the ideal ranking: every doc
+    # shares a descending number of query terms with the probe, and
+    # tf*idf orders them identically -> ndcg_ppm == 1e6 for the probe
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc dd ee ff"),       # probe (doc_id % 25 == 0)
+            (1, "aa bb cc dd xx yy"),
+            (2, "aa bb zz ww xx yy"),
+            (3, "qq rr zz ww xx yy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["qid"]: r for r in ts.ndcg_topk(docs, probe_mod=25).collect()}
+    assert out[0]["ndcg_ppm"] == 1_000_000
