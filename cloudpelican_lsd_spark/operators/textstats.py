@@ -2923,3 +2923,96 @@ nd_agg AS (
 SELECT qid, n_candidates, dcg_micro, idcg_micro,
        CAST((1000000 * dcg_micro) // idcg_micro AS BIGINT) AS ndcg_ppm
 FROM nd_agg"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth audit
+# ---------------------------------------------------------------------------
+
+
+def heaps_law(docs: DataFrame, n_buckets: int = 20) -> DataFrame:
+    """`(bucket, bucket_tokens, bucket_new_terms, cum_tokens, cum_vocab)`
+    — the corpus's vocabulary-growth curve at ``n_buckets`` ingestion
+    checkpoints: cumulative distinct terms vs cumulative tokens in
+    doc_id order.  Against Heaps' law (V ≈ K·nᵝ, β≈0.5 for natural
+    text) the curve is the corpus-level novelty dashboard: a flattening
+    tail means new data is mostly vocabulary the corpus already has
+    (dedup/diversity alarm), a superlinear tail means vocabulary churn
+    (encoding noise, id-like junk) — the corpus twin of the per-doc
+    text_ngram_novelty signal.
+
+    Buckets are ``(doc_id * n_buckets) DIV (max_id + 1)`` — exact
+    integer arithmetic, monotone in doc_id, fixed count regardless of
+    corpus size, valid for any non-negative monotone id space (ids need
+    not be dense).  All outputs are exact BIGINTs.
+
+    100 TB shape: ONE token explode serves both sides — per-bucket
+    token counts, and per-term MIN(bucket) (first appearance) reduced
+    to per-bucket new-term counts; the cumulative sums are windows over
+    the ``n_buckets``-row frame (bounded by construction — the
+    annotated-global-window class, input provably <= n_buckets rows).
+    The max_id scalar is a startup aggregate (broadcast join, the
+    dedup.py startup-scalar pattern).
+    """
+    from pyspark.sql import Window
+
+    mx = docs.agg((F.max("doc_id") + 1).alias("mxid"))
+    toks = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"(doc_id * {int(n_buckets)}) DIV mxid").alias("bucket"),
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_tokens")
+    )
+    first_seen = (
+        toks.groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("bucket_new_terms"))
+    )
+    # bounded frame: <= n_buckets rows by construction
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "bucket_tokens",
+            F.coalesce("bucket_new_terms", F.lit(0))
+            .cast("long")
+            .alias("bucket_new_terms"),
+        )
+        .withColumn("cum_tokens", F.sum("bucket_tokens").over(w).cast("long"))
+        .withColumn(
+            "cum_vocab", F.sum("bucket_new_terms").over(w).cast("long")
+        )
+    )
+
+
+def heaps_law_oracle(n_buckets: int = 20) -> str:
+    b = int(n_buckets)
+    return f"""WITH mx AS (SELECT MAX(doc_id) + 1 AS mxid FROM documents),
+toks AS (
+  SELECT (doc_id * {b}) // mxid AS bucket,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents CROSS JOIN mx
+),
+per_bucket AS (
+  SELECT bucket, COUNT(*)::BIGINT AS bucket_tokens FROM toks GROUP BY bucket
+),
+first_seen AS (
+  SELECT bucket, COUNT(*)::BIGINT AS bucket_new_terms FROM (
+    SELECT term, MIN(bucket) AS bucket FROM toks GROUP BY term
+  ) GROUP BY bucket
+)
+SELECT p.bucket::BIGINT AS bucket, p.bucket_tokens,
+       COALESCE(f.bucket_new_terms, 0)::BIGINT AS bucket_new_terms,
+       CAST(SUM(p.bucket_tokens) OVER (ORDER BY p.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+       CAST(SUM(COALESCE(f.bucket_new_terms, 0)) OVER (ORDER BY p.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_vocab
+FROM per_bucket p LEFT JOIN first_seen f USING (bucket)"""

@@ -475,3 +475,15 @@ def q_corpus_clean_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     final token yield, one row (corpus.corpus_clean_yield)."""
     return corpus_ops.corpus_clean_yield(_corpus_base(spark, sf_dir))
 
+
+
+@register("corpus_heaps_law", text_ops.heaps_law_oracle(20))
+def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve at 20 ingestion checkpoints
+    (textstats.heaps_law): cumulative distinct terms vs cumulative
+    tokens in doc_id order — the corpus-level novelty dashboard (a
+    flattening tail = incoming data is mostly known vocabulary, the
+    dedup/diversity alarm).  One token explode serves both the
+    per-bucket token counts and the per-term first-appearance buckets;
+    cumulative sums run over the bounded 20-row checkpoint frame."""
+    return text_ops.heaps_law(load_table(spark, "documents", sf_dir), n_buckets=20)

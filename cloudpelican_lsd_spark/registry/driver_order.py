@@ -237,6 +237,7 @@ DRIVER_ORDER = [
     "dedup_winnowing_pairs",
     "text_bigram_logprob",
     "text_ndcg_topk",
+    "corpus_heaps_law",
 ]
 
 

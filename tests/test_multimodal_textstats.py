@@ -1856,3 +1856,49 @@ def test_ndcg_perfect_ranking_scores_one(spark):
     )
     out = {r["qid"]: r for r in ts.ndcg_topk(docs, probe_mod=25).collect()}
     assert out[0]["ndcg_ppm"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+def test_heaps_law_closed_form(spark):
+    # 4 docs, 2 buckets (n_buckets=2, max_id+1=4): docs 0,1 -> bucket 0;
+    # docs 2,3 -> bucket 1
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "a b"),
+            (2, "a d"),
+            (3, "d e"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["bucket"]: r for r in ts.heaps_law(docs, n_buckets=2).collect()}
+    assert rows[0]["bucket_tokens"] == 5 and rows[0]["bucket_new_terms"] == 3
+    assert rows[1]["bucket_tokens"] == 4 and rows[1]["bucket_new_terms"] == 2
+    assert rows[1]["cum_tokens"] == 9 and rows[1]["cum_vocab"] == 5
+
+
+def test_heaps_law_invariants(spark, sf_dir):
+    rows = sorted(
+        ts.heaps_law(load_table(spark, "documents", sf_dir), 20).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert 1 <= len(rows) <= 20
+    # cumulative columns are the running sums; vocab never exceeds tokens
+    ct = cv = 0
+    for r in rows:
+        ct += r["bucket_tokens"]
+        cv += r["bucket_new_terms"]
+        assert r["cum_tokens"] == ct and r["cum_vocab"] == cv
+        assert r["cum_vocab"] <= r["cum_tokens"]
+    # total vocab == corpus distinct tokens
+    docs = load_table(spark, "documents", sf_dir)
+    n_vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["cum_vocab"] == n_vocab

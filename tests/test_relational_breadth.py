@@ -446,6 +446,11 @@ GLOBAL_WINDOW_EXCEPTIONS = {
         "oracle-stable NTILE audit twin of corpus_perplexity_cutpoints "
         "(the production path, itself global-window-free)"
     ),
+    "corpus_heaps_law": (
+        "cumulative sums over the n_buckets(=20)-row checkpoint frame — "
+        "input bounded by construction ((doc_id*20) DIV (max_id+1) has "
+        "at most 20 values at any corpus size)"
+    ),
     # events_zorder_locality no longer needs an entry: round 5 replaced
     # its global ntile with layout._exact_ntile_chunks (two-level prefix
     # sums over the value-domain-bounded key histogram), plan-pinned below

@@ -84,6 +84,13 @@ def main() -> None:
         # input grows 10x but its output (and everything downstream)
         # stays vocabulary-sized — expect ~linear scan cost
         "source_divergence": lambda d: textstats.source_divergence(d),
+        # per-char explode + doc-partitioned window min; replicas are
+        # exact copies so every fingerprint's df multiplies by k and the
+        # df<=8 prune removes most pairs — the probe tracks the explode
+        # + window cost (~linear), not output volume
+        "winnowing_pairs(df<=8)": lambda d: textstats.winnowing_pairs(d),
+        # one fused 9-way n-gram explode + doc-keyed aggs — ~linear
+        "gopher_repetition": lambda d: textstats.gopher_repetition(lined(d)),
         # replica dups inflate per-bucket pair volume ~k^2 (data
         # property, same caveat as minhash_lsh); adds two doc_id joins
         # over the pair set on top of the lsh probe
