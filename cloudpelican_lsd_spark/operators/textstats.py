@@ -3016,3 +3016,69 @@ SELECT p.bucket::BIGINT AS bucket, p.bucket_tokens,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS cum_vocab
 FROM per_bucket p LEFT JOIN first_seen f USING (bucket)"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency audit
+# ---------------------------------------------------------------------------
+
+
+def zipf_audit(docs: DataFrame, topn: int = 100) -> DataFrame:
+    """`(rank, term, cnt, freq_ppm, ratio_to_top_ppm, zipf_expected_ppm)`
+    — the rank-frequency law audit over the corpus's top-``topn`` terms:
+    under Zipf's law `ratio_to_top_ppm` (cnt(r)·1e6/cnt(1)) tracks
+    `zipf_expected_ppm` (1e6/r); a heavy divergence flags boilerplate
+    (flat head) or id-like junk (thin head) — the third panel of the
+    statistical-laws dashboard next to Heaps (corpus_heaps_law) and the
+    length histogram.  All columns exact BIGINT integer division.
+
+    100 TB shape: one token explode → one token-keyed hash agg; the
+    top-``topn`` is a TakeOrderedAndProject (per-partition bounded
+    heaps), never a vocabulary-wide window; the rank/top-count pass
+    then runs over the ``topn``-row bounded frame (annotated global
+    window class) with the top count as a broadcast scalar.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(topn)
+    top1 = top.agg(F.max("cnt").alias("cnt1"))
+    # bounded frame: <= topn rows post-limit
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(top1))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(cnt * 1000000) DIV total").alias("freq_ppm"),
+            F.expr("(cnt * 1000000) DIV cnt1").alias("ratio_to_top_ppm"),
+            F.expr("1000000 DIV rank").alias("zipf_expected_ppm"),
+        )
+    )
+
+
+def zipf_audit_oracle(topn: int = 100) -> str:
+    return f"""WITH zc AS (
+  SELECT u.term, COUNT(*)::BIGINT AS cnt
+  FROM documents d, unnest(string_split(lower(d.text), ' ')) AS u(term)
+  GROUP BY u.term
+),
+zt AS (SELECT SUM(cnt) AS total FROM zc),
+ztop AS (
+  SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM zc ORDER BY cnt DESC, term ASC LIMIT {topn}
+),
+z1 AS (SELECT MAX(cnt) AS cnt1 FROM ztop)
+SELECT rank::BIGINT AS rank, term, cnt,
+       CAST((cnt * 1000000) // total AS BIGINT) AS freq_ppm,
+       CAST((cnt * 1000000) // cnt1 AS BIGINT) AS ratio_to_top_ppm,
+       CAST(1000000 // rank AS BIGINT) AS zipf_expected_ppm
+FROM ztop CROSS JOIN zt CROSS JOIN z1"""

@@ -487,3 +487,60 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket token counts and the per-term first-appearance buckets;
     cumulative sums run over the bounded 20-row checkpoint frame."""
     return text_ops.heaps_law(load_table(spark, "documents", sf_dir), n_buckets=20)
+
+
+@register(
+    "corpus_gopher_by_source",
+    f"""WITH gp AS (SELECT * FROM ({text_ops.gopher_repetition_oracle(10)})),
+tk AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents WHERE length(text) > 0
+)
+SELECT t.source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(g.pass_gopher)::BIGINT AS n_pass,
+       CAST((SUM(g.pass_gopher) * 1000000) // COUNT(*) AS BIGINT)
+           AS pass_ppm,
+       SUM(t.n_tokens)::BIGINT AS total_tokens,
+       SUM(CASE WHEN g.pass_gopher = 1 THEN t.n_tokens ELSE 0 END)::BIGINT
+           AS kept_tokens
+FROM gp g JOIN tk t USING (doc_id)
+GROUP BY t.source""",
+)
+def q_corpus_gopher_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source yield under the FULL Gopher repetition gate
+    (text_gopher_repetition composed with per-source doc/token rollups):
+    the release-decision table — which sources lose how many documents
+    and tokens to the Rae et al. 2021 thresholds.  The panel's doc_id
+    join is co-partitioned; everything after is a source-keyed
+    aggregate."""
+    d = load_table(spark, "documents", sf_dir)
+    gp = text_ops.gopher_repetition(
+        text_ops.split_into_lines(d, words_per_line=10)
+    ).select("doc_id", "pass_gopher")
+    tk = d.where(F.length("text") > 0).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        gp.join(tk, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pass_gopher").cast("long").alias("n_pass"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("pass_gopher") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            F.expr("(n_pass * 1000000) DIV n_docs").alias("pass_ppm"),
+            "total_tokens",
+            "kept_tokens",
+        )
+    )

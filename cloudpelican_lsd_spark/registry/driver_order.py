@@ -238,6 +238,8 @@ DRIVER_ORDER = [
     "text_bigram_logprob",
     "text_ndcg_topk",
     "corpus_heaps_law",
+    "text_zipf_audit",
+    "corpus_gopher_by_source",
 ]
 
 

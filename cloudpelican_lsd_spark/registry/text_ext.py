@@ -435,3 +435,13 @@ def q_text_ndcg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.ndcg_topk(
         load_table(spark, "documents", sf_dir), probe_mod=25, q_tokens=4, topk=10
     )
+
+
+@register("text_zipf_audit", text_ops.zipf_audit_oracle(100))
+def q_text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit over the top-100 terms
+    (textstats.zipf_audit): ratio-to-top vs the 1/rank law in exact ppm
+    — the third statistical-laws panel beside corpus_heaps_law and the
+    length histogram.  Top-100 via TakeOrderedAndProject, ranks over
+    the bounded post-limit frame."""
+    return text_ops.zipf_audit(load_table(spark, "documents", sf_dir), topn=100)

@@ -1902,3 +1902,32 @@ def test_heaps_law_invariants(spark, sf_dir):
         .count()
     )
     assert rows[-1]["cum_vocab"] == n_vocab
+
+
+def test_zipf_audit_closed_form(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c"), (2, "a a b d")],
+        "doc_id long, text string",
+    )
+    rows = {r["rank"]: r for r in ts.zipf_audit(docs, topn=3).collect()}
+    # counts: a=6, b=3, c=1, d=1 -> top3 = a(6), b(3), c(1, tie term asc)
+    assert len(rows) == 3
+    assert rows[1]["term"] == "a" and rows[1]["cnt"] == 6
+    assert rows[1]["ratio_to_top_ppm"] == 1_000_000
+    assert rows[2]["term"] == "b" and rows[2]["ratio_to_top_ppm"] == 500_000
+    assert rows[2]["zipf_expected_ppm"] == 500_000
+    assert rows[3]["term"] == "c"
+    assert rows[1]["freq_ppm"] == 6 * 1_000_000 // 11
+
+
+def test_gopher_by_source_conservation(spark, sf_dir):
+    from cloudpelican_lsd_spark.registry._core import QUERIES
+
+    rows = QUERIES["corpus_gopher_by_source"](spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, "documents", sf_dir)
+    assert sum(r["n_docs"] for r in rows) == docs.where(F.length("text") > 0).count()
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        assert 0 <= r["kept_tokens"] <= r["total_tokens"]
+        assert r["pass_ppm"] == r["n_pass"] * 1_000_000 // r["n_docs"]

@@ -451,6 +451,11 @@ GLOBAL_WINDOW_EXCEPTIONS = {
         "input bounded by construction ((doc_id*20) DIV (max_id+1) has "
         "at most 20 values at any corpus size)"
     ),
+    "text_zipf_audit": (
+        "row_number over the <=topn(=100)-row post-TakeOrdered frame; "
+        "the vocabulary-wide reduction is a TakeOrderedAndProject, "
+        "never a window"
+    ),
     # events_zorder_locality no longer needs an entry: round 5 replaced
     # its global ntile with layout._exact_ntile_chunks (two-level prefix
     # sums over the value-domain-bounded key histogram), plan-pinned below
