@@ -3082,3 +3082,85 @@ SELECT rank::BIGINT AS rank, term, cnt,
        CAST((cnt * 1000000) // cnt1 AS BIGINT) AS ratio_to_top_ppm,
        CAST(1000000 // rank AS BIGINT) AS zipf_expected_ppm
 FROM ztop CROSS JOIN zt CROSS JOIN z1"""
+
+
+# ---------------------------------------------------------------------------
+# distinct-n diversity (Li et al. 2016)
+# ---------------------------------------------------------------------------
+
+
+def distinct_ngrams(docs: DataFrame, max_n: int = 3) -> DataFrame:
+    """`(source, n, total_ngrams, distinct_ngrams, distinct_ppm)` — the
+    distinct-n diversity metric (Li et al. 2016) per source for
+    n = 1..``max_n``: distinct word n-grams over total n-gram
+    occurrences.  The standard mode-collapse / templated-text detector
+    for GENERATED corpora — a synthetic-data source whose distinct-2
+    ppm sits far below the organic sources' is recycling templates.
+    Exact BIGINT counts and one integer ppm division.
+
+    100 TB shape: the gopher_repetition trick reused — ONE fused
+    explode emits every n-gram size in one pass over the token stream,
+    one (source, n, gram) hash aggregate (map-side partials), and a
+    (source, n)-keyed rollup; output is |sources|·max_n rows.
+    """
+    d = docs.select(
+        "source", F.split(F.lower("text"), " ").alias("w")
+    ).where(F.size("w") >= 1)
+    grams = (
+        d.select(
+            "source",
+            "w",
+            F.explode(F.expr("sequence(1, size(w))")).alias("i"),
+        )
+        .select(
+            "source",
+            "w",
+            "i",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) - i + 1 >= 1"
+                    f" THEN sequence(1, least({int(max_n)}, size(w) - i + 1))"
+                    f" ELSE array() END"
+                )
+            ).alias("n"),
+        )
+        .select(
+            "source",
+            "n",
+            F.concat_ws(" ", F.expr("slice(w, i, n)")).alias("g"),
+        )
+    )
+    return (
+        grams.groupBy("source", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source", F.col("n").cast("long").alias("n"))
+        .agg(
+            F.sum("c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "distinct_ppm",
+            F.expr("(distinct_ngrams * 1000000) DIV total_ngrams"),
+        )
+    )
+
+
+def distinct_ngrams_oracle(max_n: int = 3) -> str:
+    return f"""WITH d AS (
+  SELECT source, string_split(lower(text), ' ') AS w FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 1
+),
+grams AS (
+  SELECT source, n, array_to_string(w[i : i + n - 1], ' ') AS g
+  FROM d, unnest(generate_series(1, len(w))) AS t1(i),
+       unnest(generate_series(1, {int(max_n)})) AS t2(n)
+  WHERE i + n - 1 <= len(w)
+),
+gc AS (
+  SELECT source, n, g, COUNT(*)::BIGINT AS c FROM grams GROUP BY source, n, g
+)
+SELECT source, n::BIGINT AS n,
+       SUM(c)::BIGINT AS total_ngrams,
+       COUNT(*)::BIGINT AS distinct_ngrams,
+       CAST((COUNT(*) * 1000000) // SUM(c) AS BIGINT) AS distinct_ppm
+FROM gc GROUP BY source, n"""

@@ -240,6 +240,8 @@ DRIVER_ORDER = [
     "corpus_heaps_law",
     "text_zipf_audit",
     "corpus_gopher_by_source",
+    "text_distinct_ngrams",
+    "emb_jl_audit",
 ]
 
 

@@ -515,3 +515,14 @@ def q_emb_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register("emb_jl_audit", sim_ops.jl_audit_oracle(16, 64))
+def q_emb_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss norm-preservation audit for a deterministic
+    Rademacher projection 64 -> 16 dims (similarity.jl_audit): ratio_ppm
+    concentrates around 1e6 with spread ~sqrt(2/16); systematic drift
+    flags correlated dimensions before a pipeline commits to projected
+    ANN.  Exact BIGINT quantized arithmetic, zero shuffles."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sim_ops.jl_audit(emb, proj_dim=16, dim=64)

@@ -445,3 +445,12 @@ def q_text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     length histogram.  Top-100 via TakeOrderedAndProject, ranks over
     the bounded post-limit frame."""
     return text_ops.zipf_audit(load_table(spark, "documents", sf_dir), topn=100)
+
+
+@register("text_distinct_ngrams", text_ops.distinct_ngrams_oracle(3))
+def q_text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016) per source for n=1..3
+    (textstats.distinct_ngrams) — the mode-collapse detector for
+    synthetic/generated sources.  One fused explode serves all three
+    n-gram sizes (the gopher_repetition trick); exact ppm."""
+    return text_ops.distinct_ngrams(load_table(spark, "documents", sf_dir), max_n=3)

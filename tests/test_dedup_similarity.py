@@ -1908,3 +1908,33 @@ def test_prototype_pruning_fraction_and_tie_rule(spark, sf_dir):
         sim_ops.prototype_pruning(emb, drop_num=3, drop_den=2)
     with _pytest.raises(ValueError, match="drop fraction"):
         sim_ops.prototype_pruning(emb, drop_num=1, drop_den=0)
+
+
+def test_jl_audit_concentration(spark, sf_dir):
+    from cloudpelican_lsd_spark.operators import similarity as sim
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    rows = sim.jl_audit(load_table(spark, "embeddings", sf_dir), 16, 64).collect()
+    assert rows
+    ratios = [r["ratio_ppm"] / 1e6 for r in rows]
+    mean = sum(ratios) / len(ratios)
+    # E[ratio]=1, relative spread ~sqrt(2/16)=0.35; the MEAN over >=100
+    # vectors concentrates much tighter
+    assert 0.8 < mean < 1.2, mean
+    for r in rows:
+        assert r["norm2_milli2"] > 0
+        assert r["proj_norm2_scaled"] >= 0
+
+
+def test_jl_audit_exact_on_known_vector(spark):
+    from cloudpelican_lsd_spark.operators import similarity as sim
+
+    # one-hot vector: projection is +-1e3 in every output dim ->
+    # proj_norm2 = 16e6, norm2 = 1e6, ratio = 1e6 exactly
+    vec = [0.0] * 64
+    vec[5] = 1.0
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    r = sim.jl_audit(df, 16, 64).collect()[0]
+    assert r["norm2_milli2"] == 1_000_000
+    assert r["proj_norm2_scaled"] == 16 * 1_000_000
+    assert r["ratio_ppm"] == 1_000_000

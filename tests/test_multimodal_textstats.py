@@ -1931,3 +1931,21 @@ def test_gopher_by_source_conservation(spark, sf_dir):
         assert 0 <= r["n_pass"] <= r["n_docs"]
         assert 0 <= r["kept_tokens"] <= r["total_tokens"]
         assert r["pass_ppm"] == r["n_pass"] * 1_000_000 // r["n_docs"]
+
+
+def test_distinct_ngrams_closed_form(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a", "s1"), (2, "a b c d", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source"], r["n"]): r for r in ts.distinct_ngrams(docs, 3).collect()}
+    # s1 unigrams: 4 occurrences of "a" -> 1 distinct / 4 total
+    assert rows[("s1", 1)]["total_ngrams"] == 4
+    assert rows[("s1", 1)]["distinct_ngrams"] == 1
+    assert rows[("s1", 1)]["distinct_ppm"] == 250_000
+    # s1 bigrams: "a a" x3 -> 1/3
+    assert rows[("s1", 2)]["distinct_ngrams"] == 1
+    assert rows[("s1", 2)]["total_ngrams"] == 3
+    # s2: fully diverse at every n
+    for n in (1, 2, 3):
+        assert rows[("s2", n)]["distinct_ppm"] == 1_000_000
