@@ -242,6 +242,7 @@ DRIVER_ORDER = [
     "corpus_gopher_by_source",
     "text_distinct_ngrams",
     "emb_jl_audit",
+    "search_waiting_suppliers",
 ]
 
 

@@ -280,3 +280,69 @@ def q_user_day_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
+
+
+@register(
+    "search_waiting_suppliers",
+    """SELECT s.s_name AS s_name, COUNT(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN orders o ON l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name ORDER BY numwait DESC, s_name ASC LIMIT 20""",
+)
+def q_search_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    decorrelation in the suite — EXISTS + NOT EXISTS over the same
+    fact table, correlated on BOTH orderkey and suppkey.  The schema
+    has no commit/receipt dates, so "late" is l_shipdate >
+    o_orderdate + 60 days (documented stand-in, structure unchanged).
+
+    Spark-first rewrite: instead of two correlated self-semi-joins the
+    plan aggregates lineitem ONCE per order (n_suppliers,
+    n_late_suppliers — reference the reference cannot push down;
+    cli/cloudpelican-lsd.go:322 would ship the correlated form to
+    BigQuery verbatim) and joins that back: EXISTS other-supplier ⇔
+    n_supp > 1, NOT EXISTS other-late ⇔ n_late = 1 given l1 is late —
+    ONE scan of lineitem serves both subqueries instead of three, and
+    the oracle cross-checks the genuinely-correlated EXISTS/NOT EXISTS
+    form, so the decorrelation's equivalence is hash-verified, not
+    assumed.  Late rows join order stats on the orderkey equi-key;
+    the 20-row answer is a TakeOrderedAndProject."""
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    lo = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    ostat = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    return (
+        lo.where(F.col("is_late"))
+        .join(
+            ostat.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )

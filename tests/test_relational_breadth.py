@@ -678,3 +678,53 @@ def test_gini_closed_form_and_bounds(spark, sf_dir):
     assert out["skew"].gini == 0.72
     real = registry.QUERIES["events_gini_concentration"](spark, sf_dir).collect()
     assert all(0.0 <= r.gini < 1.0 for r in real)
+
+
+def test_waiting_suppliers_decorrelation_equivalence(spark, sf_dir):
+    """The aggregate decorrelation (n_supp/n_late) must equal the naive
+    correlated form computed row-at-a-time in Python on the same data —
+    independent of the DuckDB oracle."""
+    from cloudpelican_lsd_spark.registry._core import QUERIES
+    from cloudpelican_lsd_spark.sources.tables import load_table
+    from collections import Counter as _Counter
+    from collections import defaultdict
+    from pyspark.sql import functions as F
+
+    got = [
+        (r["s_name"], r["numwait"])
+        for r in QUERIES["search_waiting_suppliers"](spark, sf_dir).collect()
+    ]
+
+    o = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderstatus") == "F")
+        .collect()
+    }
+    li = defaultdict(list)
+    for r in (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .collect()
+    ):
+        if r["l_orderkey"] in o:
+            li[r["l_orderkey"]].append((r["l_suppkey"], r["l_shipdate"]))
+    import datetime
+
+    cnt = _Counter()
+    for ok, rows in li.items():
+        cutoff = o[ok] + datetime.timedelta(days=60)
+        supps = {s for s, _ in rows}
+        late_supps = {s for s, d in rows if d > cutoff}
+        for s, d in rows:
+            if d > cutoff and len(supps) > 1 and late_supps == {s}:
+                cnt[s] += 1
+    names = {
+        r["s_suppkey"]: r["s_name"]
+        for r in load_table(spark, "supplier", sf_dir).collect()
+    }
+    want = sorted(
+        ((names[s], c) for s, c in cnt.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert got == want
