@@ -2166,6 +2166,9 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     )
 
     # --- fused n-gram chain (n = 2..10 in one explode) ---------------------
+    # (measured at sf0.1: this two-explode codegen form beats a single
+    # flatten(transform(...)) generator 6.2 s vs 9.6 s — the lambda
+    # interpreter costs more than re-shipping `w` through the explodes)
     grams = (
         d.select(
             "doc_id",
