@@ -3337,3 +3337,119 @@ SELECT vec_id, norm2_milli2, ({pn}) AS proj_norm2_scaled,
        CAST((({pn}) * 1000000) // ({proj_dim} * norm2_milli2) AS BIGINT)
            AS ratio_ppm
 FROM p WHERE norm2_milli2 > 0"""
+
+
+# ---------------------------------------------------------------------------
+# k-center farthest-first seeding (Gonzalez 1985 — the deterministic
+# k-means++ initialization)
+# ---------------------------------------------------------------------------
+
+
+def _kc_quantized(emb: DataFrame, dim: int) -> DataFrame:
+    cols = [
+        F.expr(
+            f"CAST(ROUND(try_element_at(cast(embedding as array<double>), {i + 1})"
+            f" * 1e3, 0) AS BIGINT)"
+        ).alias(f"q{i}")
+        for i in range(dim)
+    ]
+    return emb.select("vec_id", *cols)
+
+
+def kcenter_seeds(emb: DataFrame, k: int = 4, dim: int = 64) -> DataFrame:
+    """`(seed_rank, vec_id, min_dist_milli2)` — farthest-first traversal
+    (Gonzalez 1985): the deterministic k-means++ seeding every clustering
+    pipeline runs before Lloyd iterations (emb_kmeans_step_shift).  Seed 1
+    is the minimum vec_id (documented deterministic start); each next
+    seed maximizes its exact quantized-L2 distance to the nearest chosen
+    seed, ties to the smallest vec_id.  `min_dist_milli2` is that maximin
+    distance at selection time (0 for seed 1) — the 2-approximation
+    guarantee of the k-center objective rides on exactly this value.
+
+    Exactness: milli-quantized BIGINT coordinates (the jl_audit scale
+    bound), distances exact integer sums of squares; argmax resolved as
+    MAX(dist) then MIN(vec_id) among attainers — two aggregates, never a
+    float or struct comparison.
+
+    100 TB shape: the k-1 iterations are a DRIVER loop over one plan
+    (the kmeans family convention — collect() fetches ONE seed row per
+    round, model state broadcasts); each round is one scan computing
+    LEAST(running_min, dist_to_new_seed) — the running min is carried as
+    a column, so round j costs one distance evaluation, not j.
+    """
+    q = _kc_quantized(emb, dim).cache()
+    first = q.orderBy("vec_id").limit(1).collect()[0]
+
+    def dist_to(row) -> F.Column:
+        return sum(
+            (F.col(f"q{i}") - F.lit(int(row[f"q{i}"] or 0)))
+            * (F.col(f"q{i}") - F.lit(int(row[f"q{i}"] or 0)))
+            for i in range(dim)
+        )
+
+    seeds = [(1, int(first["vec_id"]), 0)]
+    cur = q.withColumn("mind", dist_to(first))
+    for rank in range(2, k + 1):
+        agg = cur.agg(F.max("mind").alias("md")).collect()[0]
+        md = int(agg["md"])
+        nxt = (
+            cur.where(F.col("mind") == md)
+            .agg(F.min("vec_id").alias("vid"))
+            .collect()[0]
+        )
+        vid = int(nxt["vid"])
+        row = q.where(F.col("vec_id") == vid).collect()[0]
+        seeds.append((rank, vid, md))
+        if rank < k:
+            cur = cur.withColumn("mind", F.least(F.col("mind"), dist_to(row)))
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        seeds, "seed_rank long, vec_id long, min_dist_milli2 long"
+    )
+    q.unpersist()
+    return out
+
+
+def kcenter_seeds_oracle(k: int = 4, dim: int = 64) -> str:
+    qs = ",\n         ".join(
+        f"CAST(ROUND(embedding[{i + 1}] * 1e3, 0) AS BIGINT) AS q{i}"
+        for i in range(dim)
+    )
+
+    def dist(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}.q{i} - {b}.q{i}) * ({a}.q{i} - {b}.q{i})" for i in range(dim)
+        )
+
+    ctes = [
+        f"q AS (\n  SELECT vec_id,\n         {qs}\n  FROM embeddings\n)",
+        "s1 AS (SELECT * FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM q))",
+        f"d1 AS (SELECT q.vec_id, ({dist('q', 's')}) AS mind FROM q, s1 s)",
+    ]
+    selects = [
+        "SELECT 1 AS seed_rank, (SELECT MIN(vec_id) FROM q) AS vec_id,"
+        " 0 AS min_dist_milli2"
+    ]
+    for r in range(2, k + 1):
+        p = r - 1
+        ctes.append(f"m{p} AS (SELECT MAX(mind) AS md FROM d{p})")
+        ctes.append(
+            f"sid{r} AS (SELECT MIN(vec_id) AS vid FROM d{p}, m{p}"
+            f" WHERE mind = md)"
+        )
+        selects.append(
+            f"SELECT {r} AS seed_rank, (SELECT vid FROM sid{r}) AS vec_id,"
+            f" (SELECT md FROM m{p}) AS min_dist_milli2"
+        )
+        if r < k:
+            ctes.append(
+                f"s{r} AS (SELECT q.* FROM q, sid{r} WHERE q.vec_id = sid{r}.vid)"
+            )
+            ctes.append(
+                f"d{r} AS (SELECT d{p}.vec_id,"
+                f" LEAST(d{p}.mind, ({dist('q', 's')})) AS mind"
+                f" FROM q JOIN d{p} USING (vec_id), s{r} s)"
+            )
+    body = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {body}\n{union}"

@@ -243,6 +243,7 @@ DRIVER_ORDER = [
     "text_distinct_ngrams",
     "emb_jl_audit",
     "search_waiting_suppliers",
+    "emb_kcenter_seeds",
 ]
 
 

@@ -526,3 +526,15 @@ def q_emb_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN.  Exact BIGINT quantized arithmetic, zero shuffles."""
     emb = load_table(spark, "embeddings", sf_dir)
     return sim_ops.jl_audit(emb, proj_dim=16, dim=64)
+
+
+@register("emb_kcenter_seeds", sim_ops.kcenter_seeds_oracle(4, 64))
+def q_emb_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first k-center seeding (Gonzalez 1985), k=4 — the
+    deterministic k-means++ initialization feeding emb_kmeans_step_shift
+    (similarity.kcenter_seeds).  Exact milli-quantized L2, maximin
+    selection with MIN-vec_id ties; driver loop over one plan with
+    broadcast seed state (the kmeans family convention)."""
+    return sim_ops.kcenter_seeds(
+        load_table(spark, "embeddings", sf_dir), k=4, dim=64
+    )

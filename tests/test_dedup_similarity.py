@@ -1938,3 +1938,53 @@ def test_jl_audit_exact_on_known_vector(spark):
     assert r["norm2_milli2"] == 1_000_000
     assert r["proj_norm2_scaled"] == 16 * 1_000_000
     assert r["ratio_ppm"] == 1_000_000
+
+
+def test_kcenter_seeds_properties(spark, sf_dir):
+    from cloudpelican_lsd_spark.operators import similarity as sim
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    rows = sorted(
+        sim.kcenter_seeds(load_table(spark, "embeddings", sf_dir), k=4).collect(),
+        key=lambda r: r["seed_rank"],
+    )
+    assert [r["seed_rank"] for r in rows] == [1, 2, 3, 4]
+    assert len({r["vec_id"] for r in rows}) == 4
+    assert rows[0]["min_dist_milli2"] == 0
+    # maximin radii are non-increasing (farthest-first invariant)
+    d = [r["min_dist_milli2"] for r in rows[1:]]
+    assert d[0] >= d[1] >= d[2] > 0
+
+
+def test_kcenter_seeds_matches_python_reference(spark):
+    from cloudpelican_lsd_spark.operators import similarity as sim
+
+    vecs = {
+        1: [0.0] * 64,
+        2: [1.0] + [0.0] * 63,
+        3: [0.0, 2.0] + [0.0] * 62,
+        4: [0.5] * 64,
+        5: [0.0] * 63 + [3.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = sorted(
+        [(r["seed_rank"], r["vec_id"], r["min_dist_milli2"]) for r in
+         sim.kcenter_seeds(df, k=3).collect()]
+    )
+    q = {i: [round(x * 1e3) for x in v] for i, v in vecs.items()}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(q[a], q[b]))
+
+    seeds = [1]
+    want = [(1, 1, 0)]
+    for rank in (2, 3):
+        best = max(
+            ((min(d2(v, s) for s in seeds), -v) for v in q if v not in seeds)
+        )
+        md, vid = best[0], -best[1]
+        want.append((rank, vid, md))
+        seeds.append(vid)
+    assert got == sorted(want)
