@@ -2257,3 +2257,77 @@ SELECT source, n_tokens, CAST(fail_ppm AS BIGINT) AS fail_ppm,
        CAST(factor_micro AS BIGINT) AS factor_micro,
        CAST(w_raw * 1000000 // w_tot AS BIGINT) AS weight_ppm
 FROM w, tot"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release audit
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLDS = (2, 5, 10)
+
+
+def k_anonymity(docs: DataFrame, len_bucket: int = 10) -> DataFrame:
+    """`(k, n_groups_below, n_docs_at_risk, risk_ppm)` — the k-anonymity
+    audit a corpus release runs before publishing metadata: over the
+    quasi-identifier tuple (lang, source, token-length bucket), how many
+    equivalence classes have fewer than k members, and how many documents
+    sit in them.  A document alone in its (lang, source, length) class is
+    re-identifiable from metadata even after the text is transformed —
+    the Sweeney 2002 framing applied to corpus cards.  One row per
+    audited k (:data:`K_ANON_THRESHOLDS`); all values exact BIGINT.
+
+    100 TB shape: ONE scan, ONE hash aggregate over the quasi-identifier
+    key; the per-k rollup reduces the (tiny) class-size relation three
+    times with map-side partials — the heavy relation never re-shuffles.
+    """
+    classes = (
+        docs.select(
+            "lang",
+            "source",
+            (F.size(F.split(F.col("text"), " ")) / len_bucket)
+            .cast("long")
+            .alias("len_b"),
+        )
+        .groupBy("lang", "source", "len_b")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    total = classes.agg(F.sum("sz").alias("n"))  # no second corpus scan
+    rows = None
+    for k in K_ANON_THRESHOLDS:
+        agg = classes.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.sum(F.when(F.col("sz") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("n_groups_below"),
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("n_docs_at_risk"),
+        )
+        rows = agg if rows is None else rows.unionByName(agg)
+    return rows.crossJoin(F.broadcast(total)).select(
+        "k",
+        "n_groups_below",
+        "n_docs_at_risk",
+        F.expr("(n_docs_at_risk * 1000000) DIV n").alias("risk_ppm"),
+    )
+
+
+def k_anonymity_oracle(len_bucket: int = 10) -> str:
+    ks = ", ".join(str(k) for k in K_ANON_THRESHOLDS)
+    return f"""WITH classes AS (
+  SELECT lang, source,
+         CAST(floor(len(string_split(text, ' ')) / {len_bucket}.0) AS BIGINT)
+             AS len_b,
+         COUNT(*)::BIGINT AS sz
+  FROM documents GROUP BY 1, 2, 3
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+ks AS (SELECT unnest(ARRAY[{ks}])::BIGINT AS k)
+SELECT ks.k,
+       SUM(CASE WHEN c.sz < ks.k THEN 1 ELSE 0 END)::BIGINT AS n_groups_below,
+       SUM(CASE WHEN c.sz < ks.k THEN c.sz ELSE 0 END)::BIGINT
+           AS n_docs_at_risk,
+       CAST((SUM(CASE WHEN c.sz < ks.k THEN c.sz ELSE 0 END) * 1000000)
+            // MAX(tot.n) AS BIGINT) AS risk_ppm
+FROM classes c CROSS JOIN ks CROSS JOIN tot
+GROUP BY ks.k"""

@@ -544,3 +544,16 @@ def q_corpus_gopher_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens",
         )
     )
+
+
+@register("corpus_k_anonymity", corpus_ops.k_anonymity_oracle(10))
+def q_corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (Sweeney 2002 applied to corpus cards):
+    equivalence classes of the (lang, source, token-length-bucket)
+    quasi-identifier with fewer than k={2,5,10} members, and the
+    documents at metadata re-identification risk inside them
+    (corpus.k_anonymity).  One quasi-identifier aggregate; the heavy
+    relation never re-shuffles."""
+    return corpus_ops.k_anonymity(
+        load_table(spark, "documents", sf_dir), len_bucket=10
+    )

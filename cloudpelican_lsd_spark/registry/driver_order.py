@@ -244,6 +244,8 @@ DRIVER_ORDER = [
     "emb_jl_audit",
     "search_waiting_suppliers",
     "emb_kcenter_seeds",
+    "corpus_k_anonymity",
+    "search_nation_volume",
 ]
 
 

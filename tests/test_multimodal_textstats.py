@@ -1949,3 +1949,28 @@ def test_distinct_ngrams_closed_form(spark):
     # s2: fully diverse at every n
     for n in (1, 2, 3):
         assert rows[("s2", n)]["distinct_ppm"] == 1_000_000
+
+
+def test_k_anonymity_closed_form(spark):
+    from cloudpelican_lsd_spark.operators import corpus as co
+
+    # classes: (en, a, 0) -> 3 docs; (en, b, 0) -> 1 doc; (fr, a, 1) -> 1
+    docs = spark.createDataFrame(
+        [
+            (1, "w " * 4, "en", "a"),
+            (2, "w " * 4, "en", "a"),
+            (3, "w " * 4, "en", "a"),
+            (4, "w " * 4, "en", "b"),
+            (5, "w " * 14, "fr", "a"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).select("doc_id", F.expr("trim(text)").alias("text"), "lang", "source")
+    rows = {r["k"]: r for r in co.k_anonymity(docs, len_bucket=10).collect()}
+    # k=2: two singleton classes below -> 2 groups, 2 docs at risk of 5
+    assert rows[2]["n_groups_below"] == 2
+    assert rows[2]["n_docs_at_risk"] == 2
+    assert rows[2]["risk_ppm"] == 2 * 1_000_000 // 5
+    # k=5: all three classes below -> 5 docs at risk
+    assert rows[5]["n_groups_below"] == 3
+    assert rows[5]["n_docs_at_risk"] == 5
+    assert rows[10]["risk_ppm"] == 1_000_000
