@@ -2327,11 +2327,12 @@ FROM fr"""
 # ---------------------------------------------------------------------------
 
 #: position tie-break modulus for the winnowing window-min key:
-#: key = hash * _WINNOW_M + (_WINNOW_M - position).  Valid while every
-#: k-gram position is < _WINNOW_M (the engine's 4096-char normalize cap
-#: guarantees it; longer inputs must be truncated first — documented
-#: contract, same class as the bucket-alignment contract in outliers).
-_WINNOW_M = 8192
+#: key = hash * _WINNOW_M + (_WINNOW_M - position).  2^31 supports any
+#: document up to 2^31-1 k-gram positions with no silent tie-break
+#: corruption (hash < 2^28, so key < 2^59 — no BIGINT overflow); the
+#: decoded (hash, pos) selection is independent of M for any M > max
+#: position, so widening M changes no output.
+_WINNOW_M = 2_147_483_648
 
 
 def winnowing_fingerprints(

@@ -367,11 +367,13 @@ GROUP BY 1, 2, 3""",
 def q_search_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape (cross-nation shipping volume): the two-sided
     symmetric nation filter over a 6-table join, grouped by both nation
-    roles and ship year.  Both nation dims and supplier/customer
-    broadcast; the disjunctive nation pair predicate evaluates AFTER
-    the cheap broadcast joins so lineitem-orders stays the only real
-    shuffle; revenue sums through DECIMAL(25,6) (the float-aggregate
-    parity discipline)."""
+    roles and ship year.  Only the genuinely fixed-size nation dims get
+    an explicit broadcast hint; customer/supplier are left to
+    Catalyst/AQE — at test scale they broadcast anyway, at 100 TB a
+    forced broadcast of customer would OOM the executors, so pinning it
+    would be the plan that does NOT survive the scale-up.
+    lineitem-orders stays the only guaranteed shuffle; revenue sums
+    through DECIMAL(25,6) (the float-aggregate parity discipline)."""
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
     c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
@@ -390,8 +392,8 @@ def q_search_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("sn_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("cn_key") == F.col("c_nationkey"))
         .where(pair)

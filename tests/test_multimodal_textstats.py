@@ -1974,3 +1974,21 @@ def test_k_anonymity_closed_form(spark):
     assert rows[5]["n_groups_below"] == 3
     assert rows[5]["n_docs_at_risk"] == 5
     assert rows[10]["risk_ppm"] == 1_000_000
+
+
+def test_winnowing_long_doc_beyond_old_modulus(spark):
+    # regression for the session-3 review finding: with the old
+    # M=8192 position modulus, documents longer than 8191 chars
+    # silently corrupted the rightmost-min tie-break; M=2^31 must match
+    # brute force on a 10k-char doc
+    import random
+
+    rng = random.Random(11)
+    text = "".join(rng.choice("abcdefgh") for _ in range(10_000))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r["fpos"], r["fph"])
+        for r in ts.winnowing_fingerprints(docs, k=8, w=4).collect()
+    }
+    assert got == _brute_winnow(text, 8, 4)
+    assert max(p for p, _ in got) > 8192 - 8
