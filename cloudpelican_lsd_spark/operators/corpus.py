@@ -2331,3 +2331,114 @@ SELECT ks.k,
             // MAX(tot.n) AS BIGINT) AS risk_ppm
 FROM classes c CROSS JOIN ks CROSS JOIN tot
 GROUP BY ks.k"""
+
+
+def corpus_clean_v4(
+    docs_lined: DataFrame,
+    line_min_df: int = 3,
+    eval_mod: int = 97,
+    gram_n: int = 8,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """`(doc_id, n_tokens)` — v4 = v3 with the FULL Gopher repetition
+    panel as a gate between the boilerplate line dedup and the C4 rule
+    gate:
+
+    (0)   corpus-wide line dedup (shared with v2/v3);
+    (0.4) GOPHER GATE: drop docs failing any Rae et al. 2021 Table A1
+          repetition threshold (textstats.gopher_repetition over the
+          line-deduped text WITH its line structure — the panel's
+          dup-line signals need the lines the next stage flattens);
+    (0.5) C4 rule gate (shared predicates with corpus_c4_audit);
+    (1-4) the v1 chain + eval decontamination, unchanged.
+
+    Unlike v3's per-row C4 predicates, the panel is aggregation-valued
+    (per-doc n-gram statistics), so the gate is a doc_id-keyed SEMI
+    join of pass ids — one co-partitioned join over v3's plan, and the
+    panel's token shuffle is the only added exchange.
+    `text_gopher_repetition`/`corpus_gopher_by_source` are this gate's
+    dry-run, the same audit-is-the-gate discipline as v3's C4 stage.
+    """
+    from cloudpelican_lsd_spark.operators.textstats import (
+        gopher_repetition,
+        line_dedup,
+    )
+
+    ld = line_dedup(docs_lined, min_df=line_min_df).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    pass_ids = (
+        gopher_repetition(ld)
+        .where(F.col("pass_gopher") == 1)
+        .select("doc_id")
+    )
+    flags = c4_flag_exprs()
+    keep = ~flags[V3_GATE_RULES[0]]
+    for r in V3_GATE_RULES[1:]:
+        keep &= ~flags[r]
+    docs4 = (
+        ld.join(pass_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), "\n", " ").alias("text"),
+        )
+        .where(keep)
+    )
+    _, _, final = _clean_stages(
+        docs4, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
+    )
+    return _decontaminate(docs4, final, eval_mod, gram_n)
+
+
+def corpus_clean_v4_oracle(
+    base_cte: str,
+    base_table: str,
+    words_per_line: int = 10,
+    line_min_df: int = 3,
+    eval_mod: int = 97,
+    gram_n: int = 8,
+    min_tokens: int = 5,
+    lang_num: int = 1,
+    lang_den: int = 20,
+    n: int = 3,
+    jac_num: int = 4,
+    jac_den: int = 5,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin: the v3 chain with a chr(10)-preserving docs2 twin
+    (`docs2l`) feeding textstats.gopher_fr_cte, whose pass ids
+    semi-filter the flattened docs2 before the C4 gate."""
+    from cloudpelican_lsd_spark.operators.textstats import (
+        gopher_fr_cte,
+        gopher_pass_sql,
+    )
+
+    fsql = c4_flag_sql()
+    keep = " AND ".join(f"NOT {fsql[r]}" for r in V3_GATE_RULES)
+    lines_cte = f"""{_docs2_cte(base_cte, base_table, words_per_line, line_min_df)},
+docs2l AS (
+  SELECT e.doc_id,
+         string_agg(e.line, chr(10) ORDER BY e.pos)
+           FILTER (WHERE f.df < {line_min_df}) AS text
+  FROM ld_ex e JOIN ld_f f USING (line)
+  GROUP BY e.doc_id
+  HAVING COUNT(*) FILTER (WHERE f.df < {line_min_df}) >= 1
+),
+{gopher_fr_cte("docs2l", "gp")},
+gp_pass AS (SELECT doc_id FROM gpfr WHERE {gopher_pass_sql()}),
+docs4 AS (
+  SELECT d.doc_id, d.text FROM docs2 d
+  WHERE d.doc_id IN (SELECT doc_id FROM gp_pass) AND {keep}
+)"""
+    chain = _clean_cte_chain(
+        lines_cte, "docs4", min_tokens, lang_num, lang_den, n,
+        jac_num, jac_den, max_df,
+    )
+    return f"""WITH {chain},
+{_decontaminate_sql("docs4", eval_mod, gram_n)}"""

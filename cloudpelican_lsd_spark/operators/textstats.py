@@ -2240,12 +2240,15 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     return out.withColumn("pass_gopher", gate.cast("int"))
 
 
-def gopher_repetition_oracle(words_per_line: int = 10) -> str:
-    """DuckDB twin of :func:`gopher_repetition` over the
-    ``words_per_line``-derived line view of `documents` (the registry
-    fixture path; the operator itself consumes real '\\n' lines)."""
-    wpl = int(words_per_line)
+def gopher_fr_cte(relation: str, prefix: str = "gp") -> str:
+    """DuckDB CTE chain over ``relation (doc_id, text)`` whose text
+    carries chr(10) line structure (the operator's production input),
+    ending in ``{prefix}fr`` with doc_id + the 11 rounded panel
+    fractions.  THE one SQL definition of the panel arithmetic — the
+    fixture oracle and the v4 capstone gate both compose it, so the
+    gate and the audit cannot fork."""
     m = _GOPHER_LEN_M
+    g = prefix
     tops = ",\n    ".join(
         f"MAX(CASE WHEN n = {n} THEN (topkey // {m}) * (topkey % {m}) END) AS top{n}"
         for n in (2, 3, 4)
@@ -2258,51 +2261,47 @@ def gopher_repetition_oracle(words_per_line: int = 10) -> str:
         f"ROUND(COALESCE(p.top{n}, 0) / d.n_chars, 6) AS top_{n}gram_char_frac,"
         for n in (2, 3, 4)
     )
-    dup_fracs = "\n  ".join(
-        f"ROUND(COALESCE(p.dup{n}, 0) / d.n_chars, 6) AS dup_{n}gram_char_frac,"
+    dup_fracs = ",\n  ".join(
+        f"ROUND(COALESCE(p.dup{n}, 0) / d.n_chars, 6) AS dup_{n}gram_char_frac"
         for n in range(5, 11)
     )
-    gate = " AND ".join(
-        f"{name} <= {thr}" for name, thr in GOPHER_THRESHOLDS.items()
-    )
-    return f"""WITH d AS (
-  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
-  FROM documents WHERE length(text) > 0
+    return f"""{g}d AS (
+  SELECT doc_id, string_split(replace(text, chr(10), ' '), ' ') AS w,
+         length(text) AS n_chars
+  FROM {relation} WHERE length(text) > 0
 ),
-lines AS (
-  SELECT doc_id, array_to_string(w[i*{wpl}+1 : i*{wpl}+{wpl}], ' ') AS line
-  FROM d, unnest(generate_series(0, CAST(ceil(len(w) / {wpl}.0) AS BIGINT) - 1)) AS t(i)
-),
-lc AS (
+{g}lc AS (
   SELECT doc_id, line, COUNT(*) AS c, length(line) AS l
-  FROM lines GROUP BY doc_id, line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM {relation} WHERE length(text) > 0)
+  GROUP BY doc_id, line
 ),
-ldoc AS (
+{g}ldoc AS (
   SELECT doc_id, SUM(c)::BIGINT AS n_lines, SUM(c - 1)::BIGINT AS dup_lines,
          SUM((c - 1) * l)::BIGINT AS dup_line_chars,
          SUM(c * l)::BIGINT AS tot_line_chars
-  FROM lc GROUP BY doc_id
+  FROM {g}lc GROUP BY doc_id
 ),
-grams AS (
+{g}grams AS (
   SELECT doc_id, n, array_to_string(w[i : i + n - 1], ' ') AS g
-  FROM d, unnest(generate_series(1, len(w))) AS t1(i),
+  FROM {g}d, unnest(generate_series(1, len(w))) AS t1(i),
        unnest(generate_series(2, 10)) AS t2(n)
   WHERE i + n - 1 <= len(w)
 ),
-gc AS (SELECT doc_id, n, g, COUNT(*) AS c, length(g) AS l
-       FROM grams GROUP BY doc_id, n, g),
-gn AS (
+{g}gc AS (SELECT doc_id, n, g, COUNT(*) AS c, length(g) AS l
+       FROM {g}grams GROUP BY doc_id, n, g),
+{g}gn AS (
   SELECT doc_id, n, MAX(c * {m} + l) AS topkey,
          SUM(CASE WHEN c > 1 THEN (c - 1) * l ELSE 0 END) AS dupchars
-  FROM gc GROUP BY doc_id, n
+  FROM {g}gc GROUP BY doc_id, n
 ),
-piv AS (
+{g}piv AS (
   SELECT doc_id,
     {tops},
     {dups}
-  FROM gn GROUP BY doc_id
+  FROM {g}gn GROUP BY doc_id
 ),
-fr AS (
+{g}fr AS (
 SELECT ld.doc_id,
   ROUND(ld.dup_lines / ld.n_lines, 6) AS dup_line_frac,
   CASE WHEN ld.tot_line_chars = 0 THEN 0.0
@@ -2310,15 +2309,41 @@ SELECT ld.doc_id,
   END AS dup_line_char_frac,
   {top_fracs}
   {dup_fracs}
-  1 AS _one
-FROM ldoc ld JOIN d USING (doc_id) LEFT JOIN piv p USING (doc_id)
-)
+FROM {g}ldoc ld JOIN {g}d d USING (doc_id) LEFT JOIN {g}piv p USING (doc_id)
+)"""
+
+
+def gopher_pass_sql() -> str:
+    """The Table A1 gate as one SQL boolean over the fr columns."""
+    return " AND ".join(
+        f"{name} <= {thr}" for name, thr in GOPHER_THRESHOLDS.items()
+    )
+
+
+def gopher_repetition_oracle(words_per_line: int = 10) -> str:
+    """DuckDB twin of :func:`gopher_repetition` over the
+    ``words_per_line``-derived line view of `documents` (the registry
+    fixture path; the operator itself consumes real chr(10) lines).
+    Composes :func:`gopher_fr_cte` — the same CTE body the v4 capstone
+    gates on."""
+    wpl = int(words_per_line)
+    lined = f"""lined AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           generate_series(0, CAST(ceil(len(string_split(text, ' ')) / {wpl}.0)
+                                  AS BIGINT) - 1),
+           i -> array_to_string((string_split(text, ' '))[i*{wpl}+1 : i*{wpl}+{wpl}],
+                                ' ')), chr(10)) AS text
+  FROM documents
+)"""
+    return f"""WITH {lined},
+{gopher_fr_cte("lined", "gp")}
 SELECT doc_id, dup_line_frac, dup_line_char_frac,
        top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
        dup_5gram_char_frac, dup_6gram_char_frac, dup_7gram_char_frac,
        dup_8gram_char_frac, dup_9gram_char_frac, dup_10gram_char_frac,
-       CAST(({gate}) AS INT) AS pass_gopher
-FROM fr"""
+       CAST(({gopher_pass_sql()}) AS INT) AS pass_gopher
+FROM gpfr"""
 
 
 # ---------------------------------------------------------------------------

@@ -476,3 +476,17 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.corpus_clean(_corpus_base(spark, sf_dir))
 
 
+
+
+@register(
+    "corpus_clean_v4",
+    corpus_ops.corpus_clean_v4_oracle(_CORPUS_CTE, "docs_corpus"),
+)
+def q_corpus_clean_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v4 capstone — v3 plus the FULL Gopher repetition panel as a gate
+    (textstats.gopher_repetition over the line-deduped text with its
+    line structure intact), spliced before the C4 rule gate.  The panel
+    is aggregation-valued, so the gate is one doc_id-keyed semi join;
+    text_gopher_repetition / corpus_gopher_by_source are its dry-run
+    (audit-is-the-gate, same as v3's C4 stage)."""
+    return corpus_ops.corpus_clean_v4(_lined_corpus(spark, sf_dir))

@@ -246,6 +246,7 @@ DRIVER_ORDER = [
     "emb_kcenter_seeds",
     "corpus_k_anonymity",
     "search_nation_volume",
+    "corpus_clean_v4",
 ]
 
 

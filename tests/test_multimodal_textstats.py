@@ -1992,3 +1992,27 @@ def test_winnowing_long_doc_beyond_old_modulus(spark):
     }
     assert got == _brute_winnow(text, 8, 4)
     assert max(p for p, _ in got) > 8192 - 8
+
+
+def test_clean_v4_is_v3_with_gopher_gate(spark, sf_dir):
+    """v4's survivors must be a subset of v3's (the added panel gate
+    only removes), every v4 survivor must pass the panel on the
+    line-deduped text, and the gate must actually fire on the planted
+    corpus (strict subset)."""
+    from cloudpelican_lsd_spark.operators import corpus as co
+    from cloudpelican_lsd_spark.operators import textstats as t2
+    from cloudpelican_lsd_spark.registry.dedup_core import _lined_corpus
+
+    lined = _lined_corpus(spark, sf_dir)
+    v3 = {r["doc_id"] for r in co.corpus_clean_v3(lined).collect()}
+    v4 = {r["doc_id"] for r in co.corpus_clean_v4(lined).collect()}
+    assert v4 <= v3
+    assert v4 < v3, "gopher gate never fired — fixture lost its teeth"
+    ld = t2.line_dedup(lined, min_df=3).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    passing = {
+        r["doc_id"]
+        for r in t2.gopher_repetition(ld).where(F.col("pass_gopher") == 1).collect()
+    }
+    assert v4 <= passing
