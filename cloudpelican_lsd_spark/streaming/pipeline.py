@@ -977,14 +977,39 @@ class NearDupSuppressor:
         except AnalysisException:
             return None  # directory exists but holds no parquet yet
 
-    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        import shutil
-
-        from pyspark.sql.window import Window
-
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, band, sig) rows for a batch — the suppression key
+        space.  Subclasses swap the fingerprint family; the sink/replay
+        discipline in process_batch is shared."""
         from cloudpelican_lsd_spark.operators.dedup import (
             minhash_band_signatures,
         )
+
+        return minhash_band_signatures(
+            docs, self.num_hashes, self.rows_per_band, self.n
+        )
+
+    def _dup_ids(self, sigs: DataFrame, store: DataFrame | None) -> DataFrame:
+        """doc_ids suppressed this batch: any band signature shared with a
+        lower-id same-batch doc or with the store (the LSH
+        keep-one-per-candidate-cluster greedy)."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "sig")
+        in_batch_dup = (
+            sigs.withColumn("min_id", F.min("doc_id").over(w))
+            .where(F.col("doc_id") > F.col("min_id"))
+            .select("doc_id")
+        )
+        if store is None:
+            return in_batch_dup
+        vs_store = sigs.join(
+            store.select("band", "sig"), ["band", "sig"], "left_semi"
+        ).select("doc_id")
+        return in_batch_dup.unionByName(vs_store)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import shutil
 
         epoch = int(epoch_id)
         for root in (self.store_path, self.out_path):
@@ -996,28 +1021,10 @@ class NearDupSuppressor:
             F.col(self.id_col).alias("doc_id"),
             F.col(self.text_col).alias("text"),
         )
-        sigs = minhash_band_signatures(
-            docs, self.num_hashes, self.rows_per_band, self.n
-        )
+        sigs = self._signatures(docs)
         sigs.persist()
         try:
-            # in-batch: any band shared with a lower-id doc suppresses
-            w = Window.partitionBy("band", "sig")
-            in_batch_dup = (
-                sigs.withColumn("min_id", F.min("doc_id").over(w))
-                .where(F.col("doc_id") > F.col("min_id"))
-                .select("doc_id")
-            )
-            store = self._read_store()
-            if store is not None:
-                vs_store = (
-                    sigs.join(
-                        store.select("band", "sig"), ["band", "sig"], "left_semi"
-                    ).select("doc_id")
-                )
-                dup_ids = in_batch_dup.unionByName(vs_store)
-            else:
-                dup_ids = in_batch_dup
+            dup_ids = self._dup_ids(sigs, self._read_store())
             novel = docs.join(dup_ids.distinct(), "doc_id", "left_anti")
             novel_out = novel.withColumn("epoch", F.lit(epoch).cast("int"))
             (
@@ -1091,3 +1098,114 @@ class NearDupSuppressor:
                     continue
                 if e < before_epoch:
                     shutil.rmtree(os.path.join(self.store_path, name))
+
+
+class WinnowDupSuppressor(NearDupSuppressor):
+    """Streaming MOSS: near-VERBATIM reuse suppression over winnowed
+    k-gram fingerprints (textstats.winnowing_fingerprints — the same
+    selection the batch dedup_winnowing_pairs family is built on, so the
+    stream and the batch audit can never fork on what counts as a
+    match).
+
+    Where the MinHash parent suppresses bag-of-shingles similarity, this
+    subclass carries the winnowing GUARANTEE into the stream: any shared
+    substring of length >= w + k - 1 between a new document and a stored
+    (or lower-id same-batch) one surfaces shared fingerprints, and the
+    document is suppressed when at least ``min_shared`` of its
+    fingerprints match one single prior document (pairwise MOSS
+    semantics, NOT any-match: one shared common phrase is not
+    plagiarism).
+
+    Boilerplate discipline: fingerprints present in more than ``max_df``
+    distinct documents across (store ∪ batch) are HOT and excluded from
+    matching — the same df<=8 prune as the batch pair generator, so
+    license headers and navigation chrome cannot quadratically explode
+    the match join.  The per-batch df re-aggregation scans the store's
+    compact (fph, doc_id) relation; a long-horizon production deployment
+    materializes the df in a maintained sidecar exactly like the
+    StreamingIvfIndexer's `_compacted_through` watermark (documented
+    trade, same class).
+
+    Store schema compatibility: `band = sig = fph` — the parent's
+    epoch-partitioned (band, sig, doc_id) store, exactly-once replay,
+    `_kept_schema.json` fallback, and `expire()` retention all apply
+    unchanged.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        out_path: str,
+        k: int = 8,
+        w: int = 4,
+        min_shared: int = 3,
+        max_df: int = 8,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        super().__init__(
+            spark, store_path, out_path, id_col=id_col, text_col=text_col
+        )
+        if w < 1 or k < 1:
+            raise ValueError(f"WinnowDupSuppressor: k={k} w={w} must be >= 1")
+        if min_shared < 1:
+            raise ValueError(
+                f"WinnowDupSuppressor: min_shared={min_shared} must be >= 1"
+            )
+        self.k, self.w = int(k), int(w)
+        self.min_shared, self.max_df = int(min_shared), int(max_df)
+
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        from cloudpelican_lsd_spark.operators.textstats import (
+            winnowing_fingerprints,
+        )
+
+        fp = winnowing_fingerprints(docs, k=self.k, w=self.w)
+        return fp.select(
+            "doc_id", F.col("fph").alias("band"), F.col("fph").alias("sig")
+        ).distinct()
+
+    def _dup_ids(self, sigs: DataFrame, store: DataFrame | None) -> DataFrame:
+        """Pairwise MOSS count: suppressed iff some single prior document
+        (stored, or lower-id in-batch) shares >= min_shared non-hot
+        fingerprints."""
+        new_fp = sigs.select("doc_id", F.col("sig").alias("fph"))
+        if store is not None:
+            old_fp = store.select("doc_id", F.col("sig").alias("fph")).distinct()
+            all_fp = new_fp.unionByName(old_fp)
+        else:
+            old_fp = None
+            all_fp = new_fp
+        hot = (
+            all_fp.groupBy("fph")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .where(F.col("df") > self.max_df)
+            .select("fph")
+        )
+        cold = new_fp.join(hot, "fph", "left_anti")
+        a = cold.select(F.col("doc_id").alias("new_doc"), "fph")
+        b = cold.select(F.col("doc_id").alias("old_doc"), "fph")
+        in_batch = (
+            a.join(b, "fph")
+            .where(F.col("new_doc") > F.col("old_doc"))
+            .groupBy("new_doc", "old_doc")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= self.min_shared)
+            .select(F.col("new_doc").alias("doc_id"))
+        )
+        if old_fp is None:
+            return in_batch
+        vs_store = (
+            a.join(
+                old_fp.join(hot, "fph", "left_anti").select(
+                    F.col("doc_id").alias("old_doc"), "fph"
+                ),
+                "fph",
+            )
+            .groupBy("new_doc", "old_doc")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= self.min_shared)
+            .select(F.col("new_doc").alias("doc_id"))
+        )
+        return in_batch.unionByName(vs_store)

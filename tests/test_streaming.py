@@ -1473,3 +1473,91 @@ def test_streaming_ivfpq_compaction_inherited(spark, sf_dir, tmp_path):
     assert idx.assignments().count() == n
     after = {(r.qid, r.cid, r.adc) for r in idx.topk(queries, 2, 5).collect()}
     assert after == before
+
+
+def test_winnow_dup_suppressor_moss_semantics(spark, tmp_path):
+    """Streaming MOSS: a doc sharing a long verbatim span with a stored
+    doc is suppressed (the winnowing guarantee carried into the stream);
+    a doc sharing only ONE common phrase with each of several docs is
+    NOT (pairwise min_shared, not any-match); replay is idempotent."""
+    import random
+
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    rng = random.Random(3)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    span = "".join(rng.choice(alpha) for _ in range(80))
+    fresh1 = "".join(rng.choice(alpha) for _ in range(120))
+    fresh2 = "".join(rng.choice(alpha) for _ in range(120))
+
+    sup = sp.WinnowDupSuppressor(
+        spark, str(tmp_path / "store"), str(tmp_path / "out"),
+        k=8, w=4, min_shared=3, max_df=8,
+    )
+    b1 = spark.createDataFrame(
+        [(1, span + " " + fresh1)], "doc_id long, text string"
+    )
+    sup.process_batch(b1, 0)
+    assert {r.doc_id for r in sup.kept().collect()} == {1}
+
+    b2 = spark.createDataFrame(
+        [
+            # reuses the 80-char span verbatim → suppressed
+            (2, fresh2 + " " + span),
+            # genuinely novel → kept
+            (3, "".join(rng.choice(alpha) for _ in range(150))),
+        ],
+        "doc_id long, text string",
+    )
+    sup.process_batch(b2, 1)
+    assert {r.doc_id for r in sup.kept().collect()} == {1, 3}
+
+    # replay epoch 1: idempotent
+    sup.process_batch(b2, 1)
+    kept = sup.kept().collect()
+    assert {r.doc_id for r in kept} == {1, 3} and len(kept) == 2
+
+
+def test_winnow_dup_suppressor_hot_fingerprints_pruned(spark, tmp_path):
+    """A fingerprint present in > max_df docs (boilerplate) must not
+    cause suppression by itself: 12 docs share one 11-char boilerplate
+    token but are otherwise novel — all kept once the shared span's
+    fingerprints go hot (df > 8)."""
+    import random
+
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    rng = random.Random(9)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    boiler = "copyrightac"  # one shared 11-char token
+    rows = [
+        (i, boiler + " " + "".join(rng.choice(alpha) for _ in range(100)))
+        for i in range(1, 13)
+    ]
+    sup = sp.WinnowDupSuppressor(
+        spark, str(tmp_path / "store"), str(tmp_path / "out"),
+        k=8, w=4, min_shared=2, max_df=8,
+    )
+    sup.process_batch(
+        spark.createDataFrame(rows, "doc_id long, text string"), 0
+    )
+    # 12 docs share the boiler token's fingerprints -> df=12 > 8 -> hot
+    # -> excluded from matching -> everything else is novel -> all kept
+    assert {r.doc_id for r in sup.kept().collect()} == set(range(1, 13))
+
+
+def test_winnow_dup_suppressor_param_validation(spark, tmp_path):
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_shared"):
+        sp.WinnowDupSuppressor(
+            spark, str(tmp_path / "s"), str(tmp_path / "o"), min_shared=0
+        )
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        sp.WinnowDupSuppressor(
+            spark, str(tmp_path / "s2"), str(tmp_path / "o2"), w=0
+        )
+    with _pytest.raises(ValueError, match="scheme-prefixed|local path"):
+        sp.WinnowDupSuppressor(spark, "s3a://bucket/x", str(tmp_path / "o3"))
