@@ -2442,3 +2442,83 @@ docs4 AS (
     )
     return f"""WITH {chain},
 {_decontaminate_sql("docs4", eval_mod, gram_n)}"""
+
+
+def eval_decontaminate_neardup(
+    docs: DataFrame,
+    eval_mod: int = 97,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """`(source, n_train_docs, n_flagged, n_clean)` — NEAR-DUP benchmark
+    decontamination: training documents sharing any MinHash-LSH band
+    signature with the held-out eval slice are flagged.  The lexical
+    middle of the decontamination triptych — exact n-gram overlap
+    (eval_decontaminate) misses light paraphrase/edit noise, embedding
+    distance (emb_semantic_decontaminate) needs an encoder; banded
+    MinHash catches near-verbatim rewrites with neither, the same
+    sketch the dedup family already maintains (one fingerprint
+    infrastructure serves dedup AND decontamination).
+
+    Scale shape: eval bands are benchmark-sized and BROADCAST; the train
+    side's band aggregate collapses map-side to <= num_hashes rows per
+    doc (the shuffle never sees shingles), then one broadcast LEFT SEMI
+    and a |sources|-row rollup.
+    """
+    from cloudpelican_lsd_spark.operators.dedup import minhash_band_signatures
+
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev = docs.where(is_eval)
+    tr = docs.where(~is_eval)
+    ev_bands = (
+        minhash_band_signatures(ev, num_hashes, rows_per_band, n)
+        .select("band", "sig")
+        .distinct()
+    )
+    hit = (
+        minhash_band_signatures(tr, num_hashes, rows_per_band, n)
+        .join(F.broadcast(ev_bands), ["band", "sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr.join(hit, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_flagged"),
+            F.sum(
+                F.when(F.col("hit").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_clean"),
+        )
+    )
+
+
+def eval_decontaminate_neardup_oracle(
+    eval_mod: int = 97,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+) -> str:
+    from cloudpelican_lsd_spark.operators.dedup import minhash_oracle_cte
+
+    ev_cte = minhash_oracle_cte(num_hashes, rows_per_band, n, "ev", "e")
+    tr_cte = minhash_oracle_cte(num_hashes, rows_per_band, n, "tr", "t")
+    return f"""WITH ev AS (SELECT * FROM documents WHERE doc_id % {eval_mod} = 0),
+tr AS (SELECT * FROM documents WHERE doc_id % {eval_mod} <> 0),
+{ev_cte},
+{tr_cte},
+hit AS (
+  SELECT DISTINCT t.doc_id
+  FROM tbands t JOIN (SELECT DISTINCT band, sig FROM ebands) e
+    ON t.band = e.band AND t.sig = e.sig
+)
+SELECT tr.source,
+       COUNT(*)::BIGINT AS n_train_docs,
+       SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_flagged,
+       SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_clean
+FROM tr LEFT JOIN hit h ON tr.doc_id = h.doc_id
+GROUP BY tr.source"""

@@ -3193,3 +3193,61 @@ SELECT source, n::BIGINT AS n,
        COUNT(*)::BIGINT AS distinct_ngrams,
        CAST((COUNT(*) * 1000000) // SUM(c) AS BIGINT) AS distinct_ppm
 FROM gc GROUP BY source, n"""
+
+
+# ---------------------------------------------------------------------------
+# UTF-8 byte-budget audit
+# ---------------------------------------------------------------------------
+
+
+def utf8_stats(docs: DataFrame) -> DataFrame:
+    """`(source, n_docs, n_chars, n_bytes, excess_bytes,
+    bytes_per_char_ppm, excess_ppm)` — the byte-vs-character budget a
+    tokenizer/storage decision reads per source: byte-fallback BPEs pay
+    per BYTE, context windows per TOKEN, and a source whose
+    bytes_per_char_ppm sits far above 1e6 (CJK, emoji-heavy) will
+    fragment under a byte-level vocabulary.  ``excess_bytes`` =
+    n_bytes - n_chars (a UTF-8 char of b bytes contributes b-1 excess
+    bytes) — pure octet arithmetic both engines compute identically,
+    unlike a per-char-width histogram, which would need an agreed
+    per-char decode.
+
+    One scan, one |sources|-row aggregate; exact BIGINT + integer ppm.
+    """
+    return (
+        docs.select(
+            "source",
+            F.length("text").alias("nc"),
+            F.octet_length("text").alias("nb"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("nb").cast("long").alias("n_bytes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "n_bytes",
+            (F.col("n_bytes") - F.col("n_chars")).alias("excess_bytes"),
+            F.expr("(n_bytes * 1000000) DIV n_chars").alias("bytes_per_char_ppm"),
+            F.expr(
+                "((n_bytes - n_chars) * 1000000) DIV n_bytes"
+            ).alias("excess_ppm"),
+        )
+    )
+
+
+UTF8_STATS_ORACLE = """\
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(length(text))::BIGINT AS n_chars,
+       SUM(strlen(text))::BIGINT AS n_bytes,
+       (SUM(strlen(text)) - SUM(length(text)))::BIGINT AS excess_bytes,
+       CAST((SUM(strlen(text)) * 1000000) // SUM(length(text)) AS BIGINT)
+           AS bytes_per_char_ppm,
+       CAST(((SUM(strlen(text)) - SUM(length(text))) * 1000000)
+            // SUM(strlen(text)) AS BIGINT) AS excess_ppm
+FROM documents GROUP BY source"""

@@ -557,3 +557,21 @@ def q_corpus_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.k_anonymity(
         load_table(spark, "documents", sf_dir), len_bucket=10
     )
+
+
+@register(
+    "corpus_eval_decontaminate_neardup",
+    corpus_ops.eval_decontaminate_neardup_oracle(97, 12, 3, 3),
+)
+def q_corpus_eval_decontaminate_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup benchmark decontamination — the lexical middle of the
+    triptych between corpus_eval_decontaminate (exact n-gram) and
+    emb_semantic_decontaminate (embedding): train docs sharing any
+    MinHash-LSH band with the held-out eval slice, per source
+    (corpus.eval_decontaminate_neardup).  Eval bands broadcast; the
+    train shuffle never carries shingles."""
+    return corpus_ops.eval_decontaminate_neardup(
+        load_table(spark, "documents", sf_dir)
+    )

@@ -247,6 +247,8 @@ DRIVER_ORDER = [
     "corpus_k_anonymity",
     "search_nation_volume",
     "corpus_clean_v4",
+    "corpus_eval_decontaminate_neardup",
+    "text_utf8_stats",
 ]
 
 

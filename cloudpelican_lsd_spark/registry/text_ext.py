@@ -454,3 +454,12 @@ def q_text_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic/generated sources.  One fused explode serves all three
     n-gram sizes (the gopher_repetition trick); exact ppm."""
     return text_ops.distinct_ngrams(load_table(spark, "documents", sf_dir), max_n=3)
+
+
+@register("text_utf8_stats", text_ops.UTF8_STATS_ORACLE)
+def q_text_utf8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 byte-vs-character budget per source
+    (textstats.utf8_stats): the signal behind byte-fallback tokenizer
+    and storage decisions — exact octet arithmetic, one scan, one
+    |sources|-row aggregate."""
+    return text_ops.utf8_stats(load_table(spark, "documents", sf_dir))

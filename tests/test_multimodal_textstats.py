@@ -2016,3 +2016,37 @@ def test_clean_v4_is_v3_with_gopher_gate(spark, sf_dir):
         for r in t2.gopher_repetition(ld).where(F.col("pass_gopher") == 1).collect()
     }
     assert v4 <= passing
+
+
+def test_eval_decontaminate_neardup_catches_paraphrase_copy(spark):
+    """A train doc that copies an eval doc with a light edit (the case
+    exact n-gram overlap at n=8 can shrug off but band-MinHash catches)
+    must be flagged; an unrelated doc must not.  doc 0 is the eval slice
+    (doc_id % 97 == 0)."""
+    from cloudpelican_lsd_spark.operators import corpus as co
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (0, base, "en", "bench"),                     # eval
+        (1, base.replace("tau", "tav"), "en", "web"),  # near-copy -> flag
+        (2, "totally different words entirely here now and then some more",
+         "en", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r for r in co.eval_decontaminate_neardup(docs).collect()}
+    assert out["web"]["n_train_docs"] == 2
+    assert out["web"]["n_flagged"] == 1
+    assert out["web"]["n_clean"] == 1
+
+
+def test_utf8_stats_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s1"), (2, "日本語", "ja", "s2")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r["source"]: r for r in ts.utf8_stats(docs).collect()}
+    assert rows["s1"]["n_bytes"] == 3 and rows["s1"]["excess_bytes"] == 0
+    assert rows["s2"]["n_chars"] == 3 and rows["s2"]["n_bytes"] == 9
+    assert rows["s2"]["bytes_per_char_ppm"] == 3_000_000
+    assert rows["s2"]["excess_ppm"] == 6 * 1_000_000 // 9
