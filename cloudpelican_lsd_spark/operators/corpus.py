@@ -2522,3 +2522,122 @@ SELECT tr.source,
        SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_clean
 FROM tr LEFT JOIN hit h ON tr.doc_id = h.doc_id
 GROUP BY tr.source"""
+
+
+def decontaminate_agreement(
+    docs: DataFrame,
+    n: int = 8,
+    eval_mod: int = 97,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    mh_n: int = 3,
+) -> DataFrame:
+    """`(source, n_train_docs, n_both, n_exact_only, n_neardup_only,
+    n_clean)` — the decontamination method-agreement matrix (the
+    dedup_method_agreement discipline applied to eval leakage): per
+    source, how the exact n-gram rule (GPT-3/PaLM) and the banded
+    MinHash near-dup rule partition the training docs.  `n_exact_only`
+    catches short verbatim quotes below near-dup similarity;
+    `n_neardup_only` catches paraphrased reuse sharing no 8-gram — a
+    release reads BOTH before choosing a removal policy, and a large
+    disagreement cell is the signal to tighten the weaker rule.
+
+    Scale shape: both flag sets reuse their parent plans (broadcast
+    eval side, train shuffles never carry shingles); the agreement join
+    is doc_id-keyed over two flag relations bounded by the flagged-doc
+    count, then one |sources|-row rollup.
+    """
+    from cloudpelican_lsd_spark.operators.dedup import (
+        minhash_band_signatures,
+        shingle_rows,
+    )
+
+    is_eval = F.col("doc_id") % eval_mod == 0
+    ev = docs.where(is_eval)
+    tr = docs.where(~is_eval)
+    ev_sh = shingle_rows(ev, n).select("shingle").distinct()
+    exact = (
+        shingle_rows(tr, n)
+        .join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    ev_bands = (
+        minhash_band_signatures(ev, num_hashes, rows_per_band, mh_n)
+        .select("band", "sig")
+        .distinct()
+    )
+    near = (
+        minhash_band_signatures(tr, num_hashes, rows_per_band, mh_n)
+        .join(F.broadcast(ev_bands), ["band", "sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_hit", F.lit(1))
+    )
+    flagged = (
+        tr.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("exact_hit", F.lit(0)).alias("e"),
+            F.coalesce("near_hit", F.lit(0)).alias("m"),
+        )
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+        F.sum(F.expr("IF(e = 1 AND m = 1, 1, 0)")).cast("long").alias("n_both"),
+        F.sum(F.expr("IF(e = 1 AND m = 0, 1, 0)"))
+        .cast("long")
+        .alias("n_exact_only"),
+        F.sum(F.expr("IF(e = 0 AND m = 1, 1, 0)"))
+        .cast("long")
+        .alias("n_neardup_only"),
+        F.sum(F.expr("IF(e = 0 AND m = 0, 1, 0)")).cast("long").alias("n_clean"),
+    )
+
+
+def decontaminate_agreement_oracle(
+    n: int = 8,
+    eval_mod: int = 97,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    mh_n: int = 3,
+) -> str:
+    from cloudpelican_lsd_spark.operators.dedup import (
+        minhash_oracle_cte,
+        shingles_oracle_cte,
+    )
+
+    ev_sh = shingles_oracle_cte(n, base_table="ev", prefix="xe")
+    tr_sh = shingles_oracle_cte(n, base_table="tr", prefix="xt")
+    ev_mh = minhash_oracle_cte(num_hashes, rows_per_band, mh_n, "ev", "me")
+    tr_mh = minhash_oracle_cte(num_hashes, rows_per_band, mh_n, "tr", "mt")
+    return f"""WITH ev AS (SELECT * FROM documents WHERE doc_id % {eval_mod} = 0),
+tr AS (SELECT * FROM documents WHERE doc_id % {eval_mod} <> 0),
+{ev_sh},
+{tr_sh},
+exact AS (
+  SELECT DISTINCT t.doc_id FROM xtsh t
+  JOIN (SELECT DISTINCT shingle FROM xesh) e USING (shingle)
+),
+{ev_mh},
+{tr_mh},
+near AS (
+  SELECT DISTINCT t.doc_id FROM mtbands t
+  JOIN (SELECT DISTINCT band, sig FROM mebands) e
+    ON t.band = e.band AND t.sig = e.sig
+)
+SELECT tr.source,
+       COUNT(*)::BIGINT AS n_train_docs,
+       SUM(CASE WHEN x.doc_id IS NOT NULL AND m.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       SUM(CASE WHEN x.doc_id IS NOT NULL AND m.doc_id IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_exact_only,
+       SUM(CASE WHEN x.doc_id IS NULL AND m.doc_id IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_neardup_only,
+       SUM(CASE WHEN x.doc_id IS NULL AND m.doc_id IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_clean
+FROM tr LEFT JOIN exact x ON tr.doc_id = x.doc_id
+LEFT JOIN near m ON tr.doc_id = m.doc_id
+GROUP BY tr.source"""

@@ -575,3 +575,21 @@ def q_corpus_eval_decontaminate_neardup(
     return corpus_ops.eval_decontaminate_neardup(
         load_table(spark, "documents", sf_dir)
     )
+
+
+@register(
+    "corpus_decontaminate_agreement",
+    corpus_ops.decontaminate_agreement_oracle(),
+)
+def q_corpus_decontaminate_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination method-agreement matrix per source
+    (corpus.decontaminate_agreement): how the exact-n-gram and banded
+    MinHash rules partition the training docs (both / exact-only /
+    neardup-only / clean) — the dedup_method_agreement discipline
+    applied to eval leakage; a fat disagreement cell is the signal to
+    tighten the weaker rule before release."""
+    return corpus_ops.decontaminate_agreement(
+        load_table(spark, "documents", sf_dir)
+    )

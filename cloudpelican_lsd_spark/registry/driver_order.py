@@ -249,6 +249,7 @@ DRIVER_ORDER = [
     "corpus_clean_v4",
     "corpus_eval_decontaminate_neardup",
     "text_utf8_stats",
+    "corpus_decontaminate_agreement",
 ]
 
 

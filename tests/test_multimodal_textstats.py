@@ -2050,3 +2050,21 @@ def test_utf8_stats_exact(spark):
     assert rows["s2"]["n_chars"] == 3 and rows["s2"]["n_bytes"] == 9
     assert rows["s2"]["bytes_per_char_ppm"] == 3_000_000
     assert rows["s2"]["excess_ppm"] == 6 * 1_000_000 // 9
+
+
+def test_decontaminate_agreement_partitions(spark, sf_dir):
+    """The four agreement cells must partition the train docs, and the
+    marginals must equal the two parent queries' flag counts."""
+    from cloudpelican_lsd_spark.operators import corpus as co
+
+    d = load_table(spark, "documents", sf_dir)
+    ag = {r["source"]: r for r in co.decontaminate_agreement(d).collect()}
+    ex = {r["source"]: r for r in co.eval_decontaminate(d).collect()}
+    nd = {r["source"]: r for r in co.eval_decontaminate_neardup(d).collect()}
+    for s, r in ag.items():
+        assert (
+            r["n_both"] + r["n_exact_only"] + r["n_neardup_only"] + r["n_clean"]
+            == r["n_train_docs"]
+        )
+        assert r["n_both"] + r["n_exact_only"] == ex[s]["n_contaminated"]
+        assert r["n_both"] + r["n_neardup_only"] == nd[s]["n_flagged"]
