@@ -3251,3 +3251,99 @@ SELECT source,
        CAST(((SUM(strlen(text)) - SUM(length(text))) * 1000000)
             // SUM(strlen(text)) AS BIGINT) AS excess_ppm
 FROM documents GROUP BY source"""
+
+
+def gopher_sensitivity(docs: DataFrame) -> DataFrame:
+    """`(rule, threshold, n_fail, n_sole_fail, fail_ppm)` — which Gopher
+    repetition rule BITES: per Table A1 rule, how many documents fail it
+    at all, and how many would pass the whole panel if only this rule
+    were dropped (`n_sole_fail` — the marginal removals this rule alone
+    is responsible for).  The release diagnostic behind threshold
+    tuning: a rule with high n_fail but zero n_sole_fail is redundant
+    with the rest of the panel; a rule carrying most sole-fails is the
+    one to sanity-check against samples before shipping.
+
+    One run of the shared panel (:func:`gopher_repetition`) feeds all
+    eleven rule rollups — the per-rule aggregates are conditional sums
+    over the SAME fraction relation, so the corpus is scanned once.
+    Exact BIGINT counts + integer ppm.
+    """
+    fr = gopher_repetition(docs).drop("pass_gopher")
+    names = list(GOPHER_THRESHOLDS.items())
+    fails = fr.select(
+        "doc_id",
+        *[
+            (F.col(name) > F.lit(thr)).cast("int").alias(f"f_{i}")
+            for i, (name, thr) in enumerate(names)
+        ],
+    ).withColumn(
+        "n_fails", sum(F.col(f"f_{i}") for i in range(len(names)))
+    )
+    # ONE aggregation job over the (expensive) panel: every per-rule
+    # count plus the total in a single pass — a per-rule union of
+    # aggregates would re-evaluate the whole n-gram panel once per rule
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for i in range(len(names)):
+        aggs.append(F.sum(F.col(f"f_{i}")).cast("long").alias(f"nf_{i}"))
+        aggs.append(
+            F.sum(F.expr(f"IF(f_{i} = 1 AND n_fails = 1, 1, 0)"))
+            .cast("long")
+            .alias(f"ns_{i}")
+        )
+    row = fails.agg(*aggs).collect()[0]
+    total = max(int(row["total"]), 1)
+    out = [
+        (
+            name,
+            float(thr),
+            int(row[f"nf_{i}"]),
+            int(row[f"ns_{i}"]),
+            int(row[f"nf_{i}"]) * 1_000_000 // total,
+        )
+        for i, (name, thr) in enumerate(names)
+    ]
+    return docs.sparkSession.createDataFrame(
+        out,
+        "rule string, threshold double, n_fail long, n_sole_fail long,"
+        " fail_ppm long",
+    )
+
+
+def gopher_sensitivity_oracle(words_per_line: int = 10) -> str:
+    """DuckDB twin over the fixture lined view (composes gopher_fr_cte —
+    the same arithmetic as the panel and the v4 gate)."""
+    wpl = int(words_per_line)
+    lined = f"""lined AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           generate_series(0, CAST(ceil(len(string_split(text, ' ')) / {wpl}.0)
+                                  AS BIGINT) - 1),
+           i -> array_to_string((string_split(text, ' '))[i*{wpl}+1 : i*{wpl}+{wpl}],
+                                ' ')), chr(10)) AS text
+  FROM documents
+)"""
+    flags = ",\n         ".join(
+        f"CASE WHEN {name} > {thr} THEN 1 ELSE 0 END AS f_{i}"
+        for i, (name, thr) in enumerate(GOPHER_THRESHOLDS.items())
+    )
+    nf = " + ".join(f"f_{i}" for i in range(len(GOPHER_THRESHOLDS)))
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, CAST({float(thr)} AS DOUBLE) AS threshold,"
+        f" SUM(f_{i})::BIGINT AS n_fail,"
+        f" SUM(CASE WHEN f_{i} = 1 AND n_fails = 1 THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_sole_fail,"
+        f" CAST((SUM(f_{i}) * 1000000) // greatest(COUNT(*), 1) AS BIGINT)"
+        f" AS fail_ppm"
+        f" FROM fails"
+        for i, (name, thr) in enumerate(GOPHER_THRESHOLDS.items())
+    )
+    return f"""WITH {lined},
+{gopher_fr_cte("lined", "gp")},
+fails AS (
+  SELECT doc_id,
+         {flags},
+         0 AS _z
+  FROM gpfr
+),
+fails2 AS (SELECT *, ({nf}) AS n_fails FROM fails)
+{branches.replace("FROM fails", "FROM fails2")}"""

@@ -250,6 +250,7 @@ DRIVER_ORDER = [
     "corpus_eval_decontaminate_neardup",
     "text_utf8_stats",
     "corpus_decontaminate_agreement",
+    "text_gopher_sensitivity",
 ]
 
 

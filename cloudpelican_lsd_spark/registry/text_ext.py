@@ -463,3 +463,16 @@ def q_text_utf8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and storage decisions — exact octet arithmetic, one scan, one
     |sources|-row aggregate."""
     return text_ops.utf8_stats(load_table(spark, "documents", sf_dir))
+
+
+@register("text_gopher_sensitivity", text_ops.gopher_sensitivity_oracle(10))
+def q_text_gopher_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which Gopher rule bites (textstats.gopher_sensitivity): per Table
+    A1 rule, total failures and SOLE failures (docs the panel would keep
+    if only this rule were dropped) — the threshold-tuning diagnostic; a
+    rule with zero sole-fails is redundant with the rest of the panel.
+    One aggregation job over the shared panel relation."""
+    d = load_table(spark, "documents", sf_dir)
+    return text_ops.gopher_sensitivity(
+        text_ops.split_into_lines(d, words_per_line=10)
+    )

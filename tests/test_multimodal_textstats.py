@@ -2068,3 +2068,23 @@ def test_decontaminate_agreement_partitions(spark, sf_dir):
         )
         assert r["n_both"] + r["n_exact_only"] == ex[s]["n_contaminated"]
         assert r["n_both"] + r["n_neardup_only"] == nd[s]["n_flagged"]
+
+
+def test_gopher_sensitivity_consistency(spark, sf_dir):
+    """Sensitivity marginals must reconcile with the panel itself:
+    sum over rules of sole-fails <= total failing docs, every rule's
+    sole-fails <= its fails, and a doc failing NO rule is exactly the
+    panel's pass set."""
+    docs = ts.split_into_lines(
+        load_table(spark, "documents", sf_dir), words_per_line=10
+    )
+    rows = {r["rule"]: r for r in ts.gopher_sensitivity(docs).collect()}
+    assert set(rows) == set(ts.GOPHER_THRESHOLDS)
+    panel = ts.gopher_repetition(docs).collect()
+    n_docs = len(panel)
+    n_fail_docs = sum(1 for r in panel if r["pass_gopher"] == 0)
+    assert sum(r["n_sole_fail"] for r in rows.values()) <= n_fail_docs
+    for name, r in rows.items():
+        assert 0 <= r["n_sole_fail"] <= r["n_fail"] <= n_docs
+        assert r["threshold"] == ts.GOPHER_THRESHOLDS[name]
+        assert r["fail_ppm"] == r["n_fail"] * 1_000_000 // n_docs
