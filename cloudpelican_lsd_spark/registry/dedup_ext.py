@@ -266,3 +266,35 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.winnowing_pairs(
         load_table(spark, "documents", sf_dir), k=8, w=4, max_df=8, min_shared=3
     )
+
+
+def _winnowing_pairs_edges_sql() -> str:
+    """(doc_a, doc_b) edge CTE body from the winnowing pair generator's
+    oracle internals (k=8, w=4, df<=8, shared>=3) — shared with
+    dedup_winnowing_pairs via textstats.winnowing_fp_cte."""
+    return """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wdocfp a JOIN wrare r ON a.fph = r.fph
+  JOIN wdocfp b ON a.fph = b.fph AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3"""
+
+
+@register(
+    "dedup_winnowing_clusters",
+    f"""WITH RECURSIVE {text_ops.winnowing_fp_cte(8, 4)},
+wdocfp AS (SELECT DISTINCT doc_id, fph FROM fp),
+wrare AS (SELECT fph FROM wdocfp GROUP BY fph HAVING COUNT(*) <= 8),
+{dedup_ops.connected_components_oracle(_winnowing_pairs_edges_sql())}
+SELECT node::BIGINT AS doc_id, MIN(lbl)::BIGINT AS cluster_id
+FROM reach GROUP BY node""",
+)
+def q_dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-reuse cluster formation: connected components over the
+    MOSS winnowing pairs (textstats.winnowing_pairs k=8/w=4/df<=8/
+    shared>=3) — the pairs→clusters step the MinHash family already has
+    (dedup_clusters), on the guarantee-bearing fingerprint graph; keep
+    doc_id == cluster_id as the canonical copy.  Same compact
+    (BIGINT, BIGINT) min-label propagation, same O(diameter) rounds."""
+    pairs = text_ops.winnowing_pairs(
+        load_table(spark, "documents", sf_dir), k=8, w=4, max_df=8, min_shared=3
+    ).select("doc_a", "doc_b")
+    return dedup_ops.connected_components(pairs)

@@ -251,6 +251,7 @@ DRIVER_ORDER = [
     "text_utf8_stats",
     "corpus_decontaminate_agreement",
     "text_gopher_sensitivity",
+    "dedup_winnowing_clusters",
 ]
 
 

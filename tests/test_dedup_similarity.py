@@ -1988,3 +1988,29 @@ def test_kcenter_seeds_matches_python_reference(spark):
         want.append((rank, vid, md))
         seeds.append(vid)
     assert got == sorted(want)
+
+
+def test_winnowing_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every pair endpoint appears in the clusters with both endpoints
+    sharing a cluster_id; cluster_id is the component minimum."""
+    from cloudpelican_lsd_spark.operators import dedup as dd
+    from cloudpelican_lsd_spark.operators import textstats as t2
+    from cloudpelican_lsd_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in t2.winnowing_pairs(docs, 8, 4, 8, 3).collect()
+    ]
+    cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.connected_components(
+            t2.winnowing_pairs(docs, 8, 4, 8, 3).select("doc_a", "doc_b")
+        ).collect()
+    }
+    assert pairs, "fixture lost its pairs"
+    for a, b in pairs:
+        assert cc[a] == cc[b]
+    for n, c in cc.items():
+        assert c <= n
+        assert cc[c] == c  # the label is itself a member with that label
