@@ -468,7 +468,11 @@ def test_windowed_stats_watermark_drops_too_late_rows(spark, tmp_path):
         .start()
     )
 
-    def wait_rows(n, timeout=90):
+    def wait_rows(n, timeout=240):
+        # generous deadline: under a concurrent full-parity session this
+        # box can starve the 500 ms trigger for minutes (observed flake
+        # at 90 s, green in isolation); the assertion is on CONTENT, the
+        # deadline only bounds a hung stream
         deadline = _time.time() + timeout
         while _time.time() < deadline:
             done = sum(
@@ -480,8 +484,26 @@ def test_windowed_stats_watermark_drops_too_late_rows(spark, tmp_path):
             _time.sleep(0.5)
         raise AssertionError(f"stream never reached {n} input rows")
 
+    def wait_watermark(iso_min, timeout=240):
+        # Spark documents late-row dropping as BEST-EFFORT: a batch that
+        # consumes a late row before the previous batch's watermark is
+        # committed may still aggregate it (observed once under a
+        # concurrent full-parity load).  Waiting until the COMMITTED
+        # watermark is visible in progress makes the drop deterministic
+        # — the late row then provably arrives at a batch whose filter
+        # already carries the advanced watermark.
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            lp = q.lastProgress
+            wm = (lp or {}).get("eventTime", {}).get("watermark")
+            if wm and wm >= iso_min:
+                return
+            _time.sleep(0.5)
+        raise AssertionError(f"watermark never reached {iso_min}")
+
     try:
         wait_rows(1)
+        wait_watermark("2024-02-01T11:50:30")
         # second file: one row 5 min late (inside horizon) + one 2 h late.
         # Written OUTSIDE the watched dir and renamed in: the file source
         # lists every 500 ms and a partially-flushed file would be read
