@@ -38,6 +38,7 @@ from cloudpelican_lsd_spark.registry import dedup_ext  # noqa: F401,E402
 from cloudpelican_lsd_spark.registry import emb  # noqa: F401,E402
 from cloudpelican_lsd_spark.registry import events_ext  # noqa: F401,E402
 from cloudpelican_lsd_spark.registry import search_ext  # noqa: F401,E402
+from cloudpelican_lsd_spark.registry import search_joins  # noqa: F401,E402
 from cloudpelican_lsd_spark.registry import stats_ext  # noqa: F401,E402
 from cloudpelican_lsd_spark.registry import text_ext  # noqa: F401,E402
 

@@ -252,6 +252,14 @@ DRIVER_ORDER = [
     "corpus_decontaminate_agreement",
     "text_gopher_sensitivity",
     "dedup_winnowing_clusters",
+    # -- session-4 additions (no lifetime driver row yet; r7-window
+    #    priority alongside the remaining r02-only signals above)
+    "search_min_cost_supplier",
+    "search_market_share",
+    "search_product_profit",
+    "search_important_parts",
+    "search_supplier_cnt",
+    "search_promo_suppliers",
 ]
 
 
