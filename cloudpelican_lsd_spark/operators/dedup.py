@@ -1453,6 +1453,77 @@ JOIN sizes sa ON sa.doc_id = g.doc_a
 JOIN sizes sb ON sb.doc_id = g.doc_b"""
 
 
+DEFAULT_SWEEP_THRESHOLDS = (50, 60, 70, 80, 90)
+
+
+def threshold_sweep(
+    docs: DataFrame,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+    thresholds: tuple[int, ...] = DEFAULT_SWEEP_THRESHOLDS,
+) -> DataFrame:
+    """`(thr_pct, n_pairs_true, n_pairs_est, n_docs_flagged)` — the
+    dedup POLICY CURVE: for each Jaccard threshold, how many candidate
+    pairs qualify by TRUE shingle overlap, how many the MinHash
+    estimate would pass (the operational decision at scale, where true
+    Jaccard is unaffordable), and how many documents the keep-lowest-id
+    policy would flag for removal.  The gap between the two pair counts
+    IS the estimator's policy error at that cut — the number a release
+    engineer reads before choosing the production threshold.
+
+    Exactness: both qualifying tests are integer cross-multiplies
+    (inter*100 >= thr*union; agree*100 >= thr*num_hashes) — no float
+    threshold boundary.  Degenerate pairs with an empty shingle union
+    are excluded from the true test explicitly (0 >= 0 would otherwise
+    pass every cut).
+
+    Scale shape: one `minhash_estimate_vs_true` pass (candidates ≪
+    corpus) exploded by the constant threshold list (|pairs| × 5 rows),
+    then a single 5-row aggregation — the sweep adds no scan, no join,
+    and no new shuffle beyond the final tiny aggregate."""
+    est = minhash_estimate_vs_true(docs, num_hashes, rows_per_band, n)
+    sw = est.withColumn(
+        "thr_pct", F.explode(F.array(*[F.lit(t) for t in thresholds]))
+    )
+    true_pass = (F.col("union_n") > 0) & (
+        F.col("inter_n") * 100 >= F.col("thr_pct") * F.col("union_n")
+    )
+    est_pass = F.col("n_agree") * 100 >= F.col("thr_pct") * F.lit(num_hashes)
+    return sw.groupBy(F.col("thr_pct").cast("long").alias("thr_pct")).agg(
+        F.sum(true_pass.cast("long")).alias("n_pairs_true"),
+        F.sum(est_pass.cast("long")).alias("n_pairs_est"),
+        F.countDistinct(F.when(true_pass, F.col("doc_b"))).alias(
+            "n_docs_flagged"
+        ),
+    )
+
+
+def threshold_sweep_oracle(
+    num_hashes: int = 12,
+    thresholds: tuple[int, ...] = DEFAULT_SWEEP_THRESHOLDS,
+) -> str:
+    """DuckDB twin of threshold_sweep — expects the CTEs of
+    ``minhash_oracle_cte`` in scope; nests ``minhash_estimate_oracle``
+    as a subquery (outer CTEs stay visible in the nested WITH)."""
+    tlist = ", ".join(str(t) for t in thresholds)
+    return f"""est AS (
+  WITH {minhash_estimate_oracle(num_hashes)}
+),
+thr AS (SELECT UNNEST([{tlist}]) AS thr_pct)
+SELECT CAST(t.thr_pct AS BIGINT) AS thr_pct,
+       COALESCE(SUM(CASE WHEN e.union_n > 0
+                          AND e.inter_n * 100 >= t.thr_pct * e.union_n
+                     THEN 1 ELSE 0 END), 0)::BIGINT AS n_pairs_true,
+       COALESCE(SUM(CASE WHEN e.n_agree * 100 >= t.thr_pct * {num_hashes}
+                     THEN 1 ELSE 0 END), 0)::BIGINT AS n_pairs_est,
+       COUNT(DISTINCT CASE WHEN e.union_n > 0
+                            AND e.inter_n * 100 >= t.thr_pct * e.union_n
+                      THEN e.doc_b END)::BIGINT AS n_docs_flagged
+FROM thr t CROSS JOIN est e
+GROUP BY t.thr_pct"""
+
+
 # ---------------------------------------------------------------------------
 # candidate-pair verification by edit distance
 # ---------------------------------------------------------------------------

@@ -2757,6 +2757,188 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
 FROM scored GROUP BY doc_id"""
 
 
+#: Kneser-Ney absolute discount — 3/4 is exact in binary64, so the
+#: discounted numerator (c2 - 0.75) is an exact double of an exact count.
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_logprob(docs: DataFrame) -> DataFrame:
+    """`(doc_id, n_tokens, mean_nll_kn_micro, mean_nll_uni_micro,
+    kn_gain_micro)` — mean per-token NLL in integer micro-nats under an
+    interpolated KNESER-NEY bigram LM (Kneser & Ney 1995; the smoothing
+    that replaced Jelinek-Mercer in production n-gram stacks):
+
+        p(w|v) = (c(v,w) - D)/c(v·) + (D·T(v)/c(v·)) · P_cont(w)
+        P_cont(w) = |{v : c(v,w) > 0}| / |bigram types|
+
+    with D = 3/4 and each document's first token scored by the raw
+    unigram term (same convention as `bigram_logprob`, so the two
+    models' gains are directly comparable).  The continuation
+    probability is what distinguishes KN: a token's backoff mass comes
+    from how many CONTEXTS it follows, not how often it occurs — a
+    frequent-but-bound token ("Francisco") scores low out of context.
+
+    Exactness: every probability is doubles-of-exact-BIGINT-counts
+    combined in one pinned operation order (both engines write the
+    identical expression), costs round to integer micro-nats
+    (ROUND(-ln(p)*1e6), the proven unigram_logprob convention), per-doc
+    means are exact integer (2·sum+n) DIV (2n).  Scoring the training
+    corpus itself means every scored bigram is SEEN, so the discounted
+    numerator is always >= 0.25 — the max(·,0) clamp never binds and is
+    omitted from both engines identically.
+
+    100 TB shape: identical to `bigram_logprob` — one position-explode
+    serves occurrences and bigram types; T(v) rides the SAME aggregate
+    as c(v·) (one groupBy produces both); the continuation counts are
+    one extra reduce of the bigram-type table (types ≪ tokens); nothing
+    unbounded broadcasts."""
+    d = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    ).where(F.size("w") >= 1)
+    occ = d.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(w))")).alias("i"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        F.element_at("w", F.col("i")).alias("cur"),
+        F.when(F.col("i") > 1, F.element_at("w", F.col("i") - 1)).alias("prev"),
+    )
+    uni = occ.groupBy("cur").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").alias("total"))
+    bi = (
+        occ.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    # c(v·) and T(v) from ONE aggregate over the bigram types
+    ctx = bi.groupBy("prev").agg(
+        F.sum("c2").alias("cprev"), F.count(F.lit(1)).alias("ntypes")
+    )
+    cont = bi.groupBy("cur").agg(F.count(F.lit(1)).alias("nprevs"))
+    ttypes = bi.agg(F.count(F.lit(1)).alias("ttypes"))
+    ucost = uni.crossJoin(F.broadcast(total)).select(
+        "cur",
+        F.round(-F.log(F.col("c1") / F.col("total")) * 1e6, 0)
+        .cast("long")
+        .alias("u_micro"),
+    )
+    d_ = F.lit(KN_DISCOUNT)
+    p_kn = (F.col("c2").cast("double") - d_) / F.col("cprev").cast("double") + (
+        d_ * F.col("ntypes").cast("double") / F.col("cprev").cast("double")
+    ) * (F.col("nprevs").cast("double") / F.col("ttypes").cast("double"))
+    kcost = (
+        bi.join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(ttypes))
+        .select(
+            "prev",
+            "cur",
+            F.round(-F.log(p_kn) * 1e6, 0).cast("long").alias("k_micro"),
+        )
+    )
+    first = (
+        occ.where(F.col("prev").isNull())
+        .join(ucost, "cur")
+        .select(
+            "doc_id",
+            F.col("u_micro").alias("kn_micro"),
+            F.col("u_micro").alias("un_micro"),
+        )
+    )
+    rest = (
+        occ.where(F.col("prev").isNotNull())
+        .join(kcost, ["prev", "cur"])
+        .join(ucost, "cur")
+        .select(
+            "doc_id",
+            F.col("k_micro").alias("kn_micro"),
+            F.col("u_micro").alias("un_micro"),
+        )
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("kn_micro").alias("sk"),
+            F.sum("un_micro").alias("su"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("(2 * sk + n_tokens) DIV (2 * n_tokens)").alias(
+                "mean_nll_kn_micro"
+            ),
+            F.expr("(2 * su + n_tokens) DIV (2 * n_tokens)").alias(
+                "mean_nll_uni_micro"
+            ),
+        )
+        .withColumn(
+            "kn_gain_micro",
+            F.col("mean_nll_uni_micro") - F.col("mean_nll_kn_micro"),
+        )
+    )
+
+
+KNESER_NEY_ORACLE = f"""\
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 1
+),
+occ AS (
+  SELECT doc_id, w[i] AS cur,
+         CASE WHEN i > 1 THEN w[i - 1] END AS prev
+  FROM d, unnest(generate_series(1, len(w))) AS t(i)
+),
+uni AS (SELECT cur, COUNT(*)::BIGINT AS c1 FROM occ GROUP BY cur),
+tot AS (SELECT SUM(c1) AS total FROM uni),
+bi AS (
+  SELECT prev, cur, COUNT(*)::BIGINT AS c2
+  FROM occ WHERE prev IS NOT NULL GROUP BY prev, cur
+),
+ctx AS (
+  SELECT prev, SUM(c2)::BIGINT AS cprev, COUNT(*)::BIGINT AS ntypes
+  FROM bi GROUP BY prev
+),
+cont AS (SELECT cur, COUNT(*)::BIGINT AS nprevs FROM bi GROUP BY cur),
+tt AS (SELECT COUNT(*)::BIGINT AS ttypes FROM bi),
+ucost AS (
+  SELECT cur, CAST(ROUND(-ln(c1 / total) * 1e6, 0) AS BIGINT) AS u_micro
+  FROM uni CROSS JOIN tot
+),
+kcost AS (
+  SELECT b.prev, b.cur,
+         CAST(ROUND(-ln(
+           (CAST(b.c2 AS DOUBLE) - CAST({KN_DISCOUNT} AS DOUBLE))
+             / CAST(x.cprev AS DOUBLE)
+           + (CAST({KN_DISCOUNT} AS DOUBLE) * CAST(x.ntypes AS DOUBLE)
+              / CAST(x.cprev AS DOUBLE))
+             * (CAST(k.nprevs AS DOUBLE) / CAST(t.ttypes AS DOUBLE))
+         ) * 1e6, 0) AS BIGINT) AS k_micro
+  FROM bi b JOIN ctx x USING (prev) JOIN cont k USING (cur) CROSS JOIN tt t
+),
+scored AS (
+  SELECT o.doc_id, u.u_micro AS kn_micro, u.u_micro AS un_micro
+  FROM occ o JOIN ucost u USING (cur) WHERE o.prev IS NULL
+  UNION ALL
+  SELECT o.doc_id, c.k_micro, u.u_micro
+  FROM occ o
+  JOIN kcost c ON o.prev = c.prev AND o.cur = c.cur
+  JOIN ucost u ON o.cur = u.cur
+  WHERE o.prev IS NOT NULL
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+       CAST((2 * SUM(kn_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS mean_nll_kn_micro,
+       CAST((2 * SUM(un_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS mean_nll_uni_micro,
+       CAST((2 * SUM(un_micro) + COUNT(*)) // (2 * COUNT(*))
+            - (2 * SUM(kn_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS kn_gain_micro
+FROM scored GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # nDCG@k retrieval audit (graded relevance — the metric step up from
 # known_item_mrr's binary self-retrieval)

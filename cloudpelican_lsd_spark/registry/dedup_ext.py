@@ -298,3 +298,22 @@ def q_dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir), k=8, w=4, max_df=8, min_shared=3
     ).select("doc_a", "doc_b")
     return dedup_ops.connected_components(pairs)
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""WITH {_PLANTED_CTE},
+{dedup_ops.minhash_oracle_cte(12, 3, 3).replace('FROM documents', 'FROM docs_planted')},
+{dedup_ops.threshold_sweep_oracle(12)}""",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup policy curve (dedup.threshold_sweep): per Jaccard cut in
+    {50..90}%, candidate pairs passing by TRUE overlap vs by MinHash
+    ESTIMATE, plus documents the keep-lowest-id policy would drop —
+    the release knob a corpus engineer reads before fixing the
+    production threshold, with the estimator's policy error visible
+    per cut.  Integer cross-multiplied thresholds; one estimate pass,
+    no extra scan."""
+    return dedup_ops.threshold_sweep(
+        _docs_with_dupes(spark, sf_dir), num_hashes=12, rows_per_band=3, n=3
+    )

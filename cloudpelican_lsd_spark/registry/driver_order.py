@@ -260,6 +260,8 @@ DRIVER_ORDER = [
     "search_important_parts",
     "search_supplier_cnt",
     "search_promo_suppliers",
+    "dedup_threshold_sweep",
+    "text_kneser_ney_logprob",
 ]
 
 

@@ -476,3 +476,15 @@ def q_text_gopher_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.gopher_sensitivity(
         text_ops.split_into_lines(d, words_per_line=10)
     )
+
+
+@register("text_kneser_ney_logprob", text_ops.KNESER_NEY_ORACLE)
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring
+    (textstats.kneser_ney_logprob): per-doc mean NLL with the
+    continuation-probability backoff (how many CONTEXTS a token
+    follows, not how often it occurs) that made KN the production
+    n-gram smoothing — beside text_bigram_logprob's Jelinek-Mercer
+    twin, same first-token convention, so the two models' gains are
+    directly comparable per document."""
+    return text_ops.kneser_ney_logprob(load_table(spark, "documents", sf_dir))

@@ -2014,3 +2014,45 @@ def test_winnowing_clusters_consistent_with_pairs(spark, sf_dir):
     for n, c in cc.items():
         assert c <= n
         assert cc[c] == c  # the label is itself a member with that label
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold sweep (policy curve)
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_matches_estimate_table(spark, sf_dir):
+    """The sweep must be EXACTLY the per-threshold aggregation of the
+    minhash_estimate_vs_true table it composes on — recomputed in
+    Python — and monotone non-increasing in the threshold."""
+    d = _docs(spark, sf_dir)
+    planted = d.unionByName(
+        d.where(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+    est = dedup_ops.minhash_estimate_vs_true(
+        planted, num_hashes=12, rows_per_band=3, n=3
+    ).collect()
+    assert est, "no candidate pairs at test scale"
+    got = {
+        r.thr_pct: r
+        for r in dedup_ops.threshold_sweep(
+            planted, num_hashes=12, rows_per_band=3, n=3
+        ).collect()
+    }
+    assert sorted(got) == [50, 60, 70, 80, 90]
+    for t in got:
+        tp = [r for r in est
+              if r.union_n > 0 and r.inter_n * 100 >= t * r.union_n]
+        ep = [r for r in est if r.n_agree * 100 >= t * 12]
+        assert got[t].n_pairs_true == len(tp), t
+        assert got[t].n_pairs_est == len(ep), t
+        assert got[t].n_docs_flagged == len({r.doc_b for r in tp}), t
+    # policy curve shape: tighter cut never passes more
+    for lo, hi in zip([50, 60, 70, 80], [60, 70, 80, 90]):
+        assert got[hi].n_pairs_true <= got[lo].n_pairs_true
+        assert got[hi].n_pairs_est <= got[lo].n_pairs_est
+        assert got[hi].n_docs_flagged <= got[lo].n_docs_flagged
+    # planted exact copies have Jaccard 1 -> survive even the 90% cut
+    assert got[90].n_pairs_true >= 1

@@ -2088,3 +2088,89 @@ def test_gopher_sensitivity_consistency(spark, sf_dir):
         assert 0 <= r["n_sole_fail"] <= r["n_fail"] <= n_docs
         assert r["threshold"] == ts.GOPHER_THRESHOLDS[name]
         assert r["fail_ppm"] == r["n_fail"] * 1_000_000 // n_docs
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    texts = [(1, "a b a b a b"), (2, "a a b b c c"), (3, "c b a")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ts.kneser_ney_logprob(docs).collect()}
+
+    toks = {i: t.split(" ") for i, t in texts}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    total = sum(uni.values())
+    bi = Counter(
+        (ws[i - 1], ws[i]) for ws in toks.values() for i in range(1, len(ws))
+    )
+    ctx = Counter()      # c(v .)
+    ntypes = Counter()   # T(v): distinct continuations of v
+    nprevs = Counter()   # |{v : c(v,w) > 0}|
+    for (p, c), n in bi.items():
+        ctx[p] += n
+        ntypes[p] += 1
+        nprevs[c] += 1
+    tt = len(bi)
+    D = ts.KN_DISCOUNT
+    for doc_id, ws in toks.items():
+        sk = su = 0
+        for i, w in enumerate(ws):
+            u = round(-math.log(uni[w] / total) * 1e6)
+            su += u
+            if i == 0:
+                sk += u
+            else:
+                v = ws[i - 1]
+                p = (bi[(v, w)] - D) / ctx[v] + (D * ntypes[v] / ctx[v]) * (
+                    nprevs[w] / tt
+                )
+                sk += round(-math.log(p) * 1e6)
+        n = len(ws)
+        mk = (2 * sk + n) // (2 * n)
+        mu = (2 * su + n) // (2 * n)
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["mean_nll_kn_micro"] == mk, doc_id
+        assert r["mean_nll_uni_micro"] == mu, doc_id
+        assert r["kn_gain_micro"] == mu - mk
+    # "a b a b a b": near-deterministic context -> strong positive gain
+    assert got[1]["kn_gain_micro"] > 0
+
+
+def test_kneser_ney_probabilities_normalize(spark):
+    """Over each observed context v, Σ_w p_KN(w|v) across the OBSERVED
+    continuations stays <= 1 (the discount reserves mass), and the
+    per-context discounted+backoff decomposition recomputed in Python
+    sums to 1 when the backoff term is spread over the full
+    continuation distribution (Σ_w P_cont(w) = 1)."""
+    from collections import Counter
+
+    texts = [(1, "a b a b a c"), (2, "b a c a b"), (3, "c c a b a")]
+    toks = {i: t.split(" ") for i, t in texts}
+    bi = Counter(
+        (ws[i - 1], ws[i]) for ws in toks.values() for i in range(1, len(ws))
+    )
+    ctx = Counter()
+    ntypes = Counter()
+    nprevs = Counter()
+    for (p, c), n in bi.items():
+        ctx[p] += n
+        ntypes[p] += 1
+        nprevs[c] += 1
+    tt = len(bi)
+    D = ts.KN_DISCOUNT
+    vocab = {w for ws in toks.values() for w in ws}
+    assert abs(sum(nprevs[w] / tt for w in vocab) - 1.0) < 1e-12
+    for v in ctx:
+        full = sum(
+            (max(bi[(v, w)] - D, 0.0)) / ctx[v]
+            + (D * ntypes[v] / ctx[v]) * (nprevs[w] / tt)
+            for w in vocab
+        )
+        assert abs(full - 1.0) < 1e-9, v
