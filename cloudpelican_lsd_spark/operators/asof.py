@@ -70,18 +70,22 @@ def asof_join(
         .orderBy(ts, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
-        F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True)
-        .over(w)
-        .alias("asof_ts"),
-    )
+    # ONE struct carries (ts, values...) atomically: the struct is
+    # non-null for every right row even when its fields are NULL, so a
+    # right row holding a legitimate NULL value still advances every
+    # asof_* column together.  (Per-column last(value, ignoreNulls)
+    # would skip the NULL column but advance asof_ts — the output pair
+    # could then mix two different right rows.)
+    fact = F.last(
+        F.when(
+            F.col("_side") == 0,
+            F.struct(F.col(ts).alias("_ts"), *[F.col(c) for c in value_cols]),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    carried = u.select("*", fact.alias("_fact"))
     return carried.where(F.col("_side") == 1).select(
         *left.columns,
-        *[f"asof_{c}" for c in value_cols],
-        "asof_ts",
+        *[F.col(f"_fact.{c}").alias(f"asof_{c}") for c in value_cols],
+        F.col("_fact._ts").alias("asof_ts"),
     )

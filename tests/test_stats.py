@@ -130,6 +130,27 @@ def test_asof_join_backward_semantics(spark):
     }
 
 
+def test_asof_join_null_fact_value_is_not_skipped(spark):
+    """A right row whose VALUE is NULL is still the latest fact: the
+    joined columns must come from that row (NULL value, its ts), never
+    mix an older row's value with the newer row's timestamp."""
+    from cloudpelican_lsd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 200)], "event_id long, user_id long, ts_epoch long"
+    )
+    right = spark.createDataFrame(
+        # t=100 has a value; t=150 (the latest prior) has value NULL
+        [(1, 100, 10), (1, 150, None)],
+        "user_id long, ts_epoch long, fact_id long",
+    )
+    [row] = asof_join(
+        left, right, keys=["user_id"], ts="ts_epoch", value_cols=["fact_id"]
+    ).collect()
+    assert row.asof_ts == 150
+    assert row.asof_fact_id is None  # the NULL fact, not the stale 10
+
+
 def test_moving_zscore_math_and_gates(spark):
     # key "a": buckets 0..12 alternate 4/6 (so trailing var > 0), bucket
     # 13 spikes to 50.  key "b": constant series -> var=0 -> zscore NULL.
