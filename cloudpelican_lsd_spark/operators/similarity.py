@@ -361,6 +361,154 @@ FROM bf LEFT JOIN ivf i ON i.qid = bf.qid AND i.cid = bf.cid
 GROUP BY bf.qid"""
 
 
+def ivf_probe_sweep(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    probes: tuple[int, ...] = (1, 2, 4),
+    num_queries: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """`(nprobe, n_hits, n_truth, recall)` — the IVF TUNING CURVE:
+    corpus-level recall@k against the brute-force truth for every probe
+    count in one pass (the ANN analogue of dedup's threshold_sweep —
+    the number an engineer reads before fixing nprobe for a 100 TB
+    run).
+
+    One probe ranking up to max(probes) serves every sweep point: each
+    (query, candidate) pair carries the MINIMUM centroid-rank at which
+    the candidate becomes visible, and recall at nprobe=p counts truth
+    rows whose rank <= p.  That equals recall of the per-probe IVF
+    top-k without recomputing it: with the shared (cos DESC, cid ASC)
+    ordering, any truth row inside the candidate set is necessarily
+    inside the candidate top-k — only globally-higher-ranked rows (all
+    of them truth rows themselves) can precede it.
+
+    Plan shape: the two searches share the normalized-embedding scan;
+    the sweep explodes only the (num_queries x k) truth table by the
+    constant probe list — no extra corpus scan per sweep point."""
+    max_p = max(probes)
+    bf = cosine_topk(emb, num_queries=num_queries, k=k)
+    base = _with_norm(emb)
+    cents = base.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = base.select("vec_id", "emb", "nrm").join(
+        F.broadcast(cents)
+    ).withColumn(
+        "ccos",
+        F.round(
+            F.expr(_DOT.format(a="emb", b="cemb")) / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("cent_id", F.col("vec_id").alias("a_vid"))
+    )
+    probed = (
+        scored.where(F.col("vec_id") < num_queries)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= max_p)
+        .select(F.col("vec_id").alias("p_qid"), "cent_id",
+                F.col("rn").alias("prank"))
+    )
+    cand_rank = (
+        probed.join(assign, "cent_id")
+        .where(F.col("p_qid") != F.col("a_vid"))
+        .groupBy("p_qid", "a_vid")
+        .agg(F.min("prank").alias("prank"))
+    )
+    hits = bf.join(
+        F.broadcast(cand_rank),
+        (F.col("p_qid") == F.col("qid")) & (F.col("a_vid") == F.col("cid")),
+        "left",
+    ).withColumn("np", F.explode(F.array(*[F.lit(p) for p in probes])))
+    return (
+        hits.groupBy(F.col("np").cast("long").alias("nprobe"))
+        .agg(
+            F.sum(
+                F.when(F.col("prank") <= F.col("np"), 1).otherwise(0)
+            ).alias("n_hits"),
+            F.count(F.lit(1)).alias("n_truth"),
+        )
+        .select(
+            "nprobe",
+            "n_hits",
+            "n_truth",
+            (F.col("n_hits").cast("double") / F.col("n_truth").cast("double"))
+            .alias("recall"),
+        )
+    )
+
+
+def ivf_probe_sweep_oracle(
+    n_centroids: int = 8,
+    probes: tuple[int, ...] = (1, 2, 4),
+    num_queries: int = 10,
+    k: int = 10,
+) -> str:
+    max_p = max(probes)
+    plist = ", ".join(str(p) for p in probes)
+    bf = cosine_topk_oracle(num_queries, k)
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    return f"""WITH bf AS (SELECT * FROM ({bf}) t),
+e2 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+n2 AS (
+  SELECT vec_id, emb, sqrt({dot.format(a='emb', b='emb')}) AS nrm FROM e2
+  WHERE sqrt({dot.format(a='emb', b='emb')}) > 0
+),
+cents AS (
+  SELECT vec_id AS cent_id, emb AS cemb, nrm AS cnrm FROM n2
+  WHERE vec_id < {n_centroids}
+),
+scored AS (
+  SELECT n2.vec_id, c.cent_id,
+         ROUND({dot.format(a='n2.emb', b='c.cemb')} / (n2.nrm * c.cnrm), 6)
+           AS ccos
+  FROM n2, cents c
+),
+assign AS (
+  SELECT cent_id, vec_id AS a_vid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id AS p_qid, cent_id, rn AS prank FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cent_id ASC) AS rn
+    FROM scored WHERE vec_id < {num_queries}
+  ) WHERE rn <= {max_p}
+),
+cand_rank AS (
+  SELECT p.p_qid, a.a_vid, MIN(p.prank) AS prank
+  FROM probed p JOIN assign a USING (cent_id)
+  WHERE p.p_qid <> a.a_vid
+  GROUP BY p.p_qid, a.a_vid
+),
+pr AS (SELECT UNNEST([{plist}]) AS np)
+SELECT CAST(pr.np AS BIGINT) AS nprobe,
+       COALESCE(SUM(CASE WHEN cr.prank <= pr.np THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_hits,
+       COUNT(*)::BIGINT AS n_truth,
+       CAST(COALESCE(SUM(CASE WHEN cr.prank <= pr.np THEN 1 ELSE 0 END), 0)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM bf
+LEFT JOIN cand_rank cr ON cr.p_qid = bf.qid AND cr.a_vid = bf.cid
+CROSS JOIN pr
+GROUP BY pr.np"""
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF index + incremental query path
 # ---------------------------------------------------------------------------

@@ -262,6 +262,7 @@ DRIVER_ORDER = [
     "search_promo_suppliers",
     "dedup_threshold_sweep",
     "text_kneser_ney_logprob",
+    "emb_ivf_probe_sweep",
 ]
 
 

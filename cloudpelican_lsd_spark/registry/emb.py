@@ -538,3 +538,15 @@ def q_emb_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.kcenter_seeds(
         load_table(spark, "embeddings", sf_dir), k=4, dim=64
     )
+
+
+@register("emb_ivf_probe_sweep", sim_ops.ivf_probe_sweep_oracle(8, (1, 2, 4), 10, 10))
+def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve (similarity.ivf_probe_sweep): corpus-level
+    recall@10 vs brute-force truth at nprobe in {1,2,4}, from ONE probe
+    ranking — the ANN analogue of dedup_threshold_sweep, read before
+    fixing nprobe for a production run."""
+    return sim_ops.ivf_probe_sweep(
+        load_table(spark, "embeddings", sf_dir),
+        n_centroids=8, probes=(1, 2, 4), num_queries=10, k=10,
+    )

@@ -2056,3 +2056,25 @@ def test_threshold_sweep_matches_estimate_table(spark, sf_dir):
         assert got[hi].n_docs_flagged <= got[lo].n_docs_flagged
     # planted exact copies have Jaccard 1 -> survive even the 90% cut
     assert got[90].n_pairs_true >= 1
+
+
+def test_ivf_probe_sweep_matches_ivf_recall(spark, sf_dir):
+    """The sweep's nprobe=2 row must equal the macro-aggregation of the
+    independent per-query ivf_recall path (two code paths, one truth),
+    and recall must be monotone non-decreasing in nprobe with
+    n_truth = num_queries * k at every point."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    got = {r.nprobe: r for r in sim_ops.ivf_probe_sweep(
+        emb, n_centroids=8, probes=(1, 2, 4), num_queries=10, k=10
+    ).collect()}
+    assert sorted(got) == [1, 2, 4]
+    per_q = sim_ops.ivf_recall(
+        emb, n_centroids=8, nprobe=2, num_queries=10, k=10
+    ).collect()
+    assert got[2].n_hits == sum(r.n_hits for r in per_q)
+    assert got[2].n_truth == sum(r.k for r in per_q)
+    assert got[1].n_hits <= got[2].n_hits <= got[4].n_hits
+    for r in got.values():
+        assert r.n_truth == 100
+        assert 0.0 <= r.recall <= 1.0
+        assert r.recall == r.n_hits / r.n_truth
