@@ -706,6 +706,52 @@ def iqr_check(span: DataFrame) -> DataFrame:
     )
 
 
+def mad_check(span: DataFrame) -> DataFrame:
+    """Median-absolute-deviation analyzer — the robust z-score
+    (beyond-reference 13th analyzer; Leys et al. 2013's recommended
+    default: unlike mean/stddev, ONE wild history point cannot inflate
+    its own tolerance).  Flag when |actual − median| > 3·1.4826·MAD,
+    the 3-sigma-equivalent cut under the normal-consistency constant.
+
+    Exact integer arithmetic throughout: ``med2 = 2·median`` over the
+    sorted history is an integer for any n (even n sums the two middle
+    values, odd n doubles the middle); per-point deviations ride 2x
+    (``dev2 = |2·cnt − med2|``); ``mad4 = 2·median(dev2)`` is 4x the
+    MAD.  The flag clears every fraction with the rational constant
+    3·1.4826 = 22239/5000:  dev > 4.4478·MAD  ⟺
+    |2·actual − med2|·10000 > 22239·mad4 — pure BIGINT, no float
+    boundary.  All per-series work is array expressions over the
+    already-bounded history window (no extra shuffle, no UDF)."""
+
+    def med2_of(arr, n):
+        mid = (n / F.lit(2)).cast("long").cast("int")
+        return F.when(
+            n % 2 == 1, 2 * F.element_at(arr, mid + 1)
+        ).otherwise(F.element_at(arr, mid) + F.element_at(arr, mid + 1))
+
+    s = span.select(
+        "series_key",
+        F.col("ceiling").alias("bucket"),
+        "actual",
+        "n",
+        F.array_sort("cnts").alias("s"),
+    ).withColumn("med2", med2_of(F.col("s"), F.col("n")))
+    d = s.withColumn(
+        "d", F.array_sort(F.expr("transform(s, x -> abs(2*x - med2))"))
+    ).withColumn("mad4", med2_of(F.col("d"), F.col("n")))
+    return d.select(
+        "series_key",
+        "bucket",
+        "actual",
+        F.col("med2").cast("long").alias("med2"),
+        F.col("mad4").cast("long").alias("mad4"),
+        (
+            F.abs(2 * F.col("actual") - F.col("med2")) * 10000
+            > 22239 * F.col("mad4")
+        ).alias("is_outlier"),
+    )
+
+
 def time_bucket_check(span: DataFrame, bucket_sec: int = BUCKET_SEC) -> DataFrame:
     """TimeBucketSimpleRegression analyzer, exact: 3-sigma z-score over
     the SAME-HOUR-OF-DAY subset of the history (the seasonal mask; full

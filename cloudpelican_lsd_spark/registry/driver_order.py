@@ -263,6 +263,7 @@ DRIVER_ORDER = [
     "dedup_threshold_sweep",
     "text_kneser_ney_logprob",
     "emb_ivf_probe_sweep",
+    "outlier_mad",
 ]
 
 

@@ -598,3 +598,33 @@ def q_outlier_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlier_ops.time_bucket_check(_analyzer_span(spark, sf_dir))
 
 
+
+
+@register(
+    "outlier_mad",
+    f"""WITH {_OUTLIER_GRID_CTE},
+arr AS (SELECT series_key, list_sort(list(cnt)) AS s, COUNT(*)::BIGINT AS n
+        FROM f2 WHERE bucket < ceiling GROUP BY 1),
+m AS (SELECT series_key, n, s,
+             CASE WHEN n % 2 = 1 THEN 2 * s[((n + 1) // 2)::INT]
+                  ELSE s[(n // 2)::INT] + s[(n // 2 + 1)::INT] END AS med2
+      FROM arr),
+dv AS (SELECT series_key, n, med2,
+              list_sort(list_transform(s, x -> abs(2 * x - med2))) AS d
+       FROM m),
+q AS (SELECT series_key, med2,
+             CASE WHEN n % 2 = 1 THEN 2 * d[((n + 1) // 2)::INT]
+                  ELSE d[(n // 2)::INT] + d[(n // 2 + 1)::INT] END AS mad4
+      FROM dv)
+SELECT t.series_key, t.bucket, t.actual,
+       CAST(q.med2 AS BIGINT) AS med2, CAST(q.mad4 AS BIGINT) AS mad4,
+       ABS(2 * t.actual - q.med2) * 10000 > 22239 * q.mad4 AS is_outlier
+FROM tgt t JOIN q USING (series_key)""",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation analyzer (outliers.mad_check): the
+    robust z-score — one wild history point cannot inflate its own
+    tolerance, unlike every mean/stddev analyzer in the reference's
+    set.  Exact 2x/4x-scaled integer medians; the 3*1.4826 cut rides
+    the rational 22239/5000 so the flag is pure BIGINT."""
+    return outlier_ops.mad_check(_analyzer_span(spark, sf_dir))

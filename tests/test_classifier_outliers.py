@@ -451,3 +451,41 @@ def test_cusum_closed_form(spark):
     assert not got["mild"].is_outlier
     # shift: sum=96; S = 5*192 = 960 > 768
     assert got["shift"].cusum == 960 and got["shift"].is_outlier
+
+
+def test_mad_check_closed_form_and_robustness(spark):
+    """Hand-computed MAD decisions, plus the property that motivates the
+    analyzer: ONE wild history point (which blows up mean/stddev) leaves
+    the MAD tolerance almost unchanged."""
+    from cloudpelican_lsd_spark.operators.outliers import mad_check
+
+    span = spark.createDataFrame(
+        [
+            # history [4,6,4,6,5]: median 5 (med2=10), devs2 |2x-10| =
+            # [2,2,0,2,0] -> sorted [0,0,2,2,2], mad4 = 2*2 = 4
+            # cut: |2a-10|*10000 > 22239*4 = 88956 <=> |2a-10| > 8.8956
+            ("ok", 0, 900, [4, 6, 4, 6, 5], 9, 5),      # |18-10|=8 -> in
+            ("spike", 0, 900, [4, 6, 4, 6, 5], 10, 5),  # |20-10|=10 -> out
+            # SAME history plus one wild point 1000: med2 = s[3]+s[4] =
+            # 5+6 = 11; devs2 |2x-11| = [3,1,3,1,1,1989] -> sorted
+            # [1,1,1,3,3,1989], mad4 = 1+3 = 4: the tolerance barely
+            # moves instead of exploding (stddev would be ~406 and pass
+            # anything under ~1200)
+            ("robust", 0, 900, [4, 6, 4, 6, 5, 1000], 30, 6),
+            # even n, exact middle pair; n=1 degenerate -> mad4=0, any
+            # deviation flags
+            ("single", 0, 900, [7], 7, 1),
+            ("single_off", 0, 900, [7], 8, 1),
+        ],
+        "series_key string, start long, ceiling long, cnts array<bigint>, "
+        "actual long, n long",
+    )
+    got = {r.series_key: r for r in mad_check(span).collect()}
+    assert got["ok"].med2 == 10 and got["ok"].mad4 == 4
+    assert not got["ok"].is_outlier
+    assert got["spike"].is_outlier
+    r = got["robust"]
+    assert r.med2 == 11 and r.mad4 == 4
+    assert r.is_outlier  # 30 is flagged despite the 1000 in history
+    assert got["single"].mad4 == 0 and not got["single"].is_outlier
+    assert got["single_off"].is_outlier

@@ -2174,3 +2174,52 @@ def test_kneser_ney_probabilities_normalize(spark):
             for w in vocab
         )
         assert abs(full - 1.0) < 1e-9, v
+
+
+def test_session4_operators_survive_degenerate_inputs(spark):
+    """Empirical robustness probe (the session-3 discipline) over the
+    session-4 text/dedup entry points: empty corpus, single-token doc,
+    whitespace runs, emoji + CJK, and a no-duplicates corpus must not
+    crash, ANSI-abort, or emit out-of-domain values."""
+    from cloudpelican_lsd_spark.operators import dedup as dd
+
+    weird = spark.createDataFrame(
+        [
+            (1, "x"),                      # single token: unigram path only
+            (2, "  "),                     # whitespace -> empty-string tokens
+            (3, "🎉 你好 世界 🎉 你好"),      # emoji + CJK
+            (4, "z " * 2000),              # long repetitive doc
+            (5, "solo_token_never_repeats unique1 unique2 unique3"),
+        ],
+        "doc_id long, text string",
+    )
+    kn = {r.doc_id: r for r in ts.kneser_ney_logprob(weird).collect()}
+    assert set(kn) == {1, 2, 3, 4, 5}
+    for r in kn.values():
+        assert r.n_tokens >= 1
+        assert r.mean_nll_kn_micro >= 0 and r.mean_nll_uni_micro >= 0
+    # single-token doc: KN == unigram (first-token convention), gain 0
+    assert kn[1].kn_gain_micro == 0
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert ts.kneser_ney_logprob(empty).collect() == []
+
+    # threshold sweep over a corpus with shingles but no near-dups:
+    # either no candidate pairs (0 rows) or all-zero pass counts
+    uniq = spark.createDataFrame(
+        [(i, f"totally distinct document number {i} "
+             f"with its own words w{i}a w{i}b w{i}c w{i}d") for i in range(8)],
+        "doc_id long, text string",
+    )
+    rows = dd.threshold_sweep(uniq, num_hashes=12, rows_per_band=3, n=3).collect()
+    for r in rows:
+        assert r.n_pairs_true >= r.n_docs_flagged >= 0
+    # sweep over an all-identical corpus: every pair passes every cut
+    same = spark.createDataFrame(
+        [(i, "the exact same text in every row of this corpus") for i in range(4)],
+        "doc_id long, text string",
+    )
+    srows = {r.thr_pct: r for r in dd.threshold_sweep(
+        same, num_hashes=12, rows_per_band=3, n=3).collect()}
+    assert srows and all(r.n_pairs_true == r.n_pairs_est for r in srows.values())
+    assert srows[90].n_docs_flagged == 3  # all but the keeper
