@@ -264,6 +264,8 @@ DRIVER_ORDER = [
     "text_kneser_ney_logprob",
     "emb_ivf_probe_sweep",
     "outlier_mad",
+    "search_forecast_revenue",
+    "search_late_priority_lines",
 ]
 
 

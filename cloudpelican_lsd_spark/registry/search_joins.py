@@ -1,4 +1,18 @@
-"""TPC-H join-shape completions (Q2/Q8/Q9/Q11/Q16/Q20 adaptations).
+"""TPC-H join-shape completions (Q2/Q6/Q8/Q9/Q11/Q12/Q16/Q20 adaptations)
+— with these, every one of the 22 TPC-H query shapes has a gated
+registry twin:
+
+  Q1 search_pricing_summary    Q2 search_min_cost_supplier
+  Q3 search_shipping_priority  Q4 search_order_priority
+  Q5 search_region_revenue     Q6 search_forecast_revenue
+  Q7 search_nation_volume      Q8 search_market_share
+  Q9 search_product_profit     Q10 search_returned_revenue
+  Q11 search_important_parts   Q12 search_late_priority_lines
+  Q13 search_custdist          Q14 search_promo_revenue
+  Q15 search_supplier_rank     Q16 search_supplier_cnt
+  Q17 search_small_qty_revenue Q18 search_large_volume_customers
+  Q19 search_disjunctive_revenue  Q20 search_promo_suppliers
+  Q21 search_waiting_suppliers Q22 search_idle_rich_customers
 
 The testdata star schema has no ``partsupp`` table, so the queries that
 need a part-supplier relation derive it from ``lineitem`` (the pairs
@@ -377,4 +391,82 @@ def q_search_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(qual, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(F.col("s_name"), F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "search_forecast_revenue",
+    """SELECT COUNT(*)::BIGINT AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+            AS DOUBLE) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+)
+def q_search_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the forecasting-revenue-change scan: one table,
+    conjunctive range predicates, one aggregate.  The optimizer test is
+    pure pushdown: every predicate must reach the parquet scan
+    (PushedFilters on shipdate/discount/quantity) and the read schema
+    must prune to the four referenced columns — the plan IS the
+    benchmark here, there is nothing else to the query.  The
+    price*discount product quantizes to DECIMAL(25,6) before the sum
+    (the float-aggregate parity discipline)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
+            .cast("double")
+            .alias("revenue_delta"),
+        )
+    )
+
+
+@register(
+    "search_late_priority_lines",
+    """SELECT l.l_linestatus AS linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1""",
+)
+def q_search_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — late shipments classified by order priority
+    per line status (l_linestatus standing in for the schema's missing
+    l_shipmode; the conditional-aggregation shape is unchanged: one
+    join pass, two CASE sums, no per-priority re-scan).  The lateness
+    predicate references both sides, so it rides the join output —
+    Catalyst keeps the orderkey equi-join and evaluates the date theta
+    as a post-join filter inside codegen; at 100 TB the only shuffle is
+    the orderkey co-partition, AQE-replannable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
     )

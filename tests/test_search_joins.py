@@ -22,6 +22,8 @@ NEW_QUERIES = [
     "search_important_parts",
     "search_supplier_cnt",
     "search_promo_suppliers",
+    "search_forecast_revenue",
+    "search_late_priority_lines",
 ]
 
 
@@ -179,3 +181,44 @@ def test_important_parts_single_lineitem_scan(spark, sf_dir):
     df.collect()  # AQE finalizes reuse at execution time
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_forecast_revenue_full_pushdown(spark, sf_dir):
+    """Q6 is a pure pushdown test: every range predicate must reach the
+    parquet scan and the read schema must prune to exactly the four
+    referenced columns."""
+    import contextlib
+    import io
+    import re
+
+    df = registry.QUERIES["search_forecast_revenue"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")  # full PushedFilters (toString truncates)
+    plan = buf.getvalue()
+    for f in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity",
+              "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount"):
+        assert f in plan, f
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_late_priority_lines_partition_total(spark, sf_dir):
+    """Q12's two CASE sums must partition the late lines: high + low
+    equals the independently counted join-survivor total, and every
+    (linestatus, priority) pair lands in exactly one bucket."""
+    rows = registry.QUERIES["search_late_priority_lines"](
+        spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    late = li.join(
+        o, F.col("o_orderkey") == F.col("l_orderkey")
+    ).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    per_status = {r.l_linestatus: r.n for r in late.groupBy("l_linestatus")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in rows:
+        assert r.high_line_count + r.low_line_count == per_status[r.linestatus]
