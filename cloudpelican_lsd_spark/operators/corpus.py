@@ -2027,6 +2027,120 @@ FROM tr d LEFT JOIN hit h USING (doc_id)
 GROUP BY d.source"""
 
 
+def decontaminate_ngram_sweep(
+    docs: DataFrame, sizes: tuple[int, ...] = (4, 8, 13), eval_mod: int = 97
+) -> DataFrame:
+    """`(n, n_train_docs, n_contaminated, contamination_ppm)` — the
+    DECONTAMINATION RULE-LENGTH CURVE: how many training docs the
+    any-shared-n-gram rule flags at each n in one pass.  GPT-3 used
+    13-grams, PaLM 13, Llama-2 reports token-level variants — the n is a
+    policy knob, and this sweep shows how the flag rate collapses as n
+    grows (short n over-flags on common phrases; long n misses light
+    paraphrase).  Read beside `corpus_eval_decontaminate` (the per-source
+    single-n report) and `corpus_eval_decontaminate_neardup` (the
+    threshold the exact rule can't see).
+
+    One fused pass: tokenize + position-explode ONCE, then each position
+    emits one struct per rule length that still fits (array_compact +
+    explode — the same fused-explode shape as the Gopher n-gram panel);
+    eval shingles stay benchmark-sized and broadcast into a (n, shingle)
+    LEFT SEMI; the n-row output derives from the train-count singleton,
+    so every n appears even at zero contamination.  Exact integer ppm.
+    """
+    is_eval = F.col("doc_id") % eval_mod == 0
+
+    def fused_shingles(side: DataFrame) -> DataFrame:
+        pos = side.select(
+            "doc_id", F.expr("split(lower(text), ' ')").alias("toks")
+        ).select(
+            "doc_id",
+            "toks",
+            F.explode(F.expr("sequence(1, size(toks))")).alias("i"),
+        )
+        branches = [
+            F.when(
+                F.col("i") + (n - 1) <= F.size("toks"),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", F.expr(f"slice(toks, i, {n})")
+                    ).alias("shingle"),
+                ),
+            )
+            for n in sizes
+        ]
+        return pos.select(
+            "doc_id", F.explode(F.array_compact(F.array(*branches))).alias("s")
+        ).select("doc_id", F.col("s.n").alias("n"), F.col("s.shingle").alias("shingle"))
+
+    ev_sh = fused_shingles(docs.where(is_eval)).select("n", "shingle").distinct()
+    tr = docs.where(~is_eval)
+    hits = (
+        fused_shingles(tr)
+        .join(F.broadcast(ev_sh), ["n", "shingle"], "left_semi")
+        .select("n", "doc_id")
+        .distinct()
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    ns = (
+        tr.agg(F.count(F.lit(1)).alias("n_train_docs"))
+        .select(
+            F.explode(F.array(*[F.lit(n) for n in sizes])).alias("n"),
+            "n_train_docs",
+        )
+    )
+    return (
+        ns.join(hits, "n", "left")
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "n_train_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "contamination_ppm",
+            F.expr("n_contaminated * 1000000 DIV n_train_docs"),
+        )
+    )
+
+
+def decontaminate_ngram_sweep_oracle(
+    sizes: tuple[int, ...] = (4, 8, 13), eval_mod: int = 97
+) -> str:
+    """DuckDB twin of :func:`decontaminate_ngram_sweep` — the same fused
+    position explode CROSS JOINed with the rule-length list."""
+    slist = ", ".join(str(n) for n in sizes)
+    return f"""WITH ns AS (SELECT UNNEST([{slist}]) AS n),
+ev AS (SELECT * FROM documents WHERE doc_id % {eval_mod} = 0),
+tr AS (SELECT * FROM documents WHERE doc_id % {eval_mod} <> 0),
+etok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM ev),
+epos AS (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks))) AS i FROM etok),
+esh AS (SELECT DISTINCT ns.n,
+               array_to_string(toks[i : i + ns.n - 1], ' ') AS shingle
+        FROM epos CROSS JOIN ns WHERE i + ns.n - 1 <= len(toks)),
+ttok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM tr),
+tpos AS (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks))) AS i FROM ttok),
+tsh AS (SELECT doc_id, ns.n,
+               array_to_string(toks[i : i + ns.n - 1], ' ') AS shingle
+        FROM tpos CROSS JOIN ns WHERE i + ns.n - 1 <= len(toks)),
+hits AS (
+  SELECT t.n, COUNT(DISTINCT t.doc_id) AS n_contaminated
+  FROM tsh t JOIN esh e ON e.n = t.n AND e.shingle = t.shingle
+  GROUP BY t.n
+),
+tot AS (SELECT COUNT(*)::BIGINT AS n_train_docs FROM tr)
+SELECT CAST(ns.n AS BIGINT) AS n,
+       tot.n_train_docs,
+       COALESCE(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       (COALESCE(h.n_contaminated, 0) * 1000000 // tot.n_train_docs)::BIGINT
+         AS contamination_ppm
+FROM ns CROSS JOIN tot LEFT JOIN hits h ON h.n = ns.n"""
+
+
 # ---------------------------------------------------------------------------
 # Cluster-safe train/val/test split — leakage prevented by construction
 # ---------------------------------------------------------------------------

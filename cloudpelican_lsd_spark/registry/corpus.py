@@ -593,3 +593,21 @@ def q_corpus_decontaminate_agreement(
     return corpus_ops.decontaminate_agreement(
         load_table(spark, "documents", sf_dir)
     )
+
+
+@register(
+    "corpus_decontaminate_ngram_sweep",
+    corpus_ops.decontaminate_ngram_sweep_oracle((4, 8, 13), 97),
+)
+def q_corpus_decontaminate_ngram_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination rule-length curve
+    (corpus.decontaminate_ngram_sweep): flagged train docs at n in
+    {4,8,13} from ONE fused tokenize+position pass — how the
+    any-shared-n-gram rule's flag rate collapses as n grows, the policy
+    knob beside the per-source single-n report and the near-dup
+    threshold variant.  Exact integer ppm."""
+    return corpus_ops.decontaminate_ngram_sweep(
+        load_table(spark, "documents", sf_dir), sizes=(4, 8, 13), eval_mod=97
+    )

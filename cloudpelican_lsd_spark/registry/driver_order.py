@@ -266,6 +266,7 @@ DRIVER_ORDER = [
     "outlier_mad",
     "search_forecast_revenue",
     "search_late_priority_lines",
+    "corpus_decontaminate_ngram_sweep",
 ]
 
 

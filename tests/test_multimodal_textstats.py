@@ -2223,3 +2223,43 @@ def test_session4_operators_survive_degenerate_inputs(spark):
         same, num_hashes=12, rows_per_band=3, n=3).collect()}
     assert srows and all(r.n_pairs_true == r.n_pairs_est for r in srows.values())
     assert srows[90].n_docs_flagged == 3  # all but the keeper
+
+
+def test_decontaminate_ngram_sweep_consistency(spark, sf_dir):
+    """The sweep must be monotone non-increasing in n (an (n+1)-gram
+    match implies an n-gram match for n in the same sweep when both
+    sizes fit), its n=8 row must equal the corpus-level sum of the
+    per-source eval_decontaminate report, and a planted verbatim
+    13-gram must be flagged at every n."""
+    from cloudpelican_lsd_spark.operators import corpus as co
+
+    docs = load_table(spark, "documents", sf_dir)
+    got = {r.n: r for r in co.decontaminate_ngram_sweep(
+        docs, sizes=(4, 8, 13), eval_mod=97).collect()}
+    assert sorted(got) == [4, 8, 13]
+    assert got[4].n_contaminated >= got[8].n_contaminated >= got[13].n_contaminated
+    per_source = co.eval_decontaminate(docs, n=8, eval_mod=97).collect()
+    assert got[8].n_contaminated == sum(r.n_contaminated for r in per_source)
+    assert got[8].n_train_docs == sum(r.n_train_docs for r in per_source)
+    for r in got.values():
+        assert r.contamination_ppm == r.n_contaminated * 1000000 // r.n_train_docs
+
+    # planted verbatim overlap: doc 0 is eval (0 % 97 == 0); a train doc
+    # repeating 13 of its words verbatim must flag at every n
+    import pyspark.sql.functions as F  # noqa: N812
+
+    ev_text = docs.where(F.col("doc_id") == 0).collect()[0].text
+    first13 = " ".join(ev_text.lower().split(" ")[:13])
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(999_001, "PREFIX " + first13 + " SUFFIX", "en", "web", 1)],
+            docs.schema.simpleString().replace("struct<", "").replace(">", "")
+            .replace(":", " ").replace(",", ", "),
+        )
+    )
+    got2 = {r.n: r for r in co.decontaminate_ngram_sweep(
+        planted, sizes=(4, 8, 13), eval_mod=97).collect()}
+    for n in (4, 8, 13):
+        assert got2[n].n_contaminated >= got[n].n_contaminated + (
+            1 if len(ev_text.split(" ")) >= 13 else 0
+        )
