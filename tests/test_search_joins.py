@@ -1,7 +1,8 @@
-"""TPC-H join-shape completions (Q2/Q8/Q9/Q11/Q16/Q20 adaptations):
-DuckDB oracle parity at sf0.001 plus independent semantic checks the
-hash compare can't express (min-property, share bounds, threshold
-partition, exclusion, concentration recomputed row-at-a-time)."""
+"""TPC-H join-shape completions (Q2/Q6/Q8/Q9/Q11/Q12/Q16/Q20
+adaptations): DuckDB oracle parity at sf0.001 plus independent semantic
+checks the hash compare can't express (min-property, share bounds,
+threshold partition, exclusion, concentration recomputed row-at-a-time,
+pushdown plan pins)."""
 
 from __future__ import annotations
 
