@@ -434,12 +434,16 @@ def _fit_stdout_line(
         )
         if len(line.encode()) <= limit:
             return line
-        if keep > 0:
-            keep -= 1
-        elif keep_rm > 0:
-            # queries map exhausted; a mass re-measure (env change flags
-            # ~every query) must not blow the tail-capture budget either
+        # Priority: the slow-queries map is the informative payload — a
+        # busy re-measure round (16 flagged -> ~1.5 KB of band_policy)
+        # must not evict it entirely (it did: the r6 bench shipped
+        # queries:{} / queries_omitted:227 because queries were trimmed
+        # FIRST).  Trim the band audit before letting the map drop below
+        # its floor; the full audit survives in BENCH_LOCAL.json.
+        if keep_rm > 0 and keep <= 20:
             keep_rm -= 1
+        elif keep > 0:
+            keep -= 1
         else:
             return line
 

@@ -248,3 +248,32 @@ def test_band_policy_recorded_per_remeasured_query(tmp_path, monkeypatch):
     )
     obj = json.loads(line)
     assert obj["band_policy"]["q1"]["threshold"] == 1.4
+
+
+def test_stdout_line_busy_remeasure_keeps_slow_queries_inline():
+    """A busy re-measure round (16 flagged, ~1.5 KB of band_policy) must
+    NOT evict the slow-queries map from the captured line — the r6 bench
+    shipped queries:{} / queries_omitted:227 because the fit loop
+    trimmed queries before the band audit.  The map keeps (at least) its
+    20-slowest floor; band_policy trims first and survives untrimmed in
+    BENCH_LOCAL.json."""
+    import json
+
+    import bench
+
+    timings = {f"query_name_{i:03d}": i / 100 for i in range(227)}
+    remeasured = [f"query_name_{i:03d}" for i in range(16)]
+    policy = {
+        n: {"threshold": 1.5, "median": 1.0, "session": 1.9, "isolated": 1.0}
+        for n in remeasured
+    }
+    line = bench._fit_stdout_line(
+        timings, 0, remeasured, 0.1, 65.0, band_policy=policy
+    )
+    assert len(line.encode()) <= 1900
+    obj = json.loads(line)
+    assert len(obj["queries"]) >= 20
+    # the kept entries are the SLOWEST ones
+    assert "query_name_226" in obj["queries"]
+    assert obj["queries_omitted"] == 227 - len(obj["queries"])
+    assert obj["n_remeasured"] == 16  # full count still reported
