@@ -1008,11 +1008,29 @@ class NearDupSuppressor:
         ).select("doc_id")
         return in_batch_dup.unionByName(vs_store)
 
+    def _epoch_roots(self) -> tuple[str, ...]:
+        """Sinks whose epoch partition is replaced on a replayed batch.
+        Index-backed subclasses (read-only store) return only out_path."""
+        return (self.store_path, self.out_path)
+
+    def _update_store(self, sigs: DataFrame, novel: DataFrame, epoch: int) -> None:
+        """Accumulate the kept docs' signatures into the store.
+        Index-backed subclasses override to a no-op (their store is a
+        static index written once, never grown by the stream)."""
+        (
+            sigs.join(novel.select("doc_id"), "doc_id", "left_semi")
+            .select("band", "sig", "doc_id")
+            .withColumn("epoch", F.lit(epoch))
+            .write.partitionBy("epoch")
+            .mode("append")
+            .parquet(self.store_path)
+        )
+
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         import shutil
 
         epoch = int(epoch_id)
-        for root in (self.store_path, self.out_path):
+        for root in self._epoch_roots():
             d = os.path.join(root, f"epoch={epoch}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
@@ -1040,14 +1058,7 @@ class NearDupSuppressor:
             if not os.path.exists(schema_file):
                 with open(schema_file, "w") as fh:
                     fh.write(novel_out.schema.json())
-            (
-                sigs.join(novel.select("doc_id"), "doc_id", "left_semi")
-                .select("band", "sig", "doc_id")
-                .withColumn("epoch", F.lit(epoch))
-                .write.partitionBy("epoch")
-                .mode("append")
-                .parquet(self.store_path)
-            )
+            self._update_store(sigs, novel, epoch)
         finally:
             sigs.unpersist()
 
@@ -1209,3 +1220,86 @@ class WinnowDupSuppressor(NearDupSuppressor):
             .select(F.col("new_doc").alias("doc_id"))
         )
         return in_batch.unionByName(vs_store)
+
+
+class EvalContaminationSuppressor(NearDupSuppressor):
+    """Streaming eval-set decontamination: drop arriving documents that
+    share ANY word n-gram with a STATIC held-out benchmark index — the
+    streaming face of `corpus.eval_decontaminate` (the GPT-3 appendix-C
+    rule applied at ingest time, before a contaminated doc ever lands in
+    the training store).
+
+    Three deliberate departures from the near-dup parent, each a hook:
+
+    - the "store" is a read-only shingle INDEX written once from the
+      benchmark corpus (`write_eval_index`) — `_update_store` is a no-op
+      and `_epoch_roots` excludes it, so the stream can never grow the
+      index (growing it would silently turn decontamination into
+      stream-self-dedup);
+    - suppression is ONLY against the index: two training docs sharing a
+      phrase is not contamination, so there is no in-batch rule;
+    - a MISSING index is a loud RuntimeError, not an empty suppression
+      set — decontamination that silently passes everything because the
+      index path is wrong is the worst failure mode this operator has.
+
+    100 TB shape: the index is benchmark-sized (MBs of distinct
+    n-grams); the per-batch check is one shingle explode + LEFT SEMI
+    against it — no store scan grows with stream history, and `expire`
+    is inherited-but-inert (the index has no epoch partitions).
+    Exactly-once is the parent's epoch-replace discipline on out_path.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        out_path: str,
+        n: int = 8,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        super().__init__(
+            spark, index_path, out_path, n=n, id_col=id_col, text_col=text_col
+        )
+
+    @staticmethod
+    def write_eval_index(eval_docs: DataFrame, index_path: str, n: int = 8,
+                         text_col: str = "text") -> None:
+        """One-time index build: DISTINCT word n-grams of the benchmark
+        corpus (column `shingle`).  Re-running overwrites atomically via
+        Spark's overwrite mode."""
+        from cloudpelican_lsd_spark.operators.dedup import shingle_rows
+
+        (
+            shingle_rows(
+                eval_docs.select(F.col(text_col).alias("text"),
+                                 F.lit(0).cast("long").alias("doc_id")),
+                n,
+            )
+            .select("shingle")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(index_path)
+        )
+
+    def _epoch_roots(self) -> tuple[str, ...]:
+        return (self.out_path,)  # the index is never epoch-replaced
+
+    def _update_store(self, sigs: DataFrame, novel: DataFrame, epoch: int) -> None:
+        return  # read-only index: the stream never grows it
+
+    def _signatures(self, docs: DataFrame) -> DataFrame:
+        from cloudpelican_lsd_spark.operators.dedup import shingle_rows
+
+        return shingle_rows(docs, self.n)
+
+    def _dup_ids(self, sigs: DataFrame, store: DataFrame | None) -> DataFrame:
+        if store is None:
+            raise RuntimeError(
+                f"EvalContaminationSuppressor: no eval index at "
+                f"{self.store_path!r} — refusing to pass documents "
+                "unchecked (build it with write_eval_index first)"
+            )
+        return sigs.join(
+            F.broadcast(store.select("shingle")), "shingle", "left_semi"
+        ).select("doc_id")

@@ -1583,3 +1583,60 @@ def test_winnow_dup_suppressor_param_validation(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="scheme-prefixed|local path"):
         sp.WinnowDupSuppressor(spark, "s3a://bucket/x", str(tmp_path / "o3"))
+
+
+def test_eval_contamination_suppressor(spark, tmp_path):
+    """Streaming decontamination: docs sharing any 4-gram with the
+    static eval index are suppressed, clean docs pass, replay is
+    idempotent, the index is never grown by the stream, and a missing
+    index fails LOUD instead of passing everything unchecked."""
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    eval_docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "eval_idx")
+    out = str(tmp_path / "decon_out")
+    sp.EvalContaminationSuppressor.write_eval_index(eval_docs, idx, n=4)
+
+    sup = sp.EvalContaminationSuppressor(spark, idx, out, n=4)
+    b1 = spark.createDataFrame(
+        [
+            # carries "quick brown fox jumps" verbatim -> contaminated
+            (1, "watch the quick brown fox jumps right here folks"),
+            (2, "completely unrelated training text with fresh words"),
+            # two clean docs sharing a phrase with EACH OTHER must both
+            # pass: stream-internal overlap is not contamination
+            (3, "shared internal phrase appears here first today"),
+            (4, "shared internal phrase appears here first tomorrow"),
+        ],
+        "doc_id long, text string",
+    )
+    sup.process_batch(b1, 0)
+    assert {r.doc_id for r in sup.kept().collect()} == {2, 3, 4}
+
+    # replay epoch 0: same output, no double rows
+    sup.process_batch(b1, 0)
+    kept = sup.kept().collect()
+    assert {r.doc_id for r in kept} == {2, 3, 4} and len(kept) == 3
+
+    # the stream never grows the index: a second batch repeating doc 2's
+    # text verbatim still passes (near-dup is the OTHER suppressor's job)
+    n_index_rows = spark.read.parquet(idx).count()
+    b2 = spark.createDataFrame(
+        [(5, "completely unrelated training text with fresh words")],
+        "doc_id long, text string",
+    )
+    sup.process_batch(b2, 1)
+    assert 5 in {r.doc_id for r in sup.kept().collect()}
+    assert spark.read.parquet(idx).count() == n_index_rows
+
+    # missing index -> loud, not silently-pass-everything
+    import pytest as _pytest
+
+    bad = sp.EvalContaminationSuppressor(
+        spark, str(tmp_path / "nonexistent_idx"), str(tmp_path / "out2"), n=4
+    )
+    with _pytest.raises(RuntimeError, match="no eval index"):
+        bad.process_batch(b2, 0)
