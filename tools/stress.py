@@ -148,6 +148,19 @@ def main() -> None:
         # two aggregates, no joins; replicas claim nothing new, so the
         # min-doc_id table is constant — ~linear scan cost
         "ngram_novelty": lambda d: textstats.ngram_novelty(d),
+        # composes est-vs-true: replica exact-copies inflate candidate
+        # pairs ~k^2 (data property, same caveat as minhash_lsh); the
+        # sweep's own addition (x5 threshold explode over pairs + a
+        # 5-row agg) must stay invisible next to the pair cost
+        "threshold_sweep": lambda d: dedup.threshold_sweep(d),
+        # fused 3-size shingle explode + broadcast LEFT SEMI; the eval
+        # slice replicates with the corpus so the broadcast grows too,
+        # but stays benchmark-shaped — expect ~linear
+        "decontam_ngram_sweep": lambda d: corpus.decontaminate_ngram_sweep(d),
+        # one position explode + (prev,cur)/(cur) cost joins; replicas
+        # add NO new bigram types, so the model tables stay fixed while
+        # the occurrence stream grows — expect ~linear
+        "kneser_ney_logprob": lambda d: textstats.kneser_ney_logprob(d),
     }
     for name, fn in ops.items():
         t = {}
