@@ -668,6 +668,74 @@ flags AS (
 {arms}"""
 
 
+def c4_sensitivity(docs: DataFrame) -> DataFrame:
+    """`(rule, n_docs, n_fail, n_sole_fail, fail_ppm)` — which C4 rule
+    BITES: per rule, total failures and SOLE failures (docs the panel
+    would keep if only this rule were dropped) — the same marginal
+    diagnostic `text_gopher_sensitivity` gives the repetition panel,
+    over the C4/Gopher document-quality rules.  A rule with high n_fail
+    but zero n_sole_fail is redundant with the rest of the panel; the
+    rule carrying most sole-fails is the one to sample-check before
+    shipping a filter config.
+
+    Unlike the Gopher twin (whose n-gram panel is expensive enough to
+    justify a one-row driver collect), the C4 flags are cheap per-row
+    column math, so this stays a pure DataFrame plan: one scan computes
+    every flag + the per-doc fail count, a |rules|-way stack unpivot
+    emits (rule, fail, sole) triples, and ONE tiny aggregation keyed by
+    rule reduces map-side to <= |rules| rows per partition.  Exact
+    BIGINT counts + integer ppm."""
+    exprs = c4_flag_exprs()
+    names = list(C4_RULES)
+    fails = docs.select(
+        *[exprs[r].cast("int").alias(f"f_{i}") for i, r in enumerate(names)]
+    ).withColumn("n_fails", sum(F.col(f"f_{i}") for i in range(len(names))))
+    arms = ", ".join(
+        f"'{r}', f_{i}, IF(f_{i} = 1 AND n_fails = 1, 1, 0)"
+        for i, r in enumerate(names)
+    )
+    unp = fails.select(
+        F.expr(f"stack({len(names)}, {arms}) as (rule, fail, sole)")
+    )
+    return (
+        unp.groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("fail").cast("long").alias("n_fail"),
+            F.sum("sole").cast("long").alias("n_sole_fail"),
+        )
+        .withColumn("fail_ppm", F.expr("n_fail * 1000000 DIV n_docs"))
+    )
+
+
+def c4_sensitivity_oracle() -> str:
+    """DuckDB twin of :func:`c4_sensitivity` (same flag SQL as the audit
+    panel; UNION-ALL arms over one flags relation)."""
+    flag_sql = c4_flag_sql("n")
+    cols = ",\n         ".join(
+        f"{expr}::INT AS f_{i}" for i, (r, expr) in enumerate(flag_sql.items())
+    )
+    nf = " + ".join(f"f_{i}" for i in range(len(C4_RULES)))
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, COUNT(*)::BIGINT AS n_docs,"
+        f" SUM(f_{i})::BIGINT AS n_fail,"
+        f" SUM(CASE WHEN f_{i} = 1 AND n_fails = 1 THEN 1 ELSE 0 END)::BIGINT"
+        f" AS n_sole_fail,"
+        f" ((SUM(f_{i}) * 1000000) // COUNT(*))::BIGINT AS fail_ppm"
+        f" FROM fails2"
+        for i, r in enumerate(C4_RULES)
+    )
+    return f"""WITH base AS (
+  SELECT text, len(string_split(text, ' ')) AS n FROM documents
+),
+fails AS (
+  SELECT {cols}
+  FROM base
+),
+fails2 AS (SELECT *, ({nf}) AS n_fails FROM fails)
+{arms}"""
+
+
 # ---------------------------------------------------------------------------
 # Stage-materialized capstone runner (the 100 TB execution mode)
 # ---------------------------------------------------------------------------

@@ -611,3 +611,14 @@ def q_corpus_decontaminate_ngram_sweep(
     return corpus_ops.decontaminate_ngram_sweep(
         load_table(spark, "documents", sf_dir), sizes=(4, 8, 13), eval_mod=97
     )
+
+
+@register("corpus_c4_sensitivity", corpus_ops.c4_sensitivity_oracle())
+def q_corpus_c4_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which C4 rule bites (corpus.c4_sensitivity): per rule, total
+    failures and SOLE failures (docs kept if only that rule were
+    dropped) — the marginal diagnostic text_gopher_sensitivity gives the
+    repetition panel, here over the document-quality rules, as a pure
+    one-scan stack-unpivot plan (the C4 flags are cheap enough to skip
+    the Gopher twin's one-row collect)."""
+    return corpus_ops.c4_sensitivity(load_table(spark, "documents", sf_dir))

@@ -267,6 +267,7 @@ DRIVER_ORDER = [
     "search_forecast_revenue",
     "search_late_priority_lines",
     "corpus_decontaminate_ngram_sweep",
+    "corpus_c4_sensitivity",
 ]
 
 

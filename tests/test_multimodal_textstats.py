@@ -2263,3 +2263,38 @@ def test_decontaminate_ngram_sweep_consistency(spark, sf_dir):
         assert got2[n].n_contaminated >= got[n].n_contaminated + (
             1 if len(ev_text.split(" ")) >= 13 else 0
         )
+
+
+def test_c4_sensitivity_consistency(spark, sf_dir):
+    """Invariants tying the sensitivity report to the audit panel it
+    diagnoses: per-rule n_fail equals c4_audit's count, sole-fails never
+    exceed fails, the sum of sole-fails never exceeds the panel's
+    any_rule total, and a planted doc failing ONLY the terminal-punct
+    rule increments exactly that rule's sole count."""
+    from cloudpelican_lsd_spark.operators import corpus as co
+
+    docs = load_table(spark, "documents", sf_dir)
+    sens = {r.rule: r for r in co.c4_sensitivity(docs).collect()}
+    audit = {r.rule: r for r in co.c4_audit(docs).collect()}
+    assert set(sens) == set(co.C4_RULES)
+    for rule, r in sens.items():
+        assert r.n_fail == audit[rule].n_fail, rule
+        assert 0 <= r.n_sole_fail <= r.n_fail
+        assert r.fail_ppm == r.n_fail * 1000000 // r.n_docs
+    assert sum(r.n_sole_fail for r in sens.values()) <= audit["any_rule"].n_fail
+
+    # 30 tokens: 10 intact stopwords (density fine) + 20 distinct 7-char
+    # fillers (TTR + mean-length fine), none > 15 chars, ends without
+    # . ! ? — fails ONLY no_terminal_punct
+    text = "the of and to in that it is was for " + " ".join(
+        f"word{i:03d}" for i in range(20)
+    )
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(999_002, text, "en", "web", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    sens2 = {r.rule: r for r in co.c4_sensitivity(planted).collect()}
+    assert sens2["no_terminal_punct"].n_sole_fail == \
+        sens["no_terminal_punct"].n_sole_fail + 1
