@@ -60,10 +60,25 @@ def asof_join(
     clash = set(value_cols) & set(left.columns)
     if clash:  # a stripped assert (-O) would yield ambiguous output columns
         raise ValueError(f"value_cols must not collide with left columns: {clash}")
+    if "_ts" in value_cols:
+        # the carried struct names its timestamp field "_ts" — a value
+        # column with that name would create a duplicate struct field and
+        # make getField("_ts") ambiguous
+        raise ValueError(
+            "value_cols must not contain '_ts' (reserved for the carried "
+            "fact timestamp) — rename the column before the join"
+        )
+    # backtick-quote value-column references: a bare string with a dot
+    # ("payload.kind") would otherwise be parsed as a nested field path
+    def _qcol(c: str):
+        return F.col(f"`{c}`")
+
     r = right.select(
-        *keys, ts, *value_cols, F.lit(0).alias("_side")
+        *keys, ts, *[_qcol(c) for c in value_cols], F.lit(0).alias("_side")
     )
-    l = left.select(*left.columns, F.lit(1).alias("_side"))
+    l = left.select(
+        *[_qcol(c) for c in left.columns], F.lit(1).alias("_side")
+    )
     u = r.unionByName(l, allowMissingColumns=True)
     w = (
         Window.partitionBy(*keys)
@@ -79,13 +94,16 @@ def asof_join(
     fact = F.last(
         F.when(
             F.col("_side") == 0,
-            F.struct(F.col(ts).alias("_ts"), *[F.col(c) for c in value_cols]),
+            F.struct(F.col(ts).alias("_ts"), *[_qcol(c) for c in value_cols]),
         ),
         ignorenulls=True,
     ).over(w)
     carried = u.select("*", fact.alias("_fact"))
+    # getField, not the "_fact.<c>" string path: a value column whose
+    # name contains a dot would be parsed as a nested path and fail
+    fact_col = F.col("_fact")
     return carried.where(F.col("_side") == 1).select(
-        *left.columns,
-        *[F.col(f"_fact.{c}").alias(f"asof_{c}") for c in value_cols],
-        F.col("_fact._ts").alias("asof_ts"),
+        *[_qcol(c) for c in left.columns],
+        *[fact_col.getField(c).alias(f"asof_{c}") for c in value_cols],
+        fact_col.getField("_ts").alias("asof_ts"),
     )

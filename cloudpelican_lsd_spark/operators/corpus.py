@@ -2040,11 +2040,16 @@ def eval_decontaminate(
     filter, and `corpus_shingle_contamination` remains the WITHIN-corpus
     variant.
 
-    Scale shape: eval shingles are DISTINCT n-grams of the (small)
-    benchmark side — they broadcast; the train side streams through one
-    shingle explode + broadcast LEFT SEMI (no shuffle of train text),
-    then one |sources|-row aggregate.  At 100 TB the train side is
-    embarrassingly parallel and the eval side is benchmark-sized (MBs).
+    Scale shape: the train side streams through one shingle explode +
+    LEFT SEMI against the DISTINCT eval shingles, then one
+    |sources|-row aggregate; train text itself never shuffles.  The
+    join strategy is left to AQE rather than a forced broadcast: with a
+    real benchmark eval set (MBs) AQE broadcasts it at runtime, but the
+    harness's `doc_id % eval_mod` stand-in slice is ~1/eval_mod OF THE
+    CORPUS — it grows linearly with corpus size, so pinning
+    `F.broadcast` here would OOM the driver at the 100 TB shape this
+    module is framed for (AQE falls back to a shuffled semi-join
+    exactly when the eval side outgrows the broadcast threshold).
     """
     from cloudpelican_lsd_spark.operators.dedup import shingle_rows
 
@@ -2054,7 +2059,7 @@ def eval_decontaminate(
     ev_sh = shingle_rows(ev, n).select("shingle").distinct()
     hit = (
         shingle_rows(tr, n)
-        .join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .join(ev_sh, "shingle", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -2111,9 +2116,13 @@ def decontaminate_ngram_sweep(
     One fused pass: tokenize + position-explode ONCE, then each position
     emits one struct per rule length that still fits (array_compact +
     explode — the same fused-explode shape as the Gopher n-gram panel);
-    eval shingles stay benchmark-sized and broadcast into a (n, shingle)
-    LEFT SEMI; the n-row output derives from the train-count singleton,
-    so every n appears even at zero contamination.  Exact integer ppm.
+    train shingles LEFT SEMI against the DISTINCT (n, shingle) eval set
+    with the strategy left to AQE (a real benchmark eval set broadcasts
+    at runtime; the harness's `doc_id % eval_mod` slice is ~1/eval_mod
+    of the corpus and grows linearly with it, so a pinned broadcast
+    would OOM at scale — see :func:`eval_decontaminate`); the n-row
+    output derives from the train-count singleton, so every n appears
+    even at zero contamination.  Exact integer ppm.
     """
     is_eval = F.col("doc_id") % eval_mod == 0
 
@@ -2145,7 +2154,7 @@ def decontaminate_ngram_sweep(
     tr = docs.where(~is_eval)
     hits = (
         fused_shingles(tr)
-        .join(F.broadcast(ev_sh), ["n", "shingle"], "left_semi")
+        .join(ev_sh, ["n", "shingle"], "left_semi")
         .select("n", "doc_id")
         .distinct()
         .groupBy("n")

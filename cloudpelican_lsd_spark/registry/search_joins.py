@@ -267,10 +267,15 @@ def q_search_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a broadcast (total, count) singleton cross-joined onto the
     per-part aggregate — the global total is computed FROM the grouped
     relation (no second lineitem scan), and the threshold compares
-    cross-multiplied exact BIGINT micro-units (no float boundary for a
-    part sitting exactly on the threshold).  Overflow headroom is
-    documented: value_micro tops out ~3e14 at sf1, x10xn_parts ~ 6e18 <
-    2^63."""
+    cross-multiplied exact micro-units (no float boundary for a part
+    sitting exactly on the threshold).  The cross-multiply runs in
+    DECIMAL(38,0): the BIGINT form `value_micro * 10 * n` passes 2^63
+    around sf>=3 (tot ~2.3e17 at sf1 and the left side grows
+    ~quadratically with sf), where non-ANSI Spark would silently wrap
+    while the DuckDB oracle (whose SUMs are already exact HUGEINT)
+    stays correct — divergent engines exactly at the scale this module
+    is framed for.  DECIMAL(38,0) holds ~1e38; even sf1e6 stays under
+    1e30 on the left side."""
     li = load_table(spark, "lineitem", sf_dir)
     v = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.round(F.col("l_extendedprice") * 1000000).cast("long")).alias(
@@ -282,7 +287,10 @@ def q_search_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.crossJoin(F.broadcast(t))
-        .where(F.col("value_micro") * 10 * F.col("n") > 13 * F.col("tot"))
+        .where(
+            F.col("value_micro").cast("decimal(38,0)") * 10 * F.col("n")
+            > F.lit(13) * F.col("tot").cast("decimal(38,0)")
+        )
         .select("partkey", "value_micro")
     )
 

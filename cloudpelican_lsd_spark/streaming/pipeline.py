@@ -1240,7 +1240,11 @@ class EvalContaminationSuppressor(NearDupSuppressor):
       phrase is not contamination, so there is no in-batch rule;
     - a MISSING index is a loud RuntimeError, not an empty suppression
       set — decontamination that silently passes everything because the
-      index path is wrong is the worst failure mode this operator has.
+      index path is wrong is the worst failure mode this operator has;
+      the same guard covers a rule-length mismatch: the index is stamped
+      with the n it was built at and a suppressor configured with a
+      different n (disjoint shingle spaces — zero matches ever) raises
+      instead of silently passing.
 
     100 TB shape: the index is benchmark-sized (MBs of distinct
     n-grams); the per-batch check is one shingle explode + LEFT SEMI
@@ -1261,12 +1265,17 @@ class EvalContaminationSuppressor(NearDupSuppressor):
         super().__init__(
             spark, index_path, out_path, n=n, id_col=id_col, text_col=text_col
         )
+        self._index_n_validated = False
 
     @staticmethod
     def write_eval_index(eval_docs: DataFrame, index_path: str, n: int = 8,
                          text_col: str = "text") -> None:
         """One-time index build: DISTINCT word n-grams of the benchmark
-        corpus (column `shingle`).  Re-running overwrites atomically via
+        corpus (column `shingle`), stamped with the rule length `n` they
+        were built at (a constant RLE column — bytes on disk) so a
+        suppressor configured with a DIFFERENT n fails loudly instead of
+        semi-joining disjoint shingle spaces and silently passing every
+        contaminated document.  Re-running overwrites atomically via
         Spark's overwrite mode."""
         from cloudpelican_lsd_spark.operators.dedup import shingle_rows
 
@@ -1278,9 +1287,40 @@ class EvalContaminationSuppressor(NearDupSuppressor):
             )
             .select("shingle")
             .distinct()
+            .withColumn("n", F.lit(n).cast("int"))
             .write.mode("overwrite")
             .parquet(index_path)
         )
+
+    def _validate_index_n(self, store: DataFrame) -> None:
+        """Loud n-mismatch guard (checked once per suppressor, not per
+        batch): an index built at a different rule length than the
+        suppressor's `n` would produce shingles that can never match —
+        exactly the silent-pass failure mode the missing-index
+        RuntimeError exists to prevent."""
+        if self._index_n_validated:
+            return
+        if "n" not in store.columns:
+            raise RuntimeError(
+                f"EvalContaminationSuppressor: eval index at "
+                f"{self.store_path!r} carries no rule-length stamp — "
+                "rebuild it with write_eval_index (indexes written "
+                "before n-stamping cannot be validated against this "
+                f"suppressor's n={self.n})"
+            )
+        row = store.agg(
+            F.min("n").alias("lo"), F.max("n").alias("hi")
+        ).first()
+        if row.lo != self.n or row.hi != self.n:
+            raise RuntimeError(
+                f"EvalContaminationSuppressor: eval index at "
+                f"{self.store_path!r} was built with n={row.lo}"
+                + (f"..{row.hi}" if row.hi != row.lo else "")
+                + f" but this suppressor is configured with n={self.n} — "
+                "the shingle spaces are disjoint and every document "
+                "would silently pass; rebuild the index or match n"
+            )
+        self._index_n_validated = True
 
     def _epoch_roots(self) -> tuple[str, ...]:
         return (self.out_path,)  # the index is never epoch-replaced
@@ -1300,6 +1340,7 @@ class EvalContaminationSuppressor(NearDupSuppressor):
                 f"{self.store_path!r} — refusing to pass documents "
                 "unchecked (build it with write_eval_index first)"
             )
+        self._validate_index_n(store)
         return sigs.join(
             F.broadcast(store.select("shingle")), "shingle", "left_semi"
         ).select("doc_id")

@@ -1530,17 +1530,17 @@ def test_eval_decontaminate_flags_exact_overlap_only(spark):
 
 
 def test_eval_decontaminate_broadcasts_eval_side(spark, sf_dir):
-    """The eval shingle set must reach the train side as a broadcast
-    (benchmark-sized build side; the 100 TB train stream never shuffles
-    for the semi-join)."""
+    """With a benchmark-sized eval side, AQE must pick a broadcast for
+    the LEFT SEMI at runtime (the broadcast is no longer FORCED: the
+    harness's %97 eval slice grows linearly with the corpus, so a pinned
+    F.broadcast would OOM at the 100 TB shape — AQE keeps the fast plan
+    when the side is small and degrades to a shuffled semi-join when it
+    is not).  AQE finalizes joins at execution, so collect() first."""
     from cloudpelican_lsd_spark.registry import QUERIES
 
-    plan = (
-        QUERIES["corpus_eval_decontaminate"](spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    df = QUERIES["corpus_eval_decontaminate"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 

@@ -151,6 +151,40 @@ def test_asof_join_null_fact_value_is_not_skipped(spark):
     assert row.asof_fact_id is None  # the NULL fact, not the stale 10
 
 
+def test_asof_join_reserved_and_dotted_value_cols(spark):
+    """A value column literally named '_ts' would duplicate the carried
+    struct's timestamp field (ambiguous extraction) — rejected loudly;
+    a value column whose NAME contains a dot must survive (getField /
+    backtick paths, never string column-path parsing)."""
+    import pytest as _pytest
+
+    from cloudpelican_lsd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 200)], "event_id long, user_id long, ts_epoch long"
+    )
+    bad = spark.createDataFrame(
+        [(1, 100, 10)], "user_id long, ts_epoch long, _ts long"
+    )
+    with _pytest.raises(ValueError, match="_ts"):
+        asof_join(left, bad, keys=["user_id"], ts="ts_epoch",
+                  value_cols=["_ts"])
+
+    dotted = (
+        spark.createDataFrame(
+            [(1, 100, 10), (1, 150, 11)],
+            "user_id long, ts_epoch long, fact long",
+        )
+        .withColumnRenamed("fact", "payload.kind")
+    )
+    [row] = asof_join(
+        left, dotted, keys=["user_id"], ts="ts_epoch",
+        value_cols=["payload.kind"],
+    ).collect()
+    assert row.asof_ts == 150
+    assert row["asof_payload.kind"] == 11
+
+
 def test_moving_zscore_math_and_gates(spark):
     # key "a": buckets 0..12 alternate 4/6 (so trailing var > 0), bucket
     # 13 spikes to 50.  key "b": constant series -> var=0 -> zscore NULL.

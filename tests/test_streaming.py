@@ -1640,3 +1640,20 @@ def test_eval_contamination_suppressor(spark, tmp_path):
     )
     with _pytest.raises(RuntimeError, match="no eval index"):
         bad.process_batch(b2, 0)
+
+    # n-mismatch -> loud: an index built at n=4 can never match a
+    # suppressor shingling at n=5 (disjoint spaces == silent pass-all)
+    mismatch = sp.EvalContaminationSuppressor(
+        spark, idx, str(tmp_path / "out3"), n=5
+    )
+    with _pytest.raises(RuntimeError, match="built with n=4"):
+        mismatch.process_batch(b2, 0)
+
+    # legacy index without the n stamp -> loud rebuild instruction
+    legacy_idx = str(tmp_path / "legacy_idx")
+    spark.read.parquet(idx).select("shingle").write.parquet(legacy_idx)
+    legacy = sp.EvalContaminationSuppressor(
+        spark, legacy_idx, str(tmp_path / "out4"), n=4
+    )
+    with _pytest.raises(RuntimeError, match="no rule-length stamp"):
+        legacy.process_batch(b2, 0)
