@@ -929,8 +929,10 @@ class NearDupSuppressor:
 
     100 TB shape: the store is only `(band, sig)` — 12/3 = 4 rows of a
     few bytes per kept document, NOT the text; the batch-vs-store check
-    is an equi semi-join on (band, sig); in-batch suppression is one
-    window MIN over the same key.  Store growth is bounded by novel-doc
+    scans the store once against the BROADCAST batch signatures (the
+    batch is backpressure-bounded, so the store never shuffles or sorts
+    per batch); in-batch suppression is one window MIN over the same
+    key.  Store growth is bounded by novel-doc
     rate; `expire(before_epoch)` drops old epochs wholesale (retention =
     dedup horizon, the same trade dropDuplicatesWithinWatermark makes).
     """
@@ -1003,9 +1005,19 @@ class NearDupSuppressor:
         )
         if store is None:
             return in_batch_dup
-        vs_store = sigs.join(
-            store.select("band", "sig"), ["band", "sig"], "left_semi"
-        ).select("doc_id")
+        # inner-join the STORE against the broadcast batch, not a
+        # LeftSemi with the store as build side: Spark only builds the
+        # right of a semi-join, so `sigs LEFT SEMI store` sort-merges —
+        # shuffling the ENTIRE store every micro-batch.  The batch is
+        # bounded (ingest backpressure caps it at ~18k docs), so
+        # broadcasting it keeps the store scan-only: no shuffle, no
+        # sort, and the matched output (then distinct) is batch-sized.
+        vs_store = (
+            store.select("band", "sig")
+            .join(F.broadcast(sigs), ["band", "sig"])
+            .select("doc_id")
+            .distinct()
+        )
         return in_batch_dup.unionByName(vs_store)
 
     def _epoch_roots(self) -> tuple[str, ...]:
@@ -1183,7 +1195,11 @@ class WinnowDupSuppressor(NearDupSuppressor):
         fingerprints."""
         new_fp = sigs.select("doc_id", F.col("sig").alias("fph"))
         if store is not None:
-            old_fp = store.select("doc_id", F.col("sig").alias("fph")).distinct()
+            # no store-wide distinct: the df aggregation below already
+            # counts DISTINCT doc_ids, and the match count uses
+            # countDistinct(fph) — a per-batch shuffle of the whole
+            # store just to dedup would dominate at scale
+            old_fp = store.select("doc_id", F.col("sig").alias("fph"))
             all_fp = new_fp.unionByName(old_fp)
         else:
             old_fp = None
@@ -1207,15 +1223,17 @@ class WinnowDupSuppressor(NearDupSuppressor):
         )
         if old_fp is None:
             return in_batch
+        # broadcast the (batch-bounded) cold new-doc fingerprints so the
+        # store side stays scan-only (same BuildRight reasoning as the
+        # parent's vs_store probe); countDistinct(fph) makes the shared
+        # count robust to any duplicate store rows without a store-wide
+        # pre-distinct — only the MATCHED pairs (batch-sized) shuffle
         vs_store = (
-            a.join(
-                old_fp.join(hot, "fph", "left_anti").select(
-                    F.col("doc_id").alias("old_doc"), "fph"
-                ),
-                "fph",
-            )
+            old_fp.join(hot, "fph", "left_anti")
+            .select(F.col("doc_id").alias("old_doc"), "fph")
+            .join(F.broadcast(a), "fph")
             .groupBy("new_doc", "old_doc")
-            .agg(F.count(F.lit(1)).alias("shared"))
+            .agg(F.countDistinct("fph").alias("shared"))
             .where(F.col("shared") >= self.min_shared)
             .select(F.col("new_doc").alias("doc_id"))
         )

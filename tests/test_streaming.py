@@ -866,6 +866,35 @@ def test_near_dup_suppressor_batches_and_replay(spark, tmp_path):
     assert 6 in {r.doc_id for r in sup.kept().collect()}
 
 
+def test_near_dup_suppressor_store_probe_never_shuffles_store(spark, tmp_path):
+    """The batch-vs-store check must reach the store as a SCAN probed by
+    the broadcast batch signatures — never a sort-merge join, which
+    would shuffle (and sort) the ENTIRE store every micro-batch.  Spark
+    only builds the right side of a LeftSemi, so the semi-join
+    formulation degraded exactly that way once the store outgrew the
+    broadcast threshold; the inner-join-on-broadcast-batch shape is
+    size-independent.  AQE finalizes joins at execution — collect first."""
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    sup = sp.NearDupSuppressor(
+        spark, str(tmp_path / "store"), str(tmp_path / "out")
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    sup.process_batch(b1, 0)
+    b2 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    dup = sup._dup_ids(sup._signatures(b2), sup._read_store())
+    dup.collect()
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_near_dup_suppressor_streaming_e2e(spark, tmp_path):
     """Wired onto a real readStream via foreachBatch + checkpoint: the
     second availableNow run processes only the new file and dedups
