@@ -300,6 +300,111 @@ def test_state_backends_same_outputs_on_shared_replay():
 # ---------------------------------------------------------------------------
 
 
+def _tws_missing_legs(spark) -> list[str]:
+    """Probe every leg a LIVE transformWithStateInPandas run needs here.
+    Same discipline as the Kafka e2e's five-leg proof: each absent leg
+    is one independent, checkable reason the real backend cannot run,
+    the list is the documented skip proof, and the moment a container
+    provides every leg the live test below arms itself — so a
+    dependency arriving in a future round cannot be missed, and a skip
+    caused by anything OTHER than the documented legs surfaces as a
+    failure instead of hiding behind the protobuf excuse."""
+    legs: list[str] = []
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        legs.append(
+            "no protobuf python package (transformWithState's state "
+            "protocol needs it; pip is barred)"
+        )
+    from pyspark.sql.group import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        legs.append("pyspark build lacks transformWithStateInPandas")
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError:
+        legs.append("pyspark build lacks StatefulProcessor")
+    try:
+        spark._jvm.java.lang.Class.forName(ROCKSDB)
+    except Exception:
+        legs.append("JVM lacks the RocksDB state store provider class")
+    return legs
+
+
+def test_tws_live_or_documented_proof(spark, tmp_path):
+    """Live transformWithStateInPandas micro-run: a real RocksDB-backed
+    stateful stream (two triggers, state carried between them), or the
+    leg-by-leg proof of why the backend cannot execute here.
+
+    `tws_available()` gates the bigger runtime tests; this probe keeps
+    that gate HONEST: when it says unavailable, the only legitimately
+    missing leg must be protobuf — any other absent leg means the skip
+    reason is wrong and the round's 'environmental, carry' note would
+    be mis-documenting a real defect."""
+    legs = _tws_missing_legs(spark)
+    if legs:
+        assert not tws_available(), (
+            "tws_available() claims the backend works but legs are "
+            f"missing: {legs}"
+        )
+        assert legs == [
+            "no protobuf python package (transformWithState's state "
+            "protocol needs it; pip is barred)"
+        ], f"skip reason drifted — unexpected missing legs: {legs}"
+        pytest.skip("live TWS impossible here — " + "; ".join(legs))
+
+    # every leg present: run the real thing (state must carry across
+    # micro-batches inside one live RocksDB-backed query)
+    assert tws_available()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB)
+    try:
+        src = str(tmp_path / "live_in")
+        os.makedirs(src)
+        with open(os.path.join(src, "a.txt"), "w") as f:
+            f.write("2024-02-01T10:00:00.000+00:00 app error failed\n")
+        with open(os.path.join(src, "b.txt"), "w") as f:
+            f.write("2024-02-01T10:01:00.000+00:00 app error broken\n")
+        cat = FilterCatalog()
+        cat.create("all_app", "app")
+        stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", "1")  # forces >=2 micro-batches
+            .load(src)
+            .withColumnRenamed("value", "_raw")
+        )
+        labeled = match_filters_compiled(
+            sp.parse_stream(stream), cat.list(include_temp=True)
+        ).withColumn("label", heuristic_label(F.col("_raw")))
+        q = (
+            streaming_classifier_tws(labeled)
+            .writeStream.format("memory")
+            .queryName("tws_live_probe")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT * FROM tws_live_probe ORDER BY samples_in_memory"
+        ).collect()
+        # second trigger saw state from the first: cumulative count 2
+        assert rows[-1].samples_in_memory == 2
+        assert rows[-1].err_samples == 2
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 @needs_tws
 def test_tws_classifier_streaming(spark, tmp_path):
     key = "spark.sql.streaming.stateStore.providerClass"
