@@ -189,6 +189,24 @@ def test_parity_rejects_unknown_query_names():
         validate_only({"a", "typo_name"}, {"a": 1})
 
 
+def test_parity_count_only_requires_explicit_names(monkeypatch):
+    """--count-only is the documented weaker check for giant-output
+    queries (values uncollectable by design); invoked WITHOUT explicit
+    names it would silently downgrade a whole-registry sweep from
+    value-hash to row-count — refuse loudly instead."""
+    import sys as _sys
+
+    import pytest
+
+    from tools import parity
+
+    monkeypatch.setattr(
+        _sys, "argv", ["parity.py", "--count-only", "/root/testdata/sf0.01"]
+    )
+    with pytest.raises(SystemExit, match="requires explicit query names"):
+        parity.main()
+
+
 def test_parity_norm_cell_hashes_binary_and_floats():
     """norm_cell must produce hashable, engine-agnostic keys: Spark hands
     back bytearray (unhashable as-is) where DuckDB hands bytes."""

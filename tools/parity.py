@@ -56,8 +56,26 @@ def validate_only(only: set[str], known) -> None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --count-only: compare ROW COUNTS without collecting values — the
+    # documented verification mode for giant-output queries whose full
+    # value multiset is uncollectable by design (simhash_near_pairs
+    # emits ~91.6M pairs at sf1; r6 ran this check by hand, this flag
+    # makes it mechanical and keeps the count off the driver).  The
+    # weaker check is printed as COUNT-ONLY so a log reader can never
+    # mistake it for a value-hash pass.
+    count_only = False
+    if args and args[0] == "--count-only":
+        count_only = True
+        args = args[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if count_only and not only:
+        raise SystemExit(
+            "parity --count-only requires explicit query names: the "
+            "weaker check must never silently replace the value-hash "
+            "sweep for the whole registry"
+        )
     validate_only(only, entry_mod.queries())
     spark = get_spark("parity")
     con = duckdb.connect()
@@ -72,6 +90,22 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
+        if count_only:
+            if name not in oracles:
+                print(f"{name:32s} COUNT-ONLY rows={sdf.count()} (no oracle)")
+                continue
+            n_s = sdf.count()
+            [(n_d,)] = con.sql(
+                f"SELECT COUNT(*) FROM ({oracles[name]})"
+            ).fetchall()
+            ok = n_s == n_d
+            if not ok:
+                failures += 1
+            print(
+                f"{name:32s} {'OK' if ok else 'FAIL'} COUNT-ONLY "
+                f"rows={n_s}/{n_d} (values not compared)"
+            )
+            continue
         srows = sdf.collect()
         scols = sdf.columns
         if name not in oracles:
