@@ -660,7 +660,7 @@ def c4_audit_oracle() -> str:
     return f"""WITH base AS (
   SELECT text, len(string_split(text, ' ')) AS n FROM documents
 ),
-flags AS (
+flags AS MATERIALIZED (
   SELECT {cols},
          {any_rule}::INT AS any_rule
   FROM base
@@ -732,7 +732,7 @@ fails AS (
   SELECT {cols}
   FROM base
 ),
-fails2 AS (SELECT *, ({nf}) AS n_fails FROM fails)
+fails2 AS MATERIALIZED (SELECT *, ({nf}) AS n_fails FROM fails)
 {arms}"""
 
 
@@ -889,7 +889,7 @@ def c4_audit_by_source_oracle() -> str:
     return f"""WITH base AS (
   SELECT source, text, len(string_split(text, ' ')) AS n FROM documents
 ),
-flags AS (
+flags AS MATERIALIZED (
   SELECT source, {cols},
          {any_rule}::INT AS any_rule
   FROM base

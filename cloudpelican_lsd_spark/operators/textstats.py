@@ -3493,7 +3493,15 @@ def gopher_sensitivity(docs: DataFrame) -> DataFrame:
 
 def gopher_sensitivity_oracle(words_per_line: int = 10) -> str:
     """DuckDB twin over the fixture lined view (composes gopher_fr_cte —
-    the same arithmetic as the panel and the v4 gate)."""
+    the same arithmetic as the panel and the v4 gate).
+
+    `fails2` is MATERIALIZED: the 11 UNION-ALL rule arms each reference
+    it, and without the hint DuckDB inlines the whole n-gram panel into
+    every arm — 11 full panel evaluations, which at sf1 spilled ~50 GB
+    of temp and ran >30 min where the single-evaluation panel oracle
+    (`gopher_repetition_oracle`, same CTE) finishes in ~1 min.
+    Semantics-neutral; parity re-verified at all scales after the hint.
+    """
     wpl = int(words_per_line)
     lined = f"""lined AS (
   SELECT doc_id,
@@ -3527,5 +3535,5 @@ fails AS (
          0 AS _z
   FROM gpfr
 ),
-fails2 AS (SELECT *, ({nf}) AS n_fails FROM fails)
+fails2 AS MATERIALIZED (SELECT *, ({nf}) AS n_fails FROM fails)
 {branches.replace("FROM fails", "FROM fails2")}"""
