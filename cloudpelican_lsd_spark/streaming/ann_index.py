@@ -139,9 +139,21 @@ class StreamingIvfIndexer:
         hi = df.agg(F.max("epoch").alias("hi")).collect()[0].hi
         if hi is None or hi < 0:
             return  # bootstrap-only (or empty): nothing to fold
+        # hash-cluster whole cells into ~128 MB write tasks: each cent_id
+        # lands in exactly one task, so partitionBy emits ONE file set
+        # per cell (the minimal layout the DPP-pruned retrieval scan
+        # wants) instead of one per (upstream task, cell) pair
+        on_disk = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(self.assign_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_tasks = max(1, -(-on_disk // (128 << 20)))  # ceil div
         tmp = self.assign_path + ".compact"
         (
             df.drop("epoch")
+            .repartition(int(n_tasks), "cent_id")
             .withColumn("epoch", F.lit(-1))
             .write.partitionBy("epoch", "cent_id")
             .mode("overwrite")

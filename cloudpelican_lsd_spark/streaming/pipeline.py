@@ -971,13 +971,96 @@ class NearDupSuppressor:
         self.id_col = id_col
         self.text_col = text_col
 
+    #: sidecar recording the highest epoch folded by :meth:`compact`
+    #: (underscore name: Spark's parquet reader ignores it — the same
+    #: convention as the StreamingIvfIndexer watermark)
+    _COMPACT_MARK = "_compacted_through.json"
+
     def _read_store(self) -> DataFrame | None:
+        StreamingEngine._recover_swap(self.store_path)
         if not os.path.isdir(self.store_path):
             return None
         try:
             return self.spark.read.parquet(self.store_path)
         except AnalysisException:
             return None  # directory exists but holds no parquet yet
+
+    def compacted_through(self) -> int:
+        """Highest epoch already folded by :meth:`compact` (-1 if
+        never compacted)."""
+        import json as _json
+
+        try:
+            with open(os.path.join(self.store_path, self._COMPACT_MARK)) as fh:
+                return int(_json.load(fh)["epoch"])
+        except (FileNotFoundError, ValueError, KeyError, TypeError):
+            return -1
+
+    def compact(self) -> None:
+        """Fold every store epoch into ONE partition keyed by the
+        HIGHEST folded epoch — streaming appends accumulate one
+        directory tree per micro-batch (at a minutely trigger a day
+        adds 1 440 trees: the small-files problem at scale), and
+        compaction rewrites the signature store as one healthy file
+        set.
+
+        Unlike the StreamingIvfIndexer (whose index keeps everything,
+        so it folds into the reserved bootstrap partition), the
+        suppressor's store is RETENTION-managed: `expire(before_epoch)`
+        drops epoch dirs older than the dedup horizon.  Folding into
+        `epoch=<max folded>` keeps that working — an expire whose bound
+        passes the folded epoch drops the whole consolidated segment
+        wholesale; TTL granularity coarsens to the compaction interval,
+        the standard segment-merge trade.
+
+        Exactly-once: crash-safe via the pipeline swap discipline
+        (live → `.old` → in, healed on every read), with the high-water
+        sidecar riding inside the new table so data and watermark
+        publish atomically; a REPLAYED epoch at or below the watermark
+        is skipped whole in process_batch — its epoch dir no longer
+        exists, so the drop-then-append upgrade cannot see it, and the
+        folded partition must never be deleted by a replay of the
+        epoch it is keyed on.  MUST run quiesced (between
+        micro-batches or with the stream stopped), same as the
+        indexer's compact."""
+        import json as _json
+
+        StreamingEngine._recover_swap(self.store_path)
+        if not os.path.isdir(self.store_path):
+            return
+        try:
+            df = self.spark.read.parquet(self.store_path)
+        except AnalysisException:
+            return
+        if "epoch" not in df.columns:
+            return  # read-only index store (Eval subclass): nothing epoch'd
+        hi = df.agg(F.max("epoch").alias("hi")).collect()[0].hi
+        if hi is None:
+            return
+        # size the consolidated segment to ~128 MB files — writing with
+        # the union's task parallelism would reproduce the small-files
+        # tree the compaction exists to remove
+        on_disk = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(self.store_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-on_disk // (128 << 20)))  # ceil div
+        tmp = self.store_path + ".compact"
+        (
+            df.drop("epoch")
+            .repartition(int(n_files))
+            .withColumn("epoch", F.lit(int(hi)).cast("int"))
+            .write.partitionBy("epoch")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        with open(os.path.join(tmp, self._COMPACT_MARK), "w") as fh:
+            _json.dump(
+                {"epoch": max(int(hi), self.compacted_through())}, fh
+            )
+        StreamingEngine._swap_table(self.store_path, tmp)
 
     def _signatures(self, docs: DataFrame) -> DataFrame:
         """(doc_id, band, sig) rows for a batch — the suppression key
@@ -1042,6 +1125,16 @@ class NearDupSuppressor:
         import shutil
 
         epoch = int(epoch_id)
+        if epoch <= self.compacted_through():
+            # redelivered batch already folded by compact(): its own
+            # epoch dir is gone (merged into the consolidated segment),
+            # so the drop-then-append upgrade cannot replace it — and
+            # the folded partition is KEYED on the highest folded epoch,
+            # which a replay of that epoch would otherwise delete.  The
+            # original write fully committed before compaction ran
+            # (compact requires quiescence), so skipping is the
+            # exactly-once answer — same rule as the IVF indexer.
+            return
         for root in self._epoch_roots():
             d = os.path.join(root, f"epoch={epoch}")
             if os.path.isdir(d):

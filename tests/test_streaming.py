@@ -866,6 +866,89 @@ def test_near_dup_suppressor_batches_and_replay(spark, tmp_path):
     assert 6 in {r.doc_id for r in sup.kept().collect()}
 
 
+def test_near_dup_suppressor_store_compaction(spark, tmp_path):
+    """compact() folds the per-micro-batch store epoch dirs into one
+    consolidated partition: file count collapses, suppression semantics
+    are unchanged (a dup of an early doc is still caught), a REPLAY of
+    a folded epoch is skipped whole (the folded partition — keyed on
+    the highest folded epoch — must never be deleted by the replay's
+    drop-then-append), and expire() still retires the consolidated
+    segment wholesale once the horizon passes it."""
+    import os as _os
+
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    sup = sp.NearDupSuppressor(spark, store, out)
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        "pack my box with five dozen liquor jugs today",
+    ]
+    for ep, (i, t) in enumerate(enumerate(texts)):
+        sup.process_batch(
+            spark.createDataFrame([(i, t)], "doc_id long, text string"), ep
+        )
+    assert {r.doc_id for r in sup.kept().collect()} == {0, 1, 2, 3}
+
+    def files(root):
+        return sum(len(fs) for _, _, fs in _os.walk(root))
+
+    before = files(store)
+    sup.compact()
+    after = files(store)
+    assert after < before
+    assert sup.compacted_through() == 3
+    # one consolidated epoch partition, keyed on the max folded epoch
+    assert [d for d in _os.listdir(store) if d.startswith("epoch=")] == [
+        "epoch=3"
+    ]
+
+    # suppression semantics unchanged: a copy of doc 0 is still caught
+    sup.process_batch(
+        spark.createDataFrame([(9, texts[0])], "doc_id long, text string"), 4
+    )
+    assert 9 not in {r.doc_id for r in sup.kept().collect()}
+
+    # replay of a folded epoch: skipped whole — store AND out intact
+    n_store, n_out = files(store), files(out)
+    sup.process_batch(
+        spark.createDataFrame([(3, texts[3])], "doc_id long, text string"), 3
+    )
+    assert files(store) == n_store and files(out) == n_out
+    assert {r.doc_id for r in sup.kept().collect()} == {0, 1, 2, 3}
+
+    # retention after compaction: the horizon passing the consolidated
+    # segment drops it wholesale; the doc-0 copy passes again
+    sup.expire(before_epoch=5)
+    sup.process_batch(
+        spark.createDataFrame([(10, texts[0])], "doc_id long, text string"), 5
+    )
+    assert 10 in {r.doc_id for r in sup.kept().collect()}
+
+
+def test_eval_contamination_suppressor_compact_noop(spark, tmp_path):
+    """The eval-index store has no epoch partitions (read-only, written
+    once): compact() must be a safe no-op, never rewrite the index."""
+    import os as _os
+
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+
+    eval_docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    sp.EvalContaminationSuppressor.write_eval_index(eval_docs, idx, n=4)
+    sup = sp.EvalContaminationSuppressor(
+        spark, idx, str(tmp_path / "out"), n=4
+    )
+    listing = sorted(_os.listdir(idx))
+    sup.compact()
+    assert sorted(_os.listdir(idx)) == listing
+
+
 def test_near_dup_suppressor_store_probe_never_shuffles_store(spark, tmp_path):
     """The batch-vs-store check must reach the store as a SCAN probed by
     the broadcast batch signatures — never a sort-merge join, which
