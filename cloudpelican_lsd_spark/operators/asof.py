@@ -68,21 +68,25 @@ def asof_join(
             "value_cols must not contain '_ts' (reserved for the carried "
             "fact timestamp) — rename the column before the join"
         )
-    # backtick-quote value-column references: a bare string with a dot
-    # ("payload.kind") would otherwise be parsed as a nested field path
+    # backtick-quote EVERY column reference (keys/ts/values/left): a
+    # bare string with a dot ("payload.kind") would otherwise be parsed
+    # as a nested field path; embedded backticks escape by doubling
     def _qcol(c: str):
-        return F.col(f"`{c}`")
+        return F.col("`" + c.replace("`", "``") + "`")
 
     r = right.select(
-        *keys, ts, *[_qcol(c) for c in value_cols], F.lit(0).alias("_side")
+        *[_qcol(k) for k in keys],
+        _qcol(ts),
+        *[_qcol(c) for c in value_cols],
+        F.lit(0).alias("_side"),
     )
     l = left.select(
         *[_qcol(c) for c in left.columns], F.lit(1).alias("_side")
     )
     u = r.unionByName(l, allowMissingColumns=True)
     w = (
-        Window.partitionBy(*keys)
-        .orderBy(ts, "_side")
+        Window.partitionBy(*[_qcol(k) for k in keys])
+        .orderBy(_qcol(ts), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # ONE struct carries (ts, values...) atomically: the struct is
@@ -94,7 +98,7 @@ def asof_join(
     fact = F.last(
         F.when(
             F.col("_side") == 0,
-            F.struct(F.col(ts).alias("_ts"), *[_qcol(c) for c in value_cols]),
+            F.struct(_qcol(ts).alias("_ts"), *[_qcol(c) for c in value_cols]),
         ),
         ignorenulls=True,
     ).over(w)

@@ -14,10 +14,12 @@ into driver order."""
 from __future__ import annotations
 
 from cloudpelican_lsd_spark.registry._core import (  # noqa: F401
+    FAMILIES,
     ORACLES,
     QUERIES,
     QueryFn,
     UNGATED,
+    family_of,
     register,
     register_ungated,
 )

@@ -38,3 +38,28 @@ def register_ungated(name: str):
         return fn
 
     return deco
+
+
+#: Query-name prefix -> operator family — the ONE definition shared by
+#: the lockstep gate test (family coverage over window + CORRECTNESS
+#: rows) and tools/coverage_ledger.py's freshness-debt dashboard.  A
+#: divergent copy in either place would let the dashboard schedule
+#: window rotations from staleness data the gate doesn't enforce.
+FAMILIES: dict[str, str] = {
+    "grep_": "grep", "filter_fanout": "fanout", "show_filters": "catalog",
+    "select_where": "select", "stats_": "stats", "tail_": "tail",
+    "parse_": "parse", "naive_bayes": "classifier", "search_": "search",
+    "events_": "events", "topk_": "window", "distinct_users": "distinct",
+    "user_day_setops": "setops", "outlier_": "outliers", "dedup_": "dedup",
+    "simhash_": "simhash", "corpus_": "corpus", "emb_": "similarity",
+    "text_": "text", "logs_": "logs", "multimodal_": "multimodal",
+    "json_": "json",
+}
+
+
+def family_of(name: str) -> str:
+    """Operator family for a query name ('other' when no prefix maps)."""
+    for prefix, fam in FAMILIES.items():
+        if name.startswith(prefix):
+            return fam
+    return "other"

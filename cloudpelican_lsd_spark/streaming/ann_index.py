@@ -122,9 +122,8 @@ class StreamingIvfIndexer:
         the high-water sidecar rides inside the new table directory so
         the swap publishes data and watermark atomically.
 
-        MUST run quiesced (between micro-batches or with the stream
-        stopped): a batch landing mid-rewrite would be dropped by the
-        swap.  The watermark pins the CHECKPOINT LINEAGE — epoch ids
+        Quiescence is ENFORCED (a batch landing mid-rewrite would be
+        dropped by the swap).  The watermark pins the CHECKPOINT LINEAGE — epoch ids
         restart at 0 under a fresh checkpoint, so a re-pointed stream
         needs a fresh base_dir (or delete the sidecar after wiping the
         epochs), exactly like every other epoch-idempotent sink here."""
@@ -132,6 +131,12 @@ class StreamingIvfIndexer:
 
         from cloudpelican_lsd_spark.streaming.pipeline import StreamingEngine
 
+        if self.spark.streams.active:
+            raise RuntimeError(
+                "StreamingIvfIndexer.compact: stop streaming queries "
+                "first — a micro-batch committing between the table "
+                "read and the swap would be silently erased"
+            )
         StreamingEngine._recover_swap(self.assign_path)
         if not os.path.isdir(self.assign_path):
             return

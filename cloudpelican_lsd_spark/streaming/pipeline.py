@@ -1020,11 +1020,27 @@ class NearDupSuppressor:
         is skipped whole in process_batch — its epoch dir no longer
         exists, so the drop-then-append upgrade cannot see it, and the
         folded partition must never be deleted by a replay of the
-        epoch it is keyed on.  MUST run quiesced (between
-        micro-batches or with the stream stopped), same as the
-        indexer's compact."""
+        epoch it is keyed on.  Quiescence is ENFORCED (same check as
+        StreamingEngine's rewrite sweeps): a micro-batch committing
+        between the store read and the swap would be silently erased.
+
+        The watermark pins the CHECKPOINT LINEAGE: foreachBatch epoch
+        ids restart at 0 under a fresh checkpoint, and the replay skip
+        would then silently drop every new batch — documents, not just
+        store rows — until epochs pass the old watermark.  A re-pointed
+        stream therefore needs fresh store/out dirs (or delete the
+        sidecar after wiping the epochs), exactly like the
+        StreamingIvfIndexer; note that dir reuse under a fresh
+        checkpoint was ALREADY unsafe pre-compaction (colliding epoch
+        ids replace earlier epochs' output wholesale)."""
         import json as _json
 
+        if self.spark.streams.active:
+            raise RuntimeError(
+                "NearDupSuppressor.compact: stop streaming queries "
+                "first — a micro-batch committing between the store "
+                "read and the swap would be silently erased"
+            )
         StreamingEngine._recover_swap(self.store_path)
         if not os.path.isdir(self.store_path):
             return

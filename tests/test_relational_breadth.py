@@ -410,16 +410,9 @@ def test_driver_order_lockstep():
                     if row.get("hash_match"):
                         ever_green.add(q)
     signal = first50 | ever_green
-    families = {
-        "grep_": "grep", "filter_fanout": "fanout", "show_filters": "catalog",
-        "select_where": "select", "stats_": "stats", "tail_": "tail",
-        "parse_": "parse", "naive_bayes": "classifier", "search_": "search",
-        "events_": "events", "topk_": "window", "distinct_users": "distinct",
-        "user_day_setops": "setops", "outlier_": "outliers", "dedup_": "dedup",
-        "simhash_": "simhash", "corpus_": "corpus", "emb_": "similarity",
-        "text_": "text", "logs_": "logs", "multimodal_": "multimodal",
-        "json_": "json",
-    }
+    # the prefix->family map lives in registry._core.FAMILIES — the ONE
+    # definition this gate and the coverage-ledger dashboard both use
+    families = registry.FAMILIES
     covered = {fam for n in signal for p, fam in families.items() if n.startswith(p)}
     assert covered == set(families.values()), set(families.values()) - covered
 
@@ -438,7 +431,14 @@ def test_coverage_doc_mentions_every_gated_query():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "COVERAGE.md")) as fh:
         cov = fh.read()
-    missing = [n for n in registry.QUERIES if n not in cov]
+    # word-boundary match, not substring: five registry names are
+    # prefixes of longer names (topk_per_group/..._salted,
+    # multimodal_resize/..._dims, ...) and a substring check would count
+    # the longer query's row as covering the shorter one
+    missing = [
+        n for n in registry.QUERIES
+        if not re.search(rf"\b{re.escape(n)}\b", cov)
+    ]
     assert not missing, f"COVERAGE.md lacks a row mentioning: {missing}"
     m = re.search(r"Gate totals: (\d+)", cov)
     assert m, "COVERAGE.md lost its 'Gate totals: N' line"

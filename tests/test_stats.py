@@ -184,6 +184,23 @@ def test_asof_join_reserved_and_dotted_value_cols(spark):
     assert row.asof_ts == 150
     assert row["asof_payload.kind"] == 11
 
+    # dotted KEY and ts columns must survive too (same bug class)
+    dotted_all = (
+        spark.createDataFrame(
+            [(1, 100, 10), (1, 150, 11)],
+            "user_id long, ts_epoch long, fact long",
+        )
+        .withColumnRenamed("user_id", "u.id")
+        .withColumnRenamed("ts_epoch", "t.s")
+    )
+    left2 = left.withColumnRenamed("user_id", "u.id").withColumnRenamed(
+        "ts_epoch", "t.s"
+    )
+    [row2] = asof_join(
+        left2, dotted_all, keys=["u.id"], ts="t.s", value_cols=["fact"]
+    ).collect()
+    assert row2.asof_ts == 150 and row2.asof_fact == 11
+
 
 def test_moving_zscore_math_and_gates(spark):
     # key "a": buckets 0..12 alternate 4/6 (so trailing var > 0), bucket

@@ -928,6 +928,33 @@ def test_near_dup_suppressor_store_compaction(spark, tmp_path):
     assert 10 in {r.doc_id for r in sup.kept().collect()}
 
 
+def test_compact_refuses_to_run_under_live_streams(spark, tmp_path):
+    """compact() rewrites read→tmp→swap over plain parquet: a micro-batch
+    committing mid-rewrite would be silently erased, so BOTH compactors
+    must refuse while any streaming query is active (the enforced form
+    of the docstring's quiescence requirement)."""
+    import pytest as _pytest
+
+    from cloudpelican_lsd_spark.streaming import pipeline as sp
+    from cloudpelican_lsd_spark.streaming.ann_index import StreamingIvfIndexer
+
+    sup = sp.NearDupSuppressor(
+        spark, str(tmp_path / "s"), str(tmp_path / "o")
+    )
+    ix = StreamingIvfIndexer(spark, str(tmp_path / "ivf"))
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop").start()
+    )
+    try:
+        with _pytest.raises(RuntimeError, match="stop streaming queries"):
+            sup.compact()
+        with _pytest.raises(RuntimeError, match="stop streaming queries"):
+            ix.compact()
+    finally:
+        q.stop()
+
+
 def test_eval_contamination_suppressor_compact_noop(spark, tmp_path):
     """The eval-index store has no epoch partitions (read-only, written
     once): compact() must be a safe no-op, never rewrite the index."""

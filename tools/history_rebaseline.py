@@ -34,7 +34,13 @@ def main() -> None:
         entries = [json.loads(line) for line in fh if line.strip()]
     edited = 0
     for e in entries:
-        if e.get("ts", 0) < cutoff and query in e.get("queries", {}):
+        # entries MISSING ts are skipped, not treated as pre-cutoff —
+        # silently deleting a sample from an entry whose age is unknown
+        # is exactly the kind of quiet history edit this tool exists to
+        # avoid (ts=0 sentinel entries ARE legitimately oldest)
+        if "ts" not in e:
+            continue
+        if e["ts"] < cutoff and query in e.get("queries", {}):
             del e["queries"][query]
             e.setdefault("rebaselined", []).append(
                 {"query": query, "reason": reason}
@@ -44,9 +50,16 @@ def main() -> None:
         raise SystemExit(
             f"no pre-cutoff samples of {query!r} found — nothing to do"
         )
-    with open(HISTORY, "w") as fh:
+    # atomic publish: write the full file aside and rename — a truncate-
+    # in-place interrupted mid-write would destroy the entire benchmark
+    # history (the same hazard class _swap_table documents)
+    import os
+
+    tmp = HISTORY + ".tmp"
+    with open(tmp, "w") as fh:
         for e in entries:
             fh.write(json.dumps(e, separators=(",", ":")) + "\n")
+    os.rename(tmp, HISTORY)
     print(
         f"rebaselined {query}: dropped its sample from {edited} entries "
         f"older than ts={cutoff}"
