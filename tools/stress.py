@@ -326,6 +326,27 @@ def main() -> None:
         f"in {dt:5.2f}s (epoch dirs folded into bootstrap)"
     )
 
+    # (e) the suppressor's store has the same one-dir-per-micro-batch
+    # growth; compact() folds into epoch=<max folded> (retention-aware
+    # variant) — file count must collapse the same way
+    sup = stores["1x"]
+    for ep in range(2, 9):
+        sup.process_batch(
+            probe.select(
+                (F.col("doc_id") + ep * 10_000).alias("doc_id"), "text"
+            ),
+            ep,
+        )
+    before = _file_count(sup.store_path)
+    t0 = time.time()
+    sup.compact()
+    dt = time.time() - t0
+    after = _file_count(sup.store_path)
+    print(
+        f"{'suppressor_compact(9 ep)':28s} files {before} -> {after} "
+        f"in {dt:5.2f}s (folded into epoch=<max>)"
+    )
+
     shutil.rmtree(work, ignore_errors=True)
 
     t0 = time.time()
