@@ -73,7 +73,11 @@ def _clean_stages(
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    final = deduped.join(F.broadcast(drops), "doc_id", "left_anti")
+    # join strategy left to AQE: `drops` is the near-duplicate id set,
+    # which is CORPUS-PROPORTIONAL (web-crawl near-dup rates run
+    # 10-50%), so pinning F.broadcast here would OOM the driver at the
+    # 100 TB shape; AQE still broadcasts it at harness scales
+    final = deduped.join(drops, "doc_id", "left_anti")
     return gated, deduped, final
 
 
@@ -2652,10 +2656,14 @@ def eval_decontaminate_neardup(
     sketch the dedup family already maintains (one fingerprint
     infrastructure serves dedup AND decontamination).
 
-    Scale shape: eval bands are benchmark-sized and BROADCAST; the train
-    side's band aggregate collapses map-side to <= num_hashes rows per
-    doc (the shuffle never sees shingles), then one broadcast LEFT SEMI
-    and a |sources|-row rollup.
+    Scale shape: the train side's band aggregate collapses map-side to
+    <= num_hashes rows per doc (the shuffle never sees shingles), then
+    one LEFT SEMI against the eval bands and a |sources|-row rollup.
+    The semi-join strategy is left to AQE: a real benchmark eval set is
+    MBs and broadcasts at runtime, but the harness's `doc_id %
+    eval_mod` stand-in is ~1/eval_mod OF THE CORPUS — pinning
+    `F.broadcast` would OOM at the 100 TB shape (same reasoning as
+    :func:`eval_decontaminate`).
     """
     from cloudpelican_lsd_spark.operators.dedup import minhash_band_signatures
 
@@ -2669,7 +2677,7 @@ def eval_decontaminate_neardup(
     )
     hit = (
         minhash_band_signatures(tr, num_hashes, rows_per_band, n)
-        .join(F.broadcast(ev_bands), ["band", "sig"], "left_semi")
+        .join(ev_bands, ["band", "sig"], "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -2733,10 +2741,12 @@ def decontaminate_agreement(
     release reads BOTH before choosing a removal policy, and a large
     disagreement cell is the signal to tighten the weaker rule.
 
-    Scale shape: both flag sets reuse their parent plans (broadcast
-    eval side, train shuffles never carry shingles); the agreement join
-    is doc_id-keyed over two flag relations bounded by the flagged-doc
-    count, then one |sources|-row rollup.
+    Scale shape: both flag sets reuse their parent plans (AQE-chosen
+    semi-join against the eval side — broadcast when benchmark-sized,
+    shuffled when the %-slice stand-in grows with the corpus; train
+    shuffles never carry shingles); the agreement join is doc_id-keyed
+    over two flag relations bounded by the flagged-doc count, then one
+    |sources|-row rollup.
     """
     from cloudpelican_lsd_spark.operators.dedup import (
         minhash_band_signatures,
@@ -2749,7 +2759,7 @@ def decontaminate_agreement(
     ev_sh = shingle_rows(ev, n).select("shingle").distinct()
     exact = (
         shingle_rows(tr, n)
-        .join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .join(ev_sh, "shingle", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("exact_hit", F.lit(1))
@@ -2761,7 +2771,7 @@ def decontaminate_agreement(
     )
     near = (
         minhash_band_signatures(tr, num_hashes, rows_per_band, mh_n)
-        .join(F.broadcast(ev_bands), ["band", "sig"], "left_semi")
+        .join(ev_bands, ["band", "sig"], "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("near_hit", F.lit(1))
