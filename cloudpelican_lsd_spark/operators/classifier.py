@@ -119,7 +119,16 @@ def classify(
     id_col: str = "event_id",
     raw_col: str = "_raw",
 ) -> DataFrame:
-    """`(id, pred_label)` — argmax of rounded log scores, ties → error."""
+    """`(id, pred_label)` — argmax of rounded log scores, ties → error.
+
+    The probability-table broadcast is BOUNDED by reference semantics:
+    the upstream classifier caps its training memory at 1000 samples
+    (storm/.../classifier/Classifier.java:32 `memoryCapacity = 1000`,
+    enforced at :387) and ErrorClassifierBolt.java:69 trains all of the
+    first 10k then 1-in-25 — so the model's vocabulary never grows with
+    the stream, and shipping it map-side keeps the corpus-sized `msgs`
+    from ever shuffling on token.
+    """
     toks = msgs.select(
         id_col, F.explode(F.split(F.col(raw_col), r"\s+")).alias("tok")
     )
@@ -223,6 +232,11 @@ def train_and_classify(
             / (1 + F.col("ftot"))
         ).alias("wavg_regular"),
     )
+    # probs broadcast is justified by the reference's bounded training
+    # memory (classifier memoryCapacity=1000, first-10k-then-sampled
+    # training — see classify()): the model table never grows with the
+    # stream, and shipping it map-side keeps the corpus-sized token
+    # explode from shuffling on token
     sums = (
         toks.join(F.broadcast(probs), "tok", "left")
         .groupBy(id_col, "label")

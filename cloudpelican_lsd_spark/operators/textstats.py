@@ -636,7 +636,12 @@ def unigram_microsums(docs: DataFrame) -> DataFrame:
     """`(doc_id, n_tokens, sum_micro)` — per-document token count and
     exact BIGINT sum of integer micro-nat unigram costs (the shared core
     of :func:`unigram_logprob` and the corpus perplexity splits).  One
-    token shuffle builds the vocabulary; token costs broadcast back."""
+    token shuffle builds the vocabulary; the cost-table join strategy is
+    left to AQE: the vocabulary is UNBOUNDED (Heaps-law sublinear but
+    ~1e8-1e9 distinct terms at the 100 TB shape, dominated by IDs and
+    noise tokens), so pinning `F.broadcast` would OOM the driver — AQE
+    broadcasts it while small and reuses the vocabulary exchange for a
+    shuffled join when it is not."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
@@ -649,7 +654,7 @@ def unigram_microsums(docs: DataFrame) -> DataFrame:
         .alias("micro_nll"),
     )
     return (
-        toks.join(F.broadcast(costs), "term")
+        toks.join(costs, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

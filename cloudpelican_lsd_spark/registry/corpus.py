@@ -289,8 +289,11 @@ def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle split boundaries under a doc_id-hash split — the classic
     random-split leakage a content-hash or cluster-aware split
     (corpus_split_assign, dedup_cluster_keepers) exists to prevent.
-    The pair table is tiny next to the corpus; both split lookups are
-    broadcast joins."""
+    The pair table is smaller than the corpus but CORPUS-PROPORTIONAL
+    (one row per near-dup candidate pair; web-crawl dup rates run
+    10-50%), so both split lookups are left to AQE — broadcast at
+    harness scales, shuffled doc_id-keyed joins at the 100 TB shape.
+    Either way the corpus-sized `splits` map is never the build side."""
     docs = _docs_with_dupes(spark, sf_dir)
     pairs = dedup_ops.lsh_candidate_pairs(
         docs, num_hashes=12, rows_per_band=3, n=3
@@ -305,16 +308,18 @@ def q_split_neardup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
-    # broadcast the PAIR side (tiny) against the corpus-sized split map —
-    # broadcasting splits would ship a per-document table to every executor
+    # keep the PAIR side the probe-side candidate (dup-proportional)
+    # against the corpus-sized split map; strategy left to AQE —
+    # broadcasting splits would ship a per-document table to every
+    # executor, and pinning the pair side would OOM at real dup rates
     with_a = (
         splits.withColumnRenamed("split", "split_a")
-        .join(F.broadcast(pairs), F.col("doc_id") == F.col("doc_a"))
+        .join(pairs, F.col("doc_id") == F.col("doc_a"))
         .select("doc_a", "doc_b", "split_a")
     )
     return (
         splits.withColumnRenamed("split", "split_b")
-        .join(F.broadcast(with_a), F.col("doc_id") == F.col("doc_b"))
+        .join(with_a, F.col("doc_id") == F.col("doc_b"))
         .where(F.col("split_a") != F.col("split_b"))
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))

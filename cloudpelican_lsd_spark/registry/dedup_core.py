@@ -240,8 +240,11 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What dedup buys, in tokens: per source, the token mass removed by
     keeping only the longest member of each near-dup cluster (same
     keeper policy as dedup_cluster_keepers) — the before/after report a
-    curation run publishes.  Clusters are corpus-tiny, so both joins
-    broadcast; token counting is the shared split-size column math."""
+    curation run publishes.  The cluster table has one row per
+    NEAR-DUPLICATED doc — CORPUS-PROPORTIONAL at web-crawl dup rates
+    (10-50%), so the doc_id-keyed joins are left to AQE (broadcast at
+    harness scales, shuffled at the 100 TB shape); token counting is the
+    shared split-size column math."""
     docs = _docs_with_dupes(spark, sf_dir)
     pairs = dedup_ops.lsh_candidate_pairs(docs, num_hashes=12, rows_per_band=3, n=3)
     clusters = dedup_ops.connected_components(pairs)
@@ -250,12 +253,12 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
     )
-    members = F.broadcast(clusters).join(toks, "doc_id")
+    members = clusters.join(toks, "doc_id")
     keepers = members.groupBy("cluster_id").agg(
         F.max(F.struct(F.col("n"), (-F.col("doc_id")).alias("neg_id"))).alias("m")
     ).select("cluster_id", (-F.col("m.neg_id")).alias("keeper_id"))
     removed = (
-        members.join(F.broadcast(keepers), "cluster_id")
+        members.join(keepers, "cluster_id")
         .where(F.col("doc_id") != F.col("keeper_id"))
         .groupBy("source")
         .agg(F.sum("n").cast("long").alias("removed_tokens"))

@@ -47,14 +47,16 @@ def q_dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id==cluster_id convention).  One hash aggregate with an argmax
     encoded as max(struct(n_chars, -doc_id)): no per-cluster window sort,
     map-side combinable, so the shuffle carries one candidate struct per
-    (partition, cluster) — at 100 TB the cluster table is tiny next to
-    the corpus and the join stays broadcast-able."""
+    (partition, cluster).  The cluster table is CORPUS-PROPORTIONAL
+    (one row per near-duplicated doc; web-crawl dup rates run 10-50%),
+    so the member join is left to AQE — broadcast at harness scales,
+    shuffled at the 100 TB shape — rather than pinned."""
     docs = _docs_with_dupes(spark, sf_dir)
     pairs = dedup_ops.lsh_candidate_pairs(
         docs, num_hashes=12, rows_per_band=3, n=3
     )
     clusters = dedup_ops.connected_components(pairs)
-    members = F.broadcast(clusters).join(
+    members = clusters.join(
         docs.select("doc_id", "n_chars"), "doc_id"
     )
     return (
