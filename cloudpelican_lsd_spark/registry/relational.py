@@ -97,7 +97,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 )
 def q_search_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: fact⨝dim with a conditional-aggregate ratio.
-    part is a dimension ⇒ broadcast (no shuffle of the filtered fact);
+    part joins with strategy left to AQE (broadcast at harness scales —
+    no shuffle of the filtered fact; part is SF-linear, so a pinned
+    broadcast dies at 100 TB);
     both sums are exact DECIMAL (order-insensitive) and the ratio is one
     double expression evaluated in the same operation order as the
     oracle, so the value-hash is bit-stable."""
@@ -109,7 +111,7 @@ def q_search_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, "part", sf_dir)
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (
                 (
@@ -143,7 +145,8 @@ ORDER BY rnk LIMIT 10""",
 def q_search_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window over an aggregate (TPC-H Q15 flavor).  The global
     rank() runs AFTER the groupBy has reduced lineitem to one row per
-    supplier; supplier is broadcast.  The top-10 is expressed as a
+    supplier; the supplier join (two supplier-sized relations) is left
+    to AQE.  The top-10 is expressed as a
     rank FILTER (not a post-sort limit) so Catalyst inserts
     WindowGroupLimit below the global window — each upstream partition
     forwards only its own top 10, bounding the single-partition leg to
@@ -163,7 +166,7 @@ def q_search_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
     return (
-        sr.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        sr.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),

@@ -37,7 +37,9 @@ def q_search_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     an aggregated copy (the naive self-join shuffles lineitem twice and
     materializes the agg).  Quantities ride as BIGINT so the window AVG is
     an exact-sum division (order-independent → hash-stable); revenue sums
-    through DECIMAL(25,6).  The part join broadcasts the dimension."""
+    through DECIMAL(25,6).  The part-join strategy is left to AQE —
+    part is SF-linear, so it broadcasts at harness scales and shuffles
+    at the 100 TB shape."""
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir)
     w = Window.partitionBy("l_partkey")
@@ -52,7 +54,7 @@ def q_search_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         flt.join(
-            F.broadcast(p.select("p_partkey", "p_brand")),
+            p.select("p_partkey", "p_brand"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy(F.col("p_brand").alias("brand"))
@@ -85,11 +87,12 @@ def q_search_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     common `p_partkey = l_partkey` stays an equi-join (NOT a nested-loop
     over the OR), Catalyst pushes the brand/size disjunction to the part
     scan and the quantity bounds to the lineitem scan (CNF extraction:
-    `l_quantity >= 1 AND l_quantity <= 30` is derivable), and the small
-    filtered part side broadcasts."""
+    `l_quantity >= 1 AND l_quantity <= 30` is derivable), and the
+    filtered part side's join is left to AQE (broadcast at harness
+    scales; part is SF-linear, so pinning would OOM at 100 TB)."""
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir)
-    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
     branch = (
         (
             (F.col("p_brand") == "Brand#1")

@@ -79,9 +79,11 @@ def q_search_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a window MIN over partkey on the ALREADY region-and-part
     filtered supply relation — the min is computed over exactly the
     rows the correlated subquery would see, in one pass, with no
-    re-join of an aggregated copy.  Region→nation→supplier is a
-    broadcast dimension chain; the only fact shuffle is the supply
-    aggregation on (partkey, suppkey).  Cost equality compares
+    re-join of an aggregated copy.  nation⨝region pins broadcast (25/5
+    rows); the supplier and part sides are SF-LINEAR, so those joins
+    are left to AQE (broadcast at harness scales, shuffled at 100 TB);
+    the only guaranteed fact shuffle is the supply aggregation on
+    (partkey, suppkey).  Cost equality compares
     bit-identical doubles (MIN of correctly-rounded divisions), so the
     `cost = min_cost` predicate is engine-stable."""
     sup = _supply(spark, sf_dir)
@@ -97,9 +99,9 @@ def q_search_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
     w = Window.partitionBy("partkey")
     ranked = (
-        sup.join(F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey"))
+        sup.join(eur, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
-            F.broadcast(p.select("p_partkey")),
+            p.select("p_partkey"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .select(
@@ -153,8 +155,9 @@ def q_search_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator come from the same SUM inputs, summed in DECIMAL(25,6)
     so both are exact, and the final ratio is a single double division
     of two engine-identical doubles.  Both nation roles broadcast;
-    customer/supplier joins are left to AQE (forcing them is the plan
-    that dies at 100 TB — same discipline as search_nation_volume)."""
+    customer/supplier/part joins are left to AQE (forcing them is the
+    plan that dies at 100 TB — same discipline as
+    search_nation_volume)."""
     dec = _DEC
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
@@ -176,7 +179,7 @@ def q_search_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("sn_key") == F.col("s_nationkey"))
         .join(
-            F.broadcast(p.select("p_partkey")),
+            p.select("p_partkey"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .select(
@@ -222,8 +225,10 @@ def q_search_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounted revenue).  Revenue and cost each quantize to
     DECIMAL(25,6) BEFORE the subtraction — the difference is exact and
     sums order-independently.  The `%red%` filter prunes part at the
-    scan, the filtered part side broadcasts, and lineitem→orders is the
-    one big shuffle (orderkey equi-join, AQE-replannable)."""
+    scan; the part/supplier/nation join strategies are left to AQE
+    (part and supplier are SF-linear — a pinned broadcast dies at
+    100 TB), and lineitem→orders is the one big shuffle (orderkey
+    equi-join, AQE-replannable)."""
     dec = _DEC
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir).where(F.col("p_name").like("%red%"))
@@ -235,10 +240,10 @@ def q_search_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast(dec)
     return (
         li.join(
-            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            p.select("p_partkey", "p_retailprice"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -312,7 +317,8 @@ def q_search_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     each (brand, type, size) bucket.  "Complaints" stand-in: suppliers
     with s_acctbal < 500 (the schema has no comment column; the
     excluded-set NOT IN shape is unchanged).  The NOT IN becomes a
-    broadcast LEFT ANTI join (safe here because s_suppkey is never
+    LEFT ANTI join, strategy left to AQE — the excluded supplier set
+    is SF-linear (safe here because s_suppkey is never
     NULL — a NULL in the NOT IN list would empty the SQL result, so the
     anti-join rewrite is only valid under that documented invariant).
     The part-supplier relation is the DISTINCT lineitem pair projection
@@ -331,9 +337,9 @@ def q_search_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        ps.join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
         .join(
-            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            p.select("p_partkey", "p_brand", "p_type", "p_size"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy(
@@ -388,7 +394,7 @@ def q_search_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qual = (
         pq.join(
-            F.broadcast(p.select("p_partkey")),
+            p.select("p_partkey"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .where((F.col("qt") >= 50) & (F.col("q97") * 2 > F.col("qt")))

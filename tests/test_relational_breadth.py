@@ -215,9 +215,13 @@ def test_custdist_covers_all_customers(spark, sf_dir):
 
 
 def test_disjunctive_revenue_plan_pushes_and_broadcasts(spark, sf_dir):
+    """The part join is AQE-chosen (SF-linear side, no pinned hint), so
+    collect() first — AQE finalizes the join strategy at execution, and
+    at test scale it must land on a broadcast."""
     from cloudpelican_lsd_spark.registry import QUERIES
 
     df = QUERIES["search_disjunctive_revenue"](spark, sf_dir)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # the quantity bounds reach the lineitem scan as pushed filters
