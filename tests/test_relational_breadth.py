@@ -756,3 +756,67 @@ def test_waiting_suppliers_decorrelation_equivalence(spark, sf_dir):
         key=lambda t: (-t[1], t[0]),
     )[:20]
     assert got == want
+
+
+# Frozen per-file census of forced F.broadcast( pins in production code
+# (round-7 boundedness audit).  Policy: a pin is only legal on a side
+# bounded by a CONSTANT — 1-row/k-row aggregates, nation/region (25/5
+# rows), limit-k / top-k, 2^bits value domains, backpressure-bounded
+# micro-batches, n_eval-bounded slices, the reference's 1000-sample
+# classifier memory.  Sides that grow with the corpus or scale factor
+# (vocabularies, near-dup cluster/pair/drop sets, eval %-slices,
+# part/supplier) must leave the strategy to AQE, which broadcasts them
+# at harness scales and degrades to a shuffled join instead of OOMing
+# the driver at the 100 TB shape.
+BROADCAST_PIN_CENSUS = {
+    "engine.py": 1,
+    "operators/classifier.py": 6,
+    "operators/corpus.py": 20,
+    "operators/dedup.py": 2,
+    "operators/fanout.py": 1,
+    "operators/layout.py": 4,
+    "operators/similarity.py": 31,
+    "operators/stats.py": 2,
+    "operators/textstats.py": 22,
+    "registry/core_pipeline.py": 2,
+    "registry/corpus.py": 3,
+    "registry/relational.py": 2,
+    "registry/search_ext.py": 2,
+    "registry/search_joins.py": 8,
+    "registry/search_outliers.py": 2,
+    "streaming/pipeline.py": 3,
+}
+
+
+def test_broadcast_pins_match_boundedness_census():
+    """Scale lint (round-7 broadcast audit): every forced F.broadcast(
+    in production code is accounted for in BROADCAST_PIN_CENSUS.  A new
+    pin (or a moved one) fails this test until the census is updated —
+    which is the point: updating it is the moment to answer 'is this
+    side bounded by a constant, or does it grow with the corpus?'
+    (policy in the census comment).  Counts, not line numbers, so
+    refactors inside a file stay free."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "cloudpelican_lsd_spark")
+    found = {}
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path, encoding="utf-8") as fh:
+                n = fh.read().count("F.broadcast(")
+            if n:
+                found[os.path.relpath(path, pkg)] = n
+    drift = {
+        k: (BROADCAST_PIN_CENSUS.get(k), found.get(k))
+        for k in set(found) | set(BROADCAST_PIN_CENSUS)
+        if BROADCAST_PIN_CENSUS.get(k) != found.get(k)
+    }
+    assert not drift, (
+        "forced-broadcast census drift (file: expected, found) — before "
+        "updating the census, check the new/changed pin against the "
+        f"boundedness policy in the census comment: {drift}"
+    )
