@@ -2149,13 +2149,30 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     Fractions are single BIGINT/BIGINT double divisions rounded to 6
     decimals — both engines divide identical exact integers, so the
     hashes can't drift.
+
+    Partitioning (r8, guide §2.4): every aggregation and join in the
+    panel is keyed by doc_id or a doc_id-superset key, and each input
+    row is one whole document — so ONE upfront
+    ``repartition("doc_id")`` of the compact (doc_id, text) rows
+    satisfies the clustering requirement of all five downstream
+    aggregations and both joins.  Before this, each groupBy exchanged
+    its own exploded stream: the (doc,n,gram) shuffle alone is ~9x the
+    token stream.  Now the only exchange carries the corpus text once;
+    the gram/line streams never cross the network (explode is
+    partition-local), and the aggregates run single-phase (no
+    partial/merge double hashing).
     """
-    d = docs.select(
-        "doc_id",
-        F.col("text"),
-        F.split(F.col("text"), "[ \n]").alias("w"),
-        F.length("text").alias("n_chars"),
-    ).where(F.length("text") > 0)
+    d = (
+        docs.select("doc_id", F.col("text"))
+        .where(F.length("text") > 0)
+        .repartition("doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.split(F.col("text"), "[ \n]").alias("w"),
+            F.length("text").alias("n_chars"),
+        )
+    )
 
     # --- line chain -------------------------------------------------------
     lc = (

@@ -258,10 +258,10 @@ def q_search_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_important_parts",
     """WITH v AS (
   SELECT l_partkey AS partkey,
-         SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT)) AS value_micro
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 1000000 AS BIGINT)) AS value_micro
   FROM lineitem GROUP BY 1
 ), t AS (SELECT SUM(value_micro) AS tot, COUNT(*) AS n FROM v)
-SELECT v.partkey, v.value_micro
+SELECT v.partkey, v.value_micro::BIGINT AS value_micro
 FROM v, t
 WHERE v.value_micro * 10 * t.n > 13 * t.tot""",
 )
@@ -273,28 +273,34 @@ def q_search_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part aggregate — the global total is computed FROM the grouped
     relation (no second lineitem scan), and the threshold compares
     cross-multiplied exact micro-units (no float boundary for a part
-    sitting exactly on the threshold).  The cross-multiply runs in
-    DECIMAL(38,0): the BIGINT form `value_micro * 10 * n` passes 2^63
-    around sf>=3 (tot ~2.3e17 at sf1 and the left side grows
-    ~quadratically with sf), where non-ANSI Spark would silently wrap
-    while the DuckDB oracle (whose SUMs are already exact HUGEINT)
-    stays correct — divergent engines exactly at the scale this module
-    is framed for.  DECIMAL(38,0) holds ~1e38; even sf1e6 stays under
-    1e30 on the left side."""
+    sitting exactly on the threshold).  Micro-units are derived via
+    DECIMAL(12,2) — `CAST(l_extendedprice AS DECIMAL(12,2)) * 1000000`
+    on BOTH engines — so no libm ROUND(double) sits in the value path
+    (double ROUND is engine/version-sensitive; see PITFALLS).  The
+    whole comparison chain is exact: `tot` is summed in DECIMAL(38,0)
+    (a BIGINT sum would silently wrap past 2^63 around sf~40 in
+    non-ANSI Spark while DuckDB's HUGEINT stays correct), and the
+    cross-multiply runs in DECIMAL(38,0), which holds ~1e38 — even
+    sf1e6 stays under 1e30 on the left side.  The oracle's final
+    projection casts value_micro back to BIGINT: DuckDB's SUM(BIGINT)
+    is HUGEINT, which Arrow surfaces as decimal128(38,0) and a typed
+    hasher would see Decimal vs Spark's int64 (the r7 red cell)."""
     li = load_table(spark, "lineitem", sf_dir)
     v = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 1000000).cast("long")).alias(
-            "value_micro"
-        )
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 1000000)
+            .cast("long")
+        ).alias("value_micro")
     )
     t = v.agg(
-        F.sum("value_micro").alias("tot"), F.count(F.lit(1)).alias("n")
+        F.sum(F.col("value_micro").cast("decimal(38,0)")).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
     )
     return (
         v.crossJoin(F.broadcast(t))
         .where(
             F.col("value_micro").cast("decimal(38,0)") * 10 * F.col("n")
-            > F.lit(13) * F.col("tot").cast("decimal(38,0)")
+            > F.lit(13) * F.col("tot")
         )
         .select("partkey", "value_micro")
     )
