@@ -232,13 +232,16 @@ def train_and_classify(
             / (1 + F.col("ftot"))
         ).alias("wavg_regular"),
     )
-    # probs broadcast is justified by the reference's bounded training
-    # memory (classifier memoryCapacity=1000, first-10k-then-sampled
-    # training — see classify()): the model table never grows with the
-    # stream, and shipping it map-side keeps the corpus-sized token
-    # explode from shuffling on token
+    # join strategy left to AQE (r8, ADVICE item 2): unlike classify()
+    # — whose model comes from the reference's BOUNDED training
+    # (memoryCapacity=1000) — this self-training path fits on the WHOLE
+    # input, so probs has one row per distinct token: corpus-
+    # proportional, the same unbounded-vocabulary shape the unigram
+    # cost table was unpinned for.  AQE still broadcasts it at harness
+    # scales; at 100 TB the token join degrades gracefully to a
+    # shuffle instead of OOMing the driver.
     sums = (
-        toks.join(F.broadcast(probs), "tok", "left")
+        toks.join(probs, "tok", "left")
         .groupBy(id_col, "label")
         .agg(
             F.sum(F.log(F.coalesce(F.col("wavg_error"), F.lit(0.5)))).alias("s_err"),

@@ -2568,8 +2568,11 @@ def corpus_clean_v4(
     ld = line_dedup(docs_lined, min_df=line_min_df).select(
         "doc_id", F.col("clean_text").alias("text")
     )
+    # co_partition=False: ld ends in a doc_id-keyed aggregate, so the
+    # panel's aggregations already reuse that partitioning — the panel's
+    # default upfront repartition would be a redundant corpus exchange
     pass_ids = (
-        gopher_repetition(ld)
+        gopher_repetition(ld, co_partition=False)
         .where(F.col("pass_gopher") == 1)
         .select("doc_id")
     )

@@ -3429,18 +3429,26 @@ def jl_audit(emb: DataFrame, proj_dim: int = 16, dim: int = 64) -> DataFrame:
     def sgn(i: int, j: int) -> int:
         return 1 if ((i * 73856093 + j * 19349663) >> 3) % 2 == 0 else -1
 
+    # r8: each projection/norm is ONE F.expr over a pre-joined SQL string
+    # — the previous per-term Column fold (`sum(F.col(...) ...)`) issued
+    # ~2x1024 py4j calls and spent ~7 s of the query's ~9 s BUILDING the
+    # DataFrame on the Python side (measured; plan+exec were ~3 s).  The
+    # parsed AST is identical (left-associative integer adds), so the
+    # result is bit-for-bit unchanged.
     proj = [
-        sum(
-            (F.col(f"q{i}") if sgn(i, j) == 1 else -F.col(f"q{i}"))
-            for i in range(dim)
+        F.expr(
+            " + ".join(
+                (f"q{i}" if sgn(i, j) == 1 else f"(-q{i})")
+                for i in range(dim)
+            )
         ).alias(f"y{j}")
         for j in range(proj_dim)
     ]
-    norm2 = sum(F.col(f"q{i}") * F.col(f"q{i}") for i in range(dim)).alias(
+    norm2 = F.expr(" + ".join(f"q{i} * q{i}" for i in range(dim))).alias(
         "norm2_milli2"
     )
     p = q.select("vec_id", norm2, *proj)
-    pn = sum(F.col(f"y{j}") * F.col(f"y{j}") for j in range(proj_dim)).alias(
+    pn = F.expr(" + ".join(f"y{j} * y{j}" for j in range(proj_dim))).alias(
         "proj_norm2_scaled"
     )
     return (
@@ -3516,40 +3524,48 @@ def kcenter_seeds(emb: DataFrame, k: int = 4, dim: int = 64) -> DataFrame:
 
     Exactness: milli-quantized BIGINT coordinates (the jl_audit scale
     bound), distances exact integer sums of squares; argmax resolved as
-    MAX(dist) then MIN(vec_id) among attainers — two aggregates, never a
-    float or struct comparison.
+    MAX_BY over the pair (mind, -vec_id) — an exact BIGINT-tuple
+    comparison: max distance first, ties to the smallest vec_id
+    (vec_id is unique, so the ordering is total and deterministic).
 
     100 TB shape: the k-1 iterations are a DRIVER loop over one plan
     (the kmeans family convention — collect() fetches ONE seed row per
     round, model state broadcasts); each round is one scan computing
     LEAST(running_min, dist_to_new_seed) — the running min is carried as
-    a column, so round j costs one distance evaluation, not j.
+    a column, so round j costs one distance evaluation, not j.  r8:
+    each round is ONE aggregate job — MAX_BY carries the winning row's
+    coordinates out with its distance, where the previous shape ran
+    three driver round trips per round (max dist, min id among
+    attainers, coordinate fetch): 3k-2 jobs -> k.
     """
     q = _kc_quantized(emb, dim).cache()
     first = q.orderBy("vec_id").limit(1).collect()[0]
 
     def dist_to(row) -> F.Column:
-        return sum(
-            (F.col(f"q{i}") - F.lit(int(row[f"q{i}"] or 0)))
-            * (F.col(f"q{i}") - F.lit(int(row[f"q{i}"] or 0)))
-            for i in range(dim)
+        # ONE parsed SQL string, not a per-term Column fold: the fold
+        # paid ~64 py4j round trips per round on the driver (see
+        # jl_audit); identical left-associative integer AST.
+        return F.expr(
+            " + ".join(
+                f"(q{i} - ({int(row[f'q{i}'] or 0)})) *"
+                f" (q{i} - ({int(row[f'q{i}'] or 0)}))"
+                for i in range(dim)
+            )
         )
 
     seeds = [(1, int(first["vec_id"]), 0)]
     cur = q.withColumn("mind", dist_to(first))
     for rank in range(2, k + 1):
-        agg = cur.agg(F.max("mind").alias("md")).collect()[0]
-        md = int(agg["md"])
-        nxt = (
-            cur.where(F.col("mind") == md)
-            .agg(F.min("vec_id").alias("vid"))
-            .collect()[0]
-        )
-        vid = int(nxt["vid"])
-        row = q.where(F.col("vec_id") == vid).collect()[0]
+        win = cur.agg(
+            F.max_by(
+                F.struct("vec_id", "mind", *[f"q{i}" for i in range(dim)]),
+                F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid")),
+            ).alias("w")
+        ).collect()[0]["w"]
+        md, vid = int(win["mind"]), int(win["vec_id"])
         seeds.append((rank, vid, md))
         if rank < k:
-            cur = cur.withColumn("mind", F.least(F.col("mind"), dist_to(row)))
+            cur = cur.withColumn("mind", F.least(F.col("mind"), dist_to(win)))
     spark = emb.sparkSession
     out = spark.createDataFrame(
         seeds, "seed_rank long, vec_id long, min_dist_milli2 long"

@@ -2114,7 +2114,7 @@ GOPHER_THRESHOLDS = {
 _GOPHER_LEN_M = 100_000
 
 
-def gopher_repetition(docs: DataFrame) -> DataFrame:
+def gopher_repetition(docs: DataFrame, co_partition: bool = True) -> DataFrame:
     """`(doc_id, dup_line_frac, dup_line_char_frac, top_{2,3,4}gram_char_frac,
     dup_{5..10}gram_char_frac, pass_gopher)` — the full Gopher repetition
     panel (Rae et al. 2021 Table A1): the production quality gate MassiveText,
@@ -2160,18 +2160,20 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     token stream.  Now the only exchange carries the corpus text once;
     the gram/line streams never cross the network (explode is
     partition-local), and the aggregates run single-phase (no
-    partial/merge double hashing).
+    partial/merge double hashing).  Pass ``co_partition=False`` when
+    the input is ALREADY hash-partitioned by doc_id (e.g. the v4
+    capstone feeds the line_dedup output, whose final aggregate ends
+    doc_id-partitioned) — the repartition would be a pure extra
+    exchange of the corpus there (measured +10% on corpus_clean_v4).
     """
-    d = (
-        docs.select("doc_id", F.col("text"))
-        .where(F.length("text") > 0)
-        .repartition("doc_id")
-        .select(
-            "doc_id",
-            "text",
-            F.split(F.col("text"), "[ \n]").alias("w"),
-            F.length("text").alias("n_chars"),
-        )
+    base = docs.select("doc_id", F.col("text")).where(F.length("text") > 0)
+    if co_partition:
+        base = base.repartition("doc_id")
+    d = base.select(
+        "doc_id",
+        "text",
+        F.split(F.col("text"), "[ \n]").alias("w"),
+        F.length("text").alias("n_chars"),
     )
 
     # --- line chain -------------------------------------------------------
@@ -2406,15 +2408,27 @@ def winnowing_fingerprints(
     per-position md5 recompute trades CPU for exact cross-engine
     reproducibility and embarrassing parallelism (same trade as
     cdc_chunks; a true rolling hash only helps a sequential scanner).
+
+    Partitioning (r8, guide §2.4): the window, the trailing DISTINCT,
+    and every doc-keyed aggregate/join a caller adds (density counts,
+    pair totals) require clustering by doc_id or a superset — so ONE
+    upfront ``repartition("doc_id")`` of the compact (doc_id, text)
+    rows replaces the per-position exchange the window otherwise
+    inserts: the ~len(text)-per-doc key stream stays partition-local
+    and only the corpus text crosses the network, once.
     """
     from pyspark.sql import Window
 
     m = _WINNOW_M
-    d = docs.select(
-        "doc_id",
-        F.col(text_col).alias("text"),
-        (F.length(text_col) - k + 1).alias("L"),
-    ).where(F.col("L") >= 1)
+    d = (
+        docs.select(
+            "doc_id",
+            F.col(text_col).alias("text"),
+            (F.length(text_col) - k + 1).alias("L"),
+        )
+        .where(F.col("L") >= 1)
+        .repartition("doc_id")
+    )
     pos = d.select(
         "doc_id",
         "L",
@@ -2543,9 +2557,20 @@ def winnowing_pairs(
     (ReuseExchange), the pair aggregate is keyed on compact (BIGINT,
     BIGINT), and nothing all-pairs ever materializes — worst-case join
     fan-out per hash is max_df².
+
+    Partitioning (r8): ``docfp`` feeds FOUR consumers (df count, both
+    join probes, per-doc totals).  Without an explicit exchange right
+    after the distinct, each consumer re-plans the whole fingerprint
+    chain (explode + per-position md5 + window) and only the slice
+    below that chain's own exchange is runtime-reused — the md5 work
+    ran once per consumer.  One ``repartition("fph")`` of the compact
+    (doc_id, fph) set makes THE exchange every consumer hangs off:
+    AQE stage reuse computes the chain once, and fph is exactly the
+    clustering the df count and both probes need, so they add no
+    further exchange; totals re-keys the compact set by doc_id only.
     """
     fp = winnowing_fingerprints(docs, k=k, w=w)
-    docfp = fp.select("doc_id", "fph").distinct()
+    docfp = fp.select("doc_id", "fph").distinct().repartition("fph")
     totals = docfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     rare = (
         docfp.groupBy("fph")

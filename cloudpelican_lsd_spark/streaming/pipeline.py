@@ -524,7 +524,17 @@ class StreamingEngine:
         the swap would be silently erased, so they refuse to run while any
         streaming query is active.  (At scale: a transactional table
         format, or partition-level drops like expire_results, removes the
-        restriction.)"""
+        restriction.)
+
+        SCOPE (documented, ADVICE r7): ``spark.streams.active`` sees only
+        queries started from THIS SparkSession — a stream attached from
+        another session or process against the same store directory is
+        invisible to the guard (and conversely, any unrelated stream in
+        this session blocks the sweep).  Single-process deployments (this
+        engine's harness and the reference's one-topology shape) are fully
+        covered; a multi-process deployment must serialize compaction
+        externally (lock file / scheduler), or move to a transactional
+        table format where the guard disappears entirely."""
         if self.spark.streams.active:
             raise RuntimeError(
                 f"{op}: stop streaming queries first — the table rewrite "

@@ -770,7 +770,7 @@ def test_waiting_suppliers_decorrelation_equivalence(spark, sf_dir):
 # the driver at the 100 TB shape.
 BROADCAST_PIN_CENSUS = {
     "engine.py": 1,
-    "operators/classifier.py": 6,
+    "operators/classifier.py": 5,
     "operators/corpus.py": 20,
     "operators/dedup.py": 2,
     "operators/fanout.py": 1,
@@ -806,8 +806,15 @@ def test_broadcast_pins_match_boundedness_census():
             if not fn.endswith(".py"):
                 continue
             path = os.path.join(dirpath, fn)
+            # count only non-comment code lines (r8, ADVICE item 4): a
+            # comment or docstring narrating 'F.broadcast(' must not
+            # count as a forced pin
             with open(path, encoding="utf-8") as fh:
-                n = fh.read().count("F.broadcast(")
+                n = sum(
+                    line.count("F.broadcast(")
+                    for line in fh
+                    if not line.lstrip().startswith("#")
+                )
             if n:
                 found[os.path.relpath(path, pkg)] = n
     drift = {
