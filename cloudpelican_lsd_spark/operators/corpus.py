@@ -446,6 +446,13 @@ def corpus_clean_v2(
         "doc_id",
         F.regexp_replace(F.col("clean_text"), "\n", " ").alias("text"),
     )
+    # r8 (guide §3.3): docs2 fans out into _clean_stages AND (twice) the
+    # decontamination tail; truncating lineage here computes the line
+    # dedup once and keeps every downstream DataFrame op from
+    # re-analyzing its tree — 6.0 s -> 4.6 s session-median A/B at
+    # sf0.1, outputs bit-identical.  localCheckpoint locally; reliable
+    # checkpoint() on a real cluster (see corpus_clean_v4).
+    docs2 = docs2.localCheckpoint(eager=True)
     _, _, final = _clean_stages(
         docs2, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
     )
@@ -528,6 +535,9 @@ def corpus_clean_v3(
         )
         .where(keep)
     )
+    # r8 (guide §3.3): same fan-out truncation as v2/v4 — 4.4 s ->
+    # 3.3 s session-median A/B at sf0.1, outputs bit-identical
+    docs3 = docs3.localCheckpoint(eager=True)
     _, _, final = _clean_stages(
         docs3, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
     )
@@ -2588,6 +2598,19 @@ def corpus_clean_v4(
         )
         .where(keep)
     )
+    # r8 (guide §3.3/§5): truncate lineage at the pipeline's widest
+    # fan-out point.  docs4 is consumed by _clean_stages AND (twice) by
+    # _decontaminate; every consumer's DataFrame op re-analyzes the full
+    # line-dedup + Gopher-panel + C4 tree, blowing the STATIC plan up to
+    # 150 exchanges / 120 parquet scans and costing ~7 s of driver-side
+    # analysis per invocation at sf0.1 (measured: build 7.2 s / plan
+    # 0.8 s / exec 8.2 s).  Materializing the compact gated corpus once
+    # cuts the query to half: 18.1 s -> 9.2 s session-median A/B,
+    # outputs bit-identical.  Same doctrine as connected components'
+    # per-round checkpoint: localCheckpoint here; swap to reliable
+    # checkpoint() on a real cluster (executor loss otherwise forces a
+    # full recompute, not an incorrect result).
+    docs4 = docs4.localCheckpoint(eager=True)
     _, _, final = _clean_stages(
         docs4, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
     )

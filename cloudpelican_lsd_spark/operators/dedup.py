@@ -298,23 +298,39 @@ def _group_pairs(
     key would otherwise emit a spurious self-pair.  ``max_group`` caps the
     group size (skew guard; see ngram_jaccard_pairs' max_df).
 
-    The cap is enforced BEFORE the collect: oversized buckets are excluded
-    with a broadcast anti-join on the (by definition tiny) hot-bucket
-    list, so no reducer ever materializes a degenerate bucket's member
-    set — filtering on ``size(mem)`` after collecting would bound the
-    *output* but not the aggregation state that builds it.  The count
-    pre-pass is map-side combinable (one row per bucket per mapper);
-    callers' inputs carry distinct members per bucket, so COUNT(*) is the
-    set size.
+    The cap is enforced BEFORE the collect, via a window COUNT over one
+    explicit-count exchange on ``group_keys``: callers' inputs carry
+    distinct members per bucket, so COUNT(*) over the bucket is the set
+    size, and filtering on it drops oversized buckets before any
+    collect_set state is built (filtering on ``size(mem)`` after
+    collecting would bound the *output* but not the aggregation state).
+    r8 shape change: the previous count-pre-pass + broadcast-anti-join
+    consumed ``rows`` TWICE — Spark plans the two consumers as separate
+    subtrees, so every caller's upstream (exploded shingle / chunk-md5 /
+    band-hash chains over the whole corpus) was computed twice and
+    exchanged twice.  The window form computes the upstream once and
+    exchanges it once; WindowExec buffers one bucket at a time in a
+    disk-spillable row array, so a degenerate bucket costs bounded
+    memory and is dropped before the collect.  The exchange uses an
+    explicit partition count (exempt from AQE bytes-based coalescing)
+    because everything downstream — window, collect, posexplode pair
+    expansion — is row-amplifying work AQE undercounts (see
+    ``_spread_explode_input``).  The groupBy then reuses the window's
+    hash partitioning: one exchange total.
     """
     if max_group is not None:
-        hot = (
-            rows.groupBy(*group_keys)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > max_group)
-            .select(*group_keys)
+        from pyspark.sql import Window
+
+        n_part = int(
+            rows.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        rows = rows.join(F.broadcast(hot), group_keys, "left_anti")
+        w = Window.partitionBy(*group_keys)
+        rows = (
+            rows.repartition(n_part, *group_keys)
+            .withColumn("_gp_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_gp_df") <= max_group)
+            .drop("_gp_df")
+        )
     grouped = rows.groupBy(*group_keys).agg(
         F.sort_array(F.collect_set(F.struct(*member_cols))).alias("mem")
     )

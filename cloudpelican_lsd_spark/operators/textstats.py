@@ -22,6 +22,23 @@ EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
 _PUNCT_RE = "[^.,!?;:]"
 
 
+def keyed_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition by ``cols`` with an EXPLICIT partition count
+    (``spark.sql.shuffle.partitions`` — driver-sized on a cluster, the
+    local default here).  A plain ``repartition(col)`` is
+    REPARTITION_BY_COL, which AQE coalesces by post-shuffle BYTES; the
+    callers here feed row-AMPLIFYING explodes (per-position md5,
+    n-gram streams) whose work AQE undercounts by the amplification
+    factor — measured at sf0.1: the compact doc exchange coalesced to
+    one partition and serialized ~4M md5 calls onto one core (the same
+    failure class ``dedup._spread_explode_input`` documents for
+    round-robin inputs).  An explicit-count exchange is exempt from
+    AQE coalescing, so the explode work keeps the configured
+    parallelism at every scale."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *cols)
+
+
 def stop_count_expr(text_col: str = "text"):
     """Column: number of whitespace tokens of lower(text) that are English
     stopwords — the shared building block of lang_id / quality_score /
@@ -219,40 +236,51 @@ def cdc_chunks(
     update saves CPU only in a sequential scan — per-position md5 is
     embarrassingly parallel and oracle-reproducible, same output.
     Docs shorter than `window` form one chunk.
+
+    Partitioning (r8, guide §2.4): the end-of-doc sentinel boundary is
+    folded INTO the position explode (``concat(sequence(...),
+    array(len))``) instead of a second scan unioned on — a Union
+    discards child partitioning, so the previous shape's window
+    re-exchanged (doc_id, full text, b) PER BOUNDARY ROW: ~len/divisor
+    text copies per doc (~64x corpus bytes at the defaults).  With one
+    upfront ``repartition("doc_id")`` of the compact doc rows, the
+    explode, boundary filter, lag window and chunk md5 all run
+    partition-local; the only exchange carries the corpus text once.
     """
     from pyspark.sql import Window
 
-    ln = F.length("text")
-    # boundary candidate positions: window end i in [window, len-1]; the
-    # last position is excluded (a boundary there would add an empty
-    # tail chunk the oracle's generate_series also avoids)
-    pos = docs.select(
+    base = (
+        keyed_repartition(
+            docs.select("doc_id", "text", F.length("text").alias("doc_len")),
+            "doc_id",
+        )
+    )
+    # boundary candidate positions: window end i in [window, len-1] (a
+    # boundary at len would add an empty tail chunk the oracle's
+    # generate_series also avoids) + the end-of-doc sentinel at len
+    pos = base.select(
         "doc_id",
         "text",
-        ln.alias("len"),
+        "doc_len",
         F.explode(
             F.expr(
-                f"CASE WHEN length(text) > {window}"
-                f" THEN sequence({window}, length(text) - 1) ELSE array() END"
+                f"concat(CASE WHEN doc_len > {window}"
+                f" THEN sequence({window}, doc_len - 1) ELSE array() END,"
+                f" array(doc_len))"
             )
         ).alias("i"),
     )
     bounds = pos.where(
         F.expr(
-            f"cast(conv(substring(md5(substring(text, i - {window - 1}, {window})), 1, 8),"
+            f"i = doc_len OR"
+            f" cast(conv(substring(md5(substring(text, i - {window - 1}, {window})), 1, 8),"
             f" 16, 10) as bigint) % {divisor} = 0"
         )
-    ).select("doc_id", "text", "len", F.col("i").alias("b"))
-    # chunk k spans (prev boundary, this boundary]; the final chunk spans
-    # (last boundary, len] and is synthesized by unioning a len sentinel
-    sentinel = docs.select(
-        "doc_id", "text", ln.alias("len"), ln.alias("b")
-    )
+    ).select("doc_id", "text", F.col("i").alias("b"))
     w = Window.partitionBy("doc_id").orderBy("b")
     return (
-        bounds.unionByName(sentinel)
-        .withColumn("prev_b", F.coalesce(F.lag("b").over(w), F.lit(0)))
-        .where(F.col("b") > F.col("prev_b"))  # len==last boundary dedup
+        bounds.withColumn("prev_b", F.coalesce(F.lag("b").over(w), F.lit(0)))
+        .where(F.col("b") > F.col("prev_b"))  # zero-length doc guard
         .select(
             "doc_id",
             (F.col("prev_b") + 1).cast("long").alias("chunk_start"),
@@ -2168,7 +2196,7 @@ def gopher_repetition(docs: DataFrame, co_partition: bool = True) -> DataFrame:
     """
     base = docs.select("doc_id", F.col("text")).where(F.length("text") > 0)
     if co_partition:
-        base = base.repartition("doc_id")
+        base = keyed_repartition(base, "doc_id")
     d = base.select(
         "doc_id",
         "text",
@@ -2427,8 +2455,8 @@ def winnowing_fingerprints(
             (F.length(text_col) - k + 1).alias("L"),
         )
         .where(F.col("L") >= 1)
-        .repartition("doc_id")
     )
+    d = keyed_repartition(d, "doc_id")
     pos = d.select(
         "doc_id",
         "L",
@@ -2570,7 +2598,7 @@ def winnowing_pairs(
     further exchange; totals re-keys the compact set by doc_id only.
     """
     fp = winnowing_fingerprints(docs, k=k, w=w)
-    docfp = fp.select("doc_id", "fph").distinct().repartition("fph")
+    docfp = keyed_repartition(fp.select("doc_id", "fph").distinct(), "fph")
     totals = docfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     rare = (
         docfp.groupBy("fph")

@@ -102,6 +102,32 @@ def test_group_pairs_matches_combinations(spark):
     assert got == want
 
 
+def test_group_pairs_max_group_drops_hot_buckets(spark):
+    """The r8 window-count skew guard must keep the exact pre-r8
+    semantics: a bucket with MORE than max_group distinct members emits
+    no pairs at all; buckets at or under the cap emit all pairs."""
+    rng = random.Random(7)
+    rows = list({(rng.randint(0, 7), rng.randint(0, 30)) for _ in range(120)})
+    df = spark.createDataFrame(rows, ["bucket", "doc_id"])
+    cap = 6
+    got = {
+        (r.x.doc_id, r.y.doc_id)
+        for r in dedup_ops._group_pairs(
+            df, ["bucket"], ["doc_id"], max_group=cap
+        ).collect()
+    }
+    by_bucket: dict[int, set[int]] = {}
+    for b, d in rows:
+        by_bucket.setdefault(b, set()).add(d)
+    want = {
+        pair
+        for mem in by_bucket.values()
+        if len(mem) <= cap
+        for pair in itertools.combinations(sorted(mem), 2)
+    }
+    assert got == want
+
+
 def test_salted_topk_with_ties_matches_reference(spark):
     rng = random.Random(99)
     rows = [

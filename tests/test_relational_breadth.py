@@ -772,7 +772,10 @@ BROADCAST_PIN_CENSUS = {
     "engine.py": 1,
     "operators/classifier.py": 5,
     "operators/corpus.py": 20,
-    "operators/dedup.py": 2,
+    # r8: _group_pairs' hot-bucket anti-join pin removed — the cap is now
+    # a window COUNT filter over the (single) group-key exchange, so the
+    # upstream is computed once and no broadcast is involved
+    "operators/dedup.py": 1,
     "operators/fanout.py": 1,
     "operators/layout.py": 4,
     "operators/similarity.py": 31,
