@@ -150,11 +150,19 @@ def zorder_locality_audit(
     one dimension.  Requires ``ts_epoch`` (long seconds) and ``user_id``
     columns (sources.tables.load_table's events schema).
     """
+    # r8 (guide §2.4/§5): materialize the compact (x, y, event_id)
+    # projection ONCE.  Both layout passes and every consumer inside
+    # _exact_ntile_chunks (histogram, ranked join) otherwise re-read the
+    # events scan — 6 static parquet scans for one audit.  The
+    # projection is three small ints per event, strictly fewer bytes
+    # than six column-pruned scans at any scale.  Interleaved A/B at
+    # sf0.1: 3.66 -> 2.66 s median, 5/5 pairwise.  localCheckpoint
+    # locally; reliable checkpoint() on a real cluster.
     d = events.select(
         (F.col("user_id") % (1 << xbits)).alias("x"),
         F.expr("(ts_epoch div 86400) % " + str(1 << ybits)).alias("y"),
         "event_id",
-    )
+    ).localCheckpoint(eager=True)
     out = []
     for layout, key in (
         ("linear_day_user", F.expr("y * " + str(1 << xbits) + " + x")),

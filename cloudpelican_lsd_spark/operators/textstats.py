@@ -2879,6 +2879,16 @@ def kneser_ney_logprob(docs: DataFrame) -> DataFrame:
         F.element_at("w", F.col("i")).alias("cur"),
         F.when(F.col("i") > 1, F.element_at("w", F.col("i") - 1)).alias("prev"),
     )
+    # r8 (guide §2.4/§5): `occ` is a scan+explode with NO exchange, so
+    # runtime exchange reuse cannot collapse its consumers — and KN has
+    # four of them (uni, bi, first, rest): the corpus was re-scanned,
+    # re-lowered and re-exploded per consumer (8 static parquet scans).
+    # Materializing the token stream once is the repo's "one token
+    # shuffle" doctrine.  Interleaved A/B at sf0.1: 1.76 -> 1.44 s
+    # median, 4/4 pairwise.  bigram_logprob measured NEUTRAL under the
+    # same change (fewer consumers) and stays lazy.  localCheckpoint
+    # locally; reliable checkpoint() on a real cluster.
+    occ = occ.localCheckpoint(eager=True)
     uni = occ.groupBy("cur").agg(F.count(F.lit(1)).alias("c1"))
     total = uni.agg(F.sum("c1").alias("total"))
     bi = (
