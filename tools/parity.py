@@ -55,6 +55,37 @@ def validate_only(only: set[str], known) -> None:
         )
 
 
+#: DuckDB DESCRIBE types Spark can emit losslessly through Arrow — the
+#: oracle output-type lint (VERDICT r7: an un-cast SUM(BIGINT) surfaces
+#: as HUGEINT/decimal128 and the driver's TYPED hasher red-flags a
+#: numerically-correct engine).  Kept in sync with
+#: tests/test_oracle_types.py, which runs the same lint in the suite.
+SPARK_EMITTABLE = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "TIMESTAMP", "TIMESTAMP_NS", "DATE", "BOOLEAN", "BLOB",
+}
+
+
+def lint_oracle_types(con, oracles: dict[str, str], only: set[str]) -> None:
+    """Fail LOUD before any comparison when an oracle emits a type Spark
+    cannot: value-multiset parity would PASS here (Python int == int)
+    while the driver's Arrow-typed hash gate reds — the exact r7
+    search_important_parts disagreement this lint prevents."""
+    violations = []
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        for row in con.sql(f"DESCRIBE ({sql})").fetchall():
+            base = row[1].strip().removesuffix("[]").strip()
+            if base not in SPARK_EMITTABLE:
+                violations.append(f"{name}.{row[0]}: {row[1]}")
+    if violations:
+        raise SystemExit(
+            "parity: oracle output-type lint FAILED (cast in the final "
+            "projection, e.g. ::BIGINT after SUM): " + "; ".join(violations)
+        )
+
+
 def main() -> int:
     args = sys.argv[1:]
     # --count-only: compare ROW COUNTS without collecting values — the
@@ -85,6 +116,7 @@ def main() -> int:
         )
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    lint_oracle_types(con, oracles, only)
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
