@@ -3534,6 +3534,19 @@ def gopher_sensitivity(docs: DataFrame) -> DataFrame:
     eleven rule rollups — the per-rule aggregates are conditional sums
     over the SAME fraction relation, so the corpus is scanned once.
     Exact BIGINT counts + integer ppm.
+
+    Lazy shape (r8, guide §5 "the driver should do almost no data
+    work"): the per-rule unpivot is an 11-row LITERAL rules relation
+    cross-joined onto the broadcast one-row aggregate, selecting each
+    rule's counters by rule index — the former collect() +
+    createDataFrame at BUILD time made this the registry's one
+    driver-materialized hot query (PLANS.md mode=driver-mat, an
+    ExistingRDD stub hiding the panel cost from every plan audit) and
+    re-ran the whole panel inside DataFrame construction.  Values are
+    bit-identical: same single-pass aggregate, same integer arithmetic
+    (`nf * 1e6 div greatest(total, 1)` mirrors the oracle's
+    `SUM(f_i)*1000000 // greatest(COUNT(*), 1)` exactly, floor
+    division on non-negative BIGINTs).
     """
     fr = gopher_repetition(docs).drop("pass_gopher")
     names = list(GOPHER_THRESHOLDS.items())
@@ -3557,22 +3570,25 @@ def gopher_sensitivity(docs: DataFrame) -> DataFrame:
             .cast("long")
             .alias(f"ns_{i}")
         )
-    row = fails.agg(*aggs).collect()[0]
-    total = max(int(row["total"]), 1)
-    out = [
-        (
-            name,
-            float(thr),
-            int(row[f"nf_{i}"]),
-            int(row[f"ns_{i}"]),
-            int(row[f"nf_{i}"]) * 1_000_000 // total,
-        )
-        for i, (name, thr) in enumerate(names)
-    ]
-    return docs.sparkSession.createDataFrame(
-        out,
-        "rule string, threshold double, n_fail long, n_sole_fail long,"
-        " fail_ppm long",
+    row = fails.agg(*aggs)
+    rules = docs.sparkSession.createDataFrame(
+        [(i, name, float(thr)) for i, (name, thr) in enumerate(names)],
+        "rule_i int, rule string, threshold double",
+    )
+    nf_case = " ".join(
+        f"WHEN rule_i = {i} THEN nf_{i}" for i in range(len(names))
+    )
+    ns_case = " ".join(
+        f"WHEN rule_i = {i} THEN ns_{i}" for i in range(len(names))
+    )
+    return rules.crossJoin(F.broadcast(row)).select(
+        "rule",
+        "threshold",
+        F.expr(f"CASE {nf_case} END").alias("n_fail"),
+        F.expr(f"CASE {ns_case} END").alias("n_sole_fail"),
+        F.expr(
+            f"(CASE {nf_case} END) * 1000000 div greatest(total, 1)"
+        ).alias("fail_ppm"),
     )
 
 

@@ -2078,7 +2078,17 @@ def test_gopher_sensitivity_consistency(spark, sf_dir):
     docs = ts.split_into_lines(
         load_table(spark, "documents", sf_dir), words_per_line=10
     )
-    rows = {r["rule"]: r for r in ts.gopher_sensitivity(docs).collect()}
+    sens = ts.gopher_sensitivity(docs)
+    # r8 lazy-unpivot shape: the panel must be IN the query plan (a
+    # parquet scan reachable from the output).  The former
+    # collect()+createDataFrame builder planned as a single ExistingRDD
+    # stub — driver-side data work (guide §5) that also hid the panel
+    # cost from every plan audit.  The 11-row literal rules relation is
+    # still an ExistingRDD leaf; the property pinned here is that the
+    # corpus scan is not.
+    plan = sens._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan or "FileScan" in plan
+    rows = {r["rule"]: r for r in sens.collect()}
     assert set(rows) == set(ts.GOPHER_THRESHOLDS)
     panel = ts.gopher_repetition(docs).collect()
     n_docs = len(panel)

@@ -780,7 +780,10 @@ BROADCAST_PIN_CENSUS = {
     "operators/layout.py": 4,
     "operators/similarity.py": 31,
     "operators/stats.py": 2,
-    "operators/textstats.py": 22,
+    # r8 round close: +1 — gopher_sensitivity's lazy unpivot broadcasts
+    # its ONE-ROW panel aggregate onto the 11-row literal rules relation
+    # (bounded by construction: a global agg is exactly one row)
+    "operators/textstats.py": 23,
     "registry/core_pipeline.py": 2,
     "registry/corpus.py": 3,
     "registry/relational.py": 2,

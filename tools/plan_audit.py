@@ -62,7 +62,12 @@ def global_windows(plan: str) -> list[str]:
     return hits
 
 
-def audit(plan: str) -> dict:
+def audit(plan: str, detail: str | None = None) -> dict:
+    # `plan` is the SIMPLE explain (stable node markers for the
+    # counters); `detail` the FORMATTED explain, whose Arguments lines
+    # carry each leaf RDD's provenance ("at localCheckpoint" vs
+    # "applySchemaToPythonRDD") — the signal the mode column needs.
+    detail = detail if detail is not None else plan
     return {
         "global_window": len(global_windows(plan)),
         "shuffles": len(
@@ -81,19 +86,31 @@ def audit(plan: str) -> dict:
         # r8 (VERDICT r7 wrong-#3): a query whose explained plan reads
         # from a materialized intermediate is NOT free — its real cost
         # lives in the jobs that produced the intermediate.  Stamp the
-        # row so 0-shuffle cannot be read as 0-cost:
-        #   iterative    — ExistingRDD leaf (localCheckpoint rounds, e.g.
-        #                  connected components; per-round cost in code)
-        #   driver-mat.  — LocalTableScan leaf with no parquet scan
-        #                  (collect()+createDataFrame driver loops, e.g.
-        #                  k-center seeds, gopher sensitivity)
+        # row so 0-shuffle cannot be read as 0-cost.  The leaf's RDD
+        # provenance string disambiguates (refined at r8 close):
+        #   iterative    — a checkpoint leaf ("at localCheckpoint" /
+        #                  "at checkpoint"): localCheckpoint rounds or
+        #                  stage materialization (connected components,
+        #                  the clean pipelines); per-round cost in code
+        #   driver-mat.  — a collected-and-rewrapped result with NO
+        #                  parquet scan left in the plan
+        #                  (collect()+createDataFrame driver loops,
+        #                  e.g. k-center seeds): LocalTableScan or an
+        #                  applySchemaToPythonRDD ExistingRDD leaf
+        #   lazy         — everything else; a LITERAL local relation
+        #                  (e.g. an 11-row rules table) next to real
+        #                  parquet scans does not hide any cost
         "mode": (
             "iterative"
-            if re.search(r"Scan ExistingRDD|ExistingRDD", plan)
+            if re.search(r"at (local|reliable)?[Cc]heckpoint", detail)
             else (
                 "driver-mat"
-                if re.search(r"LocalTableScan", plan)
-                and not re.search(r"FileScan parquet|Scan parquet", plan)
+                if (
+                    re.search(
+                        r"LocalTableScan|applySchemaToPythonRDD", detail
+                    )
+                    and not re.search(r"FileScan parquet|Scan parquet", plan)
+                )
                 else "lazy"
             )
         ),
@@ -120,7 +137,12 @@ def main() -> None:
                 "simple"
             )
         )
-        rows.append((name, audit(plan)))
+        detail = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        rows.append((name, audit(plan, detail)))
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write(
             "# PLANS — physical-plan audit of every registered query\n\n"
@@ -140,16 +162,19 @@ def main() -> None:
             )
         fh.write(
             "\n## Reading notes\n\n"
-            "- **mode** (r8): `lazy` = the numbers above ARE the query's\n"
-            "  cost.  `iterative` = the explained object reads a\n"
-            "  localCheckpoint-truncated lineage (ExistingRDD leaf): the\n"
-            "  real cost is the per-round jobs documented at the operator\n"
-            "  (connected components, perplexity cutpoints, clean-v4's\n"
-            "  checkpointed stages).  `driver-mat` = the result was\n"
-            "  assembled on the driver from collect()ed aggregates\n"
-            "  (k-center seeds, gopher sensitivity): the cost is the\n"
-            "  pre-collect jobs, not this LocalTableScan.  Never read a\n"
-            "  0-shuffle non-`lazy` row as free.\n"
+            "- **mode** (r8; leaf provenance refined at round close):\n"
+            "  `lazy` = the numbers above ARE the query's cost.\n"
+            "  `iterative` = the plan reads a checkpoint-truncated lineage\n"
+            "  (a leaf whose RDD provenance says `at localCheckpoint`):\n"
+            "  the real cost is the per-round / per-stage jobs documented\n"
+            "  at the operator (connected components, perplexity\n"
+            "  cutpoints, clean-v4's checkpointed stages).  `driver-mat`\n"
+            "  = the result was assembled on the driver from collect()ed\n"
+            "  aggregates (k-center seeds): the cost is the pre-collect\n"
+            "  jobs, not this local-relation scan.  A LITERAL local\n"
+            "  relation (e.g. gopher_sensitivity's 11-row rules table)\n"
+            "  beside real parquet scans does NOT mark a row non-lazy.\n"
+            "  Never read a 0-shuffle non-`lazy` row as free.\n"
             "- **python > 0** only where Python is the design: outlier\n"
             "  consensus (`applyInPandas` numpy analyzers) and multimodal\n"
             "  decode (`mapInPandas`).  Everything else runs JVM-side in\n"
