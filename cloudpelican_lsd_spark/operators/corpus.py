@@ -2150,8 +2150,15 @@ def decontaminate_ngram_sweep(
     """
     is_eval = F.col("doc_id") % eval_mod == 0
 
+    # _spread (guide §2.5): the fused shingle explode is heavy per-row
+    # CPU (x3 rule lengths); a single-split local scan otherwise runs
+    # the whole train-side chain as ONE 2.8 s task (measured sf0.1).
+    # No-op at scale (gated on scan split count), so the 100 TB path
+    # adds no exchange.
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
     def fused_shingles(side: DataFrame) -> DataFrame:
-        pos = side.select(
+        pos = _spread(side).select(
             "doc_id", F.expr("split(lower(text), ' ')").alias("toks")
         ).select(
             "doc_id",

@@ -36,7 +36,19 @@ def _with_norm(emb: DataFrame) -> DataFrame:
     Zero-norm vectors are dropped: cosine is undefined for them, and under
     ANSI mode (Spark 4 default) the division would abort the whole job.
     The oracles carry the same ``nrm > 0`` predicate.
+
+    The scan is ``_spread`` (guide §2.5 "input skew: one huge file →
+    repartition after the read"): every consumer feeds the 64-term dot /
+    bucket / quantization chains, whose per-row CPU a single-split scan
+    serializes onto one core (measured sf0.1: dedup_embedding_cosine ran
+    its whole pair chain in ONE 2.0 s task; margin_scoring's candidate
+    probe 1.9 s, both shuffle-read 0).  ``_spread`` is a no-op whenever
+    the scan already has >= defaultParallelism splits — the 100 TB read
+    path keeps zero added exchanges.
     """
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
+    emb = _spread(emb)
     return emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -916,7 +928,7 @@ def nearest_centroid_assign(emb: DataFrame) -> DataFrame:
     )
 
 def semantic_prune(
-    emb: DataFrame, tau_num: int = 3, tau_den: int = 10
+    emb: DataFrame, tau_num: int = 3, tau_den: int = 10, pair_blocks: int = 8
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster the embedding space, then prune near-duplicate vectors WITHIN
@@ -940,7 +952,29 @@ def semantic_prune(
     (one data shuffle), the pair join is equi-keyed on `clabel` — no
     all-pairs anywhere; per-pair dot is a JVM zip_with fold over the two
     64-element arrays, so pair rows never explode into element rows.
+
+    Pair-join parallelism (r8, guide §2.5): `clabel` alone is a LOW-
+    CARDINALITY, size-skewed join key — per-key work is QUADRATIC in
+    cluster size while exchange bytes are linear, so both AQE coalescing
+    (bytes-based) and AQE skew-join (bytes-based, join-output-blind)
+    undercount it; measured at sf0.1 the whole 400k-pair evaluation ran
+    as ONE 3.7 s task.  Each side is therefore block-salted
+    DETERMINISTICALLY (`pmod(vec_id, pair_blocks)`): side `a` carries
+    its own block `ba` replicated across every partner block `bb`, side
+    `b` the mirror, and the join keys become `(clabel, ba, bb)` —
+    `k·pair_blocks²` keys, each holding exactly the (x, y) pairs with
+    `pmod(x)=ba, pmod(y)=bb`, so every qualifying pair appears exactly
+    once and the result is bit-identical.  Cost: each member row crosses
+    the exchange `pair_blocks` times (compact rows, bounded, scale-
+    independent); benefit: per-task pair work drops by pair_blocks² and
+    a degenerate giant cluster can no longer serialize onto one core at
+    ANY scale.  The exchanges use an explicit partition count
+    (`keyed_repartition`) for the same AQE-undercount reason.
+    Measured sf0.1: 3.4 s → 1.26 s median (order-alternated A/B,
+    outputs bit-identical).
     """
+    from cloudpelican_lsd_spark.operators.textstats import keyed_repartition
+
     assigned = nearest_centroid_assign(emb).select("vec_id", "clabel")
     q = emb.select(
         "vec_id",
@@ -957,10 +991,22 @@ def semantic_prune(
         ),
     )
     members = q.join(assigned, "vec_id")
-    a, b = members.alias("a"), members.alias("b")
+    nb = int(pair_blocks)
+    a = keyed_repartition(
+        members.withColumn("ba", F.pmod(F.col("vec_id"), F.lit(nb)))
+        .withColumn("bb", F.explode(F.expr(f"sequence(0, {nb - 1})"))),
+        "clabel", "ba", "bb",
+    ).alias("a")
+    b = keyed_repartition(
+        members.withColumn("bb", F.pmod(F.col("vec_id"), F.lit(nb)))
+        .withColumn("ba", F.explode(F.expr(f"sequence(0, {nb - 1})"))),
+        "clabel", "ba", "bb",
+    ).alias("b")
     pairs = a.join(
         b,
         (F.col("a.clabel") == F.col("b.clabel"))
+        & (F.col("a.ba") == F.col("b.ba"))
+        & (F.col("a.bb") == F.col("b.bb"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.clabel").alias("clabel"),
@@ -3424,6 +3470,15 @@ def jl_audit(emb: DataFrame, proj_dim: int = 16, dim: int = 64) -> DataFrame:
         ).alias(f"q{i}")
         for i in range(dim)
     ]
+    # NOT _spread here (r8, measured): splitting the scan from the
+    # projection with a round-robin exchange regressed 2.4-3.0 s ->
+    # 4.4-8 s steady-state at sf0.1 — the single fused
+    # scan+project+filter codegen stage beats 32-way parallelism of the
+    # post-shuffle stage for this pure-codegen shape (the exchange
+    # breaks the fusion and the scan-side stage alone then costs more
+    # than the whole fused run).  Contrast _with_norm, where the
+    # downstream chains are join/window-heavy and the spread measured
+    # 2-3x faster.
     q = emb.select("vec_id", *qcols)
     # deterministic Rademacher sign for (i, j): parity of an integer mix
     def sgn(i: int, j: int) -> int:

@@ -1128,7 +1128,14 @@ def bm25_topk(
         raise ValueError("bm25_topk: query term list is empty")
     dec = "decimal(38,0)"
     nt = len(terms)
-    wide = docs.select(
+    # _spread (guide §2.5): the per-term tf projection (split + nt
+    # array_remove passes per row) is pure per-row CPU; a single-split
+    # local scan serializes both the stats and scoring passes onto one
+    # core (measured sf0.1: hybrid_retrieval_topk's 0.8 s single task).
+    # No-op at scale (gated on scan split count).
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
+    wide = _spread(docs).select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     ).select(
         "doc_id",

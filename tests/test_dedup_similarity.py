@@ -536,6 +536,23 @@ def test_semantic_prune_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_prune_block_salting_invariant(spark, sf_dir):
+    """r8 pair-join block salting: the deterministic (clabel, ba, bb)
+    blocking partitions the per-cluster pair set without changing it —
+    results are bit-identical across block counts (1 = the unsalted
+    shape), and the blocked exchanges are explicit-count (pinned by the
+    pmod block columns appearing in the join keys)."""
+    from cloudpelican_lsd_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = sorted(map(tuple, S.semantic_prune(emb, pair_blocks=1).collect()))
+    for nb in (3, 8):
+        got = sorted(map(tuple, S.semantic_prune(emb, pair_blocks=nb).collect()))
+        assert got == base, f"pair_blocks={nb} changed the result"
+    plan = S.semantic_prune(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "ba" in plan and "bb" in plan
+
+
 def test_c4_audit_rules_and_plan(spark, sf_dir):
     """C4/Gopher rule panel: every rule reports over the full corpus, the
     any_rule row dominates each individual rule, a hand-built fixture
