@@ -2589,15 +2589,19 @@ def corpus_clean_v4(
     """
     from cloudpelican_lsd_spark.operators.textstats import (
         gopher_repetition,
+        keyed_repartition,
         line_dedup,
     )
 
     ld = line_dedup(docs_lined, min_df=line_min_df).select(
         "doc_id", F.col("clean_text").alias("text")
     )
-    # co_partition=False: ld ends in a doc_id-keyed aggregate, so the
-    # panel's aggregations already reuse that partitioning — the panel's
-    # default upfront repartition would be a redundant corpus exchange
+    # co_partition=False: ld ends in line_dedup's EXPLICIT-count doc_id
+    # exchange (r8 — the previous implicit exchange AQE-coalesced to one
+    # partition inside the docs4 checkpoint job and serialized the panel
+    # + gate onto one core; see line_dedup), so the panel's aggregations
+    # reuse that partitioning — the panel's default upfront repartition
+    # would be a redundant second corpus exchange
     pass_ids = (
         gopher_repetition(ld, co_partition=False)
         .where(F.col("pass_gopher") == 1)

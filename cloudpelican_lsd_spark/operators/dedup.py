@@ -1168,6 +1168,20 @@ def connected_components(
         return labels
     if method != "label":
         raise ValueError(f"connected_components: unknown method {method!r}")
+    # r8 (same fix as _cc_star_rounds): materialize the compact pair set
+    # ONCE before fanning it into the edge union.  The union's two
+    # branches each embed the full candidate-pair chain, and the
+    # edges.persist() below materializes that union INSIDE an
+    # InMemoryRelation build, where AQE (and its runtime exchange reuse)
+    # is disabled — measured at sf0.1 on the winnowing pair graph, the
+    # fingerprint chain ran THREE times in the cache-build job (~52 s of
+    # the build's 85 s task time; the static ReuseExchange rule does not
+    # unify the branches once column pruning differentiates their
+    # exchanges).  A compact (doc_a, doc_b) localCheckpoint computes the
+    # chain exactly once at any scale; swap to reliable checkpoint() on
+    # a real cluster (executor loss forces recompute, never wrong
+    # results).
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

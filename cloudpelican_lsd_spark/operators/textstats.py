@@ -1258,8 +1258,20 @@ def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> Data
         "keep",
         F.count(F.lit(1)).over(Window.partitionBy("lh", "line")) < min_df,
     )
+    # r8 (guide §2.4): the reassembly agg's doc_id exchange is made
+    # EXPLICIT-count so the output partitioning is real at runtime.
+    # Every clean-pipeline consumer (Gopher panel, C4 gate, dedup
+    # chain) hangs off this aggregate's layout, and the plain
+    # ENSURE_REQUIREMENTS exchange is AQE-coalescible by BYTES — the
+    # ~1.4 MB post-agg stream coalesced to ONE partition at sf0.1 and
+    # serialized the panel + gate regex work into single 3.4-4.5 s
+    # tasks (measured, stage metrics; the same undercount class
+    # keyed_repartition exists for).  A caller-side repartition cannot
+    # fix this: repartition(n, doc_id) above the agg is removed by the
+    # optimizer as redundant with the agg's own partitioning.
     return (
-        flagged.groupBy("doc_id")
+        keyed_repartition(flagged, "doc_id")
+        .groupBy("doc_id")
         .agg(
             F.array_join(
                 F.transform(
@@ -2573,6 +2585,7 @@ def winnowing_pairs(
     w: int = 4,
     max_df: int = 8,
     min_shared: int = 3,
+    materialize_fp: bool = False,
 ) -> DataFrame:
     """`(doc_a, doc_b, shared_fp, n_fp_a, n_fp_b, moss_sim)` — MOSS-style
     plagiarism/overlap candidates: document pairs sharing >= `min_shared`
@@ -2603,9 +2616,24 @@ def winnowing_pairs(
     AQE stage reuse computes the chain once, and fph is exactly the
     clustering the df count and both probes need, so they add no
     further exchange; totals re-keys the compact set by doc_id only.
+
+    ``materialize_fp=True`` (r8) localCheckpoints the compact docfp set
+    instead of relying on runtime exchange reuse.  Callers that consume
+    the pair graph through an RDD materialization — connected
+    components' pair checkpoint — do NOT get AQE's ReusedExchange
+    (measured sf0.1: the md5 fingerprint chain ran three times inside
+    dedup_winnowing_clusters' pair-materialization job, ~52 s of its
+    85 s task time; the static reuse rule fails once column pruning
+    differentiates the consumer exchanges).  The checkpoint computes
+    the chain exactly once at any scale; the default stays lazy because
+    the plain noop/collect consumers DO get runtime reuse and a
+    checkpoint barrier there is pure overhead (the
+    dedup_winnowing_pairs A/B of record).
     """
     fp = winnowing_fingerprints(docs, k=k, w=w)
     docfp = keyed_repartition(fp.select("doc_id", "fph").distinct(), "fph")
+    if materialize_fp:
+        docfp = docfp.localCheckpoint(eager=True)
     totals = docfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     rare = (
         docfp.groupBy("fph")

@@ -297,7 +297,12 @@ def q_dedup_winnowing_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id == cluster_id as the canonical copy.  Same compact
     (BIGINT, BIGINT) min-label propagation, same O(diameter) rounds."""
     pairs = text_ops.winnowing_pairs(
-        load_table(spark, "documents", sf_dir), k=8, w=4, max_df=8, min_shared=3
+        load_table(spark, "documents", sf_dir),
+        k=8, w=4, max_df=8, min_shared=3,
+        # CC consumes the pair graph through an RDD checkpoint, where
+        # runtime exchange reuse does not apply — materialize the
+        # fingerprint set once (see winnowing_pairs docstring, r8)
+        materialize_fp=True,
     ).select("doc_a", "doc_b")
     return dedup_ops.connected_components(pairs)
 
