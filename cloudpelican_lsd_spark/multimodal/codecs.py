@@ -256,7 +256,16 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
     src = docs.select(
         F.col("doc_id").alias("media_id"), F.length("text").alias("text_len")
     )
-    return src.mapInPandas(gen, MEDIA_SCHEMA)
+    # _spread (guide §2.5): every multimodal query chains Arrow
+    # mapInPandas stages (synthesis, decode, phash) off this source, and
+    # mapInPandas preserves partitioning — a single-split local scan ran
+    # the ENTIRE Python boundary in one worker (measured sf0.1:
+    # phash_near_pairs' decode 1.75 s, features 0.96 s, all one task).
+    # The spread moves only the compact (media_id, text_len) rows and is
+    # a no-op whenever the scan already has enough splits.
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
+    return _spread(src).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 DECODE_STATS_SCHEMA = T.StructType(

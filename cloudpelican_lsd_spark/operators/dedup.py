@@ -1695,7 +1695,10 @@ def _hot_spans(docs: DataFrame, w: int, min_df: int) -> DataFrame:
     as a duplicated span."""
     from pyspark.sql import Window
 
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    # _spread (guide §2.5): the w-token window build (transform+slice+
+    # array_join per position) runs on the scan stage — single-task on a
+    # one-split local scan (0.7 s at sf0.1); no-op at scale.
+    toks = _spread(docs).select("doc_id", F.split(F.col("text"), " ").alias("t"))
     grams = toks.select(
         "doc_id",
         F.posexplode(

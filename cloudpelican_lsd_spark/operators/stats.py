@@ -52,7 +52,15 @@ def metric_counts(
     raw_col: str = "_raw",
 ) -> DataFrame:
     """`(metric, bucket, cnt)` — MATCH counts every line, ERROR counts
-    heuristic-error lines (ErrorClassifierBolt.java:71-89 feed)."""
+    heuristic-error lines (ErrorClassifierBolt.java:71-89 feed).
+
+    NOT _spread (r8, measured): the heuristic is too cheap per row for
+    input-spreading to pay — the spread's serial exchange-write stage
+    costs as much as the serialized compute it removes, and post-shuffle
+    row processing loses the columnar-scan codegen path (walls regressed
+    ~15-50% across gapfill/pivot/chart/window_rollup/minmax in the
+    stage-probe A/B).  Contrast explode-heavy consumers, where the same
+    spread wins."""
     b = logs.select(
         bucket_col(epoch_col, rollup_sec).alias("bucket"),
         is_likely_error(F.col(raw_col)).alias("is_err"),
@@ -288,6 +296,10 @@ def burn_rate(
                 "error ratio — this flag could never fire; lower the budget "
                 "or the burn factor"
             )
+    # NOT _spread (r8, measured): same negative result as metric_counts
+    # — the heuristic is too cheap per row; the spread's serial exchange
+    # write + row-path processing cost more than the serialized compute
+    # they remove.
     per_min = (
         logs.select(
             bucket_col("ts_epoch", 60).alias("bucket"),

@@ -1367,7 +1367,12 @@ def trending_terms(
     """
     from pyspark.sql import Window
 
-    toks = logs.select(
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
+    # _spread (guide §2.5): the explode + per-token regex runs on the
+    # scan stage; a single-split local scan serialized it onto one core
+    # (measured sf0.1: 0.8 s single task).  No-op at scale.
+    toks = _spread(logs).select(
         (F.col("ts_epoch") - F.col("ts_epoch") % 86400).alias("day"),
         F.explode(F.split(F.col("_raw"), " ")).alias("token"),
     ).where(~F.col("token").rlike("^[0-9]"))
@@ -3434,7 +3439,12 @@ def distinct_ngrams(docs: DataFrame, max_n: int = 3) -> DataFrame:
     one (source, n, gram) hash aggregate (map-side partials), and a
     (source, n)-keyed rollup; output is |sources|·max_n rows.
     """
-    d = docs.select(
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
+    # _spread (guide §2.5): the fused n-gram explode runs on the scan
+    # stage — single-task on a one-split local scan (0.7 s at sf0.1);
+    # no-op at scale.
+    d = _spread(docs).select(
         "source", F.split(F.lower("text"), " ").alias("w")
     ).where(F.size("w") >= 1)
     grams = (

@@ -314,8 +314,13 @@ SELECT event_type, {is_likely_error_sql('_raw')} AS is_err,
 FROM logs GROUP BY 1, 2""",
 )
 def q_classifier_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """25-keyword error labeler as a column expression (F7)."""
-    logs = logs_view(spark, sf_dir)
+    """25-keyword error labeler as a column expression (F7).  _spread
+    (guide §2.5): the heuristic's contains-chain runs on the scan stage;
+    a single-split local scan serialized it onto one core (0.5 s single
+    task at sf0.1); no-op at scale."""
+    from cloudpelican_lsd_spark.operators.dedup import _spread
+
+    logs = _spread(logs_view(spark, sf_dir))
     return (
         logs.select(
             "event_type", is_likely_error(F.col("_raw")).alias("is_err")
