@@ -671,9 +671,17 @@ def test_new_operator_plan_shapes(spark, sf_dir):
         assert "Join" not in plan, f"{check.__name__} grew a join:\n{plan}"
 
     lined = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    plan = line_dedup(lined)._jdf.queryExecution().optimizedPlan().toString()
+    ld = line_dedup(lined)
+    plan = ld._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Relation") == 1  # single scan of the corpus
+    # r8 pin: the reassembly agg must sit on an EXPLICIT-count doc_id
+    # exchange (REPARTITION_BY_NUM) — a plain ENSURE_REQUIREMENTS
+    # exchange is AQE-coalescible by bytes and serialized the whole
+    # clean-pipeline fan-out (Gopher panel + C4 gate) onto one core
+    # (measured; see line_dedup docstring)
+    phys = ld._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in phys, phys[:2000]
 
 
 def test_gini_closed_form_and_bounds(spark, sf_dir):
