@@ -124,6 +124,38 @@ HEADLINE = [
 ALL_QUERIES = {**registry.QUERIES, **registry.UNGATED}
 
 
+#: core-scaling subset (r9, VERDICT item 3): at sf0.1 every query is
+#: overhead-dominated, so the driver's 8-vs-32-core ratio measures
+#: scheduling, not parallelizability.  `SPARK_GRAFT_BENCH_QUERIES=heavy20`
+#: (with SPARK_GRAFT_SF_DIR pointing at a scaled sf1 dir from
+#: tools/scale_testdata.py) runs just the 20 heaviest operator chains so
+#: the low/high-core ratio is meaningful and lands in BENCH_HISTORY
+#: under its own sf tag.  The env is NEVER set by the driver: the
+#: default bench surface and its one-line JSON contract are unchanged.
+HEAVY20 = [
+    "corpus_clean_v4",
+    "corpus_clean_v2",
+    "corpus_clean_v3",
+    "corpus_clean_pipeline",
+    "corpus_clean_yield",
+    "corpus_gopher_by_source",
+    "corpus_split_cluster_safe",
+    "dedup_winnowing_pairs",
+    "dedup_winnowing_clusters",
+    "dedup_method_agreement",
+    "dedup_cluster_keepers",
+    "dedup_cluster_sizes_star",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_semantic_prune",
+    "emb_jl_audit",
+    "emb_ivfpq_recall",
+    "text_gopher_repetition",
+    "text_gopher_sensitivity",
+    "text_perceptron_step",
+    "naive_bayes_confusion",
+]
+
+
 def headline_names(all_queries) -> list[str]:
     """The headline set, validated LOUD: a renamed/removed registry query
     left in HEADLINE used to be silently dropped, silently shrinking the
@@ -311,7 +343,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = parse_sf(sf_dir)
     spark = get_spark("bench")
-    names = headline_names(ALL_QUERIES)
+    # env-gated scaling subset (see HEAVY20); absent -> the full default
+    # surface, byte-identical behavior to every prior round
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    if subset:
+        names = HEAVY20 if subset == "heavy20" else subset.split(",")
+        missing = [n for n in names if n not in ALL_QUERIES]
+        if missing:
+            raise SystemExit(f"bench: unknown subset queries: {missing}")
+    else:
+        names = headline_names(ALL_QUERIES)
     # warm-up: JVM + parquet footer caches, one light pass
     ALL_QUERIES[names[0]](spark, sf_dir).write.format("noop").mode(
         "overwrite"
@@ -320,15 +361,22 @@ def main() -> None:
     for name in names:
         timings[name] = round(run_one(spark, name, sf_dir), 4)
     # every registered query beyond the headline set ("no regressions" is
-    # provable only if the whole surface is measured every round)
+    # provable only if the whole surface is measured every round) —
+    # skipped in subset mode, whose point is a focused scaling probe
     extras: dict[str, float] = {}
-    for name in ALL_QUERIES:
+    for name in ALL_QUERIES if not subset else ():
         if name not in timings:
             extras[name] = round(run_one(spark, name, sf_dir), 4)
     merged = {**timings, **extras}
-    spark, remeasured, band_policy = _remeasure_to_band(
-        spark, sf, sf_dir, merged
-    )
+    if subset:
+        # the band protocol assumes like-for-like sessions; a scaling
+        # probe intentionally varies the core count, so the band would
+        # flag the scaling signal itself and re-run half the subset
+        remeasured, band_policy = [], {}
+    else:
+        spark, remeasured, band_policy = _remeasure_to_band(
+            spark, sf, sf_dir, merged
+        )
     timings = {n: merged[n] for n in timings}
     extras = {n: merged[n] for n in extras}
     total = round(sum(timings.values()), 4)
@@ -344,6 +392,7 @@ def main() -> None:
                         "remeasured": remeasured,
                         "band_policy": band_policy,
                         "queries": merged,
+                        **({"subset": subset} if subset else {}),
                     }
                 )
                 + "\n"

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cloudpelican_lsd_spark.checkpoint import materialize
+
 from cloudpelican_lsd_spark.operators.dedup import (
     ngram_jaccard_pairs,
     shingles_oracle_cte,
@@ -69,7 +71,7 @@ def _clean_stages(
         # sf0.1: clean_yield 4.05 -> 3.46 s (4/4 pairwise), clean_v4
         # 9.50 -> 8.76 s, pipeline neutral — outputs bit-identical.
         # localCheckpoint locally; reliable checkpoint() on a cluster.
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     drops = (
@@ -462,7 +464,7 @@ def corpus_clean_v2(
     # re-analyzing its tree — 6.0 s -> 4.6 s session-median A/B at
     # sf0.1, outputs bit-identical.  localCheckpoint locally; reliable
     # checkpoint() on a real cluster (see corpus_clean_v4).
-    docs2 = docs2.localCheckpoint(eager=True)
+    docs2 = docs2.transform(materialize)
     _, _, final = _clean_stages(
         docs2, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
     )
@@ -547,7 +549,7 @@ def corpus_clean_v3(
     )
     # r8 (guide §3.3): same fan-out truncation as v2/v4 — 4.4 s ->
     # 3.3 s session-median A/B at sf0.1, outputs bit-identical
-    docs3 = docs3.localCheckpoint(eager=True)
+    docs3 = docs3.transform(materialize)
     _, _, final = _clean_stages(
         docs3, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
     )
@@ -1722,7 +1724,7 @@ def perplexity_cutpoints(
             "n_tokens",
             F.expr("sum_micro div n_tokens").alias("score"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
     coarse = (
@@ -1842,7 +1844,7 @@ def perplexity_by_lang(
             "n_tokens",
             F.expr("sum_micro div n_tokens").alias("score"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     hist = scored.groupBy("lang", "score").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -2319,7 +2321,7 @@ def split_cluster_safe(
         labeled.withColumn("split", split)
         .groupBy("cluster_id", "split")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     leaky = (
         cs.groupBy("cluster_id")
@@ -2589,7 +2591,6 @@ def corpus_clean_v4(
     """
     from cloudpelican_lsd_spark.operators.textstats import (
         gopher_repetition,
-        keyed_repartition,
         line_dedup,
     )
 
@@ -2631,7 +2632,7 @@ def corpus_clean_v4(
     # per-round checkpoint: localCheckpoint here; swap to reliable
     # checkpoint() on a real cluster (executor loss otherwise forces a
     # full recompute, not an incorrect result).
-    docs4 = docs4.localCheckpoint(eager=True)
+    docs4 = docs4.transform(materialize)
     _, _, final = _clean_stages(
         docs4, min_tokens, lang_num, lang_den, n, jac_num, jac_den, max_df
     )

@@ -33,23 +33,69 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ahead of heavy per-row compute — GATED.
+from cloudpelican_lsd_spark.checkpoint import materialize
+
+#: per-partition work quantum for _spread, in ESTIMATED INPUT BYTES of
+#: work per task.  The optimizer's sizeInBytes for a parquet scan is the
+#: COMPRESSED file size; text compresses ~4x, so 256 KB of estimate is
+#: ~1 MB of in-memory rows — small enough that the serialized-chain wins
+#: survive, large enough that a ~600 KB table gets 2-3 tasks instead of
+#: defaultParallelism (r8 shipped the unconditional 32-way fan-out and
+#: the driver measured it as the round's only attributable regressions:
+#: phash_near_pairs 0.69x, hybrid_retrieval 0.77x, rank_fusion 0.77x —
+#: cold exchange + 32-task overhead exceeded the compute it spread).
+_SPREAD_BYTES_PER_TASK = 256 << 10
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate (bytes) for ``df`` — the same statistic
+    broadcast-join planning uses.  For the scan-stage inputs _spread
+    feeds on this is the (column-pruned) parquet file size.  Returns -1
+    when the estimate is unavailable so callers can fail open."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return -1
+
+
+def _spread(df: DataFrame, weight: float = 1.0) -> DataFrame:
+    """Round-robin repartition ahead of heavy per-row compute — GATED and
+    SIZED TO THE INPUT.
 
     Small inputs (one parquet file) give Spark one partition, serializing
-    CPU-bound per-row hashing onto one core.  At 100 TB the scan already
-    has thousands of splits, so the repartition is skipped entirely: it
-    is a no-op (returns ``df`` unchanged, no Exchange in the plan) when
-    the input plan already carries >= ``defaultParallelism`` partitions,
-    and can be forced off with ``CPL_SPREAD=off`` (e.g. when an upstream
-    stage guarantees the layout).  Shuffling the full raw corpus
-    round-robin before shingling would otherwise be the single largest
-    exchange on the 100 TB read path.
+    CPU-bound per-row hashing onto one core.  The fan-out is sized to the
+    optimizer's input-size estimate (``ceil(weight * bytes / 256 KB)``,
+    floor 2, cap ``defaultParallelism``): a ~1 MB scan gets a handful of
+    tasks, not a cluster-wide fan-out whose per-task overhead exceeds the
+    compute it parallelizes (measured r8: the unconditional 32-way spread
+    cost the driver's cold runs 1.3-1.5x on the smallest inputs while the
+    8-core run beat the 32-core one).  ``weight`` scales the estimate for
+    callers whose downstream per-byte cost is far above the md5/shingle
+    chains this constant was sized for (e.g. the multimodal Arrow decode
+    chain passes weight>1: its input rows are tiny metadata but each row
+    fans into a full media decode).
+
+    At 100 TB the scan already has thousands of splits, so the
+    repartition is skipped entirely: it is a no-op (returns ``df``
+    unchanged, no Exchange in the plan) when the input plan already
+    carries >= target partitions, and can be forced off with
+    ``CPL_SPREAD=off`` (e.g. when an upstream stage guarantees the
+    layout).  Shuffling the full raw corpus round-robin before shingling
+    would otherwise be the single largest exchange on the 100 TB read
+    path.
     """
     if os.environ.get("CPL_SPREAD", "auto").lower() in ("off", "0", "false"):
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    est = _plan_size_bytes(df)
+    if est >= 0:
+        # fail open on a missing estimate (target stays defaultParallelism:
+        # wrong-but-bounded); otherwise right-size the fan-out to the work
+        want = -(-int(est * weight) // _SPREAD_BYTES_PER_TASK)
+        target = max(2, min(target, want))
     # getNumPartitions inspects the physical plan only (no job runs); a
     # multi-split scan passes through with zero added Exchange.  Caveats:
     # the probe reads the PRE-AQE static count, so a post-shuffle input
@@ -1181,7 +1227,7 @@ def connected_components(
     # chain exactly once at any scale; swap to reliable checkpoint() on
     # a real cluster (executor loss forces recompute, never wrong
     # results).
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -1209,9 +1255,7 @@ def connected_components(
         # the convergence metric rides the checkpoint's own action via
         # observe() — one job per round instead of checkpoint + agg
         obs = Observation(f"cc_round_{i}")
-        labels = labels.observe(obs, F.sum("lbl").alias("s")).localCheckpoint(
-            eager=True
-        )
+        labels = labels.observe(obs, F.sum("lbl").alias("s")).transform(materialize)
         cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             converged = True
@@ -1288,7 +1332,7 @@ def _cc_star_rounds(
     # path's equivalent.  Interleaved A/B at sf0.1
     # (dedup_cluster_sizes_star): 5.18 -> 3.43 s median, 4/4 pairwise.
     # localCheckpoint locally; reliable checkpoint() on a real cluster.
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
     edges = _cc_canonical_edges(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
@@ -1315,7 +1359,7 @@ def _cc_star_rounds(
             # DECIMAL(38,0): a BIGINT sum of ~2^63-magnitude hashes
             # overflows under ANSI mode after a handful of edges
             F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         sig = (obs.get["n"], obs.get["h"])
         if sig == prev_sig:
             converged = True
@@ -1336,7 +1380,7 @@ def _cc_star_rounds(
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        edges = _cc_canonical_edges(large).localCheckpoint(eager=True)
+        edges = _cc_canonical_edges(large).transform(materialize)
         # -- small-star: keyed on the larger endpoint (v < u by canon) ------
         sym_small = edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         mins_small = sym_small.groupBy("u").agg(F.min("v").alias("m"))

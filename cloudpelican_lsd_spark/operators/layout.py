@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cloudpelican_lsd_spark.checkpoint import materialize
+
 #: audit defaults: 8 user bits x 5 day bits, 50 chunks
 ZORDER_XBITS = 8
 ZORDER_YBITS = 5
@@ -162,7 +164,7 @@ def zorder_locality_audit(
         (F.col("user_id") % (1 << xbits)).alias("x"),
         F.expr("(ts_epoch div 86400) % " + str(1 << ybits)).alias("y"),
         "event_id",
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     out = []
     for layout, key in (
         ("linear_day_user", F.expr("y * " + str(1 << xbits) + " + x")),

@@ -992,13 +992,22 @@ def semantic_prune(
     )
     members = q.join(assigned, "vec_id")
     nb = int(pair_blocks)
+    # block columns are cast to INT on BOTH sides (r9, ADVICE): pmod over
+    # a BIGINT vec_id is bigint while explode(sequence(...)) is int — the
+    # mixed types made the join keys need casts, so EnsureRequirements
+    # stacked a second hashpartitioning exchange on (clabel, ba,
+    # cast(bb)) directly after each REPARTITION_BY_NUM exchange, which is
+    # AQE-byte-coalescible: exactly the undercount failure
+    # keyed_repartition exists to pin.  With matching ints the explicit
+    # exchange satisfies the join's required clustering as-is.
+    blk = lambda c: F.pmod(c, F.lit(nb)).cast("int")  # noqa: E731
     a = keyed_repartition(
-        members.withColumn("ba", F.pmod(F.col("vec_id"), F.lit(nb)))
+        members.withColumn("ba", blk(F.col("vec_id")))
         .withColumn("bb", F.explode(F.expr(f"sequence(0, {nb - 1})"))),
         "clabel", "ba", "bb",
     ).alias("a")
     b = keyed_repartition(
-        members.withColumn("bb", F.pmod(F.col("vec_id"), F.lit(nb)))
+        members.withColumn("bb", blk(F.col("vec_id")))
         .withColumn("ba", F.explode(F.expr(f"sequence(0, {nb - 1})"))),
         "clabel", "ba", "bb",
     ).alias("b")

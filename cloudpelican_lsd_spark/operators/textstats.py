@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cloudpelican_lsd_spark.checkpoint import materialize
+
 #: tiny deterministic English stopword list for the n-gram/stopword
 #: language heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
@@ -1132,10 +1134,16 @@ def bm25_topk(
     # array_remove passes per row) is pure per-row CPU; a single-split
     # local scan serializes both the stats and scoring passes onto one
     # core (measured sf0.1: hybrid_retrieval_topk's 0.8 s single task).
-    # No-op at scale (gated on scan split count).
+    # No-op at scale (gated on scan split count).  weight=nt/2: the
+    # per-row cost is ~nt array_remove passes over the token array, far
+    # above the byte-proportional md5 chains the spread quantum was
+    # sized for (r9 cold+warm A/B: right-sized-at-weight-1 lost ~0.15 s
+    # on text_bm25_topk vs the full fan-out while every other spread
+    # site won — this is the one site whose work estimate needs the
+    # multiplier).
     from cloudpelican_lsd_spark.operators.dedup import _spread
 
-    wide = _spread(docs).select(
+    wide = _spread(docs, weight=max(1.0, nt / 2)).select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     ).select(
         "doc_id",
@@ -1273,19 +1281,16 @@ def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> Data
         keyed_repartition(flagged, "doc_id")
         .groupBy("doc_id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("keep"), F.struct("pos", "line"))
-                        )
-                    ),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("clean_text"),
-            F.sum(F.col("keep").cast("long")).alias("n_kept"),
-            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+            # one F.expr per aggregate (r9, guide §7.3): the Column-chain
+            # form cost ~300 py4j round trips per build, paid by every
+            # clean-pipeline consumer; the parsed AST is identical
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "CASE WHEN keep THEN struct(pos, line) END)),"
+                " s -> s.line), '\n') AS clean_text"
+            ),
+            F.expr("sum(CAST(keep AS BIGINT)) AS n_kept"),
+            F.expr("sum(CAST((NOT keep) AS BIGINT)) AS n_dropped"),
         )
         .where(F.col("n_kept") >= 1)
     )
@@ -2228,6 +2233,15 @@ def gopher_repetition(docs: DataFrame, co_partition: bool = True) -> DataFrame:
         F.length("text").alias("n_chars"),
     )
 
+    # Expression assembly note (r9, guide §7.3 / the jl_audit F.expr
+    # technique): every aggregate/projection forest below is ONE SQL
+    # string parsed by F.expr / selectExpr instead of a py4j Column
+    # chain.  The panel's build cost was measured at ~2400 py4j round
+    # trips (frac projection 763, gate 419, ldoc/gn/piv aggs ~550) —
+    # pure driver-side construction tax paid by every panel consumer
+    # (v4 builds it per invocation).  The parsed ASTs are identical
+    # (bit-identity pinned by parity and the panel consistency tests).
+
     # --- line chain -------------------------------------------------------
     lc = (
         d.select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
@@ -2235,10 +2249,10 @@ def gopher_repetition(docs: DataFrame, co_partition: bool = True) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"), F.length("line").alias("l"))
     )
     ldoc = lc.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_lines"),
-        F.sum(F.col("c") - 1).cast("long").alias("dup_lines"),
-        F.sum((F.col("c") - 1) * F.col("l")).cast("long").alias("dup_line_chars"),
-        F.sum(F.col("c") * F.col("l")).cast("long").alias("tot_line_chars"),
+        F.expr("CAST(sum(c) AS BIGINT) AS n_lines"),
+        F.expr("CAST(sum(c - 1) AS BIGINT) AS dup_lines"),
+        F.expr("CAST(sum((c - 1) * l) AS BIGINT) AS dup_line_chars"),
+        F.expr("CAST(sum(c * l) AS BIGINT) AS tot_line_chars"),
     )
 
     # --- fused n-gram chain (n = 2..10 in one explode) ---------------------
@@ -2271,19 +2285,18 @@ def gopher_repetition(docs: DataFrame, co_partition: bool = True) -> DataFrame:
     )
     gc = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
     gn = gc.groupBy("doc_id", "n").agg(
-        F.max(
-            F.col("c") * _GOPHER_LEN_M + F.length("g")
-        ).alias("topkey"),
-        F.sum(
-            F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("g")).otherwise(0)
-        ).alias("dupchars"),
+        F.expr(f"max(c * {_GOPHER_LEN_M} + length(g)) AS topkey"),
+        F.expr(
+            "sum(CASE WHEN c > 1 THEN (c - 1) * length(g) ELSE 0 END)"
+            " AS dupchars"
+        ),
     )
-    top_chars = F.expr(f"(topkey DIV {_GOPHER_LEN_M}) * (topkey % {_GOPHER_LEN_M})")
+    top_chars = f"(topkey DIV {_GOPHER_LEN_M}) * (topkey % {_GOPHER_LEN_M})"
     piv_aggs = [
-        F.max(F.when(F.col("n") == n, top_chars)).alias(f"top{n}")
+        F.expr(f"max(CASE WHEN n = {n} THEN {top_chars} END) AS top{n}")
         for n in (2, 3, 4)
     ] + [
-        F.max(F.when(F.col("n") == n, F.col("dupchars"))).alias(f"dup{n}")
+        F.expr(f"max(CASE WHEN n = {n} THEN dupchars END) AS dup{n}")
         for n in range(5, 11)
     ]
     piv = gn.groupBy("doc_id").agg(*piv_aggs)
@@ -2292,28 +2305,29 @@ def gopher_repetition(docs: DataFrame, co_partition: bool = True) -> DataFrame:
         ldoc.join(piv, "doc_id", "left")
         .join(d.select("doc_id", "n_chars"), "doc_id")
     )
+    # double literals carry the D suffix: a bare `0.3` parses as DECIMAL
+    # in Spark SQL, which would change the comparison/els branch types
     frac_cols = [
-        F.round(F.col("dup_lines") / F.col("n_lines"), 6).alias("dup_line_frac"),
-        F.when(F.col("tot_line_chars") == 0, F.lit(0.0))
-        .otherwise(F.round(F.col("dup_line_chars") / F.col("tot_line_chars"), 6))
-        .alias("dup_line_char_frac"),
+        "round(dup_lines / n_lines, 6) AS dup_line_frac",
+        "CASE WHEN tot_line_chars = 0 THEN 0.0D"
+        " ELSE round(dup_line_chars / tot_line_chars, 6) END"
+        " AS dup_line_char_frac",
     ]
     for n in (2, 3, 4):
         frac_cols.append(
-            F.round(F.coalesce(F.col(f"top{n}"), F.lit(0)) / F.col("n_chars"), 6)
-            .alias(f"top_{n}gram_char_frac")
+            f"round(coalesce(top{n}, 0) / n_chars, 6)"
+            f" AS top_{n}gram_char_frac"
         )
     for n in range(5, 11):
         frac_cols.append(
-            F.round(F.coalesce(F.col(f"dup{n}"), F.lit(0)) / F.col("n_chars"), 6)
-            .alias(f"dup_{n}gram_char_frac")
+            f"round(coalesce(dup{n}, 0) / n_chars, 6)"
+            f" AS dup_{n}gram_char_frac"
         )
-    out = out.select("doc_id", *frac_cols)
-    gate = None
-    for name, thr in GOPHER_THRESHOLDS.items():
-        cond = F.col(name) <= F.lit(thr)
-        gate = cond if gate is None else (gate & cond)
-    return out.withColumn("pass_gopher", gate.cast("int"))
+    out = out.selectExpr("doc_id", *frac_cols)
+    gate = " AND ".join(
+        f"{name} <= {thr!r}D" for name, thr in GOPHER_THRESHOLDS.items()
+    )
+    return out.withColumn("pass_gopher", F.expr(f"CAST(({gate}) AS INT)"))
 
 
 def gopher_fr_cte(relation: str, prefix: str = "gp") -> str:
@@ -2638,7 +2652,7 @@ def winnowing_pairs(
     fp = winnowing_fingerprints(docs, k=k, w=w)
     docfp = keyed_repartition(fp.select("doc_id", "fph").distinct(), "fph")
     if materialize_fp:
-        docfp = docfp.localCheckpoint(eager=True)
+        docfp = docfp.transform(materialize)
     totals = docfp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     rare = (
         docfp.groupBy("fph")
@@ -2928,7 +2942,7 @@ def kneser_ney_logprob(docs: DataFrame) -> DataFrame:
     # median, 4/4 pairwise.  bigram_logprob measured NEUTRAL under the
     # same change (fewer consumers) and stays lazy.  localCheckpoint
     # locally; reliable checkpoint() on a real cluster.
-    occ = occ.localCheckpoint(eager=True)
+    occ = occ.transform(materialize)
     uni = occ.groupBy("cur").agg(F.count(F.lit(1)).alias("c1"))
     total = uni.agg(F.sum("c1").alias("total"))
     bi = (

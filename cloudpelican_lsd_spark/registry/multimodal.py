@@ -6,6 +6,8 @@ from cloudpelican_lsd_spark.sources.tables import load_table
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudpelican_lsd_spark.checkpoint import materialize
+
 from cloudpelican_lsd_spark.registry._core import (
     register,
 )
@@ -175,7 +177,7 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is cheap and pruned)."""
     media = mm_codecs.synthesize_real_media(
         load_table(spark, "documents", sf_dir)
-    ).localCheckpoint(eager=False)
+    ).transform(materialize, eager=False)
     return mm_codecs.resize_real(media, max_w=64, max_h=48).drop("content")
 
 

@@ -115,6 +115,21 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _driver_java_opts() -> str:
+    """Driver JVM options: the engine's code-cache sizing plus anything
+    from ``SPARK_GRAFT_DRIVER_JAVA_OPTS`` — env options are APPENDED so
+    they extend the default rather than silently dropping it; an env
+    value that sets its own ReservedCodeCacheSize wins (the default is
+    omitted)."""
+    default = "-XX:ReservedCodeCacheSize=2g"
+    extra = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "").strip()
+    if not extra:
+        return default
+    if "ReservedCodeCacheSize" in extra:
+        return extra
+    return f"{default} {extra}"
+
+
 def get_spark(app_name: str = "cloudpelican-lsd-spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) a local session. ``SPARK_GRAFT_CPUS`` controls core
     count (default: all)."""
@@ -142,12 +157,16 @@ def get_spark(app_name: str = "cloudpelican-lsd-spark", cpus: int | None = None)
         # before, and the production analogue (a long-lived
         # supervisor/driver JVM serving many query shapes) wants the
         # same sizing.
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS APPENDS to (not replaces) the
+        # code-cache default, unless the caller sets their own
+        # ReservedCodeCacheSize (r9, ADVICE: the env escape hatch used to
+        # silently drop the default).  Note this builder conf still
+        # overrides any spark-defaults driver options, as builder confs
+        # always do — deployments supplying their own JVM flags pass them
+        # through the env var.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:ReservedCodeCacheSize=2g",
-            ),
+            _driver_java_opts(),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

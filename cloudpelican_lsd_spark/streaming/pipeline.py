@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudpelican_lsd_spark.catalog import FilterCatalog
+
+from cloudpelican_lsd_spark.checkpoint import materialize
 from cloudpelican_lsd_spark.functions.parse import (
     extract_event_time,
     normalize_lines,
@@ -413,7 +415,7 @@ class StreamingEngine:
             self._stats_series(),
             bucket_sec=60,
             min_points=MIN_POINTS if min_points is None else min_points,
-        ).localCheckpoint(eager=False)
+        ).transform(materialize, eager=False)
         cols = ["series_key", "bucket", "actual", "is_outlier"]
         parts = [
             moving_average_check(span, bucket_sec=60)

@@ -427,9 +427,19 @@ def test_spread_is_gated(spark, sf_dir):
     narrow = d.coalesce(1)
     out2 = dedup_ops._spread(narrow)
     assert out2 is not narrow
-    assert "RoundRobinPartitioning" in out2._jdf.queryExecution().logical().toString() or (
-        out2.rdd.getNumPartitions() == target
-    )
+    # a keyless Repartition with shuffle=true IS the round-robin exchange
+    assert "Repartition" in out2._jdf.queryExecution().logical().toString()
+    # r9: the fan-out is SIZED TO THE INPUT (ceil(weight*bytes/quantum),
+    # floor 2, cap defaultParallelism) — a tiny table must NOT fan out
+    # to defaultParallelism (the r8 unconditional 32-way spread was the
+    # round's only attributable driver regression), and the weight knob
+    # scales the work estimate for CPU-dense consumers
+    est = dedup_ops._plan_size_bytes(narrow)
+    assert est > 0
+    want = max(2, min(target, -(-est // dedup_ops._SPREAD_BYTES_PER_TASK)))
+    assert out2.rdd.getNumPartitions() == want
+    boosted = dedup_ops._spread(narrow, weight=1e9)  # absurd weight -> cap
+    assert boosted.rdd.getNumPartitions() == target
     # config kill-switch
     os.environ["CPL_SPREAD"] = "off"
     try:
@@ -551,6 +561,14 @@ def test_semantic_prune_block_salting_invariant(spark, sf_dir):
         assert got == base, f"pair_blocks={nb} changed the result"
     plan = S.semantic_prune(emb)._jdf.queryExecution().executedPlan().toString()
     assert "ba" in plan and "bb" in plan
+    # r9 (ADVICE): the block columns are INT on both sides — a bigint
+    # pmod against an int sequence() made the join keys need casts, so
+    # EnsureRequirements stacked a second (AQE-coalescible)
+    # hashpartitioning exchange on cast(ba/bb) right after each
+    # REPARTITION_BY_NUM exchange, defeating the explicit-count pin.
+    # Assert no cast of the block columns survives anywhere in the
+    # executed plan: the explicit exchanges must feed the join directly.
+    assert "cast(ba" not in plan and "cast(bb" not in plan
 
 
 def test_c4_audit_rules_and_plan(spark, sf_dir):

@@ -16,11 +16,13 @@ cross-replica duplicate explosions):
 - ``events.ts`` / order dates are NOT shifted: time-bucket densities
   multiply by k, which is the harsher test for fixed-point counter
   overflow (count² sums at 10× bucket counts).
-- ``documents.text`` in replicas > 0 gets a 3-char replica salt prefix
-  (``r<i> ``): within-replica dup/shingle structure is preserved,
-  cross-replica exact/near duplication is broken → pair-generating
-  dedup operators scale linearly, as real ingestion would.  n_chars is
-  recomputed so the column contract (n_chars = length(text)) holds.
+- ``documents.text`` in replicas > 0 is CAESAR-ROTATED by the replica
+  index (letters only, per case): within-replica dup/shingle structure
+  is preserved exactly, while EVERY cross-replica n-gram decorrelates —
+  pair-generating dedup operators scale linearly and df-pruned queries
+  keep non-empty output at sf1 (the r8 prefix salt only changed the
+  first shingle window, so dfs multiplied by k and pruned everything).
+  Text length is preserved, so n_chars passes through unchanged.
 - ``embeddings.embedding`` in replicas > 0 is dimension-ROTATED by
   ``7*i mod 64``: rotation preserves norms and within-replica cosines
   exactly, while cross-replica cosines decorrelate — ANN/near-dup
@@ -73,12 +75,22 @@ _SCALED = {
         " user_id + {off} AS user_id, event_type, value, props"
         " FROM '{src}'"
     ),
+    # replicas > 0 are CAESAR-ROTATED per replica (letters shifted by i
+    # within each case; digits/punctuation/whitespace untouched).  This
+    # replaces the r8 3-char prefix salt, which only perturbed the first
+    # shingle window of each doc: every later n-gram/fingerprint stayed
+    # byte-identical ACROSS replicas, so document frequencies multiplied
+    # by k and df-pruned pair queries (jaccard_df_pruned, winnowing
+    # pairs/clusters) returned EMPTY at sf1 — a 0≡0 parity non-signal
+    # (VERDICT r8 item 7).  The rotation preserves text length (n_chars
+    # unchanged), line/token structure, and all WITHIN-replica equality
+    # and overlap exactly, while decorrelating every cross-replica
+    # n-gram — dedup structure grows linearly, as real ingestion would.
     "documents": (
         "SELECT doc_id + {off} AS doc_id,"
-        " CASE WHEN {i} = 0 THEN text ELSE 'r{i} ' || text END AS text,"
-        " lang, source,"
-        " CASE WHEN {i} = 0 THEN n_chars"
-        "      ELSE length('r{i} ' || text) END AS n_chars"
+        " CASE WHEN {i} = 0 THEN text"
+        "      ELSE translate(text, '{alpha}', '{rot}') END AS text,"
+        " lang, source, n_chars"
         " FROM '{src}'"
     ),
     "embeddings": (
@@ -101,9 +113,22 @@ def scale(src: str, dst: str, k: int) -> None:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
         print(f"{t}: copied")
     con = duckdb.connect()
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+
+    def _rot(i: int) -> str:
+        j = i % 26
+        return lower[j:] + lower[:j] + upper[j:] + upper[:j]
+
     for t, tpl in _SCALED.items():
         parts = " UNION ALL ".join(
-            tpl.format(i=i, off=i * STRIDE, src=f"{src}/{t}.parquet")
+            tpl.format(
+                i=i,
+                off=i * STRIDE,
+                src=f"{src}/{t}.parquet",
+                alpha=lower + upper,
+                rot=_rot(i),
+            )
             for i in range(k)
         )
         con.sql(
