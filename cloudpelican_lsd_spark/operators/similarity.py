@@ -1564,13 +1564,16 @@ def pq_topk(
     bit-identical in the DuckDB oracle with no rounding.
     """
     d2 = _pq_d2(emb, m, n_codes, dim)
-    w_enc = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
+    # argmin as ONE hash aggregate, not a window (r9, guide §2.4): the
+    # window form needed the same (vec_id, s) exchange PLUS a sort and a
+    # rank filter over it; min(struct(d2, code)) is the identical argmin
+    # (struct ordering compares d2 then code — exactly the window's
+    # orderBy plus its tie-break) with map-side partial aggregation and
+    # no sort.
     assign = (
-        d2.withColumn("rn", F.row_number().over(w_enc))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "s", "code")
+        d2.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "code")).alias("_m"))
+        .select("vec_id", "s", F.col("_m.code").alias("code"))
     )
     lut = d2.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("qid"), "s", "code", F.col("d2").alias("qd2")
@@ -1653,13 +1656,12 @@ def build_pq_index(
     All arithmetic is exact fixed-point BIGINT (floor(v·1e7)), so the
     index and every query against it are hash-reproducible."""
     d2 = _pq_d2(emb, m, n_codes, dim)
-    w_enc = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
+    # same argmin-as-aggregate shape as pq_topk (r9): one hash agg,
+    # bit-identical to the row_number window it replaces
     codes = (
-        d2.withColumn("rn", F.row_number().over(w_enc))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "s", "code")
+        d2.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "code")).alias("_m"))
+        .select("vec_id", "s", F.col("_m.code").alias("code"))
     )
     sub_dim = dim // m
     codebook = (
@@ -1923,13 +1925,14 @@ def _ivfpq_residuals(ex: DataFrame, cents: DataFrame, sub_dim: int) -> DataFrame
             ).alias("cd2")
         )
     )
-    w_coarse = Window.partitionBy("vec_id").orderBy(
-        F.col("cd2").asc(), F.col("cent_id").asc()
-    )
+    # argmin as ONE hash aggregate (r9, guide §2.3/§2.4): identical to
+    # the row_number window it replaces (struct ordering = cd2 asc,
+    # cent_id asc), but map-side partial MIN collapses the n_centroids
+    # candidate rows per vector BEFORE the exchange and no sort runs
     coarse = (
-        cd2.withColumn("rn", F.row_number().over(w_coarse))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
+        cd2.groupBy("vec_id")
+        .agg(F.min(F.struct("cd2", "cent_id")).alias("_m"))
+        .select("vec_id", F.col("_m.cent_id").alias("cent_id"))
     )
     return (
         ex.join(coarse, "vec_id")
@@ -1959,13 +1962,13 @@ def _ivfpq_encode(rv: DataFrame, codebook: DataFrame) -> DataFrame:
             ).alias("d2")
         )
     )
-    w_enc = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
+    # same argmin-as-aggregate shape (r9): cent_id is functionally
+    # dependent on vec_id (one coarse cell per vector), so adding it to
+    # the grouping key leaves the groups identical while carrying it out
     return (
-        enc.withColumn("rn", F.row_number().over(w_enc))
-        .where(F.col("rn") == 1)
-        .select("cent_id", "vec_id", "s", "code")
+        enc.groupBy("cent_id", "vec_id", "s")
+        .agg(F.min(F.struct("d2", "code")).alias("_m"))
+        .select("cent_id", "vec_id", "s", F.col("_m.code").alias("code"))
     )
 
 

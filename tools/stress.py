@@ -232,6 +232,32 @@ def main() -> None:
         f"  ratio={t[f'{factor}x'] / max(t['1x'], 1e-9):5.2f} (linear={factor})"
     )
 
+    # PQ / IVF-PQ recall audits (r9, VERDICT #5): locally these are
+    # ~20-serial-stage chains whose wall is stage-launch latency on tiny
+    # data (total task CPU < 2.3 s); the scale question is whether the
+    # SAME stage count stays near-linear when every stage carries 10x
+    # rows (codebook and query count fixed, candidate volume linear).
+    # A ratio well under `factor` here is the stress-backed "inherent"
+    # evidence that the chains are latency-bound locally and
+    # bandwidth-scaling at size — the structural alternative (fusing
+    # the codebook windows) was probed r9 and bounded by the ~0.1 s/
+    # stage latency it cannot remove.
+    for label_q, fn in (
+        ("pq_recall", lambda d: similarity.pq_recall(d)),
+        ("ivfpq_recall", lambda d: similarity.ivfpq_recall(d)),
+    ):
+        t = {}
+        for label, dset in (("1x", emb), (f"{factor}x", big_emb10)):
+            t0 = time.time()
+            fn(dset).write.format("noop").mode("overwrite").save()
+            t[label] = time.time() - t0
+        print(
+            f"{label_q:28s} 1x={t['1x']:6.2f}s "
+            f"{factor}x={t[f'{factor}x']:6.2f}s"
+            f"  ratio={t[f'{factor}x'] / max(t['1x'], 1e-9):5.2f}"
+            f" (linear={factor})"
+        )
+
     # -- streaming-path stress (VERDICT r6 #5): the suppressor and the
     # streaming indexer have correctness tests but had no scale
     # measurement beyond stream_bench's lines/s.  Both probes below use
