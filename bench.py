@@ -388,6 +388,10 @@ def main() -> None:
                     {
                         "ts": int(time.time()),
                         "sf": sf,
+                        # self-describing scaling artifacts (r9): a
+                        # subset run at a non-default core count must be
+                        # attributable from the JSON alone
+                        "cpus": os.environ.get("SPARK_GRAFT_CPUS") or "all",
                         "value": total,
                         "remeasured": remeasured,
                         "band_policy": band_policy,

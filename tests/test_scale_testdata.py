@@ -56,13 +56,38 @@ def test_scaler_fk_integrity_and_salt_contract(scaled):
             WHERE o.o_orderkey IS NULL"""
     ).fetchone()[0]
     assert li == 0
-    # replica 1 docs carry the salt prefix and a consistent n_chars
+    # replica 1 docs are the exact Caesar rotation of their originals
+    # (r9: the rotation replaced the r8 prefix salt, which left every
+    # later n-gram identical across replicas and emptied df-pruned pair
+    # queries at sf1): length-preserving, n_chars passes through, and
+    # the text equals translate(original, alpha, rot(1)) byte for byte
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    rot1 = lower[1:] + lower[:1] + upper[1:] + upper[:1]
     bad = con.sql(
-        f"""SELECT count(*) FROM '{scaled}/documents.parquet'
-            WHERE doc_id >= {STRIDE}
-              AND (text NOT LIKE 'r1 %' OR n_chars <> length(text))"""
+        f"""SELECT count(*) FROM '{scaled}/documents.parquet' b
+            JOIN '/root/testdata/sf0.001/documents.parquet' a
+              ON b.doc_id = a.doc_id + {STRIDE}
+            WHERE b.n_chars <> length(b.text)
+               OR b.text <> translate(a.text, '{lower + upper}', '{rot1}')"""
     ).fetchone()[0]
     assert bad == 0
+    # the rotation's purpose: within-replica shingle structure preserved
+    # (equal distinct-trigram counts per doc), cross-replica trigrams
+    # disjoint wherever they contain letters
+    same = con.sql(
+        f"""WITH sh AS (
+              SELECT doc_id,
+                     array_to_string(string_split(lower(text), ' ')[i : i + 2], ' ') AS g
+              FROM '{scaled}/documents.parquet',
+                   generate_series(1, 200) t(i)
+              WHERE i + 2 <= len(string_split(text, ' '))
+            )
+            SELECT count(*) FROM sh a
+            JOIN sh b ON a.g = b.g AND b.doc_id = a.doc_id + {STRIDE}
+            WHERE regexp_matches(a.g, '[a-z]')"""
+    ).fetchone()[0]
+    assert same == 0
 
 
 def test_scaler_embedding_rotation_preserves_norms(scaled):

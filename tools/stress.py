@@ -239,9 +239,10 @@ def main() -> None:
     # rows (codebook and query count fixed, candidate volume linear).
     # A ratio well under `factor` here is the stress-backed "inherent"
     # evidence that the chains are latency-bound locally and
-    # bandwidth-scaling at size — the structural alternative (fusing
-    # the codebook windows) was probed r9 and bounded by the ~0.1 s/
-    # stage latency it cannot remove.
+    # bandwidth-scaling at size.  (The r9 structural change — argmin
+    # windows replaced by partial-aggregating min(struct) — cut the
+    # encode exchanges' rows 8-16x and removed their sorts, but stage
+    # COUNT is the local wall and is the algorithm itself.)
     for label_q, fn in (
         ("pq_recall", lambda d: similarity.pq_recall(d)),
         ("ivfpq_recall", lambda d: similarity.ivfpq_recall(d)),
